@@ -1,0 +1,50 @@
+"""Bronze readers / gold writers.
+
+Driver tables (TESTDATA.md): TPC-H-ish star schema + events/documents/
+embeddings, one parquet file per table under an sf directory.
+
+At 100 TB the bronze layer would be height/date-partitioned parquet
+(or Delta); readers here take any directory with the same table names,
+so the code path is identical for a partitioned dataset — Catalyst
+does partition pruning + predicate pushdown on the resulting scans.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DRIVER_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table. Accepts both `<dir>/<name>.parquet` (driver
+    layout) and `<dir>/<name>/` (partitioned-dataset layout)."""
+    flat = os.path.join(sf_dir, f"{name}.parquet")
+    nested = os.path.join(sf_dir, name)
+    path = flat if os.path.exists(flat) else nested
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   tables: tuple[str, ...] = DRIVER_TABLES) -> None:
+    """Register each driver table as a temp view (for spark.sql queries)."""
+    for name in tables:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_gold(df: DataFrame, path: str, mode: str = "overwrite",
+               partition_by: list[str] | None = None) -> None:
+    """Write a gold (serving) table. Matches the reference's Redis
+    materialized-view semantics (server.js:295-299): each refresh
+    atomically replaces the prior snapshot."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

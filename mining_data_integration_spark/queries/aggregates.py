@@ -1,0 +1,246 @@
+"""Aggregation operators (SURVEY.md §2.4, A1-A11 analogs on driver tables).
+
+The reference computes per-miner hash aggregates with conditional counts
+(rpc.js:244-275), per-block rollups with nested commit lists
+(rpc.js:463-487) and global sums (server.js:334-352). Here the same
+aggregate shapes run over lineitem/orders/customer, expressed so Catalyst
+does map-side partial aggregation before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import dec_sum, money, t
+
+
+def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 analog (rpc.js:253-273): group + count + exact sums + conditional
+    count, the per-miner stats shape. TPC-H Q1 skeleton."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            money(dec_sum("l_quantity")).alias("sum_qty"),
+            money(dec_sum("l_extendedprice")).alias("sum_base_price"),
+            money(
+                dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            ).alias("sum_disc_price"),
+            F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias(
+                "n_discounted"
+            ),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def a3_conditional_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 analog (rpc.js:301-305): per-key win counts with a predicate
+    split (canonical wins vs bonus-era wins)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("total_orders"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+                "finished_orders"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("o_orderstatus") == "F")
+                    & (F.col("o_orderpriority") == "1-URGENT"),
+                    1,
+                ).otherwise(0)
+            ).alias("urgent_finished_orders"),
+        )
+        .filter(F.col("total_orders") >= 3)
+        .orderBy("o_custkey")
+    )
+
+
+def a5_derived_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 analog (rpc.js:433-434): post-aggregation arithmetic
+    (average_burn = burned/mined; normalized = won/average)."""
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_items"),
+        dec_sum("l_extendedprice").alias("_sum_price"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "n_returned"
+        ),
+    )
+    return (
+        agg.select(
+            "l_suppkey",
+            "n_items",
+            money(F.col("_sum_price")).alias("sum_price"),
+            money(F.col("_sum_price") / F.col("n_items"), 4).alias("avg_price"),
+            money(
+                F.col("n_returned") / (F.col("_sum_price") / F.col("n_items")), 6
+            ).alias("normalized_returns"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+def a6_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 analog (rpc.js:463-487): per-group sum + count + nested list
+    (commit_value_list). The list is sorted for cross-engine determinism."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            money(dec_sum("l_extendedprice")).alias("sum_price"),
+            F.count("*").alias("n_items"),
+            F.sort_array(F.collect_list("l_partkey")).alias("part_list"),
+        )
+        .filter(F.col("n_items") >= 5)
+        .orderBy("l_orderkey")
+    )
+
+
+def a7_group_count_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 analog (rpc.js:324-336): two-level aggregate — per-group counts,
+    then a global Σ(count−1) (the reference's exclude-coinbase count)."""
+    li = t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    return per_order.agg(
+        F.sum(F.col("n") - 1).alias("tx_count"),
+        F.count("*").alias("n_groups"),
+    )
+
+
+def a8_global_scaled_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 analog (server.js:334-352): global sum, unit-scaled (/1e8),
+    rounded to 2dp."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        money(dec_sum("l_extendedprice") / F.lit(100000000)).alias("btc_total")
+    )
+
+
+def a10_range_restricted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 analog (server.js:304-331): the A1 pipeline re-run under a
+    range filter (trailing-window recompute as a parameterized view).
+    The between-predicate pushes down to the parquet scan."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate").between("1996-01-01", "1996-12-31"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            money(dec_sum("l_extendedprice")).alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def a12_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (SURVEY §2.4 note): exact distinct aggregate + ROLLUP
+    grouping sets — absent from the reference, free in Spark/DuckDB."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            money(dec_sum("o_totalprice")).alias("sum_total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+QUERIES = {
+    "a1_pricing_summary": a1_pricing_summary,
+    "a3_conditional_wins": a3_conditional_wins,
+    "a5_derived_scalars": a5_derived_scalars,
+    "a6_order_rollup": a6_order_rollup,
+    "a7_group_count_sum": a7_group_count_sum,
+    "a8_global_scaled_sum": a8_global_scaled_sum,
+    "a10_range_restricted_stats": a10_range_restricted_stats,
+    "a12_distinct_rollup": a12_distinct_rollup,
+}
+
+ORACLES = {
+    "a1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+               sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "a3_conditional_wins": """
+        SELECT o_custkey,
+               count(*) AS total_orders,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished_orders,
+               sum(CASE WHEN o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END) AS urgent_finished_orders
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) >= 3
+        ORDER BY o_custkey
+    """,
+    "a5_derived_scalars": """
+        WITH agg AS (
+            SELECT l_suppkey,
+                   count(*) AS n_items,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS _sum_price,
+                   sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned
+            FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT l_suppkey, n_items,
+               CAST(round(_sum_price, 2) AS DOUBLE) AS sum_price,
+               CAST(round(_sum_price / n_items, 4) AS DOUBLE) AS avg_price,
+               CAST(round(n_returned / (_sum_price / n_items), 6) AS DOUBLE) AS normalized_returns
+        FROM agg ORDER BY l_suppkey
+    """,
+    "a6_order_rollup": """
+        SELECT l_orderkey,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+               count(*) AS n_items,
+               list_sort(list(l_partkey)) AS part_list
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING count(*) >= 5
+        ORDER BY l_orderkey
+    """,
+    "a7_group_count_sum": """
+        WITH per_order AS (
+            SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT sum(n - 1) AS tx_count, count(*) AS n_groups FROM per_order
+    """,
+    "a8_global_scaled_sum": """
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 100000000, 2) AS DOUBLE) AS btc_total
+        FROM lineitem
+    """,
+    "a10_range_restricted_stats": """
+        SELECT l_returnflag,
+               count(*) AS n_items,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+        FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "a12_distinct_rollup": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               count(DISTINCT o_custkey) AS n_customers,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """,
+}
