@@ -1,4 +1,325 @@
-"""Placeholder — filled in as operators land."""
+"""Join operators (SURVEY.md §2.3, J1-J10 analogs on driver tables).
 
-QUERIES = {}
-ORACLES = {}
+The reference hand-rolls hash joins with JS objects (rpc.js:80-84) and
+fuses join+collect_list ("group-joins", rpc.js:185-241). Here every
+variant is a declarative equi-join: Catalyst/AQE picks broadcast for
+dimensions (region/nation/supplier) and sort-merge for fact-fact; at
+100 TB the fact tables would be bucketed on the join keys so these run
+shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import dec_sum, money, t
+
+
+def j1_equi_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-J5 analog: five-table equi-join chain (the reference's five
+    group-joins onto snapshots, rpc.js:185-241) + revenue aggregate.
+    nation/region are broadcast; lineitem⋈orders is the shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            money(
+                dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def j2_group_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 group-join (rpc.js:196-205): join + collect_list fused — per
+    customer, the sorted list of order keys (nested child-array model,
+    SURVEY §1.1.3)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sort_array(F.collect_list("o_orderkey")).alias("order_list"),
+        )
+        .filter(F.col("n_orders") >= 5)
+        .orderBy("c_custkey")
+    )
+
+
+def j6_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 (rpc.js:128-148): composite-key equi-join on
+    (key_block_ptr, key_vtxindex) — here (l_partkey, l_suppkey) against
+    a derived part-supp dimension."""
+    li = t(spark, sf_dir, "lineitem")
+    ps = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.count("*").alias("n_lines"),
+             money(dec_sum("l_quantity")).alias("ps_qty"))
+        .withColumnRenamed("l_partkey", "ps_partkey")
+        .withColumnRenamed("l_suppkey", "ps_suppkey")
+    )
+    return (
+        li.join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .filter(F.col("n_lines") >= 3)
+        .groupBy("ps_partkey", "ps_suppkey")
+        .agg(
+            F.count("*").alias("n_join_rows"),
+            F.max("ps_qty").alias("ps_qty_max"),
+        )
+        .orderBy("ps_partkey", "ps_suppkey")
+    )
+
+
+def j7_winner_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 winner join (rpc.js:269): pick the 'winning' child row per
+    group — the min-price lineitem per order, via join on
+    (orderkey, min_extendedprice), tiebroken by min linenumber."""
+    li = t(spark, sf_dir, "lineitem")
+    mins = li.groupBy("l_orderkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        li.join(
+            mins,
+            (li.l_orderkey == mins.l_orderkey)
+            & (li.l_extendedprice == mins.min_price),
+        )
+        .drop(mins.l_orderkey)
+        .groupBy("l_orderkey", "min_price")
+        .agg(F.min("l_linenumber").alias("winner_linenumber"))
+        .orderBy("l_orderkey")
+    )
+
+
+def j8_computed_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 (rpc.js:320-336): join on a computed key —
+    md5(block_hash‖consensus_hash) in the reference; here
+    md5(brand‖type) links part rows to a derived per-(brand,type) dim."""
+    p = t(spark, sf_dir, "part")
+    keyed = p.withColumn(
+        "grp_key", F.md5(F.concat_ws("|", F.col("p_brand"), F.col("p_type")))
+    )
+    dim = keyed.groupBy("grp_key").agg(
+        F.count("*").alias("n_in_group"),
+        money(dec_sum("p_retailprice")).alias("group_price"),
+    )
+    return (
+        keyed.join(dim, "grp_key")
+        .filter(F.col("n_in_group") >= 5)
+        .select("p_partkey", "grp_key", "n_in_group", "group_price")
+        .orderBy("p_partkey")
+    )
+
+
+def j10_scalar_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 (server.js:162-171): every row × broadcast scalar params
+    (price feed + gas constant) — the RR-enrichment cross join."""
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    params = spark.createDataFrame(
+        [(65000.0, 0.55, 35000.0)], "btc_price double, stx_price double, gas double"
+    )
+    stats = li.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_items"),
+        dec_sum("l_extendedprice").alias("_burned"),
+    )
+    return (
+        stats.join(s, stats.l_suppkey == s.s_suppkey)
+        .crossJoin(F.broadcast(params))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_items",
+            money(F.col("_burned")).alias("burned"),
+            # exact decimal product, then one IEEE double division — both
+            # engines produce the identical bit pattern (round(double, n)
+            # does not: Spark HALF_UPs the decimal expansion, DuckDB
+            # rounds the binary double)
+            (
+                (
+                    F.col("n_items").cast("decimal(18,0)")
+                    * F.col("gas").cast("decimal(18,0)")
+                    + F.col("_burned")
+                )
+                * F.col("btc_price").cast("decimal(18,0)")
+            )
+            .cast("double")
+            .__div__(F.lit(100000000.0))
+            .alias("cost_btc"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def j11_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS) — absent from the reference (§2.3 note), part
+    of the rebuilt surface: customers having at least one urgent order."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def j12_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS): customers with no orders at all."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+def j13_left_outer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving empty groups (customer order counts
+    including zero) — the reference's nested empty child arrays
+    (rpc.js:166-170) re-expressed."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+QUERIES = {
+    "j1_equi_join_chain": j1_equi_join_chain,
+    "j2_group_join": j2_group_join,
+    "j6_composite_key_join": j6_composite_key_join,
+    "j7_winner_in_group": j7_winner_in_group,
+    "j8_computed_key_join": j8_computed_key_join,
+    "j10_scalar_enrichment": j10_scalar_enrichment,
+    "j11_semi_join": j11_semi_join,
+    "j12_anti_join": j12_anti_join,
+    "j13_left_outer_count": j13_left_outer_count,
+}
+
+ORACLES = {
+    "j1_equi_join_chain": """
+        SELECT n_name,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+    "j2_group_join": """
+        SELECT c_custkey,
+               count(*) AS n_orders,
+               list_sort(list(o_orderkey)) AS order_list
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+        HAVING count(*) >= 5
+        ORDER BY c_custkey
+    """,
+    "j6_composite_key_join": """
+        WITH ps AS (
+            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                   count(*) AS n_lines,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS ps_qty
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT ps_partkey, ps_suppkey,
+               count(*) AS n_join_rows,
+               max(ps_qty) AS ps_qty_max
+        FROM lineitem JOIN ps
+          ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        WHERE n_lines >= 3
+        GROUP BY ps_partkey, ps_suppkey
+        ORDER BY ps_partkey, ps_suppkey
+    """,
+    "j7_winner_in_group": """
+        WITH mins AS (
+            SELECT l_orderkey AS m_orderkey, min(l_extendedprice) AS min_price
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT l_orderkey, min_price,
+               min(l_linenumber) AS winner_linenumber
+        FROM lineitem JOIN mins
+          ON l_orderkey = m_orderkey AND l_extendedprice = min_price
+        GROUP BY l_orderkey, min_price
+        ORDER BY l_orderkey
+    """,
+    "j8_computed_key_join": """
+        WITH keyed AS (
+            SELECT p_partkey, p_retailprice,
+                   md5(p_brand || '|' || p_type) AS grp_key
+            FROM part
+        ), dim AS (
+            SELECT grp_key, count(*) AS n_in_group,
+                   CAST(round(sum(CAST(p_retailprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS group_price
+            FROM keyed GROUP BY grp_key
+        )
+        SELECT p_partkey, keyed.grp_key AS grp_key, n_in_group, group_price
+        FROM keyed JOIN dim USING (grp_key)
+        WHERE n_in_group >= 5
+        ORDER BY p_partkey
+    """,
+    "j10_scalar_enrichment": """
+        WITH stats AS (
+            SELECT l_suppkey, count(*) AS n_items,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS _burned
+            FROM lineitem GROUP BY l_suppkey
+        ), params AS (
+            SELECT 65000.0 AS btc_price, 0.55 AS stx_price, 35000.0 AS gas
+        )
+        SELECT s_suppkey, s_name, n_items,
+               CAST(round(_burned, 2) AS DOUBLE) AS burned,
+               CAST((CAST(n_items AS DECIMAL(18,0)) * CAST(gas AS DECIMAL(18,0)) + _burned)
+                    * CAST(btc_price AS DECIMAL(18,0)) AS DOUBLE) / 100000000.0 AS cost_btc
+        FROM stats
+        JOIN supplier ON l_suppkey = s_suppkey
+        CROSS JOIN params
+        ORDER BY s_suppkey
+    """,
+    "j11_semi_join": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+        ORDER BY c_custkey
+    """,
+    "j12_anti_join": """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+    "j13_left_outer_count": """
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+        ORDER BY c_custkey
+    """,
+}

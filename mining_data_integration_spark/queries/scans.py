@@ -1,4 +1,239 @@
-"""Placeholder — filled in as operators land."""
+"""Scans, filters, sorts, top-k and pagination (SURVEY.md §2.1/2.2/2.6).
 
-QUERIES = {}
-ORACLES = {}
+The reference pushes LIMIT/ORDER BY into SQLite for four queries
+(rpc.js:501,530,549,604) and slices cached arrays for serving
+(server.js:127-278). Here every variant is declarative: Catalyst turns
+sort+limit into TakeOrderedAndProject and pushes filters/projections
+into the parquet scan (verify with .explain: PushedFilters/ReadSchema).
+
+All top-k orderings carry a unique tiebreak key so results are
+deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import t
+
+
+def s9_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/S10/O1/O2 (rpc.js:501,530): ORDER BY ... DESC LIMIT k pushdown
+    scan -> TakeOrderedAndProject, no global sort materialized."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_totalprice",
+        )
+        .orderBy(F.desc("order_date"), F.desc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def s11_filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/F9 (rpc.js:549): conjunctive flag filter, projected scan.
+    Both predicates reach the parquet reader as PushedFilters."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def s12_filtered_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 (rpc.js:604): filter + ORDER BY height DESC LIMIT 1."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .select("o_orderkey", F.to_date("o_orderdate").alias("order_date"))
+        .limit(1)
+    )
+
+
+def f3_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4 (rpc.js:12-21,248-249): between-range predicates on the
+    height/time axis, pushed to the scan."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_shipdate").between("1994-01-01", "1994-12-31")
+            & F.col("l_quantity").between(10, 20)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+                F.to_date("l_shipdate").alias("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def f8_prefix_until_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 (rpc.js:506-515): walk the top-10 newest rows and keep the
+    prefix before the first 'sentinel' row (reference: zero winning
+    txid). Positional skip-while via row_number + min-offending-pos."""
+    o = t(spark, sf_dir, "orders")
+    top = (
+        o.orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(10)
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+            ),
+        )
+    )
+    sentinel_pos = top.filter(F.col("o_orderstatus") == "O").agg(
+        F.coalesce(F.min("pos"), F.lit(11)).alias("cut")
+    )
+    return (
+        top.crossJoin(sentinel_pos)
+        .filter(F.col("pos") < F.col("cut"))
+        .select("o_orderkey", "o_orderstatus", "pos")
+        .orderBy("pos")
+    )
+
+
+def o3_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 (rpc.js:278-280): argmax — the deepest branch tip. Deterministic
+    tiebreak on the key."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.desc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(1)
+    )
+
+
+def o6_tail_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 (server.js:151-152): `slice(-latest-1)` tail — keeps the LAST
+    latest+1 rows (the reference's off-by-one is preserved: latest=20
+    yields 21 rows)."""
+    latest = 20
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= latest + 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def o7_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 (server.js:153-155): page/size offset pagination via
+    row_number bounds (page 3, size 100 over orderkey order)."""
+    page, size = 3, 100
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").between(size * (page - 1) + 1, size * page))
+        .select("rn", "o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def o8_range_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 (server.js:175-187): 1-based inclusive [start, end] row range."""
+    start, end = 101, 150
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").between(start, end))
+        .select("rn", "o_orderkey", "o_orderstatus")
+    )
+
+
+QUERIES = {
+    "s9_topk_scan": s9_topk_scan,
+    "s11_filtered_scan": s11_filtered_scan,
+    "s12_filtered_top1": s12_filtered_top1,
+    "f3_range_filter": f3_range_filter,
+    "f8_prefix_until_sentinel": f8_prefix_until_sentinel,
+    "o3_argmax": o3_argmax,
+    "o6_tail_slice": o6_tail_slice,
+    "o7_offset_pagination": o7_offset_pagination,
+    "o8_range_slice": o8_range_slice,
+}
+
+ORACLES = {
+    "s9_topk_scan": """
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice
+        FROM orders
+        ORDER BY order_date DESC, o_orderkey DESC
+        LIMIT 10
+    """,
+    "s11_filtered_scan": """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    "s12_filtered_top1": """
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        ORDER BY o_orderdate DESC, o_orderkey DESC
+        LIMIT 1
+    """,
+    "f3_range_filter": """
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               CAST(l_shipdate AS DATE) AS ship_date
+        FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1994-12-31'
+          AND l_quantity BETWEEN 10 AND 20
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    "f8_prefix_until_sentinel": """
+        WITH top AS (
+            SELECT o_orderkey, o_orderstatus,
+                   row_number() OVER (ORDER BY o_orderdate DESC, o_orderkey DESC) AS pos
+            FROM orders
+            ORDER BY o_orderdate DESC, o_orderkey DESC
+            LIMIT 10
+        ), cutoff AS (
+            SELECT coalesce(min(pos), 11) AS cut FROM top WHERE o_orderstatus = 'O'
+        )
+        SELECT o_orderkey, o_orderstatus, pos
+        FROM top, cutoff
+        WHERE pos < cut
+        ORDER BY pos
+    """,
+    "o3_argmax": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey DESC
+        LIMIT 1
+    """,
+    "o6_tail_slice": """
+        WITH ranked AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   row_number() OVER (ORDER BY o_orderkey DESC) AS rn
+            FROM orders
+        )
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM ranked WHERE rn <= 21
+        ORDER BY o_orderkey
+    """,
+    "o7_offset_pagination": """
+        WITH ranked AS (
+            SELECT row_number() OVER (ORDER BY o_orderkey) AS rn,
+                   o_orderkey, o_custkey, o_totalprice
+            FROM orders
+        )
+        SELECT rn, o_orderkey, o_custkey, o_totalprice
+        FROM ranked WHERE rn BETWEEN 201 AND 300
+    """,
+    "o8_range_slice": """
+        WITH ranked AS (
+            SELECT row_number() OVER (ORDER BY o_orderkey DESC) AS rn,
+                   o_orderkey, o_orderstatus
+            FROM orders
+        )
+        SELECT rn, o_orderkey, o_orderstatus
+        FROM ranked WHERE rn BETWEEN 101 AND 150
+    """,
+}
