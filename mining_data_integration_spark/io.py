@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DRIVER_TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -23,13 +24,29 @@ DRIVER_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# parquet columns written as TIMESTAMP(NANOS) — Spark's reader rejects
+# them unless nanosAsLong is on; we read them as long and rebuild a
+# microsecond timestamp (integer DIV keeps the conversion exact)
+_NANO_TS_COLS = {"events": ("ts",)}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table. Accepts both `<dir>/<name>.parquet` (driver
     layout) and `<dir>/<name>/` (partitioned-dataset layout)."""
     flat = os.path.join(sf_dir, f"{name}.parquet")
     nested = os.path.join(sf_dir, name)
     path = flat if os.path.exists(flat) else nested
-    return spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+    except Exception as ex:  # TIMESTAMP(NANOS) parquet type
+        if "NANOS" not in str(ex):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    for col in _NANO_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str,

@@ -1,4 +1,179 @@
-"""Placeholder — filled in as operators land."""
+"""Scalar functions (SURVEY.md §2.8): JSON extraction, casts/strings,
+the rate-of-return formula, sentinel compares.
 
-QUERIES = {}
-ORACLES = {}
+The crypto codecs (X1-X5) are not SQL-expressible — they live in
+functions/addresses.py with pytest + rows-only coverage; everything
+here is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import dec_sum, money, t
+
+
+def x7_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 (rpc.js:351-366): JSON document column → typed field → branch.
+    The reference JSON.parses the `op` column and branches on which key
+    exists; here the events.props JSON field is extracted, cast, and
+    bucketed."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(
+            "event_type",
+            k.alias("k"),
+            F.when(k >= 50, F.lit("high")).otherwise(F.lit("low")).alias("k_band"),
+        )
+        .groupBy("event_type", "k_band")
+        .agg(F.count("*").alias("n"), F.min("k").alias("k_min"),
+             F.max("k").alias("k_max"))
+        .orderBy("event_type", "k_band")
+    )
+
+
+def x8_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8/X11 (rpc.js:250,415): casts and substring/concat projections —
+    string→int parse, txid.substring(0,10)-style display truncation."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.substring("c_name", 1, 10).alias("name_prefix"),
+            F.length("c_name").alias("name_len"),
+            F.upper("c_mktsegment").alias("segment_upper"),
+            F.concat_ws("#", F.col("c_mktsegment"),
+                        F.col("c_custkey").cast("string")).alias("seg_key"),
+            # round-trip cast: int → string → int (parseInt parity)
+            F.col("c_custkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def x12_rate_of_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 (utils.js:1-11): RR = earn/cost − 1 with
+    earn = bonus·2466·stx + (wins − bonus)·1000·stx,
+    cost = (mined·gas + burned)·btc/1e8.
+    Inputs from per-supplier aggregates; constants parameterized as in
+    serving.py. Exact decimal numerators, one IEEE division."""
+    li = t(spark, sf_dir, "lineitem")
+    stx, btc, gas = 0.55, 65000.0, 35000.0
+    stats = li.groupBy("l_suppkey").agg(
+        F.count("*").alias("mined"),
+        dec_sum("l_extendedprice").alias("_burned"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("wins"),
+        F.sum(
+            F.when(
+                (F.col("l_returnflag") == "R") & (F.col("l_linenumber") == 1), 1
+            ).otherwise(0)
+        ).alias("bonus_wins"),
+    )
+    stx_milli = F.lit(int(stx * 1000)).cast("decimal(18,0)")
+    earn = (
+        F.col("bonus_wins").cast("decimal(18,0)") * F.lit(2466) * stx_milli
+        + (F.col("wins") - F.col("bonus_wins")).cast("decimal(18,0)")
+        * F.lit(1000) * stx_milli
+    ).cast("double") / F.lit(1000.0)
+    cost = (
+        (
+            F.col("mined").cast("decimal(18,0)") * F.lit(int(gas))
+            + F.col("_burned")
+        )
+        * F.lit(int(btc))
+    ).cast("double") / F.lit(100000000.0)
+    return (
+        stats.select(
+            "l_suppkey",
+            "mined",
+            "wins",
+            "bonus_wins",
+            money(F.col("_burned")).alias("burned"),
+            (earn / cost - F.lit(1.0)).alias("rr"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+def x13_sentinel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 (rpc.js:282,510): equality against a sentinel constant —
+    the all-zeros hash that marks genesis/no-winner. Derived md5 keys
+    with a sentinel-miss count."""
+    p = t(spark, sf_dir, "part")
+    zero64 = "0" * 32
+    keyed = p.select(
+        "p_partkey", F.md5(F.col("p_name")).alias("name_key")
+    )
+    return keyed.agg(
+        F.sum(F.when(F.col("name_key") == zero64, 1).otherwise(0)).alias(
+            "n_sentinel"
+        ),
+        F.count("*").alias("n_total"),
+        F.min("name_key").alias("min_key"),
+    )
+
+
+QUERIES = {
+    "x7_json_extract": x7_json_extract,
+    "x8_string_ops": x8_string_ops,
+    "x12_rate_of_return": x12_rate_of_return,
+    "x13_sentinel_filter": x13_sentinel_filter,
+}
+
+ORACLES = {
+    "x7_json_extract": """
+        WITH typed AS (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events
+        )
+        SELECT event_type,
+               CASE WHEN k >= 50 THEN 'high' ELSE 'low' END AS k_band,
+               count(*) AS n, min(k) AS k_min, max(k) AS k_max
+        FROM typed
+        GROUP BY event_type, CASE WHEN k >= 50 THEN 'high' ELSE 'low' END
+        ORDER BY event_type, k_band
+    """,
+    "x8_string_ops": """
+        SELECT c_custkey,
+               substring(c_name, 1, 10) AS name_prefix,
+               length(c_name) AS name_len,
+               upper(c_mktsegment) AS segment_upper,
+               c_mktsegment || '#' || CAST(c_custkey AS VARCHAR) AS seg_key,
+               CAST(CAST(c_custkey AS VARCHAR) AS BIGINT) AS key_roundtrip
+        FROM customer
+        ORDER BY c_custkey
+    """,
+    "x12_rate_of_return": """
+        WITH stats AS (
+            SELECT l_suppkey,
+                   count(*) AS mined,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS _burned,
+                   sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS wins,
+                   sum(CASE WHEN l_returnflag = 'R' AND l_linenumber = 1
+                            THEN 1 ELSE 0 END) AS bonus_wins
+            FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT l_suppkey, mined, wins, bonus_wins,
+               CAST(round(_burned, 2) AS DOUBLE) AS burned,
+               (CAST(CAST(bonus_wins AS DECIMAL(18,0)) * 2466 * 550
+                     + CAST(wins - bonus_wins AS DECIMAL(18,0)) * 1000 * 550
+                     AS DOUBLE) / 1000.0)
+               / (CAST((CAST(mined AS DECIMAL(18,0)) * 35000 + _burned) * 65000 AS DOUBLE)
+                  / 100000000.0)
+               - 1.0 AS rr
+        FROM stats
+        ORDER BY l_suppkey
+    """,
+    "x13_sentinel_filter": """
+        WITH keyed AS (
+            SELECT p_partkey, md5(p_name) AS name_key FROM part
+        )
+        SELECT sum(CASE WHEN name_key = repeat('0', 32) THEN 1 ELSE 0 END) AS n_sentinel,
+               count(*) AS n_total,
+               min(name_key) AS min_key
+        FROM keyed
+    """,
+}

@@ -1,4 +1,284 @@
-"""Placeholder — filled in as operators land."""
+"""Window / time-series operators (SURVEY.md §2.5, W1-W6 + A2/A9/A11).
 
-QUERIES = {}
-ORACLES = {}
+The reference's monitor layer does trailing-N slices, per-key running
+sums, duplicate-collapse and gap forward-fill imperatively over JS
+arrays (mining_monitor_rpc.js:1-113). Each becomes one declarative
+window expression; the forward-fill uses a dense date spine
+(sequence+explode) + `last(..., ignorenulls)` — the scalable Spark
+idiom (no driver-side loops, partitions by series key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import dec_sum, money, t
+
+
+def w1_trailing_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+A9 (mining_monitor_rpc.js:1-21): mean over the last-20 rows of
+    the series (trailing slice as a window)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    last20 = o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
+    return last20.agg(
+        money(dec_sum("o_totalprice") / F.lit(20), 4).alias("avg_total"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def w2_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2+A11 (mining_monitor_rpc.js:46-71): per-key running sum ordered
+    by the time axis — per-miner cumulative burn re-expressed as
+    per-customer cumulative spend. Exact decimal running sums."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.filter(F.col("o_custkey") <= 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            money(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w))
+            .alias("cum_spend"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def w3_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 (mining_monitor_rpc.js:78-82): duplicate-collapse — when a key
+    has several rows at one time point, keep the last."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy(
+        "o_custkey", F.to_date("o_orderdate")
+    ).orderBy(F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            F.col("o_orderkey").alias("last_orderkey"),
+            "o_totalprice",
+        )
+        .orderBy("o_custkey", "order_date")
+    )
+
+
+def w4_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4+W5 (mining_monitor_rpc.js:83-106): gap forward-fill over a
+    dense spine, including tail-extension to the global tip.
+
+    Spark idiom: sequence()+explode builds the per-key date spine
+    (distributed — no driver loop), left join the sparse series, then
+    last(value, ignorenulls) over an unbounded-preceding window.
+    At scale the spine join co-partitions on the series key."""
+    ev = t(spark, sf_dir, "events")
+    # sparse series: daily high-value sums per event_type (gaps arise
+    # because the filter drops whole days for some types)
+    daily = (
+        ev.filter(F.col("value") > 4.5)
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(money(dec_sum(F.col("value"), 6), 4).alias("day_value"))
+    )
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    spine = (
+        ev.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 day"))
+            ).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.col("d").alias("day"),
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def w6_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6+A2 (rpc.js:245-252): lag-difference over a cumulative series —
+    the reference's actual_burn = total_burn − lag(total_burn). Builds
+    the cumulative series first (as the source data does), then delta."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_day_total")
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_lag = Window.orderBy("day")
+    cum = daily.select(
+        "day", F.sum("_day_total").over(w_cum).alias("_cum_total")
+    )
+    return cum.select(
+        "day",
+        money(F.col("_cum_total")).alias("cum_total"),
+        money(
+            F.col("_cum_total") - F.lag("_cum_total", 1).over(w_lag)
+        ).alias("delta_total"),
+    ).orderBy("day")
+
+
+def w7_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking surface (SURVEY §2.5 note: absent from the reference,
+    free in Spark): rank / dense_rank / ntile over a deterministic
+    ordering."""
+    li = t(spark, sf_dir, "lineitem")
+    supp = li.groupBy("l_suppkey").agg(
+        money(dec_sum("l_extendedprice")).alias("total_price")
+    )
+    w = Window.orderBy(F.desc("total_price"), "l_suppkey")
+    return supp.select(
+        "l_suppkey",
+        "total_price",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("rnk", "l_suppkey")
+
+
+def w9_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group (the canonical OLAP window pattern): 3 most
+    expensive lineitems per supplier."""
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_suppkey", "rn", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_suppkey", "rn")
+    )
+
+
+QUERIES = {
+    "w1_trailing_mean": w1_trailing_mean,
+    "w2_cumulative_sum": w2_cumulative_sum,
+    "w3_keep_last": w3_keep_last,
+    "w4_forward_fill": w4_forward_fill,
+    "w6_lag_delta": w6_lag_delta,
+    "w7_ranking": w7_ranking,
+    "w9_topk_per_group": w9_topk_per_group,
+}
+
+ORACLES = {
+    "w1_trailing_mean": """
+        WITH last20 AS (
+            SELECT o_totalprice
+            FROM orders
+            ORDER BY o_orderdate DESC, o_orderkey DESC
+            LIMIT 20
+        )
+        SELECT CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 20, 4) AS DOUBLE) AS avg_total,
+               count(*) AS n_rows
+        FROM last20
+    """,
+    "w2_cumulative_sum": """
+        SELECT o_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS order_date,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS cum_spend
+        FROM orders
+        WHERE o_custkey <= 100
+        ORDER BY o_custkey, o_orderkey
+    """,
+    "w3_keep_last": """
+        WITH ranked AS (
+            SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+                   o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+                                      ORDER BY o_orderkey DESC) AS rn
+            FROM orders
+        )
+        SELECT o_custkey, order_date, o_orderkey AS last_orderkey, o_totalprice
+        FROM ranked WHERE rn = 1
+        ORDER BY o_custkey, order_date
+    """,
+    "w4_forward_fill": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS day_value
+            FROM events WHERE value > 4.5
+            GROUP BY event_type, CAST(ts AS DATE)
+        ), bounds AS (
+            SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events
+        ), spine AS (
+            SELECT et.event_type, CAST(gs.d AS DATE) AS d
+            FROM (SELECT DISTINCT event_type FROM events) et
+            CROSS JOIN (
+                SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds
+            ) gs
+        )
+        SELECT spine.event_type, spine.d AS day,
+               last_value(daily.day_value IGNORE NULLS)
+                   OVER (PARTITION BY spine.event_type ORDER BY spine.d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        FROM spine LEFT JOIN daily
+          ON spine.event_type = daily.event_type AND spine.d = daily.d
+        ORDER BY spine.event_type, day
+    """,
+    "w6_lag_delta": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS _day_total
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ), cum AS (
+            SELECT day,
+                   sum(_day_total) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum_total
+            FROM daily
+        )
+        SELECT day,
+               CAST(round(_cum_total, 2) AS DOUBLE) AS cum_total,
+               CAST(round(_cum_total - lag(_cum_total, 1) OVER (ORDER BY day), 2) AS DOUBLE) AS delta_total
+        FROM cum ORDER BY day
+    """,
+    "w7_ranking": """
+        WITH supp AS (
+            SELECT l_suppkey,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+            FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT l_suppkey, total_price,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               ntile(4) OVER w AS quartile
+        FROM supp
+        WINDOW w AS (ORDER BY total_price DESC, l_suppkey)
+        ORDER BY rnk, l_suppkey
+    """,
+    "w9_topk_per_group": """
+        WITH ranked AS (
+            SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                   row_number() OVER (PARTITION BY l_suppkey
+                       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+            FROM lineitem
+        )
+        SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_extendedprice
+        FROM ranked WHERE rn <= 3
+        ORDER BY l_suppkey, rn
+    """,
+}
