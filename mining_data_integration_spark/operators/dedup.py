@@ -1,0 +1,202 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design notes for 100 TB:
+
+* Exact dedup is a hash-groupBy on a content digest — one shuffle on
+  the digest, which is uniformly distributed (no skew by construction).
+* Pairwise similarity NEVER compares all pairs. Candidate generation
+  goes through an inverted index (shingle -> docs) or LSH band buckets,
+  so the join fans out only within buckets. Stop-shingles (document
+  frequency above a cap) are dropped before the self-join — they are
+  the skew keys that would otherwise explode a popular shingle's bucket.
+* MinHash here is min-over-md5(seed||shingle): deterministic, portable
+  (the DuckDB oracle computes the identical signature), and uniform.
+  Band signatures group r consecutive minhashes; docs sharing any band
+  collide. Probability a pair with Jaccard s collides:
+  1-(1-s^r)^b (classic LSH S-curve; Leskovec et al., MMDS ch.3).
+
+All operators are pure DataFrame compositions — no Python UDFs in the
+hot path; md5/split/explode are JVM builtins inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ZERO_WIDTH = r"\s+"
+
+
+def normalize_text(col: F.Column) -> F.Column:
+    """Canonical text form for fingerprints: lowercase, collapsed
+    whitespace, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(col), ZERO_WIDTH, " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on a content digest: keep the lowest id per digest.
+    One shuffle on md5(normalized text)."""
+    digest = F.md5(normalize_text(F.col(text_col)))
+    return (
+        df.withColumn("content_hash", digest)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (id, shingle).
+    Built with sequence+transform — stays in codegen, no UDF."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    # guard: sequence(0, size-n) flips to a DESCENDING sequence when
+    # size < n, so short docs must yield an empty shingle set explicitly
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + k + 1) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(grams)).alias("shingle"),
+    )
+
+
+def drop_stop_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Remove shingles appearing in more than max_doc_freq docs — the
+    skew keys of the candidate self-join."""
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle")
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5,
+                        max_doc_freq: int | None = None) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard, via inverted-index
+    self-join (only docs sharing ≥1 shingle are compared)."""
+    sh = shingles(df, text_col, id_col, n)
+    if max_doc_freq:
+        sh = drop_stop_shingles(sh, max_doc_freq)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        common.join(sa, "id1").join(sb, "id2")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("sz1") + F.col("sz2") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "common", "sz1", "sz2", "jaccard")
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """MinHash signature per doc: hash_i = min(md5(i||shingle)).
+    Deterministic and engine-portable (hex-string min order)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 3,
+                           num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs via MinHash banding: docs sharing any
+    band signature. The band-bucket self-join replaces the all-pairs
+    product; rows per bucket are tiny for uniform hashes."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(shingles(df, text_col, id_col, n), num_hashes)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]))
+        .alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("id", *band_cols)
+    stacked = banded.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.concat_ws(":", F.lit(str(b)), F.col(f"band{b}"))
+                for b in range(bands)
+            ])
+        ).alias("bucket"),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            n: int = 2, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per-bit weighted majority over shingle
+    hashes. Bit b of md5(shingle) votes +1/−1; sign of the sum sets
+    bit b of the fingerprint. Pure aggregate — one shuffle per doc id."""
+    sh = shingles(df, text_col, id_col, n)
+    # low 32 bits of the md5 as an unsigned int
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 25, 8), 16, 10).cast("bigint")
+    sh = sh.withColumn("h", h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = sh.groupBy("id").agg(*votes)
+    fingerprint = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return agg.select("id", fingerprint.cast("bigint").alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one 16-bit half
+    (pigeonhole for hamming<=? — with 2 halves, any pair with all
+    differing bits in one half is found; a full system uses 4+ bands),
+    verified by exact Hamming distance via bit_count(xor)."""
+    s = simhash(df, text_col, id_col)
+    halves = s.select(
+        "id", "simhash",
+        (F.col("simhash") % F.lit(65536)).alias("lo"),
+        F.shiftright(F.col("simhash"), 16).alias("hi"),
+    )
+    a, b = halves.alias("a"), halves.alias("b")
+    cand = a.join(
+        b,
+        ((F.col("a.lo") == F.col("b.lo")) | (F.col("a.hi") == F.col("b.hi")))
+        & (F.col("a.id") < F.col("b.id")),
+    )
+    return (
+        cand.select(
+            F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

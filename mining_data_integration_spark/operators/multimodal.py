@@ -1,0 +1,89 @@
+"""Multimodal column plumbing (SURVEY.md §7.4): image/audio/video as
+opaque binary columns + typed metadata, processed by Arrow-batched
+mapInPandas stages.
+
+The container has no image/audio codecs, so the decode kernels are
+STUBBED: `decode_image_stub` produces a deterministic fake feature
+vector from the bytes (sha256-seeded), and the real libraries would
+drop into the same batch-iterator signature. Everything around the
+stub — binary schema, batch iteration, partition sizing, output
+schema — is real Spark plumbing and is what matters at 100 TB:
+
+* binary payloads stay OFF the driver: mapInPandas streams Arrow
+  record batches executor-side;
+* `spark.sql.files.maxPartitionBytes` bounds how much binary a task
+  holds; metadata-only predicates (width/height/mime filters) run
+  BEFORE decode so pruned files are never decoded;
+* feature vectors come back as array<float> columns ready for the
+  similarity operators (operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 16
+
+MEDIA_SCHEMA = (
+    "media_id bigint, mime string, width int, height int, payload binary"
+)
+FEATURE_SCHEMA = (
+    "media_id bigint, mime string, feature array<float>, n_bytes int"
+)
+
+
+def make_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build a synthetic media table from any table: payload bytes are
+    the utf-8 text (deterministic), metadata derived from them."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image/png").alias("mime"),
+        (F.length(text_col) % 640 + 1).cast("int").alias("width"),
+        (F.length(text_col) % 480 + 1).cast("int").alias("height"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+    )
+
+
+def _fake_feature(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real decoder+encoder: 16 floats
+    from sha256(payload). A real pipeline calls PIL/librosa here —
+    same signature, same batch shape."""
+    h = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in h[:FEATURE_DIM]]
+
+
+def decode_image_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: binary payload -> feature vector. Batch-at-
+    a-time so Arrow amortizes serialization; never materializes the
+    whole partition."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "mime": pdf["mime"],
+                "feature": [_fake_feature(bytes(p)) for p in pdf["payload"]],
+                "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+            }
+        )
+
+
+def extract_features(media: DataFrame, min_width: int = 0) -> DataFrame:
+    """Metadata-pruned decode: the width filter is a plain column
+    predicate (pushed to the scan — decode never sees pruned rows),
+    then the Arrow-batched stub kernel."""
+    pruned = media.filter(F.col("width") >= min_width)
+    return pruned.mapInPandas(decode_image_stub, schema=FEATURE_SCHEMA)
+
+
+def decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The real decoder slot. Kept as an explicit NotImplementedError:
+    the container ships no codec libraries (PIL/opencv/librosa)."""
+    raise NotImplementedError(
+        "real image/audio decode requires codec libraries not present "
+        "in this environment; use decode_image_stub for plumbing tests"
+    )

@@ -1,4 +1,163 @@
-"""Placeholder — filled in as operators land."""
+"""Oracle-checked deduplication queries over the documents table
+(SURVEY.md §7.4 extensions — exact, n-gram Jaccard, MinHash LSH,
+SimHash). The implementations live in operators/dedup.py; every hash
+primitive is md5-based so the DuckDB oracle computes the identical
+signatures bit-for-bit.
+"""
 
-QUERIES = {}
-ORACLES = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ._util import t
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# word list / shingle list / distinct shingle list in DuckDB SQL
+_WORDS = f"string_split({_NORM}, ' ')"
+
+
+def _duck_shingles(n: int) -> str:
+    """DuckDB fragment: (doc_id, shingle) distinct word n-grams —
+    mirrors operators.dedup.shingles."""
+    gram = " || ' ' || ".join(f"words[i+{k}]" for k in range(n))
+    return f"""
+        SELECT doc_id AS id, unnest(list_distinct(
+            list_transform(range(1, greatest(len(words) - {n - 1}, 0) + 1),
+                           i -> {gram})
+        )) AS shingle
+        FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+    """
+
+
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on content digest, keep lowest id."""
+    docs = t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs).orderBy("content_hash")
+
+
+def dd2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard >= 0.5 via inverted-index
+    self-join (no all-pairs product)."""
+    docs = t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).orderBy("id1", "id2")
+
+
+def dd3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 4-band LSH candidate pairs."""
+    docs = t(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidates(docs, n=3, num_hashes=16, bands=4).orderBy(
+        "id1", "id2"
+    )
+
+
+def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document."""
+    docs = t(spark, sf_dir, "documents")
+    return D.simhash(docs, n=2).orderBy("id")
+
+
+def dd5_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: half-collision candidates, exact Hamming
+    verify via bit_count(xor)."""
+    docs = t(spark, sf_dir, "documents")
+    return D.simhash_near_dups(docs, max_hamming=6).orderBy("id1", "id2")
+
+
+def _simhash_sql(n: int = 2, bits: int = 32) -> str:
+    """DuckDB SimHash mirror: hex->int via digit positions (exact
+    integer arithmetic, no float)."""
+    digit = (
+        "(strpos('0123456789abcdef', substring(md5(shingle), {pos}, 1)) - 1)"
+    )
+    val = " + ".join(
+        digit.format(pos=25 + j) + f" * {16 ** (7 - j)}" for j in range(8)
+    )
+    votes = ", ".join(
+        f"sum(CASE WHEN (h // {2 ** b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(f"CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(bits))
+    return f"""
+        WITH sh AS ({_duck_shingles(n)}),
+        hv AS (SELECT id, CAST({val} AS BIGINT) AS h FROM sh),
+        agg AS (SELECT id, {votes} FROM hv GROUP BY id)
+        SELECT id, CAST({fp} AS BIGINT) AS simhash FROM agg
+        ORDER BY id
+    """
+
+
+def _minhash_band_sql(n: int = 3, num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(num_hashes)
+    )
+    band_exprs = []
+    for b in range(bands):
+        parts = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        band_exprs.append(f"md5({parts}) AS band{b}")
+    buckets = ", ".join(f"'{b}:' || band{b}" for b in range(bands))
+    return f"""
+        WITH sh AS ({_duck_shingles(n)}),
+        sigs AS (SELECT id, {mins} FROM sh GROUP BY id),
+        banded AS (SELECT id, {', '.join(band_exprs)} FROM sigs),
+        stacked AS (SELECT id, unnest([{buckets}]) AS bucket FROM banded)
+        SELECT DISTINCT a.id AS id1, b.id AS id2
+        FROM stacked a JOIN stacked b
+          ON a.bucket = b.bucket AND a.id < b.id
+        ORDER BY id1, id2
+    """
+
+
+QUERIES = {
+    "dd1_exact_dedup": dd1_exact_dedup,
+    "dd2_ngram_jaccard": dd2_ngram_jaccard,
+    "dd3_minhash_lsh": dd3_minhash_lsh,
+    "dd4_simhash": dd4_simhash,
+    "dd5_simhash_near_dups": dd5_simhash_near_dups,
+}
+
+ORACLES = {
+    "dd1_exact_dedup": f"""
+        SELECT md5({_NORM}) AS content_hash,
+               min(doc_id) AS keep_id,
+               count(*) AS n_dups
+        FROM documents
+        GROUP BY md5({_NORM})
+        ORDER BY content_hash
+    """,
+    "dd2_ngram_jaccard": f"""
+        WITH sh AS ({_duck_shingles(3)}),
+        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        common AS (
+            SELECT a.id AS id1, b.id AS id2, count(*) AS common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY a.id, b.id
+        )
+        SELECT id1, id2, common, s1.sz AS sz1, s2.sz AS sz2,
+               CAST(common AS DOUBLE) / CAST(s1.sz + s2.sz - common AS DOUBLE) AS jaccard
+        FROM common
+        JOIN sizes s1 ON common.id1 = s1.id
+        JOIN sizes s2 ON common.id2 = s2.id
+        WHERE CAST(common AS DOUBLE) / CAST(s1.sz + s2.sz - common AS DOUBLE) >= 0.5
+        ORDER BY id1, id2
+    """,
+    "dd3_minhash_lsh": _minhash_band_sql(3, 16, 4),
+    "dd4_simhash": _simhash_sql(2, 32),
+    "dd5_simhash_near_dups": f"""
+        WITH simhashes AS ({_simhash_sql(2, 32).replace('ORDER BY id', '')}),
+        halves AS (
+            SELECT id, simhash,
+                   simhash % 65536 AS lo,
+                   simhash // 65536 AS hi
+            FROM simhashes
+        )
+        SELECT a.id AS id1, b.id AS id2,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM halves a JOIN halves b
+          ON (a.lo = b.lo OR a.hi = b.hi) AND a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+        ORDER BY id1, id2
+    """,
+}

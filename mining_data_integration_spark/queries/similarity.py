@@ -1,4 +1,133 @@
-"""Placeholder — filled in as operators land."""
+"""Oracle-checked similarity-search queries over the embeddings table
+(SURVEY.md §7.4). The DuckDB oracles recompute the identical
+sequential-fold double dot products and the identical ±1 hyperplane
+LSH buckets, so even the approximate variants hash-match exactly.
+"""
 
-QUERIES = {}
-ORACLES = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from ._util import t
+
+_DIM = 64
+_PLANES = S.hyperplanes(4, _DIM)
+
+
+def _queries_df(spark, sf_dir, n=3):
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+
+def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 3 query vectors."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, _queries_df(spark, sf_dir), k=10).orderBy(
+        "q_id", "rk"
+    )
+
+
+def sim2_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (single probe, 4 hyperplanes
+    -> 16 buckets, ~n/16 candidates per probe)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.ann_lsh_topk(emb, _queries_df(spark, sf_dir), k=5,
+                          num_planes=4).orderBy(
+        "q_id", "rk"
+    )
+
+
+def sim3_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: same LSH bucket AND cosine >= 0.4
+    (the fixture embeddings are near-orthogonal; max pairwise cosine
+    ~0.51, so 0.4 marks the top of the similarity tail)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(emb, threshold=0.4,
+                                      num_planes=4).orderBy("id1", "id2")
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (f"list_sum(list_transform(range(1, {_DIM + 1}), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * "
+            f"sqrt({_dot_sql(b, b)})))")
+
+
+def _planes_cte() -> str:
+    lits = ", ".join(
+        f"[{', '.join(str(v) for v in plane)}]::DOUBLE[] AS hp{j}"
+        for j, plane in enumerate(_PLANES)
+    )
+    return f"SELECT {lits}"
+
+
+def _bucket_sql(vec: str) -> str:
+    bits = " + ".join(
+        f"CASE WHEN {_dot_sql(vec, f'hp{j}')} > 0 THEN {2 ** j} ELSE 0 END"
+        for j in range(len(_PLANES))
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+ORACLES = {
+    "sim1_cosine_topk": f"""
+        WITH q AS (
+            SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 3
+        ), pairs AS (
+            SELECT q_id, vec_id, {_cos_sql('q_emb', 'embedding')} AS cos_sim
+            FROM embeddings CROSS JOIN q
+        ), ranked AS (
+            SELECT q_id, vec_id, cos_sim,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos_sim DESC, vec_id) AS rk
+            FROM pairs
+        )
+        SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= 10
+        ORDER BY q_id, rk
+    """,
+    "sim2_ann_lsh_topk": f"""
+        WITH planes AS ({_planes_cte()}),
+        keyed AS (
+            SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+            FROM embeddings CROSS JOIN planes
+        ), q AS (
+            SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+            FROM keyed WHERE vec_id < 3
+        ), pairs AS (
+            SELECT q_id, keyed.vec_id AS vec_id,
+                   {_cos_sql('q_emb', 'embedding')} AS cos_sim
+            FROM keyed JOIN q ON keyed.bucket = q.q_bucket
+        ), ranked AS (
+            SELECT q_id, vec_id, cos_sim,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos_sim DESC, vec_id) AS rk
+            FROM pairs
+        )
+        SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= 5
+        ORDER BY q_id, rk
+    """,
+    "sim3_embedding_near_dups": f"""
+        WITH planes AS ({_planes_cte()}),
+        keyed AS (
+            SELECT vec_id AS id, embedding AS v, {_bucket_sql('embedding')} AS bucket
+            FROM embeddings CROSS JOIN planes
+        )
+        SELECT a.id AS id1, b.id AS id2, {_cos_sql('a.v', 'b.v')} AS cos_sim
+        FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.id < b.id
+        WHERE {_cos_sql('a.v', 'b.v')} >= 0.4
+        ORDER BY id1, id2
+    """,
+}
+
+QUERIES = {
+    "sim1_cosine_topk": sim1_cosine_topk,
+    "sim2_ann_lsh_topk": sim2_ann_lsh_topk,
+    "sim3_embedding_near_dups": sim3_embedding_near_dups,
+}

@@ -173,6 +173,41 @@ def w9_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w10_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) + per-session rollup —
+    the lag/flag/running-sum composition (operators/sessionize.py)."""
+    from ..operators.sessionize import session_stats
+
+    ev = t(spark, sf_dir, "events")
+    return session_stats(ev, gap_minutes=30).orderBy("user_id", "session_idx")
+
+
+def aj1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (absent from Spark AND the reference; §2.3 taxonomy
+    note): each purchase event picks the latest view event of the same
+    user at or before it. Union-tag + forward-fill composition; the
+    DuckDB oracle uses its native ASOF JOIN."""
+    from ..operators.sessionize import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.unix_micros("ts").alias("r_ts_us"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
+    )
+    return asof_join(
+        left, right, key="user_id", left_ts="ts_us", right_ts="r_ts_us",
+        right_payload=["view_event_id", "view_value"],
+    ).orderBy("event_id")
+
+
 QUERIES = {
     "w1_trailing_mean": w1_trailing_mean,
     "w2_cumulative_sum": w2_cumulative_sum,
@@ -181,9 +216,52 @@ QUERIES = {
     "w6_lag_delta": w6_lag_delta,
     "w7_ranking": w7_ranking,
     "w9_topk_per_group": w9_topk_per_group,
+    "w10_sessionize": w10_sessionize,
+    "aj1_asof_join": aj1_asof_join,
 }
 
 ORACLES = {
+    "w10_sessionize": """
+        WITH ordered AS (
+            SELECT user_id, event_id, ts,
+                   lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+            FROM events
+        ), flagged AS (
+            SELECT user_id, event_id, ts_us,
+                   CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM ordered
+        ), sess AS (
+            SELECT user_id, event_id, ts_us,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+            FROM flagged
+        )
+        SELECT user_id, session_idx,
+               count(*) AS n_events,
+               min(event_id) AS first_event_id,
+               max(ts_us) - min(ts_us) AS duration_us
+        FROM sess GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx
+    """,
+    "aj1_asof_join": """
+        WITH purchases AS (
+            SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+            FROM events WHERE event_type = 'purchase'
+        ), views AS (
+            SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS r_ts_us,
+                   event_id AS view_event_id, value AS view_value
+            FROM events WHERE event_type = 'view'
+        )
+        SELECT p.user_id, p.event_id, p.ts_us, p.value,
+               v.view_event_id AS asof_view_event_id,
+               v.view_value AS asof_view_value
+        FROM purchases p ASOF JOIN views v
+          ON p.user_id = v.user_id AND p.ts_us >= v.r_ts_us
+        ORDER BY p.event_id
+    """,
     "w1_trailing_mean": """
         WITH last20 AS (
             SELECT o_totalprice

@@ -39,6 +39,10 @@ def get_spark(app_name: str = "mining-data-integration-spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # driver writes events.ts as TIMESTAMP(NANOS); read as long up
+        # front (io.py rebuilds a microsecond timestamp) instead of
+        # letting the first scan fail and retry
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,148 @@
+"""Unit tests for the extension operators (dedup, similarity,
+sessionize/asof, multimodal plumbing) on hand-built micro-fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mining_data_integration_spark.operators import dedup as D
+from mining_data_integration_spark.operators import similarity as S
+from mining_data_integration_spark.operators import text as TX
+from mining_data_integration_spark.operators.multimodal import (
+    extract_features, make_fake_media,
+)
+from mining_data_integration_spark.operators.sessionize import (
+    asof_join, session_stats, sessionize,
+)
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shingles_short_doc_guard(spark):
+    # docs shorter than n words must yield zero shingles, not a
+    # descending-sequence explosion
+    df = docs_df(spark, [(1, "one two"), (2, "a b c d")])
+    sh = D.shingles(df, n=3).collect()
+    ids = [r.id for r in sh]
+    assert 1 not in ids
+    assert sorted(r.shingle for r in sh if r.id == 2) == ["a b c", "b c d"]
+
+
+def test_exact_dedup_groups_identical_texts(spark):
+    df = docs_df(spark, [(1, "Hello  World"), (2, "hello world"), (3, "x y")])
+    out = {r.keep_id: r.n_dups for r in D.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}  # normalization folds case/whitespace
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    near = "the quick brown fox jumps over the lazy cat tonight"
+    far = "completely different words appear in this sentence here now"
+    df = docs_df(spark, [(1, base), (2, near), (3, far)])
+    pairs = D.ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()
+    assert [(p.id1, p.id2) for p in pairs] == [(1, 2)]
+    assert 0.3 <= pairs[0].jaccard < 1.0
+
+
+def test_minhash_lsh_candidates_superset_of_high_jaccard(spark):
+    # long doc, one word changed -> Jaccard ≈ 0.94: the 4-band/4-row
+    # S-curve catches it with near-certainty, and md5 determinism makes
+    # the outcome reproducible
+    words = [f"w{i}" for i in range(100)]
+    base = " ".join(words)
+    near = " ".join(words[:50] + ["CHANGED"] + words[51:])
+    df = docs_df(spark, [(1, base), (2, near), (3, "q r s t u v w x y z")])
+    cands = {(r.id1, r.id2) for r in D.minhash_lsh_candidates(df).collect()}
+    assert (1, 2) in cands
+    assert (1, 3) not in cands
+
+
+def test_simhash_hamming_small_for_near_dups(spark):
+    # one changed word in 100 perturbs 2 of 99 bigram votes -> only a
+    # few simhash bits flip, so one 16-bit half stays identical
+    words = [f"tok{i}" for i in range(100)]
+    base = " ".join(words)
+    near = " ".join(words[:70] + ["CHANGED"] + words[71:])
+    df = docs_df(spark, [(1, base), (2, near)])
+    out = D.simhash_near_dups(df, max_hamming=16).collect()
+    assert len(out) == 1 and out[0].hamming <= 16
+
+
+def test_brute_force_topk_self_is_best(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    top = S.brute_force_topk(emb, q, k=3).collect()
+    assert top[0].vec_id == 7  # cosine(v, v) == 1
+    assert abs(top[0].cos_sim - 1.0) < 1e-12
+
+
+def test_ann_lsh_query_bucket_contains_self(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    top = S.ann_lsh_topk(emb, q, k=3, num_planes=4).collect()
+    assert top and top[0].vec_id == 3
+
+
+def test_sessionize_gap_splits(spark):
+    rows = [
+        (1, 100, "2024-01-01 00:00:00"),
+        (2, 100, "2024-01-01 00:10:00"),
+        (3, 100, "2024-01-01 01:00:00"),  # 50-min gap -> new session
+        (4, 200, "2024-01-01 00:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    s = {(r.user_id, r.event_id): r.session_idx
+         for r in sessionize(ev, gap_minutes=30).collect()}
+    assert s[(100, 1)] == 1 and s[(100, 2)] == 1 and s[(100, 3)] == 2
+    assert s[(200, 4)] == 1
+    stats = {(r.user_id, r.session_idx): r.n_events
+             for r in session_stats(ev, gap_minutes=30).collect()}
+    assert stats == {(100, 1): 2, (100, 2): 1, (200, 1): 1}
+
+
+def test_asof_join_matches_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(100, 1, 50, 9.9), (100, 2, 10, 1.1), (200, 3, 70, 5.0)],
+        "user_id long, event_id long, ts_us long, value double",
+    )
+    right = spark.createDataFrame(
+        [(100, 20, 11, 0.1), (100, 21, 50, 0.2), (200, 22, 80, 0.3)],
+        "user_id long, view_event_id long, r_ts_us long, view_value double",
+    )
+    out = {r.event_id: (r.asof_view_event_id, r.asof_view_value)
+           for r in asof_join(left, right, "user_id", "ts_us", "r_ts_us",
+                              ["view_event_id", "view_value"]).collect()}
+    assert out[1] == (21, 0.2)   # exact-ts match counts (<=)
+    assert 2 not in out          # no view at or before ts 10
+    assert 3 not in out          # user 200's view is after the purchase
+
+
+def test_multimodal_feature_plumbing(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = make_fake_media(docs.limit(20), "doc_id", "text")
+    feats = extract_features(media, min_width=0)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(len(r.feature) == 16 for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r.feature)
+    # deterministic: same payload -> same feature
+    again = extract_features(media, min_width=0).collect()
+    assert {r.media_id: r.feature for r in rows} == \
+           {r.media_id: r.feature for r in again}
+
+
+def test_quality_and_langid_ranges(spark):
+    df = docs_df(spark, [(1, "the cat and the dog in the house"),
+                         (2, "zzz qqq xxx www")])
+    q = {r.doc_id: r for r in TX.quality_score(df).collect()}
+    assert q[1].stopword_ratio > q[2].stopword_ratio
+    assert 0.0 <= q[1].quality <= 1.0
+    lang = {r.doc_id: r.predicted_lang for r in TX.lang_id(df).collect()}
+    assert lang[1] == "en" and lang[2] == "other"
