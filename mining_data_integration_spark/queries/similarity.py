@@ -10,14 +10,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import similarity as S
-from ._util import t
+from ._util import spread, t
 
 _DIM = 64
 _PLANES = S.hyperplanes(4, _DIM)
 
 
 def _queries_df(spark, sf_dir, n=3):
-    emb = t(spark, sf_dir, "embeddings")
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
     return emb.filter(F.col("vec_id") < n).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -25,7 +25,7 @@ def _queries_df(spark, sf_dir, n=3):
 
 def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for 3 query vectors."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
     return S.brute_force_topk(emb, _queries_df(spark, sf_dir), k=10).orderBy(
         "q_id", "rk"
     )
@@ -34,7 +34,7 @@ def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim2_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (single probe, 4 hyperplanes
     -> 16 buckets, ~n/16 candidates per probe)."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
     return S.ann_lsh_topk(emb, _queries_df(spark, sf_dir), k=5,
                           num_planes=4).orderBy(
         "q_id", "rk"
@@ -45,7 +45,7 @@ def sim3_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: same LSH bucket AND cosine >= 0.4
     (the fixture embeddings are near-orthogonal; max pairwise cosine
     ~0.51, so 0.4 marks the top of the similarity tail)."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
     return S.embedding_near_dup_pairs(emb, threshold=0.4,
                                       num_planes=4).orderBy("id1", "id2")
 

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import text as TX
-from ._util import t
+from ._util import spread, t
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKS = f"string_split({_NORM}, ' ')"
@@ -17,19 +17,19 @@ _STOPLIST = ", ".join(f"'{w}'" for w in TX.EN_STOPWORDS)
 
 
 def tx1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
     return TX.token_stats(docs).orderBy("doc_id")
 
 
 def tx2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
     return TX.quality_score(docs).orderBy("doc_id")
 
 
 def tx3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID + per-language confusion counts against
     the labeled lang column."""
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
     pred = TX.lang_id(docs).join(docs.select("doc_id", "lang"), "doc_id")
     return (
         pred.groupBy("lang", "predicted_lang")
@@ -40,7 +40,7 @@ def tx3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tx4_fingerprint_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint + shard distribution (the dedup partitioning key)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
     return (
         TX.fingerprint(docs)
         .groupBy("shard")

@@ -218,7 +218,61 @@ QUERIES = {
     "w9_topk_per_group": w9_topk_per_group,
     "w10_sessionize": w10_sessionize,
     "aj1_asof_join": aj1_asof_join,
+    "w11_tumbling_window": None,   # bound below (defined after dict)
+    "w12_sliding_window": None,
+    "w13_session_window_native": None,
 }
+
+def w11_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST-extension (SURVEY §2.10): watermarked tumbling window in its
+    batch form — streaming.tumbling_counts is the same expression with
+    a watermark when the input is a stream."""
+    from ..streaming import tumbling_counts
+    # decimal-cast the measure BEFORE the operator: exact, order-
+    # independent sums -> bit-identical to the DuckDB oracle
+    ev = t(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)"))
+    out = tumbling_counts(ev, window="15 minutes")
+    return out.select(
+        F.unix_micros("w_start").alias("w_start_us"),
+        "event_type", "n",
+        money(F.col("total_value"), 4).alias("total_value"),
+    ).orderBy("w_start_us", "event_type")
+
+
+def w12_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST-extension: sliding window (30 min / 15 min slide) — each event
+    lands in exactly two overlapping windows."""
+    from ..streaming import sliding_avg
+    ev = t(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)"))
+    out = sliding_avg(ev, window="30 minutes", slide="15 minutes")
+    # mean from the exact sum: double(sum)/double(n) is bit-identical
+    # across engines; decimal avg rounding rules are not
+    return out.select(
+        F.unix_micros("w_start").alias("w_start_us"),
+        "event_type", "n",
+        F.round(F.col("total_value").cast("double") / F.col("n"), 4)
+        .alias("avg_value"),
+    ).orderBy("w_start_us", "event_type")
+
+
+def w13_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST-extension: the native session_window operator (streaming
+    stateful form of w10's lag-derived sessions); end = last event +
+    gap."""
+    from ..streaming import session_windows
+    ev = t(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)"))
+    out = session_windows(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+        money(F.col("session_value"), 4).alias("session_value"),
+    ).orderBy("user_id", "start_us")
+
 
 ORACLES = {
     "w10_sessionize": """
@@ -348,6 +402,60 @@ ORACLES = {
         WINDOW w AS (ORDER BY total_price DESC, l_suppkey)
         ORDER BY rnk, l_suppkey
     """,
+    "w11_tumbling_window": """
+        WITH ev AS (
+            SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type,
+                   CAST(value AS DECIMAL(18,6)) AS v
+            FROM events
+        )
+        SELECT (ts_us // 900000000) * 900000000 AS w_start_us,
+               event_type, count(*) AS n,
+               CAST(round(sum(v), 4) AS DOUBLE) AS total_value
+        FROM ev GROUP BY 1, 2
+        ORDER BY w_start_us, event_type
+    """,
+    "w12_sliding_window": """
+        WITH ev AS (
+            SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type,
+                   CAST(value AS DECIMAL(18,6)) AS v
+            FROM events
+        ), fanned AS (
+            -- 30-min window, 15-min slide: each event is in exactly the
+            -- two windows starting at bucket(ts) and bucket(ts)-15min
+            SELECT unnest([ (ts_us // 900000000) * 900000000,
+                            (ts_us // 900000000) * 900000000 - 900000000
+                          ]) AS w_start_us,
+                   event_type, v
+            FROM ev
+        )
+        SELECT w_start_us, event_type, count(*) AS n,
+               round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS avg_value
+        FROM fanned GROUP BY 1, 2
+        ORDER BY w_start_us, event_type
+    """,
+    "w13_session_window_native": """
+        WITH ev AS (
+            SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                   CAST(value AS DECIMAL(18,6)) AS v
+            FROM events
+        ), flagged AS (
+            SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000
+                           OR lag(ts_us) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+            FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        ), sess AS (
+            SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS session_idx
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts_us) AS start_us,
+               max(ts_us) + 1800000000 AS end_us,
+               count(*) AS n_events,
+               CAST(round(sum(v), 4) AS DOUBLE) AS session_value
+        FROM sess GROUP BY user_id, session_idx
+        ORDER BY user_id, start_us
+    """,
     "w9_topk_per_group": """
         WITH ranked AS (
             SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
@@ -360,3 +468,7 @@ ORACLES = {
         ORDER BY l_suppkey, rn
     """,
 }
+
+QUERIES["w11_tumbling_window"] = w11_tumbling_window
+QUERIES["w12_sliding_window"] = w12_sliding_window
+QUERIES["w13_session_window_native"] = w13_session_window_native

@@ -1,0 +1,151 @@
+"""Streaming layer.
+
+Reference semantics (SURVEY §2.10): a 120 s full-recompute timer
+(server.js:444-452) — micro-batch *recomputation*, not event streaming.
+Re-expressed here as Structured Streaming `foreachBatch` on a processing
+-time trigger: every batch re-derives the canonical fork from scratch
+and atomically overwrites the gold tables, which makes reorgs and late
+burnchain data a non-issue by construction (ST5 — the reference's only
+late-data strategy).
+
+Extension surface (SURVEY §7.4): true event-time operators on the
+`events` stream — watermarked tumbling/sliding aggregation, session
+windows, and watermark-bounded streaming dedup. These exist in the
+reference's problem space only as "block height is the clock"; a
+100-TB training-data pipeline needs the real thing. All are built on
+Structured Streaming primitives (groupBy(window(...)), session_window,
+dropDuplicatesWithinWatermark) so state cleanup is watermark-driven —
+state stores stay bounded no matter how long the stream runs.
+
+Every function here also accepts a *batch* DataFrame: window() and
+session_window() are plain Catalyst expressions, which is what makes
+the semantics DuckDB-oracle-checkable (queries/windows.py w11/w12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import core
+from .io import write_gold
+
+
+# --- ST1-ST5: gold refresh ------------------------------------------------
+
+def e1_gold_tables(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """One full E1 recompute: the three gold outputs (rpc.js:430-460,
+    server.js:295-299)."""
+    return {
+        "miner_info": core.miner_info(tables),
+        "mining_info": core.mining_info(tables),
+        "block_info": core.block_info(tables),
+    }
+
+
+def refresh_once(tables: dict[str, DataFrame], gold_dir: str) -> None:
+    """ST1 batch body: recompute + atomic overwrite (the Redis SET
+    equivalent, server.js:295-299)."""
+    for name, df in e1_gold_tables(tables).items():
+        write_gold(df, f"{gold_dir}/{name}")
+
+
+def stream_refresh(spark: SparkSession, bronze_dir: str, gold_dir: str,
+                   read_tables, interval: str = "120 seconds",
+                   checkpoint: str | None = None):
+    """ST1/ST2: the reference's setInterval as a processing-time
+    trigger. The snapshots bronze directory is watched as a file
+    stream purely as a tick source; each tick re-reads ALL bronze
+    tables batch-side and recomputes — full-recompute semantics
+    (reorg-safe, ST5). Returns the StreamingQuery.
+
+    `read_tables(spark) -> dict[str, DataFrame]` supplies fresh batch
+    reads per tick (so new files are picked up via normal parquet
+    listing)."""
+    ticks = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(f"{bronze_dir}/snapshots").schema)
+        .load(f"{bronze_dir}/snapshots")
+    )
+
+    def batch_fn(_batch_df: DataFrame, _batch_id: int) -> None:
+        refresh_once(read_tables(spark), gold_dir)
+
+    writer = (
+        ticks.writeStream.foreachBatch(batch_fn)
+        .trigger(processingTime=interval)
+        .outputMode("append")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+# --- event-time operators (extension surface) ------------------------------
+
+def tumbling_counts(events: DataFrame, window: str = "5 minutes",
+                    watermark: str = "10 minutes",
+                    ts_col: str = "ts") -> DataFrame:
+    """Watermarked tumbling-window counts per event type. On a stream,
+    state for windows older than the watermark is dropped; on a batch
+    DataFrame the watermark is a no-op and this is a plain windowed
+    aggregate."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("w_start"),
+                F.col("w.end").alias("w_end"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_avg(events: DataFrame, window: str = "10 minutes",
+                slide: str = "5 minutes", watermark: str = "10 minutes",
+                ts_col: str = "ts") -> DataFrame:
+    """Watermarked sliding-window mean amount per event type."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(ts_col, window, slide).alias("w"), "event_type")
+        .agg(F.avg("value").alias("avg_value"), F.count("*").alias("n"),
+             F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("w_start"),
+                F.col("w.end").alias("w_end"), "event_type",
+                "avg_value", "n", "total_value")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "1 hour",
+                    ts_col: str = "ts", key_col: str = "user_id") -> DataFrame:
+    """Per-key session windows with an inactivity gap — the stateful
+    native form of queries/windows.py w10 (which derives sessions with
+    lag() for the batch oracle)."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").alias("session_value"))
+        .select(F.col(key_col),
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events", "session_value")
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour",
+                    keys: tuple[str, ...] = ("event_id",),
+                    ts_col: str = "ts") -> DataFrame:
+    """Watermark-bounded exact dedup: drops repeats of a key seen
+    within the watermark horizon; state self-expires. The streaming
+    twin of operators/dedup.exact_dedup."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark) \
+            .dropDuplicatesWithinWatermark(list(keys))
+    return events.dropDuplicates(list(keys))

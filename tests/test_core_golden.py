@@ -1,0 +1,137 @@
+"""Golden-output tests for the E1 core DAG on the hand-built mining
+fixture (fixtures.py). Expected values are hand-computed from the
+fixture definition; they pin the reference semantics from SURVEY §3 E1:
+F1/F2 canonical snapshots, A2 lag-delta, J2/J6/J7 enrichment, A1 stats,
+J9 fork walk, A3 actual wins, A6 block rollup, F12 mining_info."""
+
+from __future__ import annotations
+
+import pytest
+
+from mining_data_integration_spark import core, fixtures
+from mining_data_integration_spark.chain import (
+    canonical_snapshots, canonical_stacks_chain, chain_members, deepest_tip,
+)
+from mining_data_integration_spark.fixtures import (
+    BH, BH_FORK103, BH_INVALID104, MINER_A, MINER_B, MINER_C, SH, SH_ORPHAN,
+)
+
+A, B, C = MINER_A, MINER_B, MINER_C
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return fixtures.mining_tables(spark)
+
+
+def rows_by(df, key):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+class TestChainWalk:
+    def test_canonical_snapshots_drops_fork_and_invalid(self, tables):
+        canon = canonical_snapshots(tables["snapshots"])
+        hashes = {r.burn_header_hash for r in canon.collect()}
+        assert hashes == {BH[h] for h in range(100, 107)}
+        assert BH_FORK103 not in hashes          # duplicate-height fork row
+        assert BH_INVALID104 not in hashes       # pox-invalid twin
+
+    def test_deepest_tip_and_orphan_exclusion(self, tables):
+        tip = deepest_tip(tables["block_headers"]).collect()
+        assert [r.block_hash for r in tip] == [SH[5]]
+        chain = canonical_stacks_chain(tables["block_headers"])
+        hashes = {r.block_hash for r in chain.collect()}
+        assert hashes == {SH[i] for i in range(6)}
+        assert SH_ORPHAN not in hashes
+
+    def test_chain_members_long_chain(self, spark):
+        # 300-link chain + 50-node dead branch: pointer doubling must
+        # cover length ≫ 2^#rounds-naive and exclude the branch
+        n = 300
+        rows = [(f"n{i:04d}", f"n{i-1:04d}" if i else "0" * 64)
+                for i in range(n)]
+        rows += [(f"b{i:04d}", f"b{i-1:04d}" if i else "n0100")
+                 for i in range(50)]
+        edges = spark.createDataFrame(rows, "id string, parent string")
+        tips = spark.createDataFrame([(f"n{n-1:04d}",)], "id string")
+        got = {r.id for r in
+               chain_members(edges, tips, "id", "parent").collect()}
+        assert got == {f"n{i:04d}" for i in range(n)}
+
+
+class TestMinerInfo:
+    def test_golden(self, tables):
+        got = rows_by(core.miner_info(tables, bonus_height=3), "stx_address")
+        assert int(got[A]["total_mined"]) == 6
+        assert int(got[A]["miner_burned"]) == 9700
+        assert int(got[A]["total_win"]) == 3
+        assert int(got[A]["actual_win"]) == 3
+        assert int(got[A]["actual_win_bonus"]) == 2
+        assert int(got[B]["total_mined"]) == 4
+        assert int(got[B]["miner_burned"]) == 5600
+        assert int(got[B]["total_win"]) == 2
+        assert int(got[B]["actual_win"]) == 2
+        assert int(got[B]["actual_win_bonus"]) == 1
+        assert int(got[C]["total_mined"]) == 2
+        assert int(got[C]["miner_burned"]) == 4800
+        assert int(got[C]["total_win"]) == 1
+        assert int(got[C]["actual_win"]) == 1
+        assert int(got[C]["actual_win_bonus"]) == 0
+        # commit with unregistered leader key: kept under NULL address
+        # (reference keys it under `undefined`, rpc.js:253)
+        assert int(got[None]["total_mined"]) == 1
+        assert int(got[None]["miner_burned"]) == 2400
+        assert int(got[None]["total_win"]) == 0
+
+    def test_actual_burn_lag_delta(self, tables):
+        snap = core.snapshots_with_actual_burn(tables["snapshots"])
+        got = {r.block_height: int(r.actual_burn) for r in snap.collect()}
+        assert got == {100: 1000, 101: 2000, 102: 3000, 103: 4000,
+                       104: 5000, 105: 0, 106: 6000}
+
+    def test_total_burn_attribution(self, tables):
+        # A1's total_burn = sum of the commit's block's actual_burn
+        # (rpc.js:266) — computed in stats, excluded from F11 projection
+        snap = core.snapshots_with_actual_burn(tables["snapshots"])
+        enriched = core.commits_enriched(
+            snap, tables["block_commits"], tables["leader_keys"])
+        got = rows_by(core.miner_stats(enriched), "leader_key_address")
+        assert int(got[A]["total_burn"]) == 16000   # 1+2+3+4+0+6 (k sat)
+        assert int(got[B]["total_burn"]) == 11000
+        assert int(got[C]["total_burn"]) == 10000
+        assert int(got[None]["total_burn"]) == 5000
+
+    def test_range_restriction(self, tables):
+        # stacks heights 1..3 only (burn blocks 100-102)
+        got = rows_by(
+            core.miner_info(tables, start_height=1, end_height=3,
+                            bonus_height=3),
+            "stx_address")
+        assert int(got[A]["total_mined"]) == 3      # TX1, TX3, TX6
+        assert int(got[A]["miner_burned"]) == 3000
+        assert int(got[B]["total_mined"]) == 3      # TX2, TX4, TX5
+        assert C not in got
+
+
+class TestMiningAndBlockInfo:
+    def test_mining_info_tip_first(self, tables):
+        rows = core.mining_info(tables).collect()
+        assert [int(r.stacks_block_height) for r in rows] == [5, 4, 3, 2, 1, 0]
+        assert [r.stx_address for r in rows] == [A, B, C, B, A, A]
+        assert [int(r.burn_fee) for r in rows] == [
+            3300, 2600, 2100, 1700, 1100, 600]
+
+    def test_block_info_rollup(self, tables):
+        got = rows_by(core.block_info(tables), "stacks_block_height")
+        assert int(got[1]["sum_burn_fees"]) == 1000
+        assert got[1]["sum_miner_amount"] == 2
+        assert int(got[4]["sum_burn_fees"]) == 4000   # fork TX9 excluded
+        # burn heights 104+105 share stacks height 5 -> one group
+        assert int(got[5]["sum_burn_fees"]) == 6500
+        assert got[5]["sum_miner_amount"] == 3
+        assert int(got[6]["sum_burn_fees"]) == 6000
+        # A6 invariant: nested list sums match the rollup (SURVEY §5.5)
+        for h, row in got.items():
+            fees = sum(int(c.burn_fee) for c in row["commit_value_list"])
+            assert fees == int(row["sum_burn_fees"])
+            assert len(row["commit_value_list"]) == row["sum_miner_amount"]

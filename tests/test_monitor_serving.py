@@ -1,0 +1,143 @@
+"""E2 monitor shapers + serving semantics on the mining fixture,
+including the reference's off-by-one / ordering quirks, plus the
+streaming layer (gold refresh + event-time ops in batch mode)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mining_data_integration_spark import (
+    core, fixtures, monitor, serving, streaming,
+)
+from mining_data_integration_spark.fixtures import MINER_A, MINER_B, MINER_C
+
+A, B, C = MINER_A, MINER_B, MINER_C
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return fixtures.mining_tables(spark)
+
+
+@pytest.fixture(scope="module")
+def golds(tables):
+    return streaming.e1_gold_tables(tables)
+
+
+class TestMonitor:
+    def test_current_status(self, golds):
+        row = monitor.current_status(golds["block_info"], n=3).collect()[0]
+        # trailing-3 stacks heights: 4, 5, 6 with fees 4000, 6500, 6000
+        assert row.tip_height == 6
+        assert float(row.avg_burn_fee) == pytest.approx((4000 + 6500 + 6000) / 3)
+        assert [int(p.sum_burn_fees) for p in row.burn_fee_points] == \
+            [4000, 6500, 6000]
+
+    def test_miner_table_head50(self, golds):
+        rows = monitor.miner_table(golds["mining_info"], n=4).collect()
+        assert [int(r.stacks_block_height) for r in rows] == [5, 4, 3, 2]
+
+    def test_burn_fee_area_dense_and_monotone(self, golds):
+        out = monitor.burn_fee_area(golds["block_info"], n=1000)
+        rows = out.collect()
+        by_addr: dict[str, list] = {}
+        for r in rows:
+            by_addr.setdefault(r.address, []).append(r)
+        tip = max(int(r.stacks_block_height) for r in rows)
+        assert tip == 6
+        for addr, pts in by_addr.items():
+            heights = [int(p.stacks_block_height) for p in pts]
+            # dense: every height from first point to tip, no gaps (W4/W5)
+            assert heights == list(range(heights[0], tip + 1))
+            values = [float(p.cum_burn_fee) for p in pts]
+            assert values == sorted(values)          # cumulative monotone
+        # A's cumulative burn: commits at sbh 1(600),2(1100),3(1300),
+        # 4(1900),5(1500),6(3300) -> cum 600,1700,3000,4900,6400,9700
+        a_vals = [float(p.cum_burn_fee) for p in by_addr[A]]
+        assert a_vals == [600, 1700, 3000, 4900, 6400, 9700]
+
+    def test_winner_pie(self, golds):
+        rows = monitor.winner_pie(golds["miner_info"]).collect()
+        got = {r.address: r.number for r in rows if r.address}
+        assert got[A] == 3 and got[B] == 2 and got[C] == 1
+
+
+class TestServing:
+    def test_tail_slice_off_by_one(self, spark):
+        df = spark.range(10).withColumnRenamed("id", "h")
+        # reference slice(-latest-1) keeps latest+1 rows (server.js:152)
+        got = serving.tail_slice(df, 3, ["h"])
+        assert got.count() == 4
+
+    def test_paginate_and_range(self, spark):
+        df = spark.range(1, 101).withColumnRenamed("id", "h")
+        page2 = sorted(r.h for r in serving.paginate(df, 2, 10, ["h"]).collect())
+        assert page2 == list(range(11, 21))
+        sl = sorted(r.h for r in serving.range_slice(df, 5, 8, ["h"]).collect())
+        assert sl == [5, 6, 7, 8]
+
+    def test_rr_formula(self, golds):
+        out = serving.with_rr(golds["miner_info"],
+                              btc_price=50000.0, stx_price=0.5)
+        got = {r.stx_address: r.RR for r in out.collect()}
+        # A (bonus era threshold = default 8387, so all 3 wins are bonus):
+        # earn = 3*2466*0.5 = 3699; cost = (6*35000 + 9700)*50000/1e8
+        cost_a = (6 * 35000 + 9700) * 50000 / 1e8
+        assert got[A] == pytest.approx(round(3699 / cost_a - 1, 3))
+
+    def test_btc_total(self, golds):
+        row = serving.btc_total(golds["miner_info"]).collect()[0]
+        # total burned = 9700+5600+4800+2400 = 22500 sats
+        assert float(row.btc_total) == pytest.approx(round(22500 / 1e8, 2), abs=1e-9)
+
+    def test_staged_sync_gate(self, tables):
+        row = serving.is_staged_synced(
+            tables["staging_blocks"], tables["staging_blocks"]).collect()[0]
+        assert row.can_mine and row.local_height == 5  # orphaned 6 excluded
+
+    def test_head_slice_tip_first(self, golds):
+        rows = serving.head_slice(
+            golds["mining_info"], 2,
+            [golds["mining_info"].stacks_block_height.desc()])
+        assert [int(r.stacks_block_height) for r in rows.collect()] == [5, 4]
+
+
+class TestStreaming:
+    def test_refresh_once_writes_gold(self, tables, tmp_path):
+        gold_dir = str(tmp_path / "gold")
+        streaming.refresh_once(tables, gold_dir)
+        spark = tables["snapshots"].sparkSession
+        mi = spark.read.parquet(f"{gold_dir}/miner_info")
+        assert mi.count() == 4  # A, B, C, null-address group
+        # second refresh overwrites atomically (same count, no append)
+        streaming.refresh_once(tables, gold_dir)
+        assert spark.read.parquet(f"{gold_dir}/miner_info").count() == 4
+
+    def test_stream_refresh_ticks(self, tables, tmp_path, spark):
+        bronze = str(tmp_path / "bronze")
+        gold = str(tmp_path / "gold2")
+        tables["snapshots"].write.parquet(f"{bronze}/snapshots")
+        q = streaming.stream_refresh(
+            spark, bronze, gold, lambda s: tables,
+            interval="1 seconds",
+            checkpoint=str(tmp_path / "ckpt"))
+        try:
+            import time
+            deadline = time.time() + 60
+            ok = False
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(f"{gold}/mining_info").count() == 6:
+                        ok = True
+                        break
+                except Exception:
+                    pass
+                time.sleep(1)
+            assert ok, "gold tables not produced by streaming refresh"
+        finally:
+            q.stop()
+
+    def test_streaming_dedup_batch_form(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "c")], "event_id long, x string")
+        assert streaming.streaming_dedup(df).count() == 2
