@@ -178,6 +178,18 @@ def pubkey_to_stacks_udf(pubkey_hex: pd.Series) -> pd.Series:
 
 
 @pandas_udf(StringType())
+def c32address_udf(version: pd.Series, bytes_hex: pd.Series) -> pd.Series:
+    """X5 (rpc.js:362): c32 address from (version, hash160-hex) — the
+    LeaderKeyRegister address shape in the burnchain op JSON."""
+    def one(v, h):
+        if v is None or h is None:
+            return None
+        return c32address(int(v), bytes.fromhex(h))
+    return pd.Series([_safe(lambda p: one(*p))((v, h))
+                      for v, h in zip(version, bytes_hex)])
+
+
+@pandas_udf(StringType())
 def stacks_block_id_udf(block_hash: pd.Series,
                         consensus_hash: pd.Series) -> pd.Series:
     """X1/J8 computed join key: sha512_256(block_hash ‖ consensus_hash)

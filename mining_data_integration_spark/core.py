@@ -160,6 +160,63 @@ def mining_info(tables: dict[str, DataFrame]) -> DataFrame:
     ).orderBy(F.desc("stacks_block_height"))
 
 
+def burnchain_ops_enriched(ops: DataFrame) -> DataFrame:
+    """E1 step b (rpc.js:340-370): parse the `op` JSON document column
+    (X7) and derive miner addresses from the embedded public key /
+    address bytes (X2-X5). The reference builds this index and never
+    consumes it downstream; here it is a first-class queryable output.
+
+    JSON parse + branch stay JVM-side (from_json + when); only the two
+    final address columns cross the Arrow boundary (O-R3 placement)."""
+    from .addresses import c32address_udf, pubkey_to_stacks_udf, with_btc_address
+    from .schemas import OP_JSON_SCHEMA
+
+    j = ops.withColumn("j", F.from_json("op", OP_JSON_SCHEMA))
+    commit = F.col("j.LeaderBlockCommit")
+    register = F.col("j.LeaderKeyRegister")
+    parsed = j.select(
+        "block_hash",
+        F.when(commit.isNotNull(), F.lit("leader_block_commit"))
+        .when(register.isNotNull(), F.lit("leader_key_register"))
+        .alias("op_type"),
+        commit["apparent_sender"]["public_keys"][0]["key"].alias("pubkey"),
+        register["address"]["version"].alias("reg_version"),
+        register["address"]["bytes"].alias("reg_bytes"),
+    )
+    enriched = parsed.withColumn(
+        "stacks_address",
+        F.coalesce(
+            pubkey_to_stacks_udf(F.col("pubkey")),
+            c32address_udf(F.col("reg_version"), F.col("reg_bytes")),
+        ),
+    )
+    return with_btc_address(enriched, "stacks_address").select(
+        "block_hash", "op_type", "stacks_address", "btc_address")
+
+
+def transaction_counts(transactions: DataFrame,
+                       headers: DataFrame) -> DataFrame:
+    """A7 + J8 (rpc.js:320-336, 414-415): per-block transaction counts
+    joined to headers on the *computed* key
+    sha512_256(block_hash ‖ consensus_hash) = index_block_hash.
+    tx_count excludes the coinbase (group size − 1, rpc.js:330-335)."""
+    from .addresses import stacks_block_id_udf
+
+    per_block = transactions.groupBy("index_block_hash").agg(
+        (F.count("*") - 1).alias("tx_count"),
+        F.sort_array(F.collect_list(F.substring("txid", 1, 10)))
+        .alias("txid_prefixes"),          # X11 display form (rpc.js:415)
+    )
+    keyed = headers.withColumn(
+        "index_block_hash",
+        stacks_block_id_udf(F.col("block_hash"), F.col("consensus_hash")),
+    )
+    return keyed.join(per_block, "index_block_hash").select(
+        F.col("block_height").alias("stacks_block_height"),
+        "block_hash", "tx_count", "txid_prefixes",
+    )
+
+
 def block_info(tables: dict[str, DataFrame]) -> DataFrame:
     """A6 (rpc.js:463-487): per-stacks-height commit rollup with the
     nested commit list. The list is sorted for deterministic compares

@@ -176,6 +176,54 @@ def staging_blocks_rows() -> list[dict]:
     ]
 
 
+# secp256k1 generator point, compressed — a well-known public constant,
+# used as a deterministic "miner pubkey" for the ops fixture
+PUBKEY_G = "0279be667ef9dcbbac55a06295ce870b07029bfcdb2dce28d959f2815b16f81798"
+
+
+def burnchain_ops_rows() -> list[dict]:
+    import json
+
+    commit_op = json.dumps({
+        "LeaderBlockCommit": {
+            "burn_header_hash": [1, 2, 3],
+            "apparent_sender": {
+                "public_keys": [{"key": PUBKEY_G, "compressed": True}],
+            },
+        }
+    })
+    register_op = json.dumps({
+        "LeaderKeyRegister": {
+            "address": {"version": 26, "bytes": "3b" * 20},
+            "block_height": 100,
+            "vtxindex": 1,
+        }
+    })
+    return [
+        dict(block_hash=BH[100], op=commit_op),
+        dict(block_hash=BH[100], op=register_op),
+        dict(block_hash=BH[101], op=commit_op),
+    ]
+
+
+def transactions_rows() -> list[dict]:
+    """3 txs (incl. coinbase) on s1, 2 on s2 — A7 counts group size − 1."""
+    from .addresses import sha512_256
+
+    def block_id(sh: str, ch: str) -> str:
+        return sha512_256(bytes.fromhex(sh) + bytes.fromhex(ch)).hex()
+
+    id1 = block_id(SH[1], CH[101])
+    id2 = block_id(SH[2], CH[102])
+    return [
+        dict(index_block_hash=id1, txid=TX[17]),
+        dict(index_block_hash=id1, txid=TX[18]),
+        dict(index_block_hash=id1, txid=TX[19]),
+        dict(index_block_hash=id2, txid=TX[13]),
+        dict(index_block_hash=id2, txid=TX[14]),
+    ]
+
+
 def prices_rows() -> list[dict]:
     return [
         dict(symbol="BTCUSDT", price=50000.0),
@@ -190,6 +238,8 @@ _BUILDERS = {
     "block_headers": block_headers_rows,
     "payments": payments_rows,
     "staging_blocks": staging_blocks_rows,
+    "burnchain_ops": burnchain_ops_rows,
+    "transactions": transactions_rows,
     "prices": prices_rows,
 }
 

@@ -24,9 +24,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import aggregates, joins, scans, scalars, windows
-from . import dedup, similarity, text
+from . import dedup, multimodal, similarity, text
 
-_MODULES = (scans, joins, aggregates, windows, scalars, dedup, similarity, text)
+_MODULES = (scans, joins, aggregates, windows, scalars, dedup,
+            similarity, text, multimodal)
 
 
 def registry() -> tuple[

@@ -206,8 +206,43 @@ def j13_left_outer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j9_chain_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/O-R1/O-R2 (rpc.js:277-309): the canonical-chain walk on a
+    parent-pointer forest, via chain.chain_members (pointer-doubling —
+    O(log n) joins, SURVEY §4).
+
+    Forest derived from orders: five chains (one per o_orderpriority,
+    linked by ascending orderkey); the walk anchors at the globally
+    max orderkey's tip and must return exactly its priority's chain.
+    The DuckDB oracle walks the same edges with WITH RECURSIVE."""
+    from pyspark.sql import Window
+    from ..chain import chain_members
+    from ..schemas import ZERO64
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    edges = o.select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.coalesce(
+            F.lag(F.col("o_orderkey").cast("string")).over(w), F.lit(ZERO64)
+        ).alias("parent"),
+        "o_orderpriority",
+    )
+    tip = (
+        edges.orderBy(F.col("id").cast("long").desc()).limit(1).select("id")
+    )
+    members = chain_members(edges, tip, "id", "parent")
+    return (
+        edges.join(members, "id")
+        .select(F.col("id").cast("long").alias("o_orderkey"),
+                "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
 QUERIES = {
     "j1_equi_join_chain": j1_equi_join_chain,
+    "j9_chain_walk": j9_chain_walk,
     "j2_group_join": j2_group_join,
     "j6_composite_key_join": j6_composite_key_join,
     "j7_winner_in_group": j7_winner_in_group,
@@ -219,6 +254,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "j9_chain_walk": """
+        WITH RECURSIVE edges AS (
+            SELECT CAST(o_orderkey AS VARCHAR) AS id,
+                   coalesce(CAST(lag(o_orderkey) OVER (
+                       PARTITION BY o_orderpriority ORDER BY o_orderkey
+                   ) AS VARCHAR), repeat('0', 64)) AS parent,
+                   o_orderpriority
+            FROM orders
+        ), walk AS (
+            SELECT id, parent FROM edges
+            WHERE CAST(id AS BIGINT) = (SELECT max(o_orderkey) FROM orders)
+            UNION ALL
+            SELECT e.id, e.parent
+            FROM edges e JOIN walk w ON e.id = w.parent
+        )
+        SELECT CAST(walk.id AS BIGINT) AS o_orderkey, e.o_orderpriority
+        FROM walk JOIN edges e ON walk.id = e.id
+        ORDER BY o_orderkey
+    """,
     "j1_equi_join_chain": """
         SELECT n_name,
                CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,

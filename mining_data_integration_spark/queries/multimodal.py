@@ -1,0 +1,58 @@
+"""Multimodal-column queries (SURVEY §7.4): binary payloads + typed
+metadata -> Arrow-batched feature extraction (operators/multimodal.py).
+
+The decode kernel is the deterministic sha256 stub (the container has
+no codec libs), which makes the whole pipeline — binary schema, batch
+iteration, metadata pruning, output shape — DuckDB-oracle-checkable:
+DuckDB computes the identical sha256-derived features.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal as M
+from ._util import spread, t
+
+
+def mm1_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media -> feature vectors via mapInPandas; metadata filter
+    (width) prunes before decode. Features rounded to 6 dp so the
+    float32 column compares exactly against DuckDB's doubles."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    media = M.make_fake_media(docs, "doc_id", "text")
+    feats = M.extract_features(media, min_width=100)
+    return feats.select(
+        "media_id", "mime", "n_bytes",
+        F.transform(F.col("feature").cast("array<double>"),
+                    lambda x: F.round(x, 6)).alias("feature_r"),
+    ).orderBy("media_id")
+
+
+QUERIES = {"mm1_feature_extract": mm1_feature_extract}
+
+ORACLES = {
+    "mm1_feature_extract": """
+        WITH media AS (
+            SELECT doc_id AS media_id, 'image/png' AS mime,
+                   (length(text) % 640 + 1) AS width,
+                   encode(text) AS payload, text
+            FROM documents
+        ), hashed AS (
+            -- sha256(VARCHAR) hashes the utf-8 encoding = our payload
+            SELECT media_id, mime, octet_length(payload) AS n_bytes,
+                   sha256(text) AS hex
+            FROM media WHERE width >= 100
+        )
+        SELECT media_id, mime, n_bytes,
+               -- CAST .. AS REAL mirrors the operator's float32
+               -- feature column before the 6-dp round
+               list_transform(range(0, 16), i -> round(CAST(CAST(
+                   ((strpos('0123456789abcdef', substring(hex, 2*i + 1, 1)) - 1) * 16
+                    + strpos('0123456789abcdef', substring(hex, 2*i + 2, 1)) - 1
+                   ) / 255.0 AS REAL) AS DOUBLE), 6)) AS feature_r
+        FROM hashed
+        ORDER BY media_id
+    """,
+}

@@ -1,0 +1,114 @@
+"""Sources connectors (SQLite parallel pull, REST with fake transport,
+gold KV store) + the burnchain-ops / transactions core pipelines."""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pytest
+
+from mining_data_integration_spark import addresses as ad
+from mining_data_integration_spark import core, fixtures
+from mining_data_integration_spark.fixtures import BH, CH, SH, PUBKEY_G
+from mining_data_integration_spark.sources import kv, rest, sqlite as sq
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return fixtures.mining_tables(spark)
+
+
+class TestSqliteSource:
+    def test_parallel_pull_matches_table(self, spark, tmp_path):
+        db = str(tmp_path / "node.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE snapshots (h INTEGER, hash TEXT, fee TEXT)")
+        con.executemany(
+            "INSERT INTO snapshots VALUES (?, ?, ?)",
+            [(i, f"h{i}", str(i * 10)) for i in range(1000)])
+        con.commit()
+        con.close()
+
+        df = sq.read_sqlite(spark, db, "snapshots", partitions=7)
+        assert df.rdd.getNumPartitions() >= 7   # ceil-chunked ranges
+        assert df.count() == 1000
+        got = {r.h for r in df.collect()}
+        assert got == set(range(1000))
+
+    def test_pushdown_where(self, spark, tmp_path):
+        db = str(tmp_path / "node2.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE t (h INTEGER, flag INTEGER)")
+        con.executemany("INSERT INTO t VALUES (?, ?)",
+                        [(i, i % 2) for i in range(100)])
+        con.commit()
+        con.close()
+        df = sq.read_sqlite(spark, db, "t", partitions=3, where="flag = 1")
+        assert df.count() == 50
+
+
+class TestRestSource:
+    def test_feeds_with_fake_transport(self, spark):
+        fake = {
+            rest.BTC_LATEST_URL: {"height": 850000},
+            rest.BTC_STATS_URL: {"hash_rate": 5.5e9},
+            rest.BINANCE_TICKER_URL.format("BTCUSDT"): {"price": "50000.0"},
+            rest.BINANCE_TICKER_URL.format("STXUSDT"): {"price": "0.5"},
+            "http://peer/getLatestStage": {"height": 77},
+        }
+        fetch = lambda url: fake[url]
+        assert rest.btc_latest_block(spark, fetch).collect()[0].btc_height == 850000
+        p = {r.symbol: r.price for r in rest.prices(spark, fetch).collect()}
+        assert p == {"BTCUSDT": 50000.0, "STXUSDT": 0.5}
+        assert rest.network_hash_rate(spark, fetch).collect()[0].hash_power == \
+            pytest.approx(5.5)
+        assert rest.peer_stage_height(spark, "http://peer", fetch) \
+            .collect()[0].remote_height == 77
+
+    def test_rpc_stub_requires_transport(self):
+        with pytest.raises(NotImplementedError):
+            rest.bitcoin_core_rpc("getblockchaininfo")
+
+
+class TestGoldStore:
+    def test_set_get_swap_prune(self, spark, tmp_path):
+        store = kv.GoldStore(str(tmp_path / "gold"))
+        store.set("k", spark.range(5))
+        assert store.get(spark, "k").count() == 5
+        store.set("k", spark.range(9))
+        store.set("k", spark.range(3))
+        assert store.get(spark, "k").count() == 3
+        with pytest.raises(KeyError):
+            store.get(spark, "missing")
+
+    def test_flag_file(self, tmp_path):
+        p = str(tmp_path / "mining_status.txt")
+        assert kv.read_mining_flag(p) is False
+        kv.write_mining_flag(p, True)
+        assert kv.read_mining_flag(p) is True
+
+
+class TestOpsAndTransactions:
+    def test_burnchain_ops_enriched(self, tables):
+        rows = core.burnchain_ops_enriched(tables["burnchain_ops"]).collect()
+        by_type = {}
+        for r in rows:
+            by_type.setdefault(r.op_type, []).append(r)
+        commits = by_type["leader_block_commit"]
+        assert len(commits) == 2
+        expect_stx = ad.pubkey_to_stacks_address(PUBKEY_G)
+        for r in commits:
+            assert r.stacks_address == expect_stx
+            assert r.btc_address == ad.c32_to_b58(expect_stx)
+        reg = by_type["leader_key_register"][0]
+        assert reg.stacks_address == ad.c32address(26, bytes.fromhex("3b" * 20))
+
+    def test_transaction_counts(self, tables):
+        rows = core.transaction_counts(
+            tables["transactions"], tables["block_headers"]).collect()
+        got = {int(r.stacks_block_height): r for r in rows}
+        assert set(got) == {1, 2}
+        assert got[1].tx_count == 2          # 3 txs − coinbase
+        assert got[2].tx_count == 1
+        assert len(got[1].txid_prefixes) == 3
+        assert all(len(p) == 10 for p in got[1].txid_prefixes)
