@@ -1,0 +1,81 @@
+"""Property-based tests (SURVEY §5.5): codec round-trips over random
+inputs (pure Python — fast under hypothesis) + skew-utility equivalence
+on Spark."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from mining_data_integration_spark import addresses as ad
+from mining_data_integration_spark.operators import skew
+
+h160s = st.binary(min_size=20, max_size=20)
+
+
+class TestCodecProperties:
+    @given(h160s, st.sampled_from([20, 21, 22, 26]))
+    def test_c32_roundtrip(self, h160, version):
+        addr = ad.c32address(version, h160)
+        assert ad.c32address_decode(addr) == (version, h160)
+
+    @given(h160s, st.sampled_from([0, 5, 111, 196]))
+    def test_b58_roundtrip(self, h160, version):
+        addr = ad.b58check_encode(version, h160)
+        assert ad.b58check_decode(addr) == (version, h160)
+
+    @given(h160s, st.sampled_from([20, 21, 22, 26]))
+    def test_c32_b58_bijection(self, h160, version):
+        c32 = ad.c32address(version, h160)
+        assert ad.b58_to_c32(ad.c32_to_b58(c32)) == c32
+
+    @given(st.integers(min_value=1, max_value=2**256 - 1))
+    def test_pubkey_compress_roundtrip(self, x):
+        # derive a valid curve point: decompress succeeds for ~50% of x;
+        # try both parities and skip non-residues
+        for parity in (2, 3):
+            comp = bytes([parity]) + x.to_bytes(32, "big")
+            try:
+                unc = ad.decompress_pubkey(comp)
+            except Exception:
+                continue
+            # y parity must match the tag and re-compression round-trips
+            assert ad.compress_pubkey(unc) == comp
+            return
+
+    @given(st.binary(min_size=0, max_size=200))
+    def test_sha512_256_matches_hashlib(self, b):
+        import hashlib
+        assert ad.sha512_256(b) == hashlib.new("sha512_256", b).digest()
+
+
+class TestSkewUtilities:
+    def test_salted_join_equals_plain_join(self, spark):
+        import pyspark.sql.functions as F
+        # skewed: 90% of rows share key 0
+        big = spark.range(1000).select(
+            (F.when(F.col("id") % 10 == 0, F.col("id") % 7)
+             .otherwise(F.lit(0))).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        small = spark.createDataFrame(
+            [(i, f"dim{i}") for i in range(7)], "k long, label string")
+        plain = big.join(small, "k").select("k", "payload", "label")
+        salted = skew.salted_join(big, small, "k", buckets=8,
+                                  salt_from="payload") \
+            .select("k", "payload", "label")
+        assert sorted(map(tuple, plain.collect())) == \
+            sorted(map(tuple, salted.collect()))
+
+    def test_two_stage_agg_equals_plain(self, spark):
+        import pyspark.sql.functions as F
+        df = spark.range(5000).select(
+            (F.col("id") % 3).alias("k"), F.col("id").alias("v"))
+        plain = {(r.k, r.s, r.n) for r in
+                 df.groupBy("k").agg(F.sum("v").alias("s"),
+                                     F.count("*").alias("n")).collect()}
+        staged = skew.two_stage_agg(
+            df, "k", salt_from="v", buckets=16,
+            partial_aggs=[F.sum("v").alias("ps"), F.count("*").alias("pn")],
+            final_aggs=[F.sum("ps").alias("s"), F.sum("pn").alias("n")],
+        )
+        assert {(r.k, r.s, r.n) for r in staged.collect()} == plain
