@@ -78,6 +78,132 @@ def chain_members(edges: DataFrame, tips: DataFrame,
     return members.select(F.col("node").alias(id_col))
 
 
+def chain_members_segmented(edges: DataFrame, tip_id: str,
+                            id_col: str, parent_col: str, height_col: str,
+                            bucket_span: int = 16384) -> DataFrame:
+    """Height-aware chain walk in O(1) shuffles (segment list-ranking).
+
+    When nodes carry a monotone height (both mining chains do), the
+    ancestors-of-tip walk needs no iterative joins: bucket rows by
+    height range, walk each bucket *locally* from every possible entry
+    row (a row with no in-bucket child), emit (entry, member) pairs,
+    then stitch the per-bucket summaries — a K-row sequential pass,
+    K = #buckets — and keep each bucket's members under its chosen
+    entry. One shuffle (the bucketing) + one broadcast semi-join,
+    versus ~log2(n) shuffle rounds for pointer doubling: at 500k
+    blocks this is ~10x fewer barriers on the E1 hot path.
+
+    Entry candidates per bucket: rows at the bucket's top populated
+    height (a height-contiguous chain — burn and Stacks chains both
+    are — always enters a bucket at its top height) plus rows with no
+    in-bucket child (covers leaves/gaps). A chain crosses a bucket at
+    most once (heights strictly decrease along parent links), so the
+    stitch picks one entry per bucket. For graphs without a usable
+    height column, `chain_members` (pointer doubling) is the fully
+    general path.
+    """
+    import pandas as pd
+
+    def walk_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Emit each in-bucket row at most once: walks are memoized —
+        when a walk from a later entry reaches a node already owned by
+        an earlier walk, it records a *continuation* (owner entry +
+        position) instead of re-walking the shared suffix. Keeps the
+        per-bucket work O(rows) even with many fork-twin entries."""
+        by_id = dict(zip(pdf[id_col], pdf[parent_col]))
+        parents_in_bucket = set(pdf[parent_col])
+        top = pdf["_h"].max()
+        heights = dict(zip(pdf[id_col], pdf["_h"]))
+        owner: dict[str, tuple[str, int]] = {}
+        rows: list[tuple] = []       # (entry, member, pos)
+        meta: dict[str, tuple] = {}  # entry -> (exit, cont_entry, cont_pos)
+        # entries sorted by height desc so main-chain walks run first
+        # and fork twins terminate quickly on a visited node
+        for entry in sorted(by_id, key=lambda i: -heights[i]):
+            if entry in owner:
+                continue
+            if entry in parents_in_bucket and heights[entry] != top:
+                continue  # interior row (has an in-bucket child)
+            cur, pos = entry, 0
+            exit_hash = cont_entry = None
+            cont_pos = -1
+            while cur in by_id:
+                if cur in owner:
+                    cont_entry, cont_pos = owner[cur]
+                    break
+                owner[cur] = (entry, pos)
+                rows.append((entry, cur, pos))
+                pos += 1
+                cur = by_id[cur]
+            else:
+                exit_hash = cur
+            meta[entry] = (exit_hash, cont_entry, cont_pos)
+        bucket = int(pdf["_bucket"].iloc[0])
+        return pd.DataFrame({
+            "_bucket": bucket,
+            "entry": [r[0] for r in rows],
+            "member": [r[1] for r in rows],
+            "pos": [r[2] for r in rows],
+            "exit": [meta[r[0]][0] for r in rows],
+            "cont_entry": [meta[r[0]][1] for r in rows],
+            "cont_pos": [meta[r[0]][2] for r in rows],
+        })
+
+    keyed = (
+        edges.select(
+            F.col(id_col), F.col(parent_col),
+            F.col(height_col).alias("_h"),
+            (F.col(height_col) / bucket_span).cast("long").alias("_bucket"),
+        )
+        .filter(F.col(id_col) != ZERO64)
+    )
+    pairs = keyed.groupBy("_bucket").applyInPandas(
+        walk_bucket,
+        schema="_bucket long, entry string, member string, pos long, "
+               "exit string, cont_entry string, cont_pos long",
+    ).localCheckpoint(eager=True)
+
+    # per-(bucket, entry) summary: every pair row carries its entry's
+    # exit / continuation, so the summary is a tiny first() aggregate
+    summaries = (
+        pairs.groupBy("_bucket", "entry")
+        .agg(F.first("exit").alias("bucket_exit"),
+             F.first("cont_entry").alias("cont_entry"),
+             F.first("cont_pos").alias("cont_pos"))
+        .collect()
+    )
+    info = {(r._bucket, r.entry): (r.bucket_exit, r.cont_entry, r.cont_pos)
+            for r in summaries}
+
+    # driver stitch over K bucket summaries (not n rows): inside one
+    # bucket, follow continuation links (entry -> owner entry at pos)
+    # until an exit hash, collecting (entry, min_pos) segments
+    chosen: list[tuple[int, str, int]] = []
+    expected = tip_id
+    for b in sorted({b for b, _ in info}, reverse=True):
+        if (b, expected) not in info:
+            continue
+        entry, pos = expected, 0
+        while True:
+            exit_hash, cont_entry, cont_pos = info[(b, entry)]
+            chosen.append((b, entry, pos))
+            if cont_entry is None:
+                expected = exit_hash
+                break
+            entry, pos = cont_entry, cont_pos
+    if not chosen:
+        return edges.sparkSession.createDataFrame(
+            [(tip_id,)], f"{id_col} string")
+
+    chosen_df = edges.sparkSession.createDataFrame(
+        chosen, "_bucket long, entry string, min_pos long")
+    return (
+        pairs.join(F.broadcast(chosen_df), ["_bucket", "entry"])
+        .filter(F.col("pos") >= F.col("min_pos"))
+        .select(F.col("member").alias(id_col))
+    )
+
+
 def deepest_tip(headers: DataFrame, id_col: str = "block_hash",
                 parent_col: str = "parent_block",
                 height_col: str = "block_height") -> DataFrame:
@@ -115,19 +241,27 @@ def canonical_snapshots(snapshots: DataFrame) -> DataFrame:
         valid.orderBy(F.desc("block_height"), F.col("burn_header_hash"))
         .limit(1)
         .select("burn_header_hash")
+        .collect()
     )
-    members = chain_members(
-        valid, tip, id_col="burn_header_hash",
-        parent_col="parent_burn_header_hash",
+    if not tip:
+        return valid
+    members = chain_members_segmented(
+        valid, tip[0].burn_header_hash,
+        id_col="burn_header_hash", parent_col="parent_burn_header_hash",
+        height_col="block_height",
     )
-    return valid.join(F.broadcast(members), "burn_header_hash")
+    return valid.join(members, "burn_header_hash")
 
 
 def canonical_stacks_chain(headers: DataFrame) -> DataFrame:
     """SURVEY J9/O-R2: block_headers rows on the canonical Stacks fork
     (ancestors of the deepest tip, rpc.js:277-309)."""
-    tip = deepest_tip(headers)
-    members = chain_members(
-        headers, tip, id_col="block_hash", parent_col="parent_block",
+    tip = deepest_tip(headers).collect()
+    if not tip:
+        return headers
+    members = chain_members_segmented(
+        headers, tip[0].block_hash,
+        id_col="block_hash", parent_col="parent_block",
+        height_col="block_height",
     )
-    return headers.join(F.broadcast(members), "block_hash")
+    return headers.join(members, "block_hash")

@@ -120,20 +120,34 @@ def actual_wins(canon_winners: DataFrame,
     )
 
 
+def prepare(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Shared E1 intermediates, computed once per refresh tick.
+
+    The reference builds its hash indexes once per update() call
+    (rpc.js:77-90) and every output reads them; the Spark analog
+    materializes the canonical chain (small: one row per burn block —
+    localCheckpoint also truncates the walk's iterative lineage) and
+    caches the enriched commits that all three gold tables consume."""
+    snap = snapshots_with_actual_burn(tables["snapshots"]) \
+        .localCheckpoint(eager=True)
+    enriched = commits_enriched(
+        snap, tables["block_commits"], tables["leader_keys"]).cache()
+    winners = canonical_winners(tables["block_headers"], snap, enriched) \
+        .localCheckpoint(eager=True)
+    return {"snap": snap, "enriched": enriched, "winners": winners}
+
+
 def miner_info(tables: dict[str, DataFrame],
                start_height: int = 0, end_height: int = 99999999,
-               bonus_height: int = BONUS_HEIGHT) -> DataFrame:
+               bonus_height: int = BONUS_HEIGHT,
+               prepared: dict[str, DataFrame] | None = None) -> DataFrame:
     """F11 projection (rpc.js:435-444): the per-miner output table,
     address-sorted (O4, rpc.js:430). btc_address / RR enrichment are
     separate stages (addresses.with_btc_address, serving.with_rr)."""
-    snap = snapshots_with_actual_burn(tables["snapshots"])
-    enriched = commits_enriched(
-        snap, tables["block_commits"], tables["leader_keys"])
+    p = prepared or prepare(tables)
+    enriched = p["enriched"]
     stats = miner_stats(enriched, start_height, end_height)
-    wins = actual_wins(
-        canonical_winners(tables["block_headers"], snap, enriched),
-        bonus_height,
-    )
+    wins = actual_wins(p["winners"], bonus_height)
     return (
         stats.join(wins, "leader_key_address", "left")
         .select(
@@ -146,13 +160,12 @@ def miner_info(tables: dict[str, DataFrame],
     )
 
 
-def mining_info(tables: dict[str, DataFrame]) -> DataFrame:
+def mining_info(tables: dict[str, DataFrame],
+                prepared: dict[str, DataFrame] | None = None) -> DataFrame:
     """F12 (rpc.js:449-457): winning commit per canonical Stacks block,
     tip-first (the J9 walk emits height-descending, rpc.js:300)."""
-    snap = snapshots_with_actual_burn(tables["snapshots"])
-    enriched = commits_enriched(
-        snap, tables["block_commits"], tables["leader_keys"])
-    winners = canonical_winners(tables["block_headers"], snap, enriched)
+    p = prepared or prepare(tables)
+    winners = p["winners"]
     return winners.select(
         F.col("stacks_height").alias("stacks_block_height"),
         F.col("leader_key_address").alias("stx_address"),
@@ -217,13 +230,13 @@ def transaction_counts(transactions: DataFrame,
     )
 
 
-def block_info(tables: dict[str, DataFrame]) -> DataFrame:
+def block_info(tables: dict[str, DataFrame],
+               prepared: dict[str, DataFrame] | None = None) -> DataFrame:
     """A6 (rpc.js:463-487): per-stacks-height commit rollup with the
     nested commit list. The list is sorted for deterministic compares
     (the reference's order is insertion order — unspecified)."""
-    snap = snapshots_with_actual_burn(tables["snapshots"])
-    enriched = commits_enriched(
-        snap, tables["block_commits"], tables["leader_keys"])
+    p = prepared or prepare(tables)
+    enriched = p["enriched"]
     return (
         enriched.groupBy("stacks_block_height")
         .agg(

@@ -101,6 +101,84 @@ def ann_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def ivf_centroids(emb: DataFrame, n_centroids: int = 8, iters: int = 2,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: Lloyd's k-means with the
+    k lowest-id vectors as seeds (no PRNG — reproducible across runs).
+    Centroids are tiny (k x dim) and live on the driver between
+    iterations; each assignment pass is one broadcast argmin over the
+    data — no shuffle of the embedding table."""
+    seeds = (
+        emb.orderBy(id_col).limit(n_centroids)
+        .select(vec_col).collect()
+    )
+    cents = [list(map(float, r[0])) for r in seeds]
+    for _ in range(iters):
+        assigned = assign_centroid(emb, cents, vec_col).select(
+            F.col("_cid"), F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        means = (
+            assigned.groupBy("_cid", "pos").agg(F.avg("val").alias("m"))
+            .groupBy("_cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("a"))
+            .collect()
+        )
+        for r in means:
+            cents[r._cid] = [float(x.m) for x in r.a]
+    return cents
+
+
+def assign_centroid(df: DataFrame, cents: list[list[float]],
+                    vec_col: str) -> DataFrame:
+    """Argmin over k centroid distances, computed as k inline column
+    expressions (k is small; stays in codegen — no join, no UDF)."""
+    d2s = []
+    for i, c in enumerate(cents):
+        carr = F.array(*[F.lit(v) for v in c])
+        diff = F.zip_with(F.col(vec_col), carr, lambda a, b: (a - b) * (a - b))
+        d2s.append(F.struct(
+            F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x).alias("d"),
+            F.lit(i).alias("i"),
+        ))
+    best = F.array_min(F.array(*d2s))
+    return df.withColumn("_cid", best["i"])
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 8, n_probe: int = 2, iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_emb") -> DataFrame:
+    """IVF approximate top-k (the scale path next to LSH): assign data
+    to coarse cells once; each query probes its n_probe nearest cells
+    and brute-forces only those. At 100 TB the cell id becomes the
+    partition key, so a probe reads n_probe/k of the corpus."""
+    cents = ivf_centroids(emb, n_centroids, iters, id_col, vec_col)
+    data = assign_centroid(emb, cents, vec_col)
+
+    q_assigned = assign_centroid(
+        queries.withColumnRenamed(q_vec_col, "_qv"), cents, "_qv")
+    # n_probe nearest cells per query: sort the distance structs
+    d2s = []
+    for i, c in enumerate(cents):
+        carr = F.array(*[F.lit(v) for v in c])
+        diff = F.zip_with(F.col("_qv"), carr, lambda a, b: (a - b) * (a - b))
+        d2s.append(F.struct(
+            F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x).alias("d"),
+            F.lit(i).alias("i")))
+    probes = F.slice(F.array_sort(F.array(*d2s)), 1, n_probe)
+    q_probed = q_assigned.select(
+        F.col(q_id_col), F.col("_qv").alias(q_vec_col),
+        F.explode(probes).alias("_p"),
+    ).select(q_id_col, q_vec_col, F.col("_p.i").alias("_cid"))
+    pairs = data.join(F.broadcast(q_probed), "_cid").select(
+        F.col(q_id_col), F.col(id_col),
+        cosine(F.col(q_vec_col), F.col(vec_col)).alias("cos_sim"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return pairs.withColumn("rk", F.row_number().over(w)) \
+        .filter(F.col("rk") <= k)
+
+
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                              num_planes: int = 8, dim: int = 64,
                              id_col: str = "vec_id",

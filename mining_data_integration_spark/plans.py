@@ -1,0 +1,55 @@
+"""Physical-plan introspection (SURVEY §4).
+
+The engine does no hand-scheduling — Catalyst owns plan choice — but at
+100 TB the difference between a pruned, pushed-down, broadcast plan and
+a naive one is the whole game. These helpers make plan properties
+*testable*: tests/test_plans.py pins that the hot queries keep their
+pushed filters, pruned scan schemas and broadcast dimensions, so a
+refactor that silently breaks pushdown (e.g. wrapping a filter in an
+opaque UDF) fails CI instead of shipping a 100x regression.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    qe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    return qe.explainString(mode)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All parquet-pushed predicates, e.g. 'LessThan(l_shipdate,...)'."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)):
+        out.extend(p.strip() for p in m.group(1).split(",") if p.strip())
+    return out
+
+
+def scan_columns(df: DataFrame) -> list[set[str]]:
+    """Column set per parquet scan (ReadSchema) — the pruning check."""
+    cols = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", formatted_plan(df)):
+        cols.append({f.split(":")[0] for f in m.group(1).split(",") if f})
+    return cols
+
+
+def count_operator(df: DataFrame, name: str) -> int:
+    return len(re.findall(re.escape(name), formatted_plan(df)))
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return count_operator(df, "BroadcastHashJoin") > 0
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Shuffle exchanges in the final plan (AQE may coalesce at run
+    time; this counts the static plan's exchanges)."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"\bExchange\b(?! .*SinglePartition)", plan)) \
+        - plan.count("BroadcastExchange")

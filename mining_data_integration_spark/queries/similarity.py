@@ -126,8 +126,20 @@ ORACLES = {
     """,
 }
 
+def sim4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (deterministic k-means coarse cells,
+    2-probe). No SQL oracle — the Lloyd iterations are not reasonably
+    SQL-expressible — so the driver records a rows-only check; the
+    recall floor vs exact search is pinned in tests/test_operators
+    (TestIvf)."""
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    return S.ivf_topk(emb, _queries_df(spark, sf_dir), k=5,
+                      n_centroids=8, n_probe=2).orderBy("q_id", "rk")
+
+
 QUERIES = {
     "sim1_cosine_topk": sim1_cosine_topk,
+    "sim4_ivf_topk": sim4_ivf_topk,
     "sim2_ann_lsh_topk": sim2_ann_lsh_topk,
     "sim3_embedding_near_dups": sim3_embedding_near_dups,
 }

@@ -35,11 +35,13 @@ from .io import write_gold
 
 def e1_gold_tables(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
     """One full E1 recompute: the three gold outputs (rpc.js:430-460,
-    server.js:295-299)."""
+    server.js:295-299). The canonical-chain walks and commit enrichment
+    are prepared once and shared — three outputs, one upstream DAG."""
+    prepared = core.prepare(tables)
     return {
-        "miner_info": core.miner_info(tables),
-        "mining_info": core.mining_info(tables),
-        "block_info": core.block_info(tables),
+        "miner_info": core.miner_info(tables, prepared=prepared),
+        "mining_info": core.mining_info(tables, prepared=prepared),
+        "block_info": core.block_info(tables, prepared=prepared),
     }
 
 

@@ -44,6 +44,27 @@ class TestChainWalk:
         assert hashes == {SH[i] for i in range(6)}
         assert SH_ORPHAN not in hashes
 
+    def test_segmented_equals_doubling(self, spark):
+        # 500-block chain + fork twins at every 50th height; tiny
+        # bucket span forces many segments and cross-bucket stitching
+        from mining_data_integration_spark.chain import (
+            chain_members_segmented,
+        )
+        n = 500
+        rows = [(f"n{i:04d}", f"n{i-1:04d}" if i else "0" * 64, i)
+                for i in range(n)]
+        rows += [(f"f{i:04d}", f"n{i-1:04d}", i)
+                 for i in range(49, n, 50)]          # fork twins
+        edges = spark.createDataFrame(
+            rows, "id string, parent string, h long")
+        tips = spark.createDataFrame([(f"n{n-1:04d}",)], "id string")
+        doubling = {r.id for r in
+                    chain_members(edges, tips, "id", "parent").collect()}
+        segmented = {r.id for r in chain_members_segmented(
+            edges, f"n{n-1:04d}", "id", "parent", "h", bucket_span=64
+        ).collect()}
+        assert segmented == doubling == {f"n{i:04d}" for i in range(n)}
+
     def test_chain_members_long_chain(self, spark):
         # 300-link chain + 50-node dead branch: pointer doubling must
         # cover length ≫ 2^#rounds-naive and exclude the branch

@@ -3,6 +3,31 @@ sessionize/asof, multimodal plumbing) on hand-built micro-fixtures."""
 
 from __future__ import annotations
 
+import pytest
+
+
+class TestIvf:
+    def test_recall_vs_brute_force(self, spark):
+        from pyspark.sql import functions as F
+        from mining_data_integration_spark.io import read_table
+        from mining_data_integration_spark.operators import similarity as S
+
+        emb = read_table(spark, "/root/testdata/sf0.001", "embeddings") \
+            .repartition(8, "vec_id")
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+        exact = S.brute_force_topk(emb, q, k=5)
+        approx = S.ivf_topk(emb, q, k=5, n_centroids=8, n_probe=3)
+        ex = {(r.q_id, r.vec_id) for r in exact.collect()}
+        ap = {(r.q_id, r.vec_id) for r in approx.collect()}
+        recall = len(ex & ap) / len(ex)
+        # 3-of-8 cells probed on near-orthogonal synthetic vectors:
+        # recall is data-dependent; pin a floor so regressions surface
+        assert recall >= 0.4, f"IVF recall collapsed: {recall}"
+        # every query's own vector must be its top hit (cos=1 in-probe)
+        own = {(r.q_id, r.vec_id) for r in approx.collect() if r.rk == 1}
+        assert own == {(i, i) for i in range(5)}
+
 from pyspark.sql import functions as F
 
 from mining_data_integration_spark.operators import dedup as D

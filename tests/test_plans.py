@@ -1,0 +1,54 @@
+"""Plan-property tests (SURVEY §4): pin pushdown, column pruning and
+broadcast choices on the hot queries so Catalyst-visible regressions
+(a filter hidden behind a UDF, a lost broadcast) fail CI."""
+
+from __future__ import annotations
+
+import pytest
+
+from mining_data_integration_spark import plans
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as e
+    return e.queries()
+
+
+class TestPlanProperties:
+    def test_f3_filter_pushed_to_scan(self, spark, queries):
+        df = queries["f3_range_filter"](spark, SF)
+        pushed = " ".join(plans.pushed_filters(df))
+        assert "l_shipdate" in pushed and "l_quantity" in pushed
+
+    def test_a1_scan_pruned(self, spark, queries):
+        df = queries["a1_pricing_summary"](spark, SF)
+        (cols,) = plans.scan_columns(df)
+        # lineitem has 16 columns; Q1 needs 7 at most
+        assert len(cols) <= 7
+        assert "l_comment" not in cols
+
+    def test_j1_broadcasts_dimensions(self, spark, queries):
+        df = queries["j1_equi_join_chain"](spark, SF)
+        assert plans.has_broadcast_join(df)
+
+    def test_j6_composite_key_join_shape(self, spark, queries):
+        df = queries["j6_composite_key_join"](spark, SF)
+        assert plans.count_operator(df, "Join") >= 1
+        assert plans.pushed_filters(df)   # IsNotNull on join keys
+
+    def test_dedup_stays_jvm_side(self, spark, queries):
+        # dd1's digest/groupBy path must not contain a Python UDF eval
+        df = queries["dd1_exact_dedup"](spark, SF)
+        assert plans.count_operator(df, "BatchEvalPython") == 0
+        assert plans.count_operator(df, "ArrowEvalPython") == 0
+
+    def test_mm1_prunes_before_decode(self, spark, queries):
+        # metadata width-filter must run before the mapInPandas decode
+        df = queries["mm1_feature_extract"](spark, SF)
+        plan = plans.formatted_plan(df)
+        decode = plan.find("MapInPandas")
+        filt = plan.find("Filter")
+        assert decode != -1 and filt != -1
