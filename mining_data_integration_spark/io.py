@@ -56,6 +56,22 @@ def register_views(spark: SparkSession, sf_dir: str,
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def write_bucketed(df: DataFrame, table: str, key: str, buckets: int,
+                   path: str | None = None,
+                   sort: bool = True) -> None:
+    """Bucketed-table writer: the co-located-join layout for fact-fact
+    joins at 100 TB (SURVEY §2.3 note). Two tables bucketed on the
+    same key with the same bucket count join with NO shuffle exchange
+    (verified in tests/test_plans.py); the sort makes it a zero-sort
+    sort-merge join as well."""
+    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def write_gold(df: DataFrame, path: str, mode: str = "overwrite",
                partition_by: list[str] | None = None) -> None:
     """Write a gold (serving) table. Matches the reference's Redis

@@ -124,6 +124,24 @@ def burn_fee_area(block_info: DataFrame, n: int = 1000) -> DataFrame:
     )
 
 
+def monitor_integrate(golds: dict[str, DataFrame],
+                      tail_status: int = 20,
+                      tail_area: int = 1000) -> dict[str, DataFrame]:
+    """E2 composite (packMiningMonitorData, mining_monitor_rpc.js:
+    151-161): the five dashboard sections as one dict of DataFrames.
+    The RR section is empty in the reference (dead endpoint,
+    mining_monitor_rpc.js:142-149) — kept empty for parity."""
+    mi = golds["miner_info"]
+    return {
+        "current_status": current_status(golds["block_info"], tail_status),
+        "miner_table": miner_table(golds["mining_info"]),
+        "burn_fee_area": burn_fee_area(golds["block_info"], tail_area),
+        "winner_pie": winner_pie(mi),
+        "rr": mi.sparkSession.createDataFrame(
+            [], "address string, RR double"),
+    }
+
+
 def winner_pie(miner_info: DataFrame) -> DataFrame:
     """F14 (mining_monitor_rpc.js:115-140): pie payload
     {address, number, RR} from a miner_info table (all / r1000 / r100)."""

@@ -84,6 +84,48 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+# the GPT-2-style split shape (without merges); a real tokenizer would
+# follow with a broadcast merge table
+BPE_SPLIT = r"[a-z]+|[0-9]+|[^a-z0-9 ]"  # normalized text: only plain spaces
+
+
+def regex_token_count(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Subword-ish token counting via regexp_extract_all — a stable
+    proxy for LLM token budgeting (whitespace counts undercount
+    punctuation-heavy text). Pure JVM regex, codegen-friendly."""
+    pieces = F.expr(
+        f"regexp_extract_all({text_col}_norm, '{BPE_SPLIT}', 0)")
+    out = df.withColumn(f"{text_col}_norm", normalize_text(F.col(text_col)))
+    return out.select(
+        F.col(id_col),
+        F.size(pieces).alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).alias("n_unique_pieces"),
+        F.size(F.split(F.col(f"{text_col}_norm"), " ")).alias("n_whitespace"),
+    )
+
+
+ROLL_BASE = 31
+ROLL_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne; acc*31+c < 2^63)
+
+
+def rolling_hash(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Polynomial rolling hash (Rabin-Karp) of the normalized text:
+    H = sum(c_i * B^(n-i)) mod M, folded left to right with exact
+    integer arithmetic — the incremental-fingerprint primitive used
+    for content-defined chunking at scale. aggregate() keeps the fold
+    JVM-side and deterministic."""
+    chars = F.split(normalize_text(F.col(text_col)), "")
+    h = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * ROLL_BASE + F.ascii(c)) % ROLL_MOD,
+    )
+    return df.select(F.col(id_col), h.alias("roll_hash"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", shards: int = 16) -> DataFrame:
     """Content fingerprint (md5 of normalized text) + shard bucket from

@@ -1,0 +1,74 @@
+"""End-to-end training-data pipeline compositions (SURVEY §7.4).
+
+`clean_corpus` is the canonical 100-TB pre-training data flow:
+
+    documents
+      -> language filter        (text.lang_id heuristic)
+      -> quality filter         (text.quality_score thresholds)
+      -> exact dedup            (content-digest groupBy, keep lowest id)
+      -> near-dup removal       (MinHash LSH candidates; drop the
+                                 higher id of every candidate pair)
+      -> cleaned corpus + per-stage survival counts
+
+Shuffle budget: one groupBy on the content digest (uniform), one LSH
+band self-join (bounded buckets after stop-shingle handling), one
+left-anti join against the drop list (broadcast — the drop list is
+pairs of near-dups, tiny relative to the corpus). The language/quality
+stages are pure map-side column math fused into the first scan.
+
+Every stage is md5-based column arithmetic, so the full pipeline is
+DuckDB-oracle-checkable end to end (queries/dedup.py dp1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators import text as T
+
+
+def clean_corpus(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 min_tokens: int = 10, min_quality: float = 0.3,
+                 lang: str | None = "en",
+                 jaccard_bands: int = 4, num_hashes: int = 16) -> DataFrame:
+    """Returns the surviving documents (id + text) after the four
+    cleaning stages. Deterministic keep-rule everywhere: the lowest
+    doc id of a duplicate group survives."""
+    q = T.quality_score(docs, text_col, id_col).select(
+        id_col, "n_tokens", "quality")
+    l = T.lang_id(docs, text_col, id_col).select(id_col, "predicted_lang")
+    kept = (
+        docs.join(q, id_col).join(l, id_col)
+        .filter(F.col("n_tokens") >= min_tokens)
+        .filter(F.col("quality") >= min_quality)
+    )
+    if lang is not None:
+        kept = kept.filter(F.col("predicted_lang") == lang)
+    kept = kept.select(id_col, text_col)
+
+    # exact dedup: keep the lowest id per content digest
+    digests = kept.select(
+        F.col(id_col),
+        F.md5(D.normalize_text(F.col(text_col))).alias("_digest"),
+    )
+    keepers = digests.groupBy("_digest").agg(F.min(id_col).alias(id_col))
+    kept = kept.join(keepers.select(id_col), id_col)
+
+    # near-dup removal: LSH candidates among survivors; drop higher ids
+    cands = D.minhash_lsh_candidates(
+        kept, text_col, id_col, num_hashes=num_hashes, bands=jaccard_bands)
+    drops = cands.select(F.col("id2").alias(id_col)).distinct()
+    return kept.join(drops, id_col, "left_anti").orderBy(id_col)
+
+
+def survival_report(docs: DataFrame, cleaned: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """One-row funnel summary: corpus size in/out."""
+    n_in = docs.count()
+    n_out = cleaned.count()
+    return docs.sparkSession.createDataFrame(
+        [(n_in, n_out, round(n_out / n_in, 4) if n_in else 0.0)],
+        "docs_in long, docs_out long, survival_rate double")

@@ -24,10 +24,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import aggregates, joins, scans, scalars, windows
-from . import dedup, multimodal, similarity, text
+from . import dedup, multimodal, pipeline_q, similarity, text
 
 _MODULES = (scans, joins, aggregates, windows, scalars, dedup,
-            similarity, text, multimodal)
+            similarity, text, multimodal, pipeline_q)
 
 
 def registry() -> tuple[

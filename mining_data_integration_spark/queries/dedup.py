@@ -18,16 +18,16 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _WORDS = f"string_split({_NORM}, ' ')"
 
 
-def _duck_shingles(n: int) -> str:
+def _duck_shingles(n: int, src: str = "documents") -> str:
     """DuckDB fragment: (doc_id, shingle) distinct word n-grams —
-    mirrors operators.dedup.shingles."""
+    mirrors operators.dedup.shingles. `src` must expose doc_id, text."""
     gram = " || ' ' || ".join(f"words[i+{k}]" for k in range(n))
     return f"""
         SELECT doc_id AS id, unnest(list_distinct(
             list_transform(range(1, greatest(len(words) - {n - 1}, 0) + 1),
                            i -> {gram})
         )) AS shingle
-        FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+        FROM (SELECT doc_id, {_WORDS} AS words FROM {src})
     """
 
 

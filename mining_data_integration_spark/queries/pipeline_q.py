@@ -1,0 +1,73 @@
+"""End-to-end corpus-cleaning pipeline, oracle-checked (SURVEY §7.4).
+
+dp1 runs pipelines.clean_corpus — language filter, quality filter,
+exact dedup, MinHash-LSH near-dup removal — and the DuckDB oracle
+replays the identical funnel in SQL (all stages are md5/ratio column
+math, so the two engines agree bit-for-bit on the surviving set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import EN_STOPWORDS
+from ..pipelines import clean_corpus
+from ._util import spread, t
+from .dedup import _NORM, _WORDS, _duck_shingles, _minhash_band_sql
+
+MIN_TOKENS = 10
+MIN_QUALITY = 0.3
+EN_THRESHOLD = 0.08
+
+
+def dp1_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    out = clean_corpus(docs, min_tokens=MIN_TOKENS,
+                       min_quality=MIN_QUALITY, lang="en")
+    return out.select("doc_id").orderBy("doc_id")
+
+
+_STOPLIST = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+_BANDS_SQL = _minhash_band_sql(3, 16, 4)
+# rebuild the band SQL over the post-filter survivors instead of the
+# raw documents table, and keep only the drop side (higher id)
+_BANDS_OVER_SURVIVORS = _BANDS_SQL.replace(
+    _duck_shingles(3), _duck_shingles(3, "survivors")
+).replace("ORDER BY id1, id2", "")
+
+QUERIES = {"dp1_clean_corpus": dp1_clean_corpus}
+
+ORACLES = {
+    "dp1_clean_corpus": f"""
+        WITH scored AS (
+            SELECT doc_id, text, {_WORDS} AS toks FROM documents
+        ), q AS (
+            SELECT doc_id, text,
+                   len(toks) AS n_tokens,
+                   CAST(len(list_filter(toks,
+                       w -> list_contains({_STOPLIST}, w))) AS DOUBLE)
+                       / len(toks) AS stop_ratio,
+                   CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / len(toks) AS uniq_ratio
+            FROM scored
+        ), kept0 AS (
+            SELECT doc_id, text FROM q
+            WHERE n_tokens >= {MIN_TOKENS}
+              AND stop_ratio * 0.5 + uniq_ratio * 0.5 >= {MIN_QUALITY}
+              AND stop_ratio >= {EN_THRESHOLD}
+        ), keepers AS (
+            SELECT min(doc_id) AS doc_id
+            FROM kept0 GROUP BY md5({_NORM})
+        ), survivors AS (
+            SELECT k.doc_id, k.text
+            FROM kept0 k JOIN keepers USING (doc_id)
+        ), cand AS ({_BANDS_OVER_SURVIVORS}),
+        drops AS (SELECT DISTINCT id2 AS doc_id FROM cand)
+        SELECT s.doc_id FROM survivors s
+        LEFT JOIN drops d ON s.doc_id = d.doc_id
+        WHERE d.doc_id IS NULL
+        ORDER BY s.doc_id
+    """,
+}

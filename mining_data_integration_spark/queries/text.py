@@ -49,11 +49,32 @@ def tx4_fingerprint_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx5_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword counting (letter runs / digit runs / single
+    punctuation) vs the whitespace count."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    return TX.regex_token_count(docs).orderBy("doc_id")
+
+
+def tx6_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp polynomial rolling hash per document + shard
+    distribution over hash mod 16."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    return (
+        TX.rolling_hash(docs)
+        .select("doc_id", "roll_hash",
+                (F.col("roll_hash") % 16).alias("shard"))
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "tx1_token_stats": tx1_token_stats,
     "tx2_quality_score": tx2_quality_score,
     "tx3_lang_id": tx3_lang_id,
     "tx4_fingerprint_shards": tx4_fingerprint_shards,
+    "tx5_regex_tokens": tx5_regex_tokens,
+    "tx6_rolling_hash": tx6_rolling_hash,
 }
 
 ORACLES = {
@@ -98,6 +119,34 @@ ORACLES = {
         SELECT lang, predicted_lang, count(*) AS n
         FROM pred GROUP BY lang, predicted_lang
         ORDER BY lang, predicted_lang
+    """,
+    "tx5_regex_tokens": f"""
+        WITH base AS (
+            SELECT doc_id, {_NORM} AS norm FROM documents
+        ), pieces AS (
+            SELECT doc_id,
+                   regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS ps,
+                   string_split(norm, ' ') AS toks
+            FROM base
+        )
+        SELECT doc_id, len(ps) AS n_pieces,
+               len(list_distinct(ps)) AS n_unique_pieces,
+               len(toks) AS n_whitespace
+        FROM pieces ORDER BY doc_id
+    """,
+    "tx6_rolling_hash": f"""
+        WITH chars AS (
+            SELECT doc_id, string_split({_NORM}, '') AS cs FROM documents
+        ), hashed AS (
+            SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(cs, c -> CAST(ord(c) AS BIGINT))),
+                       (acc, c) -> (acc * {TX.ROLL_BASE} + c) % {TX.ROLL_MOD}
+                   ) AS roll_hash
+            FROM chars
+        )
+        SELECT doc_id, roll_hash, roll_hash % 16 AS shard
+        FROM hashed ORDER BY doc_id
     """,
     "tx4_fingerprint_shards": f"""
         WITH fp AS (

@@ -85,6 +85,23 @@ def with_rr(miner_info: DataFrame, btc_price: float, stx_price: float,
     )
 
 
+def trailing_miner_info(tables, n: int,
+                        prepared=None) -> DataFrame:
+    """A10 (server.js:304-331): the r100/r1000 views — the full miner
+    pipeline restricted to the last n stacks blocks. A parameterized
+    `between` on the same DAG (F4/F5), not a separate pipeline; the
+    range filter lands on the enriched-commits scan."""
+    from . import core
+
+    p = prepared or core.prepare(tables)
+    tip = p["snap"].agg(
+        F.max("stacks_block_height").alias("t")).collect()[0].t
+    if tip is None:
+        return core.miner_info(tables, prepared=p)
+    return core.miner_info(
+        tables, start_height=max(0, tip - n), end_height=tip, prepared=p)
+
+
 def btc_total(miner_info: DataFrame) -> DataFrame:
     """A8 (server.js:334-352): global sum(miner_burned)/1e8, 2 dp."""
     return miner_info.agg(

@@ -137,6 +137,53 @@ class TestStreaming:
         finally:
             q.stop()
 
+    def test_tumbling_stream_equals_batch(self, spark, tmp_path):
+        """The watermarked streaming aggregate must produce the same
+        windows as its batch form once the stream is drained
+        (availableNow trigger over the same parquet)."""
+        from mining_data_integration_spark.io import read_table
+
+        batch = read_table(spark, "/root/testdata/sf0.001", "events")
+        expected = {
+            (r.w_start, r.event_type, r.n)
+            for r in streaming.tumbling_counts(batch).collect()
+        }
+        src = str(tmp_path / "events_stream")
+        batch.write.parquet(src)
+        stream = (
+            spark.readStream.schema(batch.schema).parquet(src)
+        )
+        q = (
+            streaming.tumbling_counts(stream)
+            .writeStream.format("memory").queryName("tumbling_test")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.w_start, r.event_type, r.n)
+            for r in spark.sql("SELECT * FROM tumbling_test").collect()
+        }
+        assert got == expected
+
+    def test_monitor_integrate_sections(self, golds):
+        out = monitor.monitor_integrate(golds)
+        assert set(out) == {"current_status", "miner_table",
+                            "burn_fee_area", "winner_pie", "rr"}
+        assert out["rr"].count() == 0            # dead endpoint parity
+        assert out["current_status"].collect()[0].tip_height == 6
+
+    def test_trailing_miner_info(self, tables):
+        # last 3 stacks blocks = heights 4..6 -> burn blocks 103-106
+        out = serving.trailing_miner_info(tables, 2)
+        got = {r.stx_address: r for r in out.collect()}
+        # commits in range: TX7(C),TX8(A),TX11(B),TX12(null),TX14(A),
+        # TX15(A),TX16(C) at stacks heights 4,4,5,5,5,6,6
+        assert int(got[A]["total_mined"]) == 3
+        assert int(got[C]["total_mined"]) == 2
+        assert int(got[B]["total_mined"]) == 1
+
     def test_streaming_dedup_batch_form(self, spark):
         df = spark.createDataFrame(
             [(1, "a"), (1, "b"), (2, "c")], "event_id long, x string")

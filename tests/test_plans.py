@@ -45,6 +45,32 @@ class TestPlanProperties:
         assert plans.count_operator(df, "BatchEvalPython") == 0
         assert plans.count_operator(df, "ArrowEvalPython") == 0
 
+    def test_bucketed_join_has_no_shuffle(self, spark, tmp_path):
+        """Two tables bucketed on the join key join without a shuffle
+        exchange — the co-located layout big fact-fact joins need."""
+        from pyspark.sql import functions as F
+        from mining_data_integration_spark.io import write_bucketed
+
+        a = spark.range(10000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+        b = spark.range(10000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+        write_bucketed(a, "bkt_a", "k", 8, path=str(tmp_path / "a"))
+        write_bucketed(b, "bkt_b", "k", 8, path=str(tmp_path / "b"))
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+            plan = plans.formatted_plan(joined)
+            assert "SortMergeJoin" in plan
+            n_shuffle = plan.count("Exchange") \
+                - plan.count("BroadcastExchange")
+            assert n_shuffle == 0, \
+                f"bucketed join still shuffles:\n{plan[:500]}"
+            assert joined.count() == 10000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
     def test_mm1_prunes_before_decode(self, spark, queries):
         # metadata width-filter must run before the mapInPandas decode
         df = queries["mm1_feature_extract"](spark, SF)
