@@ -102,6 +102,54 @@ class TestServing:
         assert [int(r.stacks_block_height) for r in rows.collect()] == [5, 4]
 
 
+class TestReorg:
+    def test_reorg_recompute_switches_fork(self, spark, tables, tmp_path):
+        """ST5 (rpc.js:277-309 rerun per tick): a deeper fork arriving
+        in bronze must flip the canonical chain on the next refresh —
+        full-recompute semantics make the reorg just another batch."""
+        from pyspark.sql import Row
+        from mining_data_integration_spark import fixtures as FX
+        from mining_data_integration_spark.schemas import BLOCK_HEADERS
+
+        gold = str(tmp_path / "gold")
+        streaming.refresh_once(tables, gold)
+        before = spark.read.parquet(f"{gold}/mining_info")
+        assert before.count() == 6            # s0..s5 canonical
+
+        # reorg: extend the old orphan branch s3b (height 3, forked off
+        # s2) with s4b..s6b -> new deepest tip at height 6; anchor the
+        # new blocks at burn blocks 104-106 so winners re-map
+        h = FX._h
+        extra = [
+            Row(burn_header_hash=FX.BH[104], block_hash=h("b4", 4),
+                parent_block=FX.SH_ORPHAN, consensus_hash=FX.CH[104],
+                block_height=4),
+            Row(burn_header_hash=FX.BH[105], block_hash=h("b5", 5),
+                parent_block=h("b4", 4), consensus_hash=FX.CH[105],
+                block_height=5),
+            Row(burn_header_hash=FX.BH[106], block_hash=h("b6", 6),
+                parent_block=h("b5", 5), consensus_hash=FX.CH[106],
+                block_height=6),
+        ]
+        new_headers = tables["block_headers"].unionByName(
+            spark.createDataFrame(extra, BLOCK_HEADERS))
+        reorged = dict(tables, block_headers=new_headers)
+        streaming.refresh_once(reorged, gold)
+        after = spark.read.parquet(f"{gold}/mining_info")
+        rows = {int(r.stacks_block_height) for r in after.collect()}
+        # new canonical: s0-s2, s3b, s4b-s6b. s3b anchors at the
+        # non-canonical burn fork row, so it has no winning commit and
+        # emits no row (reference index-miss guard, rpc.js:297-300);
+        # heights 4-6 re-derive from burn blocks 104-106 — 105 had a
+        # sentinel winner, so it drops too
+        assert rows == {0, 1, 2, 4, 6}
+        by_h = {int(r.stacks_block_height): r for r in after.collect()}
+        # height 4 now wins via burn block 104's winner TX11 -> miner B
+        assert by_h[4].stx_address == B
+        # height 6 wins via burn block 106's winner TX15 -> miner A
+        assert by_h[6].stx_address == A
+
+
 class TestStreaming:
     def test_refresh_once_writes_gold(self, tables, tmp_path):
         gold_dir = str(tmp_path / "gold")
