@@ -147,8 +147,28 @@ def o8_range_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def u1_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.7: user-facing set operations (absent from the
+    reference, free in Spark): UNION / INTERSECT / EXCEPT between
+    'BUILDING-segment customers' and 'customers with an urgent
+    order', tagged and stacked."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k"))
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")).distinct()
+    tagged = (
+        a.union(b).distinct().withColumn("op", F.lit("union"))
+        .unionByName(a.intersect(b).withColumn("op", F.lit("intersect")))
+        .unionByName(a.subtract(b).withColumn("op", F.lit("except")))
+    )
+    return tagged.select("op", "k").orderBy("op", "k")
+
+
 QUERIES = {
     "s9_topk_scan": s9_topk_scan,
+    "u1_set_ops": u1_set_ops,
     "s11_filtered_scan": s11_filtered_scan,
     "s12_filtered_top1": s12_filtered_top1,
     "f3_range_filter": f3_range_filter,
@@ -160,6 +180,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "u1_set_ops": """
+        WITH a AS (
+            SELECT c_custkey AS k FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+        ), b AS (
+            SELECT DISTINCT o_custkey AS k FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        )
+        SELECT 'union' AS op, k FROM (SELECT k FROM a UNION SELECT k FROM b)
+        UNION ALL
+        SELECT 'intersect', k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+        UNION ALL
+        SELECT 'except', k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+        ORDER BY op, k
+    """,
     "s9_topk_scan": """
         SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice
         FROM orders
