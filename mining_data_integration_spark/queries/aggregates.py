@@ -156,8 +156,29 @@ def a12_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a14_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (SURVEY §2.4 note): exact interpolated percentiles
+    per group — Spark `percentile` and DuckDB `quantile_cont` share
+    linear-interpolation semantics, so even quartiles of doubles
+    hash-match. (The approximate sketch variants are engine-specific
+    and deliberately not oracle-gated.)"""
+    li = t(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+        .alias("qs"),
+        F.count("*").alias("n"),
+    )
+    return q.select(
+        "l_returnflag", "n",
+        F.round(F.col("qs")[0], 4).alias("p25"),
+        F.round(F.col("qs")[1], 4).alias("p50"),
+        F.round(F.col("qs")[2], 4).alias("p75"),
+    ).orderBy("l_returnflag")
+
+
 QUERIES = {
     "a1_pricing_summary": a1_pricing_summary,
+    "a14_percentiles": a14_percentiles,
     "a3_conditional_wins": a3_conditional_wins,
     "a5_derived_scalars": a5_derived_scalars,
     "a6_order_rollup": a6_order_rollup,
@@ -168,6 +189,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "a14_percentiles": """
+        SELECT l_returnflag, count(*) AS n,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        FROM lineitem GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
     "a1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                count(*) AS n_items,
