@@ -78,15 +78,24 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def ann_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
-                 num_planes: int = 8, dim: int = 64,
+                 num_planes: int = 8, dim: int = 64, multi_probe: bool = False,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  q_id_col: str = "q_id", q_vec_col: str = "q_emb") -> DataFrame:
     """Approximate top-k: brute-force only within the query's LSH
-    bucket. Recall rises with multi-probe/bands; this is the
-    single-probe scale skeleton."""
+    bucket. With multi_probe, each query also probes every bucket at
+    Hamming distance 1 (one flipped hyperplane sign) — the standard
+    recall/cost dial: (num_planes+1)x candidates for most of the
+    recall a second hash table would buy."""
     planes = hyperplanes(num_planes, dim)
     cand = emb.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
     q = queries.withColumn("q_bucket", lsh_bucket(F.col(q_vec_col), planes))
+    if multi_probe:
+        variants = F.array(
+            F.col("q_bucket"),
+            *[F.col("q_bucket").bitwiseXOR(F.lit(2 ** j)).cast("bigint")
+              for j in range(num_planes)],
+        )
+        q = q.withColumn("q_bucket", F.explode(variants))
     pairs = cand.join(
         F.broadcast(q), cand.bucket == q.q_bucket
     ).select(

@@ -126,6 +126,16 @@ ORACLES = {
     """,
 }
 
+def sim5_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-5: each query probes its own bucket plus
+    the 4 buckets one flipped hyperplane away — 5x candidates, most of
+    a second hash table's recall for none of its storage."""
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    return S.ann_lsh_topk(emb, _queries_df(spark, sf_dir), k=5,
+                          num_planes=4, multi_probe=True).orderBy(
+        "q_id", "rk")
+
+
 def sim4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 (deterministic k-means coarse cells,
     2-probe). No SQL oracle — the Lloyd iterations are not reasonably
@@ -140,6 +150,34 @@ def sim4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sim1_cosine_topk": sim1_cosine_topk,
     "sim4_ivf_topk": sim4_ivf_topk,
+    "sim5_multiprobe_lsh": sim5_multiprobe_lsh,
     "sim2_ann_lsh_topk": sim2_ann_lsh_topk,
     "sim3_embedding_near_dups": sim3_embedding_near_dups,
 }
+
+ORACLES["sim5_multiprobe_lsh"] = f"""
+    WITH planes AS ({_planes_cte()}),
+    keyed AS (
+        SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+        FROM embeddings CROSS JOIN planes
+    ), q0 AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, bucket AS b0
+        FROM keyed WHERE vec_id < 3
+    ), q AS (
+        SELECT q_id, q_emb,
+               unnest([b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)])
+                   AS q_bucket
+        FROM q0
+    ), pairs AS (
+        SELECT q_id, keyed.vec_id AS vec_id,
+               {_cos_sql('q_emb', 'embedding')} AS cos_sim
+        FROM keyed JOIN q ON keyed.bucket = q.q_bucket
+    ), ranked AS (
+        SELECT q_id, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rk
+        FROM pairs
+    )
+    SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= 5
+    ORDER BY q_id, rk
+"""

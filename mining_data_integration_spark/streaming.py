@@ -47,9 +47,21 @@ def e1_gold_tables(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
 
 def refresh_once(tables: dict[str, DataFrame], gold_dir: str) -> None:
     """ST1 batch body: recompute + atomic overwrite (the Redis SET
-    equivalent, server.js:295-299)."""
-    for name, df in e1_gold_tables(tables).items():
-        write_gold(df, f"{gold_dir}/{name}")
+    equivalent, server.js:295-299). The shared prepared intermediates
+    are released after the writes — without the unpersist, a
+    long-running trigger would accumulate one cached commits table
+    per tick."""
+    prepared = core.prepare(tables)
+    try:
+        for name, builder in (
+            ("miner_info", core.miner_info),
+            ("mining_info", core.mining_info),
+            ("block_info", core.block_info),
+        ):
+            write_gold(builder(tables, prepared=prepared),
+                       f"{gold_dir}/{name}")
+    finally:
+        prepared["enriched"].unpersist()
 
 
 def stream_refresh(spark: SparkSession, bronze_dir: str, gold_dir: str,
