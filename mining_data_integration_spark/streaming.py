@@ -66,12 +66,20 @@ def refresh_once(tables: dict[str, DataFrame], gold_dir: str) -> None:
 
 def stream_refresh(spark: SparkSession, bronze_dir: str, gold_dir: str,
                    read_tables, interval: str = "120 seconds",
-                   checkpoint: str | None = None):
+                   checkpoint: str | None = None,
+                   mode: str = "full", reorg_depth: int = 100):
     """ST1/ST2: the reference's setInterval as a processing-time
     trigger. The snapshots bronze directory is watched as a file
     stream purely as a tick source; each tick re-reads ALL bronze
-    tables batch-side and recomputes — full-recompute semantics
-    (reorg-safe, ST5). Returns the StreamingQuery.
+    tables batch-side and recomputes. Returns the StreamingQuery.
+
+    mode="full": reference-faithful full recompute every tick (ST5).
+    mode="incremental": bootstrap tick recomputes everything, then
+    each tick refreshes only the bounded-reorg window
+    (incremental.incremental_refresh) — the steady-state production
+    setting; a reorg deeper than `reorg_depth` needs a manual full
+    refresh (or a restart, since the first batch after a restart
+    bootstraps again).
 
     `read_tables(spark) -> dict[str, DataFrame]` supplies fresh batch
     reads per tick (so new files are picked up via normal parquet
@@ -82,8 +90,14 @@ def stream_refresh(spark: SparkSession, bronze_dir: str, gold_dir: str,
         .load(f"{bronze_dir}/snapshots")
     )
 
-    def batch_fn(_batch_df: DataFrame, _batch_id: int) -> None:
-        refresh_once(read_tables(spark), gold_dir)
+    def batch_fn(_batch_df: DataFrame, batch_id: int) -> None:
+        if mode == "incremental":
+            from .incremental import incremental_refresh
+            depth = 10 ** 12 if batch_id == 0 else reorg_depth
+            incremental_refresh(spark, read_tables(spark), gold_dir,
+                                reorg_depth=depth)
+        else:
+            refresh_once(read_tables(spark), gold_dir)
 
     writer = (
         ticks.writeStream.foreachBatch(batch_fn)

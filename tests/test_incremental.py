@@ -83,6 +83,35 @@ class TestIncremental:
         assert int(mi[MINER_B]["total_win"]) == 3
         assert int(mi[MINER_B]["actual_win"]) == 3
 
+    def test_stream_refresh_incremental_mode(self, spark, tables,
+                                             tmp_path):
+        """The streaming trigger in incremental mode bootstraps on the
+        first tick and produces the full-recompute result."""
+        from mining_data_integration_spark import streaming
+
+        bronze = str(tmp_path / "bronze")
+        gold = str(tmp_path / "gold_s")
+        tables["snapshots"].write.parquet(f"{bronze}/snapshots")
+        q = streaming.stream_refresh(
+            spark, bronze, gold, lambda s: tables,
+            interval="1 seconds", checkpoint=str(tmp_path / "ckpt"),
+            mode="incremental", reorg_depth=2)
+        try:
+            import time
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                try:
+                    got = canon_rows(spark.read.parquet(f"{gold}/miner_info"))
+                    if got == canon_rows(core.miner_info(tables)):
+                        break
+                except Exception:
+                    pass
+                time.sleep(2)
+            else:
+                raise AssertionError("incremental stream never converged")
+        finally:
+            q.stop()
+
     def test_untouched_partitions_not_rewritten(self, spark, tables,
                                                 tmp_path, monkeypatch):
         """Dynamic overwrite must leave out-of-window buckets' files
