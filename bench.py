@@ -47,9 +47,14 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         fn(spark, sf_dir).count()  # warm: parquet footer + JIT paths
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        # median of 3 timed runs: GC pauses on this box swing single
+        # runs by 2-3x on the hash-heavy queries
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            times.append(time.perf_counter() - t0)
+        per_query[name] = round(sorted(times)[1], 3)
 
     total = round(sum(per_query.values()), 3)
     print(json.dumps({
