@@ -215,6 +215,29 @@ class TestStreaming:
         }
         assert got == expected
 
+    def test_session_window_stream_equals_batch(self, spark, tmp_path):
+        """Stateful session windows drained through availableNow in
+        complete mode must equal the batch session_window aggregate."""
+        from mining_data_integration_spark.io import read_table
+
+        batch = read_table(spark, "/root/testdata/sf0.001", "events")
+        expected = sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in streaming.session_windows(batch).collect())
+        src = str(tmp_path / "events_sess")
+        batch.write.parquet(src)
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        q = (
+            streaming.session_windows(stream)
+            .writeStream.format("memory").queryName("sess_eq_test")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.sql("SELECT * FROM sess_eq_test").collect())
+        assert got == expected
+
     def test_monitor_integrate_sections(self, golds):
         out = monitor.monitor_integrate(golds)
         assert set(out) == {"current_status", "miner_table",
