@@ -2,7 +2,7 @@
 the rate-of-return formula, sentinel compares.
 
 The crypto codecs (X1-X5) are not SQL-expressible — they live in
-functions/addresses.py with pytest + rows-only coverage; everything
+addresses.py with known-vector + property-test coverage; everything
 here is oracle-checked.
 """
 
