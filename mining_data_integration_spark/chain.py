@@ -191,6 +191,18 @@ def chain_members_segmented(edges: DataFrame, tip_id: str,
                 expected = exit_hash
                 break
             entry, pos = cont_entry, cont_pos
+
+    # safety net: the entry-candidate rule assumes height-contiguous
+    # chains (entries sit at a bucket's top populated height or have no
+    # in-bucket child). If the walk stopped at a hash that still exists
+    # as a node, an entry was hidden (gap + in-bucket fork child) —
+    # fall back to the fully general pointer-doubling walk.
+    if expected != ZERO64 and not keyed.filter(
+            F.col(id_col) == expected).isEmpty():
+        tips = edges.sparkSession.createDataFrame(
+            [(tip_id,)], f"{id_col} string")
+        return chain_members(edges, tips, id_col, parent_col)
+
     if not chosen:
         return edges.sparkSession.createDataFrame(
             [(tip_id,)], f"{id_col} string")

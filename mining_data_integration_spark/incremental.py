@@ -88,14 +88,142 @@ def merge_miner_partials(partials: DataFrame) -> DataFrame:
     )
 
 
+def _windowed_prepare(spark: SparkSession, tables: dict[str, DataFrame],
+                      gold_dir: str, reorg_depth: int) -> dict | None:
+    """Window-bounded version of core.prepare: walk only the last
+    `reorg_depth` blocks, anchored on the persisted canonical-chain
+    state at the window floor. Returns None when the incremental
+    anchor fails (no state yet, empty window, or a reorg deeper than
+    the window) — callers fall back to the full recompute.
+
+    This is where the incremental tick stops paying for history: the
+    chain walks, the lag-delta and the commit-enrichment join all see
+    only O(reorg_depth) snapshot rows. (The commits scan itself prunes
+    at the storage layer when bronze is partitioned by burn-height
+    bucket; the join keeps only window rows either way.)"""
+    from pyspark.sql import Window
+    from .chain import chain_members_segmented
+    from .schemas import ZERO64
+
+    try:
+        stored_chain = spark.read.parquet(f"{gold_dir}/canonical_chain")
+        stored_stacks = spark.read.parquet(f"{gold_dir}/canonical_stacks")
+    except Exception:
+        return None
+
+    valid = tables["snapshots"].filter(F.col("pox_valid") != 0)
+    tip_row = valid.orderBy(
+        F.desc("block_height"), F.col("burn_header_hash")).limit(1).collect()
+    if not tip_row:
+        return None
+    # bucket-ALIGNED window on the stacks-height axis: dynamic
+    # overwrite rewrites whole hbucket partitions, so the window must
+    # fully cover every bucket it touches — a mid-bucket floor would
+    # drop the bucket's below-window rows on rewrite
+    tip_stacks = tip_row[0].stacks_block_height or 0
+    aligned_floor = (max(0, tip_stacks - reorg_depth)
+                     // HEIGHTS_PER_BUCKET) * HEIGHTS_PER_BUCKET
+    window = valid.filter(F.col("stacks_block_height") >= aligned_floor)
+
+    members = chain_members_segmented(
+        window, tip_row[0].burn_header_hash,
+        id_col="burn_header_hash", parent_col="parent_burn_header_hash",
+        height_col="block_height")
+    wchain = window.join(members, "burn_header_hash")
+
+    # boundary verify: the window floor's parent must be the stored
+    # canonical row one height below — otherwise the reorg is deeper
+    # than the window and the tick must go full
+    floor = wchain.orderBy("block_height").limit(1).collect()
+    if not floor:
+        return None
+    prev = stored_chain.filter(
+        F.col("block_height") == floor[0].block_height - 1).collect()
+    if floor[0].parent_burn_header_hash != ZERO64:
+        if not prev or prev[0].burn_header_hash != \
+                floor[0].parent_burn_header_hash:
+            return None
+    prev_total = prev[0].total_burn if prev else 0
+
+    w = Window.orderBy("block_height")
+    snap = wchain.withColumn(
+        "actual_burn",
+        F.col("total_burn") - F.lag("total_burn", 1, prev_total).over(w),
+    ).localCheckpoint(eager=True)
+
+    # stacks side: window the headers the same way, anchor on stored
+    # canonical stacks state below the floor
+    # headers window on the same aligned floor (its height IS the
+    # mining_info bucket axis; a burn row's stacks_block_height is >=
+    # its anchored header's height, so enriched covers these wins)
+    headers = tables["block_headers"]
+    stip = headers.orderBy(
+        F.desc("block_height"), F.col("block_hash")).limit(1).collect()
+    if not stip:
+        return None
+    wheaders = headers.filter(F.col("block_height") >= aligned_floor)
+    smembers = chain_members_segmented(
+        wheaders, stip[0].block_hash,
+        id_col="block_hash", parent_col="parent_block",
+        height_col="block_height")
+    wstacks = wheaders.join(smembers, "block_hash")
+    sfloor = wstacks.orderBy("block_height").limit(1).collect()
+    if not sfloor:
+        return None
+    if sfloor[0].parent_block != ZERO64:
+        sprev = stored_stacks.filter(
+            F.col("block_height") == sfloor[0].block_height - 1).collect()
+        if not sprev or sprev[0].block_hash != sfloor[0].parent_block:
+            return None
+
+    enriched = core.commits_enriched(
+        snap, tables["block_commits"], tables["leader_keys"]).cache()
+    chain_cols = wstacks.select(
+        "burn_header_hash", F.col("block_height").alias("stacks_height"))
+    winners = (
+        enriched.filter(F.col("is_winner"))
+        .join(F.broadcast(chain_cols), "burn_header_hash")
+        .localCheckpoint(eager=True)
+    )
+    return {"snap": snap, "enriched": enriched, "winners": winners,
+            "wchain": wchain, "wstacks": wstacks,
+            "aligned_floor": aligned_floor}
+
+
+def _write_state(wchain: DataFrame, wstacks: DataFrame,
+                 gold_dir: str) -> None:
+    """Persist the canonical chain/fork state (window overwrite) —
+    both the next tick's anchor and a useful gold in its own right."""
+    _write_dynamic(
+        wchain.withColumn(
+            "hbucket",
+            (F.col("block_height") / HEIGHTS_PER_BUCKET).cast("long")),
+        f"{gold_dir}/canonical_chain")
+    _write_dynamic(
+        wstacks.withColumn(
+            "hbucket",
+            (F.col("block_height") / HEIGHTS_PER_BUCKET).cast("long")),
+        f"{gold_dir}/canonical_stacks")
+
+
 def incremental_refresh(spark: SparkSession, tables: dict[str, DataFrame],
                         gold_dir: str, reorg_depth: int = 100) -> dict:
-    """One incremental tick. Returns {'tip', 'lo_height', 'buckets'}."""
-    prepared = core.prepare(tables)
+    """One incremental tick: windowed when persisted state + boundary
+    anchors allow it, full recompute otherwise. Returns
+    {'tip', 'lo_height', 'buckets_from', 'mode'}."""
+    prepared = _windowed_prepare(spark, tables, gold_dir, reorg_depth)
+    mode = "windowed"
+    if prepared is None:
+        mode = "full"
+        prepared = core.prepare(tables)
+        from .chain import canonical_stacks_chain
+        prepared["wchain"] = prepared["snap"]
+        prepared["wstacks"] = canonical_stacks_chain(tables["block_headers"])
+
     try:
         tip = prepared["snap"].agg(
             F.max("stacks_block_height").alias("t")).collect()[0].t
-        lo = max(0, (tip or 0) - reorg_depth)
+        lo = prepared.get("aligned_floor", 0) if mode == "windowed" else 0
         lo_bucket = lo // HEIGHTS_PER_BUCKET
         affected = F.col("hbucket") >= lo_bucket
 
@@ -108,10 +236,19 @@ def incremental_refresh(spark: SparkSession, tables: dict[str, DataFrame],
         _write_dynamic(mi, f"{gold_dir}/mining_info")
         _write_dynamic(bi, f"{gold_dir}/block_info")
         _write_dynamic(pt, f"{gold_dir}/miner_partials")
+        _write_state(
+            prepared["wchain"].select(
+                "burn_header_hash", "parent_burn_header_hash",
+                "block_height", "stacks_block_height", "total_burn"),
+            prepared["wstacks"].select(
+                "block_hash", "parent_block", "block_height",
+                "burn_header_hash"),
+            gold_dir)
 
         merged = merge_miner_partials(
             spark.read.parquet(f"{gold_dir}/miner_partials"))
         merged.write.mode("overwrite").parquet(f"{gold_dir}/miner_info")
-        return {"tip": tip, "lo_height": lo, "buckets_from": lo_bucket}
+        return {"tip": tip, "lo_height": lo, "buckets_from": lo_bucket,
+                "mode": mode}
     finally:
         prepared["enriched"].unpersist()

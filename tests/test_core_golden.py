@@ -65,6 +65,29 @@ class TestChainWalk:
         ).collect()}
         assert segmented == doubling == {f"n{i:04d}" for i in range(n)}
 
+    def test_segmented_fallback_on_hidden_entry(self, spark):
+        """Adversarial non-contiguous chain: the bucket entry has an
+        in-bucket fork child AND sits below the bucket's top height, so
+        the candidate rule misses it — the walk must detect the broken
+        stitch and fall back to pointer doubling."""
+        from mining_data_integration_spark.chain import (
+            chain_members_segmented,
+        )
+        Z = "0" * 64
+        rows = [(f"n{i:02d}", f"n{i-1:02d}" if i else Z, i)
+                for i in range(11)]              # chain heights 0..10
+        rows += [("fork_g", "n10", 11)]          # in-bucket child of n10
+        rows += [("fork_f", "nowhere", 15)]      # bucket-top decoy
+        rows += [(f"m{i:02d}", f"m{i-1:02d}" if i > 50 else "n10", i)
+                 for i in range(50, 61)]         # gap: 50's parent = n10
+        edges = spark.createDataFrame(
+            rows, "id string, parent string, h long")
+        got = {r.id for r in chain_members_segmented(
+            edges, "m60", "id", "parent", "h", bucket_span=16).collect()}
+        want = {f"m{i:02d}" for i in range(50, 61)} | \
+               {f"n{i:02d}" for i in range(11)}
+        assert got == want
+
     def test_chain_members_long_chain(self, spark):
         # 300-link chain + 50-node dead branch: pointer doubling must
         # cover length ≫ 2^#rounds-naive and exclude the branch
