@@ -110,12 +110,14 @@ def o3_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 def o6_tail_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6 (server.js:151-152): `slice(-latest-1)` tail — keeps the LAST
     latest+1 rows (the reference's off-by-one is preserved: latest=20
-    yields 21 rows)."""
+    yields 21 rows). The global row number is computed by the two-phase
+    range-sharded operator — no single-partition window over the table."""
+    from ..operators.scalable import global_row_number
+
     latest = 20
     o = t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_orderkey"))
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        global_row_number(o, [F.desc("o_orderkey")])
         .filter(F.col("rn") <= latest + 1)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
         .orderBy("o_orderkey")
@@ -124,24 +126,28 @@ def o6_tail_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def o7_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O7 (server.js:153-155): page/size offset pagination via
-    row_number bounds (page 3, size 100 over orderkey order)."""
+    row_number bounds (page 3, size 100 over orderkey order),
+    scalable-row-number form (operators/scalable.py)."""
+    from ..operators.scalable import global_row_number
+
     page, size = 3, 100
     o = t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        global_row_number(o, [F.col("o_orderkey")])
         .filter(F.col("rn").between(size * (page - 1) + 1, size * page))
         .select("rn", "o_orderkey", "o_custkey", "o_totalprice")
     )
 
 
 def o8_range_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O8 (server.js:175-187): 1-based inclusive [start, end] row range."""
+    """O8 (server.js:175-187): 1-based inclusive [start, end] row range,
+    scalable-row-number form."""
+    from ..operators.scalable import global_row_number
+
     start, end = 101, 150
     o = t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_orderkey"))
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        global_row_number(o, [F.desc("o_orderkey")])
         .filter(F.col("rn").between(start, end))
         .select("rn", "o_orderkey", "o_orderstatus")
     )

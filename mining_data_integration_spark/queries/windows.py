@@ -140,6 +140,28 @@ def w6_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def w14_scalable_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally-ordered running revenue over the WHOLE lineitem fact
+    table — the shape that breaks a naive `Window.orderBy` at scale
+    (single-partition exchange). Uses the two-phase range-sharded
+    cumsum (operators/scalable.py): shard-local window + broadcast
+    per-shard offsets; exact decimal arithmetic end to end. Restricted
+    to one ship-month so the oracle compare stays small; the filter is
+    pushed to the scan, the cumsum runs over every surviving row."""
+    from ..operators.scalable import global_cumsum
+
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1995-03-01", "1995-03-31"))
+    order = [F.col("l_orderkey"), F.col("l_linenumber")]
+    out = global_cumsum(
+        li, order, F.col("l_extendedprice").cast("decimal(18,2)"),
+        out_col="_cum")
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        money(F.col("_cum")).alias("cum_revenue"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
 def w7_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking surface (SURVEY §2.5 note: absent from the reference,
     free in Spark): rank / dense_rank / ntile over a deterministic
@@ -214,6 +236,7 @@ QUERIES = {
     "w3_keep_last": w3_keep_last,
     "w4_forward_fill": w4_forward_fill,
     "w6_lag_delta": w6_lag_delta,
+    "w14_scalable_cumsum": w14_scalable_cumsum,
     "w7_ranking": w7_ranking,
     "w9_topk_per_group": w9_topk_per_group,
     "w10_sessionize": w10_sessionize,
@@ -387,6 +410,16 @@ ORACLES = {
                CAST(round(_cum_total, 2) AS DOUBLE) AS cum_total,
                CAST(round(_cum_total - lag(_cum_total, 1) OVER (ORDER BY day), 2) AS DOUBLE) AS delta_total
         FROM cum ORDER BY day
+    """,
+    "w14_scalable_cumsum": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    OVER (ORDER BY l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                    AS DOUBLE) AS cum_revenue
+        FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1995-03-01' AND TIMESTAMP '1995-03-31'
+        ORDER BY l_orderkey, l_linenumber
     """,
     "w7_ranking": """
         WITH supp AS (

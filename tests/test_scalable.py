@@ -1,0 +1,89 @@
+"""Scalable global-window operators vs the single-partition reference
+implementation: results must be identical; the big-data window must be
+shard-partitioned (the whole point)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mining_data_integration_spark.operators.scalable import (
+    global_cumsum,
+    global_lag,
+    global_row_number,
+)
+from mining_data_integration_spark.plans import formatted_plan
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    rng = random.Random(7)
+    # duplicate values + unique key k; amounts exact at 2 decimals
+    rows = [(i, rng.randrange(0, 40), rng.randrange(0, 10_000) / 100)
+            for i in range(2000)]
+    return spark.createDataFrame(
+        rows, "k long, grp long, amount double"
+    ).withColumn("amt", F.col("amount").cast("decimal(18,2)"))
+
+
+ORDERINGS = [                             # built lazily: Column exprs
+    lambda: [F.col("k")],                 # need an active SparkContext
+    lambda: [F.desc("k")],
+    lambda: [F.col("grp"), F.desc("k")],  # dup leading key + tiebreak
+]
+
+
+@pytest.mark.parametrize("n_shards", [1, 3, 8])
+@pytest.mark.parametrize("order_ix", range(len(ORDERINGS)))
+class TestEquivalence:
+    def test_row_number(self, data, n_shards, order_ix):
+        order = ORDERINGS[order_ix]()
+        got = global_row_number(
+            data, order, num_partitions=n_shards
+        ).select("k", "rn")
+        ref = data.select(
+            "k", F.row_number().over(Window.orderBy(*order))
+            .cast("long").alias("rn"))
+        assert got.exceptAll(ref).isEmpty() and ref.exceptAll(got).isEmpty()
+
+    def test_cumsum(self, data, n_shards, order_ix):
+        order = ORDERINGS[order_ix]()
+        got = global_cumsum(
+            data, order, F.col("amt"), out_col="c", num_partitions=n_shards
+        ).select("k", "c")
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        ref = data.select("k", F.sum("amt").over(w).alias("c"))
+        assert got.exceptAll(ref).isEmpty() and ref.exceptAll(got).isEmpty()
+
+    def test_lag(self, data, n_shards, order_ix):
+        order = ORDERINGS[order_ix]()
+        got = global_lag(
+            data, order, F.col("amt"), out_col="p", num_partitions=n_shards
+        ).select("k", "p")
+        ref = data.select(
+            "k", F.lag("amt").over(Window.orderBy(*order)).alias("p"))
+        assert got.exceptAll(ref).isEmpty() and ref.exceptAll(got).isEmpty()
+
+
+def test_empty_and_single_row(spark):
+    empty = spark.createDataFrame([], "k long, v decimal(18,2)")
+    one = spark.createDataFrame([(1, 5.0)], "k long, v double") \
+        .withColumn("v", F.col("v").cast("decimal(18,2)"))
+    assert global_row_number(empty, [F.col("k")]).count() == 0
+    row = global_lag(one, [F.col("k")], F.col("v"), "p").collect()[0]
+    assert row.p is None
+    row = global_cumsum(one, [F.col("k")], F.col("v"), "c").collect()[0]
+    assert float(row.c) == 5.0
+
+
+def test_big_window_is_sharded(data):
+    """The data-bearing window must be partitioned by the shard id; the
+    only unpartitioned window runs over the per-shard summary rows."""
+    plan = formatted_plan(
+        global_row_number(data, [F.col("k")], num_partitions=8))
+    assert "windowspecdefinition(_sc_pid" in plan
+    assert "rangepartitioning" in plan.lower()
