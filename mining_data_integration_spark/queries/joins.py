@@ -240,6 +240,70 @@ def j9_chain_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j14_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) join — absent from the reference AND from Spark's
+    native join strategies (§2.3 taxonomy note): every (purchase,
+    error) pair of the same user within ±4 h. Bucketed plan
+    (operators/rangejoin.py): equi shuffle on (user, time-bucket) with
+    ≤3× fanout instead of a nested-loop cross product. The DuckDB
+    oracle uses its native inequality (IE) join."""
+    from ..operators.rangejoin import band_join
+
+    ev = t(spark, sf_dir, "events")
+    band_us = 4 * 3600 * 1_000_000
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.unix_micros("ts").alias("e_us"),
+    )
+    return (
+        band_join(p, e, ["user_id"], "p_us", "e_us", band_us)
+        .select(
+            "purchase_id", "error_id",
+            (F.col("e_us") - F.col("p_us")).alias("delta_us"),
+        )
+        .orderBy("purchase_id", "error_id")
+    )
+
+
+def j15_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: signup windows (1 h) × click windows
+    (30 min) of the same user that overlap. Both sides fan out to the
+    time buckets their interval touches; each match is kept only in
+    the first shared bucket, so no dedup shuffle is needed
+    (operators/rangejoin.py)."""
+    from ..operators.rangejoin import interval_overlap_join
+
+    ev = t(spark, sf_dir, "events")
+    hour_us = 3600 * 1_000_000
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.unix_micros("ts").alias("s_lo"),
+        (F.unix_micros("ts") + hour_us).alias("s_hi"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("c_lo"),
+        (F.unix_micros("ts") + hour_us // 2).alias("c_hi"),
+    )
+    return (
+        interval_overlap_join(
+            s, c, ["user_id"], "s_lo", "s_hi", "c_lo", "c_hi",
+            bucket_us=hour_us)
+        .select("signup_id", "click_id",
+                (F.least("s_hi", "c_hi")
+                 - F.greatest("s_lo", "c_lo")).alias("overlap_us"))
+        .orderBy("signup_id", "click_id")
+    )
+
+
 QUERIES = {
     "j1_equi_join_chain": j1_equi_join_chain,
     "j9_chain_walk": j9_chain_walk,
@@ -251,9 +315,46 @@ QUERIES = {
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
     "j13_left_outer_count": j13_left_outer_count,
+    "j14_band_join": j14_band_join,
+    "j15_interval_overlap_join": j15_interval_overlap_join,
 }
 
 ORACLES = {
+    "j14_band_join": """
+        WITH p AS (
+            SELECT user_id, event_id AS purchase_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+            FROM events WHERE event_type = 'purchase'
+        ), e AS (
+            SELECT user_id, event_id AS error_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS e_us
+            FROM events WHERE event_type = 'error'
+        )
+        SELECT p.purchase_id, e.error_id, e.e_us - p.p_us AS delta_us
+        FROM p JOIN e
+          ON p.user_id = e.user_id
+         AND e.e_us BETWEEN p.p_us - 14400000000 AND p.p_us + 14400000000
+        ORDER BY p.purchase_id, e.error_id
+    """,
+    "j15_interval_overlap_join": """
+        WITH s AS (
+            SELECT user_id, event_id AS signup_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS s_lo,
+                   epoch_us(CAST(ts AS TIMESTAMP)) + 3600000000 AS s_hi
+            FROM events WHERE event_type = 'signup'
+        ), c AS (
+            SELECT user_id, event_id AS click_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS c_lo,
+                   epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS c_hi
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT s.signup_id, c.click_id,
+               least(s.s_hi, c.c_hi) - greatest(s.s_lo, c.c_lo) AS overlap_us
+        FROM s JOIN c
+          ON s.user_id = c.user_id
+         AND s.s_lo <= c.c_hi AND c.c_lo <= s.s_hi
+        ORDER BY s.signup_id, c.click_id
+    """,
     "j9_chain_walk": """
         WITH RECURSIVE edges AS (
             SELECT CAST(o_orderkey AS VARCHAR) AS id,
