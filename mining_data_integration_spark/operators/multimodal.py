@@ -80,6 +80,54 @@ def extract_features(media: DataFrame, min_width: int = 0) -> DataFrame:
     return pruned.mapInPandas(decode_image_stub, schema=FEATURE_SCHEMA)
 
 
+FRAME_DIM = 4
+FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_feature array<float>"
+
+
+def make_frame_sampler(frame_size: int, stride: int):
+    """mapInPandas kernel factory: video-style frame sampling. The
+    payload is treated as a container of fixed-size frames; every
+    `stride`-th full frame is 'decoded' (sha256 stub — a real pipeline
+    slots an actual codec here) into a small feature vector. 1→N row
+    fan-out happens inside the Arrow batch, so a long video never
+    becomes a driver-side loop and short payloads emit nothing."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            feats: list[list[float]] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                for fi in range(0, len(b) // frame_size, stride):
+                    fb = b[fi * frame_size:(fi + 1) * frame_size]
+                    h = hashlib.sha256(fb).digest()
+                    ids.append(mid)
+                    idxs.append(fi)
+                    feats.append([x / 255.0 for x in h[:FRAME_DIM]])
+            # explicit dtypes: a zero-row batch otherwise defaults the
+            # list column to float64, which Arrow can't cast to
+            # list<float>
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_feature": pd.Series(feats, dtype="object"),
+                }
+            )
+
+    return kernel
+
+
+def sample_frames(media: DataFrame, frame_size: int = 32,
+                  stride: int = 4) -> DataFrame:
+    """Sampled frame features per media row (see make_frame_sampler).
+    Only (media_id, payload) cross the Arrow boundary — metadata
+    columns are pruned before the kernel."""
+    return media.select("media_id", "payload").mapInPandas(
+        make_frame_sampler(frame_size, stride), schema=FRAME_SCHEMA)
+
+
 def decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """The real decoder slot. Kept as an explicit NotImplementedError:
     the container ships no codec libraries (PIL/opencv/librosa)."""

@@ -30,9 +30,48 @@ def mm1_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-QUERIES = {"mm1_feature_extract": mm1_feature_extract}
+def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: payload = container of 32-byte
+    frames, every 4th full frame decoded (sha256 stub) to a 4-float
+    feature — the 1→N explode happens inside the Arrow batch
+    (operators/multimodal.py sample_frames). Oracle reproduces the
+    frames with range/unnest + substring (documents are ASCII, so
+    character slicing = byte slicing)."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    media = M.make_fake_media(docs, "doc_id", "text")
+    frames = M.sample_frames(media, frame_size=32, stride=4)
+    return frames.select(
+        "media_id", "frame_idx",
+        F.transform(F.col("frame_feature").cast("array<double>"),
+                    lambda x: F.round(x, 6)).alias("feature_r"),
+    ).orderBy("media_id", "frame_idx")
+
+
+QUERIES = {
+    "mm1_feature_extract": mm1_feature_extract,
+    "mm2_frame_sample": mm2_frame_sample,
+}
 
 ORACLES = {
+    "mm2_frame_sample": """
+        WITH frames AS (
+            SELECT doc_id AS media_id,
+                   unnest(range(0, length(text) // 32, 4)) AS frame_idx,
+                   text
+            FROM documents
+        ), hashed AS (
+            SELECT media_id, frame_idx,
+                   sha256(substring(text, frame_idx * 32 + 1, 32)) AS hex
+            FROM frames
+        )
+        SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+               list_transform(range(0, 4), i -> round(CAST(CAST(
+                   ((strpos('0123456789abcdef', substring(hex, 2*i + 1, 1)) - 1) * 16
+                    + strpos('0123456789abcdef', substring(hex, 2*i + 2, 1)) - 1
+                   ) / 255.0 AS REAL) AS DOUBLE), 6)) AS feature_r
+        FROM hashed
+        ORDER BY media_id, frame_idx
+    """,
     "mm1_feature_extract": """
         WITH media AS (
             SELECT doc_id AS media_id, 'image/png' AS mime,

@@ -163,6 +163,30 @@ def test_multimodal_feature_plumbing(spark):
            {r.media_id: r.feature for r in again}
 
 
+def test_frame_sampling_plumbing(spark):
+    from mining_data_integration_spark.operators.multimodal import (
+        sample_frames,
+    )
+    rows = [(1, "a" * 100), (2, "b" * 31), (3, "c" * 32), (4, "")]
+    media = make_fake_media(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "doc_id", "text")
+    out = sample_frames(media, frame_size=32, stride=2).collect()
+    by_media: dict[int, list] = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append(r.frame_idx)
+    # 100 bytes -> 3 full frames -> sampled idx 0, 2; 31 bytes -> none;
+    # 32 bytes -> exactly frame 0; empty payload -> none
+    assert sorted(by_media[1]) == [0, 2]
+    assert 2 not in by_media and 4 not in by_media
+    assert by_media[3] == [0]
+    assert all(len(r.frame_feature) == 4 for r in out)
+    # identical frame bytes -> identical feature (same stub hash)
+    feats1 = {r.frame_idx: r.frame_feature
+              for r in out if r.media_id == 1}
+    assert feats1[0] == feats1[2]  # both frames are 32 x 'a'
+
+
 def test_quality_and_langid_ranges(spark):
     df = docs_df(spark, [(1, "the cat and the dog in the house"),
                          (2, "zzz qqq xxx www")])
