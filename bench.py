@@ -25,7 +25,10 @@ HEADLINE = [
     "j8_computed_key_join",   # join on computed key
     "w2_cumulative_sum",      # partitioned running window
     "w10_sessionize",         # session windows over events
-    "o7_offset_pagination",   # global sort + row_number slice
+    "o7_offset_pagination",   # global row_number slice (range-sharded)
+    "w14_scalable_cumsum",    # global running sum, two-phase sharded
+    "j14_band_join",          # bucketed range join on events
+    "a15_salted_group_agg",   # skew-salted two-stage aggregate
     "dd1_exact_dedup",        # content-hash dedup
     "dd3_minhash_lsh",        # MinHash LSH candidate pairs
     "sim1_cosine_topk",       # brute-force cosine top-k

@@ -176,9 +176,41 @@ def a14_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def a15_salted_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation (SURVEY §4 / operators/skew.py):
+    lineitem grouped by l_returnflag — 3 values, so every key is a hot
+    key. two_stage_agg salts the partial aggregate 16 ways (spreading
+    each key's merge across reducers), then merges the tiny partials;
+    the result is row-identical to the plain GROUP BY the oracle runs."""
+    from ..operators.skew import two_stage_agg
+
+    li = t(spark, sf_dir, "lineitem")
+    out = two_stage_agg(
+        li.withColumn("_p", F.col("l_extendedprice").cast("decimal(18,2)"))
+          .withColumn("_q", F.col("l_quantity").cast("decimal(18,2)")),
+        key="l_returnflag", salt_from="l_orderkey", buckets=16,
+        partial_aggs=[
+            F.count("*").alias("_n"),
+            F.sum("_q").alias("_sq"),
+            F.sum("_p").alias("_sp"),
+        ],
+        final_aggs=[
+            F.sum("_n").alias("n_items"),
+            F.sum("_sq").alias("_sum_qty"),
+            F.sum("_sp").alias("_sum_price"),
+        ],
+    )
+    return out.select(
+        "l_returnflag", "n_items",
+        money(F.col("_sum_qty")).alias("sum_qty"),
+        money(F.col("_sum_price")).alias("sum_price"),
+    ).orderBy("l_returnflag")
+
+
 QUERIES = {
     "a1_pricing_summary": a1_pricing_summary,
     "a14_percentiles": a14_percentiles,
+    "a15_salted_group_agg": a15_salted_group_agg,
     "a3_conditional_wins": a3_conditional_wins,
     "a5_derived_scalars": a5_derived_scalars,
     "a6_order_rollup": a6_order_rollup,
@@ -189,6 +221,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "a15_salted_group_agg": """
+        SELECT l_returnflag, count(*) AS n_items,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+        FROM lineitem GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
     "a14_percentiles": """
         SELECT l_returnflag, count(*) AS n,
                round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
