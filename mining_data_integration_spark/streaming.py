@@ -167,6 +167,61 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+STATEFUL_OUT_SCHEMA = (
+    "user_id long, n_events long, total_value double, max_ts_us long"
+)
+STATEFUL_STATE_SCHEMA = "n long, total double, max_ts long"
+
+
+def stateful_user_stats(events: DataFrame,
+                        key_col: str = "user_id",
+                        ts_col: str = "ts") -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running (event count, value total, latest event time)
+    carried across micro-batches in the state store, one updated row
+    emitted per key per batch.
+
+    This is the escape hatch for stateful logic that windowed
+    aggregation can't express (running ML feature state, per-entity
+    counters with custom merge rules). State is a fixed-width tuple —
+    the store stays O(#keys) no matter how many events stream through;
+    the Arrow batches bound per-task memory.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    def update(key: tuple, pdfs, state: GroupState):
+        n, total, max_ts = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["_value"].sum())
+            if len(pdf):
+                max_ts = max(max_ts, int(pdf["_ts_us"].max()))
+        state.update((n, total, max_ts))
+        yield pd.DataFrame({
+            "user_id": pd.Series([key[0]], dtype="int64"),
+            "n_events": pd.Series([n], dtype="int64"),
+            "total_value": pd.Series([total], dtype="float64"),
+            "max_ts_us": pd.Series([max_ts], dtype="int64"),
+        })
+
+    prepped = events.select(
+        F.col(key_col),
+        F.col("value").cast("double").alias("_value"),
+        F.unix_micros(ts_col).alias("_ts_us"),
+    )
+    return prepped.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=STATEFUL_OUT_SCHEMA,
+        stateStructType=STATEFUL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "1 hour",
                     keys: tuple[str, ...] = ("event_id",),
                     ts_col: str = "ts") -> DataFrame:

@@ -238,6 +238,57 @@ class TestStreaming:
             for r in spark.sql("SELECT * FROM sess_eq_test").collect())
         assert got == expected
 
+    def test_stateful_user_stats_across_batches(self, spark, tmp_path):
+        """applyInPandasWithState must CARRY state across micro-batches:
+        the source is split into two files with maxFilesPerTrigger=1, so
+        every user seen in both halves proves the second batch merged
+        into stored state. Final per-user row equals the batch
+        aggregate."""
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from mining_data_integration_spark.io import read_table
+
+        batch = read_table(spark, "/root/testdata/sf0.001", "events")
+        expected = {
+            r.user_id: (r.n, r.total, r.mx)
+            for r in batch.groupBy("user_id").agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("double")).alias("total"),
+                F.max(F.unix_micros("ts")).alias("mx"),
+            ).collect()
+        }
+        src = str(tmp_path / "events_stateful")
+        half = batch.count() // 2
+        batch.limit(half).coalesce(1).write.parquet(src)
+        batch.subtract(batch.limit(half)).coalesce(1) \
+            .write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            streaming.stateful_user_stats(stream)
+            .writeStream.format("memory").queryName("stateful_test")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        # update mode appends one row per key per batch; the row with
+        # the max n_events per key is the final state
+        final = {
+            r.user_id: (r.n_events, r.total_value, r.max_ts_us)
+            for r in spark.sql(
+                "SELECT user_id, n_events, total_value, max_ts_us, "
+                "row_number() OVER (PARTITION BY user_id "
+                "ORDER BY n_events DESC) AS rk FROM stateful_test"
+            ).filter("rk = 1").collect()
+        }
+        assert set(final) == set(expected)
+        for uid, (n, total, mx) in expected.items():
+            assert final[uid][0] == n
+            assert final[uid][1] == _pytest.approx(total, rel=1e-9)
+            assert final[uid][2] == mx
+
     def test_monitor_integrate_sections(self, golds):
         out = monitor.monitor_integrate(golds)
         assert set(out) == {"current_status", "miner_table",
