@@ -207,10 +207,40 @@ def a15_salted_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def a16_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximate aggregates (SURVEY §2.4 note: absent
+    from the reference; the 100-TB substitutes for exact distinct/
+    percentile when the exact forms are too shuffle-heavy):
+    HyperLogLog++ distinct counts and approx_percentile per group.
+
+    Deliberately NOT oracle-gated (rows-only check): sketch values are
+    engine-specific — DuckDB's approx_distinct uses a different HLL
+    implementation, so value equality is undefined. Error bounds vs
+    the exact aggregates are pinned in tests/test_properties.py."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02)
+            .alias("approx_customers"),
+            F.expr("approx_percentile(o_totalprice, array(0.5, 0.99))")
+            .alias("_pp"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus", "n_orders", "approx_customers",
+            F.round(F.col("_pp")[0], 2).alias("approx_p50"),
+            F.round(F.col("_pp")[1], 2).alias("approx_p99"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES = {
     "a1_pricing_summary": a1_pricing_summary,
     "a14_percentiles": a14_percentiles,
     "a15_salted_group_agg": a15_salted_group_agg,
+    "a16_approx_stats": a16_approx_stats,
     "a3_conditional_wins": a3_conditional_wins,
     "a5_derived_scalars": a5_derived_scalars,
     "a6_order_rollup": a6_order_rollup,

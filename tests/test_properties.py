@@ -79,3 +79,40 @@ class TestSkewUtilities:
             final_aggs=[F.sum("ps").alias("s"), F.sum("pn").alias("n")],
         )
         assert {(r.k, r.s, r.n) for r in staged.collect()} == plain
+
+
+class TestApproxAggregates:
+    """a16's sketches are engine-specific (rows-only at the oracle
+    gate), so the accuracy contract is pinned here instead: HLL++
+    distinct within its configured rsd, approx_percentile within the
+    p1-p100 band around the exact percentile."""
+
+    def test_approx_distinct_error_bound(self, spark):
+        import pyspark.sql.functions as F
+        from mining_data_integration_spark.io import read_table
+
+        o = read_table(spark, "/root/testdata/sf0.01", "orders")
+        got = {
+            r.o_orderstatus: (r.approx, r.exact)
+            for r in o.groupBy("o_orderstatus").agg(
+                F.approx_count_distinct("o_custkey", rsd=0.02)
+                .alias("approx"),
+                F.countDistinct("o_custkey").alias("exact"),
+            ).collect()
+        }
+        assert got
+        for status, (approx, exact) in got.items():
+            # 5 sigma of the configured 2% relative standard deviation
+            assert abs(approx - exact) <= max(1, 0.10 * exact), status
+
+    def test_approx_percentile_bracket(self, spark):
+        import pyspark.sql.functions as F
+        from mining_data_integration_spark.io import read_table
+
+        o = read_table(spark, "/root/testdata/sf0.01", "orders")
+        row = o.agg(
+            F.expr("approx_percentile(o_totalprice, 0.5)").alias("ap"),
+            F.expr("percentile(o_totalprice, 0.45)").alias("lo"),
+            F.expr("percentile(o_totalprice, 0.55)").alias("hi"),
+        ).collect()[0]
+        assert row.lo <= row.ap <= row.hi
