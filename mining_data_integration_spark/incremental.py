@@ -40,7 +40,11 @@ def _hb(col: str = "stacks_block_height") -> F.Column:
 
 
 def _write_dynamic(df: DataFrame, path: str) -> None:
-    (df.write.mode("overwrite")
+    # one file per bucket partition (not one per shuffle task): the
+    # partials/state tables are read back whole every tick, and a
+    # files-per-bucket factor multiplies straight into that listing
+    # and scheduling cost
+    (df.repartition("hbucket").write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("hbucket")
      .parquet(path))
@@ -129,7 +133,11 @@ def _windowed_prepare(spark: SparkSession, tables: dict[str, DataFrame],
         window, tip_row[0].burn_header_hash,
         id_col="burn_header_hash", parent_col="parent_burn_header_hash",
         height_col="block_height")
-    wchain = window.join(members, "burn_header_hash")
+    # checkpoint the (small) windowed chain: floor probe, lag-delta,
+    # enrichment and the state write all consume it — without this the
+    # segmented walk re-executes once per downstream action
+    wchain = window.join(members, "burn_header_hash") \
+        .localCheckpoint(eager=True)
 
     # boundary verify: the window floor's parent must be the stored
     # canonical row one height below — otherwise the reorg is deeper
@@ -166,7 +174,8 @@ def _windowed_prepare(spark: SparkSession, tables: dict[str, DataFrame],
         wheaders, stip[0].block_hash,
         id_col="block_hash", parent_col="parent_block",
         height_col="block_height")
-    wstacks = wheaders.join(smembers, "block_hash")
+    wstacks = wheaders.join(smembers, "block_hash") \
+        .localCheckpoint(eager=True)
     sfloor = wstacks.orderBy("block_height").limit(1).collect()
     if not sfloor:
         return None
