@@ -115,14 +115,85 @@ def x13_sentinel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x14_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14 (mining_monitor_rpc.js:4-8): the reference's JS map/reduce
+    over arrays, as Spark higher-order functions — collect a per-order
+    quantity array, then aggregate() (fold), transform() (map) and
+    filter() run JVM-side with no explode/re-group round trip. The
+    same HOFs power the similarity operators' dot products."""
+    li = t(spark, sf_dir, "lineitem")
+    per_order = (
+        li.filter(F.col("l_orderkey") <= 2000)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list(
+            F.col("l_quantity").cast("long"))).alias("qtys"))
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.size("qtys").alias("n_items"),
+        F.aggregate("qtys", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("total_qty"),
+        F.aggregate(F.transform("qtys", lambda x: x * x),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("sum_sq"),
+        F.size(F.filter("qtys", lambda x: x >= 25)).alias("n_large"),
+    ).orderBy("l_orderkey")
+
+
+def a17_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (absent from the reference; the standard OLAP reshape):
+    order counts and exact totals per priority, one column per order
+    status. Spark pivot() with an explicit value list keeps the plan a
+    single hash aggregate (no second pass to discover values)."""
+    o = t(spark, sf_dir, "orders")
+    pv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(money(dec_sum("o_totalprice")))
+    )
+    return pv.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0.0)).alias("total_f"),
+        F.coalesce("O", F.lit(0.0)).alias("total_o"),
+        F.coalesce("P", F.lit(0.0)).alias("total_p"),
+    ).orderBy("o_orderpriority")
+
+
 QUERIES = {
     "x7_json_extract": x7_json_extract,
     "x8_string_ops": x8_string_ops,
     "x12_rate_of_return": x12_rate_of_return,
     "x13_sentinel_filter": x13_sentinel_filter,
+    "x14_higher_order_arrays": x14_higher_order_arrays,
+    "a17_pivot": a17_pivot,
 }
 
 ORACLES = {
+    "x14_higher_order_arrays": """
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+            FROM lineitem WHERE l_orderkey <= 2000
+            GROUP BY l_orderkey
+        )
+        SELECT l_orderkey,
+               len(qtys) AS n_items,
+               CAST(list_sum(qtys) AS BIGINT) AS total_qty,
+               CAST(list_sum(list_transform(qtys, x -> x * x)) AS BIGINT) AS sum_sq,
+               len(list_filter(qtys, x -> x >= 25)) AS n_large
+        FROM per_order ORDER BY l_orderkey
+    """,
+    "a17_pivot": """
+        SELECT o_orderpriority,
+               coalesce(CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                   FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE), 0.0) AS total_f,
+               coalesce(CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                   FILTER (WHERE o_orderstatus = 'O'), 2) AS DOUBLE), 0.0) AS total_o,
+               coalesce(CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                   FILTER (WHERE o_orderstatus = 'P'), 2) AS DOUBLE), 0.0) AS total_p
+        FROM orders GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
     "x7_json_extract": """
         WITH typed AS (
             SELECT event_type,
