@@ -110,12 +110,31 @@ def _minhash_band_sql(n: int = 3, num_hashes: int = 16, bands: int = 4) -> str:
     """
 
 
+def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster collapse over the dd3 candidate pairs: connected
+    components (operators/components.py label propagation) give every
+    document a cluster id = the min doc id it is transitively near-dup
+    with; the component representative carries keep=true. This is the
+    step that turns pair lists into a deduplicated corpus. The DuckDB
+    oracle computes the same closure with WITH RECURSIVE."""
+    from ..operators.components import dedup_keep_min
+
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    pairs = D.minhash_lsh_candidates(docs, n=3, num_hashes=16, bands=4)
+    return (
+        dedup_keep_min(docs.select("doc_id"), pairs, "doc_id")
+        .select("doc_id", "cluster_id", "keep")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "dd1_exact_dedup": dd1_exact_dedup,
     "dd2_ngram_jaccard": dd2_ngram_jaccard,
     "dd3_minhash_lsh": dd3_minhash_lsh,
     "dd4_simhash": dd4_simhash,
     "dd5_simhash_near_dups": dd5_simhash_near_dups,
+    "dd6_dup_clusters": dd6_dup_clusters,
 }
 
 ORACLES = {
@@ -144,6 +163,27 @@ ORACLES = {
         ORDER BY id1, id2
     """,
     "dd3_minhash_lsh": _minhash_band_sql(3, 16, 4),
+    "dd6_dup_clusters": f"""
+        WITH RECURSIVE pairs AS (
+            {_minhash_band_sql(3, 16, 4).replace("ORDER BY id1, id2", "")}
+        ), sym AS (
+            SELECT id1 AS a, id2 AS b FROM pairs
+            UNION
+            SELECT id2 AS a, id1 AS b FROM pairs
+        ), reach AS (
+            SELECT a AS node, a AS r FROM sym
+            UNION
+            SELECT s.b AS node, reach.r
+            FROM sym s JOIN reach ON s.a = reach.node
+        ), comp AS (
+            SELECT node, min(r) AS component FROM reach GROUP BY node
+        )
+        SELECT d.doc_id,
+               coalesce(c.component, d.doc_id) AS cluster_id,
+               coalesce(c.component, d.doc_id) = d.doc_id AS keep
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        ORDER BY d.doc_id
+    """,
     "dd4_simhash": _simhash_sql(2, 32),
     "dd5_simhash_near_dups": f"""
         WITH simhashes AS ({_simhash_sql(2, 32).replace('ORDER BY id', '')}),
