@@ -33,10 +33,18 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id",
                  min_tokens: int = 10, min_quality: float = 0.3,
                  lang: str | None = "en",
-                 jaccard_bands: int = 4, num_hashes: int = 16) -> DataFrame:
+                 jaccard_bands: int = 4, num_hashes: int = 16,
+                 transitive: bool = False) -> DataFrame:
     """Returns the surviving documents (id + text) after the four
     cleaning stages. Deterministic keep-rule everywhere: the lowest
-    doc id of a duplicate group survives."""
+    doc id of a duplicate group survives.
+
+    transitive=False drops the higher id of every candidate PAIR —
+    cheap, but it can drop both B and C for pairs (A,C),(B,C) even
+    though B only resembles C. transitive=True collapses candidate
+    pairs into connected components (operators/components.py) and
+    keeps exactly one representative per near-dup CLUSTER — the
+    semantically right rule for a training corpus."""
     q = T.quality_score(docs, text_col, id_col).select(
         id_col, "n_tokens", "quality")
     l = T.lang_id(docs, text_col, id_col).select(id_col, "predicted_lang")
@@ -57,9 +65,21 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
     keepers = digests.groupBy("_digest").agg(F.min(id_col).alias(id_col))
     kept = kept.join(keepers.select(id_col), id_col)
 
-    # near-dup removal: LSH candidates among survivors; drop higher ids
+    # near-dup removal: LSH candidates among survivors
     cands = D.minhash_lsh_candidates(
         kept, text_col, id_col, num_hashes=num_hashes, bands=jaccard_bands)
+    if transitive:
+        from .operators.components import connected_components
+
+        comp = connected_components(cands, "id1", "id2") \
+            .withColumnRenamed("node", id_col)
+        return (
+            kept.join(comp, id_col, "left")
+            .filter(F.col("component").isNull()
+                    | (F.col("component") == F.col(id_col)))
+            .select(id_col, text_col)
+            .orderBy(id_col)
+        )
     drops = cands.select(F.col("id2").alias(id_col)).distinct()
     return kept.join(drops, id_col, "left_anti").orderBy(id_col)
 

@@ -37,7 +37,21 @@ _BANDS_OVER_SURVIVORS = _BANDS_SQL.replace(
     _duck_shingles(3), _duck_shingles(3, "survivors")
 ).replace("ORDER BY id1, id2", "")
 
-QUERIES = {"dp1_clean_corpus": dp1_clean_corpus}
+def dp2_clean_corpus_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dp1 with the semantically-right near-dup rule: candidate pairs
+    collapse into connected components and exactly one representative
+    per cluster survives (pipelines.clean_corpus transitive=True).
+    The oracle replays the closure with WITH RECURSIVE."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    out = clean_corpus(docs, min_tokens=MIN_TOKENS,
+                       min_quality=MIN_QUALITY, lang="en", transitive=True)
+    return out.select("doc_id").orderBy("doc_id")
+
+
+QUERIES = {
+    "dp1_clean_corpus": dp1_clean_corpus,
+    "dp2_clean_corpus_clustered": dp2_clean_corpus_clustered,
+}
 
 ORACLES = {
     "dp1_clean_corpus": f"""
@@ -68,6 +82,47 @@ ORACLES = {
         SELECT s.doc_id FROM survivors s
         LEFT JOIN drops d ON s.doc_id = d.doc_id
         WHERE d.doc_id IS NULL
+        ORDER BY s.doc_id
+    """,
+    "dp2_clean_corpus_clustered": f"""
+        WITH RECURSIVE scored AS (
+            SELECT doc_id, text, {_WORDS} AS toks FROM documents
+        ), q AS (
+            SELECT doc_id, text,
+                   len(toks) AS n_tokens,
+                   CAST(len(list_filter(toks,
+                       w -> list_contains({_STOPLIST}, w))) AS DOUBLE)
+                       / len(toks) AS stop_ratio,
+                   CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / len(toks) AS uniq_ratio
+            FROM scored
+        ), kept0 AS (
+            SELECT doc_id, text FROM q
+            WHERE n_tokens >= {MIN_TOKENS}
+              AND stop_ratio * 0.5 + uniq_ratio * 0.5 >= {MIN_QUALITY}
+              AND stop_ratio >= {EN_THRESHOLD}
+        ), keepers AS (
+            SELECT min(doc_id) AS doc_id
+            FROM kept0 GROUP BY md5({_NORM})
+        ), survivors AS (
+            SELECT k.doc_id, k.text
+            FROM kept0 k JOIN keepers USING (doc_id)
+        ), cand AS ({_BANDS_OVER_SURVIVORS}),
+        sym AS (
+            SELECT id1 AS a, id2 AS b FROM cand
+            UNION
+            SELECT id2 AS a, id1 AS b FROM cand
+        ), reach AS (
+            SELECT a AS node, a AS r FROM sym
+            UNION
+            SELECT s.b AS node, reach.r
+            FROM sym s JOIN reach ON s.a = reach.node
+        ), comp AS (
+            SELECT node, min(r) AS component FROM reach GROUP BY node
+        )
+        SELECT s.doc_id FROM survivors s
+        LEFT JOIN comp c ON s.doc_id = c.node
+        WHERE c.component IS NULL OR c.component = s.doc_id
         ORDER BY s.doc_id
     """,
 }
