@@ -216,6 +216,36 @@ def chain_members_segmented(edges: DataFrame, tip_id: str,
     )
 
 
+def chain_members_rcte(edges: DataFrame, tip_id: str,
+                       id_col: str, parent_col: str,
+                       max_depth: int = 1_000_000) -> DataFrame:
+    """Recursive-CTE form of the chain walk (Spark 4 `WITH RECURSIVE`)
+    — the declarative SQL-surface twin of chain_members, matching the
+    DuckDB oracle's formulation one-to-one. The depth bound uses the
+    inline `MAX RECURSION LEVEL` clause (no session-conf mutation).
+
+    Trade-off: the recursion materializes one level per iteration, so
+    a chain of depth n runs n joins — fine for bounded windows and for
+    SQL-surface parity, but the pointer-doubling (O(log n) rounds) and
+    segmented (O(1) shuffles) walks remain the scale paths.
+    """
+    spark = edges.sparkSession
+    view = f"chain_edges_{abs(hash((id_col, parent_col, tip_id))) % 10**8}"
+    edges.select(id_col, parent_col).createOrReplaceTempView(view)
+    tip_lit = tip_id.replace("'", "''")
+    return spark.sql(f"""
+        WITH RECURSIVE walk(id, parent)
+        MAX RECURSION LEVEL {int(max_depth)} AS (
+            SELECT {id_col}, {parent_col} FROM {view}
+            WHERE {id_col} = '{tip_lit}'
+            UNION ALL
+            SELECT e.{id_col}, e.{parent_col}
+            FROM {view} e JOIN walk w ON e.{id_col} = w.parent
+        )
+        SELECT DISTINCT id AS {id_col} FROM walk
+    """)
+
+
 def deepest_tip(headers: DataFrame, id_col: str = "block_hash",
                 parent_col: str = "parent_block",
                 height_col: str = "block_height") -> DataFrame:

@@ -206,28 +206,34 @@ def j13_left_outer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def j9_chain_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J9/O-R1/O-R2 (rpc.js:277-309): the canonical-chain walk on a
-    parent-pointer forest, via chain.chain_members (pointer-doubling —
-    O(log n) joins, SURVEY §4).
-
-    Forest derived from orders: five chains (one per o_orderpriority,
-    linked by ascending orderkey); the walk anchors at the globally
-    max orderkey's tip and must return exactly its priority's chain.
-    The DuckDB oracle walks the same edges with WITH RECURSIVE."""
+def _priority_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-pointer forest derived from orders: five chains (one per
+    o_orderpriority, linked by ascending orderkey)."""
     from pyspark.sql import Window
-    from ..chain import chain_members
     from ..schemas import ZERO64
 
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
-    edges = o.select(
+    return o.select(
         F.col("o_orderkey").cast("string").alias("id"),
         F.coalesce(
             F.lag(F.col("o_orderkey").cast("string")).over(w), F.lit(ZERO64)
         ).alias("parent"),
         "o_orderpriority",
     )
+
+
+def j9_chain_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/O-R1/O-R2 (rpc.js:277-309): the canonical-chain walk on a
+    parent-pointer forest, via chain.chain_members (pointer-doubling —
+    O(log n) joins, SURVEY §4).
+
+    The walk anchors at the globally max orderkey's tip and must
+    return exactly its priority's chain. The DuckDB oracle walks the
+    same edges with WITH RECURSIVE."""
+    from ..chain import chain_members
+
+    edges = _priority_chain_edges(spark, sf_dir)
     tip = (
         edges.orderBy(F.col("id").cast("long").desc()).limit(1).select("id")
     )
@@ -236,6 +242,37 @@ def j9_chain_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.join(members, "id")
         .select(F.col("id").cast("long").alias("o_orderkey"),
                 "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+def j16_recursive_cte_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chain walk through Spark 4's native WITH RECURSIVE
+    (chain.chain_members_rcte) — the declarative SQL twin of the
+    DuckDB oracle, level-for-level. Parity surface for SQL users; the
+    pointer-doubling/segmented walks stay the scale paths (the
+    recursion runs one join PER CHAIN LINK, so the forest here chains
+    each customer's orders — depth ~=orders/customer, which stays
+    constant as the data scales, unlike j9's per-priority chains)."""
+    from pyspark.sql import Window
+    from ..chain import chain_members_rcte
+    from ..schemas import ZERO64
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    edges = o.select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.coalesce(
+            F.lag(F.col("o_orderkey").cast("string")).over(w), F.lit(ZERO64)
+        ).alias("parent"),
+        "o_custkey",
+    )
+    tip_id = edges.orderBy(F.col("id").cast("long").desc()) \
+        .limit(1).collect()[0].id
+    members = chain_members_rcte(edges, tip_id, "id", "parent")
+    return (
+        edges.join(members, "id")
+        .select(F.col("id").cast("long").alias("o_orderkey"), "o_custkey")
         .orderBy("o_orderkey")
     )
 
@@ -317,6 +354,7 @@ QUERIES = {
     "j13_left_outer_count": j13_left_outer_count,
     "j14_band_join": j14_band_join,
     "j15_interval_overlap_join": j15_interval_overlap_join,
+    "j16_recursive_cte_walk": j16_recursive_cte_walk,
 }
 
 ORACLES = {
@@ -354,6 +392,25 @@ ORACLES = {
           ON s.user_id = c.user_id
          AND s.s_lo <= c.c_hi AND c.c_lo <= s.s_hi
         ORDER BY s.signup_id, c.click_id
+    """,
+    "j16_recursive_cte_walk": """
+        WITH RECURSIVE edges AS (
+            SELECT CAST(o_orderkey AS VARCHAR) AS id,
+                   coalesce(CAST(lag(o_orderkey) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderkey
+                   ) AS VARCHAR), repeat('0', 64)) AS parent,
+                   o_custkey
+            FROM orders
+        ), walk AS (
+            SELECT id, parent FROM edges
+            WHERE CAST(id AS BIGINT) = (SELECT max(o_orderkey) FROM orders)
+            UNION ALL
+            SELECT e.id, e.parent
+            FROM edges e JOIN walk w ON e.id = w.parent
+        )
+        SELECT CAST(walk.id AS BIGINT) AS o_orderkey, e.o_custkey
+        FROM walk JOIN edges e ON walk.id = e.id
+        ORDER BY o_orderkey
     """,
     "j9_chain_walk": """
         WITH RECURSIVE edges AS (

@@ -65,6 +65,25 @@ class TestChainWalk:
         ).collect()}
         assert segmented == doubling == {f"n{i:04d}" for i in range(n)}
 
+    def test_rcte_walk_matches_pointer_doubling(self, spark):
+        """Spark 4 WITH RECURSIVE walk = pointer-doubling walk on a
+        chain with a dead branch."""
+        from mining_data_integration_spark.chain import (
+            chain_members,
+            chain_members_rcte,
+        )
+        Z = "0" * 64
+        rows = [(f"n{i:03d}", f"n{i-1:03d}" if i else Z) for i in range(60)]
+        rows += [(f"d{i}", f"d{i-1}" if i else "elsewhere")
+                 for i in range(15)]
+        edges = spark.createDataFrame(rows, "id string, parent string")
+        tips = spark.createDataFrame([("n059",)], "id string")
+        doubling = {r.id for r in
+                    chain_members(edges, tips, "id", "parent").collect()}
+        rcte = {r.id for r in chain_members_rcte(
+            edges, "n059", "id", "parent").collect()}
+        assert rcte == doubling == {f"n{i:03d}" for i in range(60)}
+
     def test_segmented_fallback_on_hidden_entry(self, spark):
         """Adversarial non-contiguous chain: the bucket entry has an
         in-bucket fork child AND sits below the bucket's top height, so
