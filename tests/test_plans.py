@@ -45,6 +45,23 @@ class TestPlanProperties:
         assert plans.count_operator(df, "BatchEvalPython") == 0
         assert plans.count_operator(df, "ArrowEvalPython") == 0
 
+    def test_band_join_is_equi_not_nested_loop(self, spark, queries):
+        """The whole point of the bucketed band join: an inequality
+        join must NOT plan as a nested-loop/cartesian product."""
+        for name in ("j14_band_join", "j15_interval_overlap_join"):
+            plan = plans.formatted_plan(queries[name](spark, SF))
+            assert "NestedLoop" not in plan, name
+            assert "CartesianProduct" not in plan, name
+
+    def test_scalable_rownum_queries_shard_the_window(self, spark, queries):
+        """o6/o7/o8 pagination must range-shard; the only allowed
+        single-partition window runs over per-shard summary rows."""
+        for name in ("o6_tail_slice", "o7_offset_pagination",
+                     "o8_range_slice"):
+            plan = plans.formatted_plan(queries[name](spark, SF))
+            assert "windowspecdefinition(_sc_pid" in plan, name
+            assert "rangepartitioning" in plan.lower(), name
+
     def test_bucketed_join_has_no_shuffle(self, spark, tmp_path):
         """Two tables bucketed on the join key join without a shuffle
         exchange — the co-located layout big fact-fact joins need."""
