@@ -36,6 +36,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def norm(a: Column) -> Column:
+    """L2 norm — precompute ONE per vector before a pairwise join so
+    the per-pair cosine does one fold, not three. Same expression tree
+    as cosine()'s denominator factors, so results stay bit-identical."""
+    return F.sqrt(dot(a, a))
+
+
+def _cos(dot_ab: Column, norm_a: Column, norm_b: Column) -> Column:
+    return dot_ab / (norm_a * norm_b)
+
+
 def hyperplanes(num: int, dim: int) -> list[list[float]]:
     """Deterministic ±1 hyperplanes: component (j, i) is the parity of
     the first byte of md5(f"{j}|{i}"). Reproducible everywhere —
@@ -65,10 +76,13 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                      q_id_col: str = "q_id", q_vec_col: str = "q_emb") -> DataFrame:
     """Exact cosine top-k per query vector. Queries broadcast; ties
     broken by candidate id for determinism."""
-    pairs = emb.crossJoin(F.broadcast(queries)).select(
+    emb_n = emb.withColumn("_vnorm", norm(F.col(vec_col)))
+    q_n = queries.withColumn("_qnorm", norm(F.col(q_vec_col)))
+    pairs = emb_n.crossJoin(F.broadcast(q_n)).select(
         F.col(q_id_col),
         F.col(id_col),
-        cosine(F.col(q_vec_col), F.col(vec_col)).alias("cos_sim"),
+        _cos(dot(F.col(q_vec_col), F.col(vec_col)),
+             F.col("_qnorm"), F.col("_vnorm")).alias("cos_sim"),
     )
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
     return (
@@ -87,8 +101,10 @@ def ann_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     recall/cost dial: (num_planes+1)x candidates for most of the
     recall a second hash table would buy."""
     planes = hyperplanes(num_planes, dim)
-    cand = emb.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
-    q = queries.withColumn("q_bucket", lsh_bucket(F.col(q_vec_col), planes))
+    cand = emb.withColumn("bucket", lsh_bucket(F.col(vec_col), planes)) \
+        .withColumn("_vnorm", norm(F.col(vec_col)))
+    q = queries.withColumn("q_bucket", lsh_bucket(F.col(q_vec_col), planes)) \
+        .withColumn("_qnorm", norm(F.col(q_vec_col)))
     if multi_probe:
         variants = F.array(
             F.col("q_bucket"),
@@ -101,7 +117,8 @@ def ann_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     ).select(
         F.col(q_id_col),
         F.col(id_col),
-        cosine(F.col(q_vec_col), F.col(vec_col)).alias("cos_sim"),
+        _cos(dot(F.col(q_vec_col), F.col(vec_col)),
+             F.col("_qnorm"), F.col("_vnorm")).alias("cos_sim"),
     )
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
     return (
@@ -179,10 +196,14 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
         F.col(q_id_col), F.col("_qv").alias(q_vec_col),
         F.explode(probes).alias("_p"),
     ).select(q_id_col, q_vec_col, F.col("_p.i").alias("_cid"))
-    pairs = data.join(F.broadcast(q_probed), "_cid").select(
-        F.col(q_id_col), F.col(id_col),
-        cosine(F.col(q_vec_col), F.col(vec_col)).alias("cos_sim"),
-    )
+    pairs = data.withColumn("_vnorm", norm(F.col(vec_col))) \
+        .join(F.broadcast(
+            q_probed.withColumn("_qnorm", norm(F.col(q_vec_col)))), "_cid") \
+        .select(
+            F.col(q_id_col), F.col(id_col),
+            _cos(dot(F.col(q_vec_col), F.col(vec_col)),
+                 F.col("_qnorm"), F.col("_vnorm")).alias("cos_sim"),
+        )
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
     return pairs.withColumn("rk", F.row_number().over(w)) \
         .filter(F.col("rk") <= k)
@@ -202,6 +223,7 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        norm(F.col(vec_col)).alias("nrm"),
     ).localCheckpoint(eager=True)
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
@@ -210,7 +232,8 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
         .select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+            _cos(dot(F.col("a.v"), F.col("b.v")),
+                 F.col("a.nrm"), F.col("b.nrm")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
