@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._util import t
+from ._util import dec_sum, money, t
 
 
 def s9_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,8 +172,27 @@ def u1_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.select("op", "k").orderBy("op", "k")
 
 
+def u2_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (inverse of a17's pivot): per-returnflag wide
+    aggregates of three lineitem measures, melted to long
+    (flag, measure, value) with DataFrame.unpivot — one pass, no
+    union-of-selects re-scan."""
+    li = t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        money(dec_sum("l_quantity")).alias("qty"),
+        money(dec_sum("l_extendedprice")).alias("price"),
+        money(dec_sum("l_discount", 4), 4).alias("disc"),
+    )
+    return (
+        wide.unpivot("l_returnflag", ["qty", "price", "disc"],
+                     "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    )
+
+
 QUERIES = {
     "s9_topk_scan": s9_topk_scan,
+    "u2_unpivot": u2_unpivot,
     "u1_set_ops": u1_set_ops,
     "s11_filtered_scan": s11_filtered_scan,
     "s12_filtered_top1": s12_filtered_top1,
@@ -200,6 +219,19 @@ ORACLES = {
         UNION ALL
         SELECT 'except', k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
         ORDER BY op, k
+    """,
+    "u2_unpivot": """
+        WITH wide AS (
+            SELECT l_returnflag,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS qty,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS price,
+                   CAST(round(sum(CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS disc
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, measure, value
+        FROM wide
+        UNPIVOT (value FOR measure IN (qty, price, disc))
+        ORDER BY l_returnflag, measure
     """,
     "s9_topk_scan": """
         SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice
