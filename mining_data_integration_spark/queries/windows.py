@@ -230,8 +230,70 @@ def aj1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def e2_burn_fee_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The E2 dashboard showcase chain as ONE query
+    (mining_monitor_rpc.js:46-113, SURVEY §3 E2): trailing window (W1)
+    → nested commit lists exploded back to rows (F15) → per-key
+    cumulative sum (W2) → duplicate-time collapse keep-last (W3) →
+    dense-spine forward-fill with tail-extension to the global tip
+    (W4/W5). Re-expressed on orders: key = priority, time = order day,
+    value = running order total over the trailing 90 days."""
+    o = t(spark, sf_dir, "orders")
+    hi = o.agg(F.max(F.to_date("o_orderdate")).alias("hi"))
+    win = (
+        o.withColumn("day", F.to_date("o_orderdate"))
+        .crossJoin(F.broadcast(hi))
+        .filter(F.col("day") >= F.date_sub(F.col("hi"), 89))
+    )
+    # F15: nest per (key, day) then explode — the commit_value_list
+    # round trip the reference's dashboard makes
+    nested = win.groupBy("o_orderpriority", "day").agg(
+        F.sort_array(F.collect_list(F.struct(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        ))).alias("commits"))
+    ex = nested.select(
+        "o_orderpriority", "day", F.explode("commits").alias("c")
+    ).select("o_orderpriority", "day",
+             F.col("c.o_orderkey").alias("o_orderkey"),
+             F.col("c.price").alias("price"))
+    w_cum = (
+        Window.partitionBy("o_orderpriority").orderBy("day", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ex.withColumn("cum", F.sum("price").over(w_cum))
+    w_last = Window.partitionBy("o_orderpriority", "day") \
+        .orderBy(F.desc("o_orderkey"))
+    last = (
+        cum.withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("o_orderpriority", "day", "cum")
+    )
+    bounds = last.groupBy("o_orderpriority").agg(F.min("day").alias("lo")) \
+        .crossJoin(F.broadcast(hi))
+    spine = bounds.select(
+        "o_orderpriority",
+        F.explode(F.sequence(
+            F.col("lo"), F.col("hi"), F.expr("interval 1 day"))).alias("day"),
+    )
+    w_fill = (
+        Window.partitionBy("o_orderpriority").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(last, ["o_orderpriority", "day"], "left")
+        .select(
+            "o_orderpriority", "day",
+            money(F.last("cum", ignorenulls=True).over(w_fill))
+            .alias("cum_value"),
+        )
+        .orderBy("o_orderpriority", "day")
+    )
+
+
 QUERIES = {
     "w1_trailing_mean": w1_trailing_mean,
+    "e2_burn_fee_area": e2_burn_fee_area,
     "w2_cumulative_sum": w2_cumulative_sum,
     "w3_keep_last": w3_keep_last,
     "w4_forward_fill": w4_forward_fill,
@@ -298,6 +360,43 @@ def w13_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES = {
+    "e2_burn_fee_area": """
+        WITH hi AS (
+            SELECT max(CAST(o_orderdate AS DATE)) AS hi FROM orders
+        ), win AS (
+            SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+                   o_orderkey,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price
+            FROM orders, hi
+            WHERE CAST(o_orderdate AS DATE) >= hi - INTERVAL 89 DAY
+        ), cum AS (
+            SELECT o_orderpriority, day, o_orderkey,
+                   sum(price) OVER (PARTITION BY o_orderpriority
+                       ORDER BY day, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   row_number() OVER (PARTITION BY o_orderpriority, day
+                       ORDER BY o_orderkey DESC) AS rn
+            FROM win
+        ), last AS (
+            SELECT o_orderpriority, day, cum FROM cum WHERE rn = 1
+        ), bounds AS (
+            SELECT o_orderpriority, min(day) AS lo FROM last
+            GROUP BY o_orderpriority
+        ), spine AS (
+            SELECT b.o_orderpriority, CAST(gs.day AS DATE) AS day
+            FROM bounds b, hi,
+                 LATERAL (SELECT unnest(generate_series(b.lo, hi.hi,
+                                        INTERVAL 1 DAY)) AS day) gs
+        )
+        SELECT s.o_orderpriority, s.day,
+               CAST(round(last_value(l.cum IGNORE NULLS) OVER (
+                   PARTITION BY s.o_orderpriority ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS DOUBLE) AS cum_value
+        FROM spine s LEFT JOIN last l
+          ON s.o_orderpriority = l.o_orderpriority AND s.day = l.day
+        ORDER BY s.o_orderpriority, s.day
+    """,
     "w10_sessionize": """
         WITH ordered AS (
             SELECT user_id, event_id, ts,
