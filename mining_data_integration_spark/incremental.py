@@ -185,8 +185,16 @@ def _windowed_prepare(spark: SparkSession, tables: dict[str, DataFrame],
         if not sprev or sprev[0].block_hash != sfloor[0].parent_block:
             return None
 
+    commits = tables["block_commits"]
+    if "hbucket" in commits.columns:
+        # height-bucketed bronze (io.write_bronze_commits): the window
+        # floor's BURN height prunes whole commit partitions at the
+        # scan — the windowed tick's last O(history) input goes away
+        commits = commits.filter(
+            F.col("hbucket")
+            >= floor[0].block_height // HEIGHTS_PER_BUCKET)
     enriched = core.commits_enriched(
-        snap, tables["block_commits"], tables["leader_keys"]).cache()
+        snap, commits.drop("hbucket"), tables["leader_keys"]).cache()
     chain_cols = wstacks.select(
         "burn_header_hash", F.col("block_height").alias("stacks_height"))
     winners = (
@@ -224,6 +232,10 @@ def incremental_refresh(spark: SparkSession, tables: dict[str, DataFrame],
     mode = "windowed"
     if prepared is None:
         mode = "full"
+        # bucketed-bronze commits carry an hbucket partition column the
+        # core DAG must not see (miner_partials derives its own)
+        tables = dict(tables)
+        tables["block_commits"] = tables["block_commits"].drop("hbucket")
         prepared = core.prepare(tables)
         from .chain import canonical_stacks_chain
         prepared["wchain"] = prepared["snap"]

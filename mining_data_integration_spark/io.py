@@ -72,6 +72,27 @@ def write_bucketed(df: DataFrame, table: str, key: str, buckets: int,
     w.saveAsTable(table)
 
 
+def write_bronze_commits(commits: DataFrame, snapshots: DataFrame,
+                         path: str, heights_per_bucket: int = 1000) -> None:
+    """Height-bucketed bronze layout for block_commits. The source
+    table carries no height column (SQLite schema parity), so ingest
+    stamps one via the snapshots join — one extra join at WRITE time
+    buys partition pruning on every windowed read after: the
+    incremental tick's commits scan drops from O(history) to
+    O(reorg window) at the storage layer."""
+    heights = snapshots.select(
+        "burn_header_hash", F.col("block_height").alias("_h"))
+    stamped = (  # plain equi join: AQE broadcasts when heights is small
+        commits.join(heights, "burn_header_hash", "left")
+        .withColumn(
+            "hbucket",
+            (F.coalesce("_h", F.lit(0)) / heights_per_bucket).cast("long"))
+        .drop("_h")
+    )
+    stamped.repartition("hbucket").write.mode("overwrite") \
+        .partitionBy("hbucket").parquet(path)
+
+
 def write_gold(df: DataFrame, path: str, mode: str = "overwrite",
                partition_by: list[str] | None = None) -> None:
     """Write a gold (serving) table. Matches the reference's Redis

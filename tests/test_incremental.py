@@ -136,3 +136,49 @@ class TestIncremental:
         # and the merged view still matches the full recompute
         got = canon_rows(spark.read.parquet(f"{gold}/mining_info"))
         assert got == canon_rows(core.mining_info(ext))
+
+    def test_bucketed_bronze_commits_prune_and_match(
+            self, spark, tables, tmp_path, monkeypatch):
+        """Height-bucketed bronze commits (io.write_bronze_commits):
+        the windowed tick must prune out-of-window commit partitions
+        at the scan AND still produce the full-recompute result."""
+        from mining_data_integration_spark.io import write_bronze_commits
+
+        monkeypatch.setattr(incremental, "HEIGHTS_PER_BUCKET", 2)
+        bronze = str(tmp_path / "commits_bronze")
+        write_bronze_commits(
+            tables["block_commits"], tables["snapshots"], bronze,
+            heights_per_bucket=2)
+        bucketed = spark.read.parquet(bronze)
+        assert "hbucket" in bucketed.columns
+        # pruning is real: the floor filter lands in PartitionFilters
+        # (metadata-only partition elimination, not a data filter)
+        from mining_data_integration_spark.plans import formatted_plan
+        plan = formatted_plan(bucketed.filter("hbucket >= 53"))
+        assert "PartitionFilters" in plan
+        filt_line = next(l for l in plan.splitlines()
+                         if "PartitionFilters" in l)
+        assert "hbucket" in filt_line and "53" in filt_line
+
+        gold = str(tmp_path / "gold_bb")
+        t2 = dict(tables)
+        t2["block_commits"] = bucketed
+        incremental.incremental_refresh(
+            spark, t2, gold, reorg_depth=10**9)        # bootstrap (full)
+
+        ext = extended_tables(spark, tables)
+        bronze2 = str(tmp_path / "commits_bronze2")
+        write_bronze_commits(
+            ext["block_commits"], ext["snapshots"], bronze2,
+            heights_per_bucket=2)
+        t3 = dict(ext)
+        t3["block_commits"] = spark.read.parquet(bronze2)
+        info = incremental.incremental_refresh(
+            spark, t3, gold, reorg_depth=3)
+        assert info["mode"] == "windowed"
+        for name, builder in (("mining_info", core.mining_info),
+                              ("block_info", core.block_info),
+                              ("miner_info", core.miner_info)):
+            got = canon_rows(spark.read.parquet(f"{gold}/{name}"))
+            want = canon_rows(builder(ext))
+            assert got == want, f"{name} diverged with bucketed bronze"
