@@ -121,15 +121,29 @@ def main() -> None:
     # steady-state incremental tick: bootstrap the partitioned gold,
     # then time one bounded-reorg refresh (the production cadence)
     from mining_data_integration_spark.incremental import incremental_refresh
+    from mining_data_integration_spark.io import write_bronze_commits
     gold_dir = "/tmp/bench_e1_gold"
     incremental_refresh(spark, tables, gold_dir, reorg_depth=10 ** 12)
     t0 = time.perf_counter()
     incremental_refresh(spark, tables, gold_dir, reorg_depth=1000)
     inc_wall = round(time.perf_counter() - t0, 2)
 
+    # same tick against height-bucketed bronze commits: the commits
+    # scan partition-prunes to the reorg window
+    bronze = "/tmp/bench_e1_bronze_commits"
+    write_bronze_commits(tables["block_commits"], tables["snapshots"], bronze)
+    t2 = dict(tables)
+    t2["block_commits"] = spark.read.parquet(bronze)
+    gold2 = "/tmp/bench_e1_gold_bb"
+    incremental_refresh(spark, t2, gold2, reorg_depth=10 ** 12)
+    t0 = time.perf_counter()
+    incremental_refresh(spark, t2, gold2, reorg_depth=1000)
+    inc_bb_wall = round(time.perf_counter() - t0, 2)
+
     print(json.dumps({
         "metric": "e1_refresh_wall", "value": wall, "unit": "sec",
         "incremental_tick_sec": inc_wall,
+        "incremental_tick_bucketed_bronze_sec": inc_bb_wall,
         "n_blocks": n_blocks, "commits_per_block": cpb,
         "budget_sec": 120, "gold_rows": counts,
     }))
