@@ -48,12 +48,54 @@ def dp2_clean_corpus_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id").orderBy("doc_id")
 
 
+def dp3_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split by content-free key hash —
+    the reproducible-sampling idiom for corpus pipelines: no PRNG
+    state, stable under reshuffles/reruns, and any engine computing
+    md5 agrees on the assignment (which is what makes it, unlike
+    TABLESAMPLE, oracle-checkable). Bucket = first 4 hex digits of
+    md5(doc_id) mod 100; 80/10/10 split."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+               16, 10).cast("long"),
+        F.lit(100),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            bucket.alias("bucket"),
+        )
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 80, "train")
+            .when(F.col("bucket") < 90, "valid")
+            .otherwise("test"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "dp1_clean_corpus": dp1_clean_corpus,
     "dp2_clean_corpus_clustered": dp2_clean_corpus_clustered,
+    "dp3_hash_split": dp3_hash_split,
 }
 
 ORACLES = {
+    "dp3_hash_split": """
+        WITH h AS (
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
+            FROM documents
+        ), b AS (
+            SELECT doc_id, (((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 256 + (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)) % 100) AS bucket FROM h
+        )
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM b ORDER BY doc_id
+    """,
     "dp1_clean_corpus": f"""
         WITH scored AS (
             SELECT doc_id, text, {_WORDS} AS toks FROM documents
