@@ -167,6 +167,44 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def stream_stream_band_join(left: DataFrame, right: DataFrame,
+                            band: str = "4 hours",
+                            watermark: str = "1 hour",
+                            key_col: str = "user_id",
+                            ts_col: str = "ts") -> DataFrame:
+    """Stream-stream inner join with an event-time band: each left
+    event pairs with right events of the same key within ±band. On
+    streams, both sides carry watermarks and the time-range predicate
+    bounds the join state (Spark evicts rows once they can no longer
+    match — without the bound, stream-stream state grows forever).
+    On batch frames the same expression is a plain inequality join —
+    the batch twin of operators/rangejoin.band_join semantics, which
+    is what the equivalence test compares against."""
+    l = left.select(
+        F.col(key_col),
+        F.col("event_id").alias("l_event_id"),
+        F.col(ts_col).alias("l_ts"),
+    )
+    r = right.select(
+        F.col(key_col).alias("_rk"),
+        F.col("event_id").alias("r_event_id"),
+        F.col(ts_col).alias("r_ts"),
+    )
+    if left.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if right.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    cond = (
+        (l[key_col] == r["_rk"])
+        & (r["r_ts"] >= F.expr(f"l_ts - interval {band}"))
+        & (r["r_ts"] <= F.expr(f"l_ts + interval {band}"))
+    )
+    return l.join(r, cond).select(
+        key_col, "l_event_id", "r_event_id",
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("delta_us"),
+    )
+
+
 STATEFUL_OUT_SCHEMA = (
     "user_id long, n_events long, total_value double, max_ts_us long"
 )

@@ -289,6 +289,38 @@ class TestStreaming:
             assert final[uid][1] == _pytest.approx(total, rel=1e-9)
             assert final[uid][2] == mx
 
+    def test_stream_stream_band_join_equals_batch(self, spark, tmp_path):
+        """Stream-stream join with event-time bounds, drained via
+        availableNow, must produce exactly the batch join's pairs."""
+        from pyspark.sql import functions as F
+
+        from mining_data_integration_spark.io import read_table
+
+        ev = read_table(spark, "/root/testdata/sf0.001", "events")
+        purchases = ev.filter(F.col("event_type") == "purchase")
+        errors = ev.filter(F.col("event_type") == "error")
+        expected = sorted(
+            (r.l_event_id, r.r_event_id)
+            for r in streaming.stream_stream_band_join(
+                purchases, errors).collect())
+        assert expected, "fixture produced no band-join pairs"
+
+        lsrc, rsrc = str(tmp_path / "ss_l"), str(tmp_path / "ss_r")
+        purchases.write.parquet(lsrc)
+        errors.write.parquet(rsrc)
+        sl = spark.readStream.schema(purchases.schema).parquet(lsrc)
+        sr = spark.readStream.schema(errors.schema).parquet(rsrc)
+        q = (
+            streaming.stream_stream_band_join(sl, sr)
+            .writeStream.format("memory").queryName("ss_band_test")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r.l_event_id, r.r_event_id)
+            for r in spark.sql("SELECT * FROM ss_band_test").collect())
+        assert got == expected
+
     def test_monitor_integrate_sections(self, golds):
         out = monitor.monitor_integrate(golds)
         assert set(out) == {"current_status", "miner_table",
