@@ -33,7 +33,7 @@ MEDIA_SCHEMA = (
     "media_id bigint, mime string, width int, height int, payload binary"
 )
 FEATURE_SCHEMA = (
-    "media_id bigint, mime string, feature array<float>, n_bytes int"
+    "media_id bigint, mime string, feature array<float>, n_bytes bigint"
 )
 
 

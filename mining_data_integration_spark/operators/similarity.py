@@ -86,7 +86,7 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     )
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
     return (
-        pairs.withColumn("rk", F.row_number().over(w))
+        pairs.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )
 
@@ -122,7 +122,7 @@ def ann_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     )
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
     return (
-        pairs.withColumn("rk", F.row_number().over(w))
+        pairs.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )
 
@@ -205,7 +205,7 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                  F.col("_qnorm"), F.col("_vnorm")).alias("cos_sim"),
         )
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
-    return pairs.withColumn("rk", F.row_number().over(w)) \
+    return pairs.withColumn("rk", F.row_number().over(w).cast("long")) \
         .filter(F.col("rk") <= k)
 
 

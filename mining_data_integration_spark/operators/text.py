@@ -29,10 +29,12 @@ def token_stats(df: DataFrame, text_col: str = "text",
     toks = tokens(F.col(text_col))
     return df.select(
         F.col(id_col),
-        F.size(toks).alias("n_tokens"),
-        F.length(normalize_text(F.col(text_col))).alias("n_chars_norm"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length(normalize_text(F.col(text_col))).cast("long")
+        .alias("n_chars_norm"),
         # total word chars = chars − separators; exact ints
-        (F.length(normalize_text(F.col(text_col))) - (F.size(toks) - 1)).alias(
+        (F.length(normalize_text(F.col(text_col))) - (F.size(toks) - 1))
+        .cast("long").alias(
             "n_word_chars"
         ),
         (
@@ -62,7 +64,7 @@ def quality_score(df: DataFrame, text_col: str = "text",
     uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n
     return df.select(
         F.col(id_col),
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         stop_ratio.alias("stopword_ratio"),
         uniq_ratio.alias("unique_ratio"),
         (stop_ratio * 0.5 + uniq_ratio * 0.5).alias("quality"),
@@ -100,9 +102,10 @@ def regex_token_count(df: DataFrame, text_col: str = "text",
     out = df.withColumn(f"{text_col}_norm", normalize_text(F.col(text_col)))
     return out.select(
         F.col(id_col),
-        F.size(pieces).alias("n_pieces"),
-        F.size(F.array_distinct(pieces)).alias("n_unique_pieces"),
-        F.size(F.split(F.col(f"{text_col}_norm"), " ")).alias("n_whitespace"),
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).cast("long").alias("n_unique_pieces"),
+        F.size(F.split(F.col(f"{text_col}_norm"), " ")).cast("long")
+        .alias("n_whitespace"),
     )
 
 
@@ -135,7 +138,8 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     return df.select(
         F.col(id_col),
         fp.alias("fingerprint"),
-        (F.instr(F.lit("0123456789abcdef"), F.substring(fp, 1, 1)) - 1).alias(
+        (F.instr(F.lit("0123456789abcdef"), F.substring(fp, 1, 1)) - 1)
+        .cast("long").alias(
             "shard"
         ),
     )

@@ -272,7 +272,7 @@ ORACLES = {
                CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
                CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
-               sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted
+               CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted
         FROM lineitem
         WHERE l_shipdate < TIMESTAMP '1998-09-01'
         GROUP BY l_returnflag, l_linestatus
@@ -281,9 +281,9 @@ ORACLES = {
     "a3_conditional_wins": """
         SELECT o_custkey,
                count(*) AS total_orders,
-               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished_orders,
-               sum(CASE WHEN o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
-                        THEN 1 ELSE 0 END) AS urgent_finished_orders
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_orders,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS urgent_finished_orders
         FROM orders
         GROUP BY o_custkey
         HAVING count(*) >= 3
@@ -317,7 +317,7 @@ ORACLES = {
         WITH per_order AS (
             SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey
         )
-        SELECT sum(n - 1) AS tx_count, count(*) AS n_groups FROM per_order
+        SELECT CAST(sum(n - 1) AS BIGINT) AS tx_count, count(*) AS n_groups FROM per_order
     """,
     "a8_global_scaled_sum": """
         SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 100000000, 2) AS DOUBLE) AS btc_total

@@ -194,7 +194,7 @@ ORACLES = {
             FROM simhashes
         )
         SELECT a.id AS id1, b.id AS id2,
-               bit_count(xor(a.simhash, b.simhash)) AS hamming
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         FROM halves a JOIN halves b
           ON (a.lo = b.lo OR a.hi = b.hi) AND a.id < b.id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 6

@@ -42,7 +42,7 @@ def x8_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select(
             "c_custkey",
             F.substring("c_name", 1, 10).alias("name_prefix"),
-            F.length("c_name").alias("name_len"),
+            F.length("c_name").cast("long").alias("name_len"),
             F.upper("c_mktsegment").alias("segment_upper"),
             F.concat_ws("#", F.col("c_mktsegment"),
                         F.col("c_custkey").cast("string")).alias("seg_key"),
@@ -130,13 +130,13 @@ def x14_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_order.select(
         "l_orderkey",
-        F.size("qtys").alias("n_items"),
+        F.size("qtys").cast("long").alias("n_items"),
         F.aggregate("qtys", F.lit(0).cast("long"),
                     lambda acc, x: acc + x).alias("total_qty"),
         F.aggregate(F.transform("qtys", lambda x: x * x),
                     F.lit(0).cast("long"),
                     lambda acc, x: acc + x).alias("sum_sq"),
-        F.size(F.filter("qtys", lambda x: x >= 25)).alias("n_large"),
+        F.size(F.filter("qtys", lambda x: x >= 25)).cast("long").alias("n_large"),
     ).orderBy("l_orderkey")
 
 
@@ -222,9 +222,9 @@ ORACLES = {
             SELECT l_suppkey,
                    count(*) AS mined,
                    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS _burned,
-                   sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS wins,
-                   sum(CASE WHEN l_returnflag = 'R' AND l_linenumber = 1
-                            THEN 1 ELSE 0 END) AS bonus_wins
+                   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+                   CAST(sum(CASE WHEN l_returnflag = 'R' AND l_linenumber = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS bonus_wins
             FROM lineitem GROUP BY l_suppkey
         )
         SELECT l_suppkey, mined, wins, bonus_wins,
@@ -242,7 +242,7 @@ ORACLES = {
         WITH keyed AS (
             SELECT p_partkey, md5(p_name) AS name_key FROM part
         )
-        SELECT sum(CASE WHEN name_key = repeat('0', 32) THEN 1 ELSE 0 END) AS n_sentinel,
+        SELECT CAST(sum(CASE WHEN name_key = repeat('0', 32) THEN 1 ELSE 0 END) AS BIGINT) AS n_sentinel,
                count(*) AS n_total,
                min(name_key) AS min_key
         FROM keyed

@@ -82,7 +82,7 @@ def f8_prefix_until_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos",
             F.row_number().over(
                 Window.orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
-            ),
+            ).cast("long"),
         )
     )
     sentinel_pos = top.filter(F.col("o_orderstatus") == "O").agg(

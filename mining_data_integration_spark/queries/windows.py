@@ -174,9 +174,9 @@ def w7_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supp.select(
         "l_suppkey",
         "total_price",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
     ).orderBy("rnk", "l_suppkey")
 
 
@@ -188,7 +188,7 @@ def w9_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
     )
     return (
-        li.withColumn("rn", F.row_number().over(w))
+        li.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("l_suppkey", "rn", "l_orderkey", "l_linenumber", "l_extendedprice")
         .orderBy("l_suppkey", "rn")
@@ -411,8 +411,8 @@ ORACLES = {
             FROM ordered
         ), sess AS (
             SELECT user_id, event_id, ts_us,
-                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
             FROM flagged
         )
         SELECT user_id, session_idx,
