@@ -36,6 +36,42 @@ HEADLINE = [
 ]
 
 
+def e1_refresh_bench(spark, n_blocks: int, cpb: int = 10) -> dict:
+    """Operational-parity number (BASELINE.md: the reference recomputes
+    its whole dashboard every 120 s, server.js:444-446): time one full
+    E1 gold recompute and one steady-state incremental tick against
+    height-bucketed bronze, on a synthetic chain of n_blocks burn
+    blocks. tools/bench_e1.py is the standalone/larger-scale variant."""
+    import time as _time
+
+    from mining_data_integration_spark import streaming
+    from mining_data_integration_spark.incremental import incremental_refresh
+    from mining_data_integration_spark.io import write_bronze_commits
+    from mining_data_integration_spark.synthworld import (
+        land_as_parquet, synth_mining_world)
+
+    tables = synth_mining_world(spark, n_blocks, cpb, n_miners=200)
+    tables = land_as_parquet(tables, "/tmp/bench_e1_bronze", spark)
+
+    t0 = _time.perf_counter()
+    for df in streaming.e1_gold_tables(tables).values():
+        df.count()
+    full = round(_time.perf_counter() - t0, 2)
+
+    bronze = "/tmp/bench_e1_bronze_commits"
+    write_bronze_commits(tables["block_commits"], tables["snapshots"], bronze)
+    tables["block_commits"] = spark.read.parquet(bronze)
+    gold = "/tmp/bench_e1_gold_bb"
+    incremental_refresh(spark, tables, gold, reorg_depth=10 ** 12)
+    t0 = _time.perf_counter()
+    incremental_refresh(spark, tables, gold, reorg_depth=1000)
+    tick = round(_time.perf_counter() - t0, 2)
+
+    return {"n_blocks": n_blocks, "commits_per_block": cpb,
+            "full_refresh_sec": full, "incremental_tick_sec": tick,
+            "budget_sec": 120}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -60,13 +96,20 @@ def main() -> None:
         per_query[name] = round(sorted(times)[1], 3)
 
     total = round(sum(per_query.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_suite_wall",
         "value": total,
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
-    }))
+    }
+
+    # mining-domain operational parity (skippable: SPARK_GRAFT_E1_BLOCKS=0)
+    e1_blocks = int(os.environ.get("SPARK_GRAFT_E1_BLOCKS", "50000"))
+    if e1_blocks > 0:
+        out["e1_refresh"] = e1_refresh_bench(spark, e1_blocks)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

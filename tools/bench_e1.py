@@ -9,11 +9,6 @@ holds that budget with headroom at the same and larger scales.
 
 Usage: python tools/bench_e1.py [n_blocks] [commits_per_block]
 Prints one JSON line {"metric": "e1_refresh_wall", ...}.
-
-The synthetic world is generated distributed (spark.range — no driver
-materialization): block b has hash h(b), parent h(b-1), one stacks
-block per burn block, plus a 1%% orphan fork branch and 1%% pox-invalid
-rows so the walk does real exclusion work.
 """
 
 from __future__ import annotations
@@ -25,78 +20,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F
-
-from mining_data_integration_spark import core, streaming
+from mining_data_integration_spark import streaming
+from mining_data_integration_spark.incremental import incremental_refresh
+from mining_data_integration_spark.io import write_bronze_commits
 from mining_data_integration_spark.session import get_spark
-
-
-def synth_tables(spark, n_blocks: int, commits_per_block: int, n_miners: int):
-    h = lambda c: F.lpad(F.conv(c.cast("string"), 10, 16), 64, "0")
-    blocks = spark.range(n_blocks).select(
-        (F.col("id") + 1000).alias("bh"),
-    )
-    snapshots = blocks.select(
-        F.col("bh").alias("block_height"),
-        h(F.col("bh")).alias("burn_header_hash"),
-        h(F.col("bh") - 1).alias("parent_burn_header_hash"),
-        h(F.col("bh") + 10_000_000).alias("consensus_hash"),
-        F.lit(1).alias("pox_valid"),
-        (F.col("bh") * 1000).cast("string").alias("total_burn"),
-        h(F.col("bh") * commits_per_block).alias("winning_block_txid"),
-        F.col("bh").alias("stacks_block_height"),
-    )
-    # off-chain twins at 1% of heights: a pox-invalid sortition re-run
-    # and a dead fork row — excluded by F1/F2 without breaking the
-    # canonical links, so the walk covers the full n_blocks chain
-    # (an invalid row ON the chain truncates it — reference semantics,
-    # covered by the golden tests, but a trivial walk to benchmark)
-    twins = snapshots.filter(F.col("block_height") % 100 == 13)
-    invalid = twins.withColumn(
-        "burn_header_hash", h(F.col("block_height") + 20_000_000)
-    ).withColumn("pox_valid", F.lit(0))
-    fork = twins.withColumn(
-        "burn_header_hash", h(F.col("block_height") + 40_000_000))
-    snapshots = snapshots.unionByName(invalid).unionByName(fork)
-
-    commits = (
-        blocks.select(
-            "bh",
-            F.explode(F.sequence(F.lit(0), F.lit(commits_per_block - 1)))
-            .alias("c"),
-        )
-        .select(
-            h(F.col("bh")).alias("burn_header_hash"),
-            h(F.col("bh") * commits_per_block + F.col("c")).alias("txid"),
-            ((F.col("bh") + F.col("c")) % 9999 + 1).cast("string")
-            .alias("burn_fee"),
-            F.lit(1000).alias("key_block_ptr"),
-            ((F.col("bh") + F.col("c")) % n_miners).cast("int")
-            .alias("key_vtxindex"),
-            F.lit("s").alias("apparent_sender"),
-        )
-    )
-    leader_keys = spark.range(n_miners).select(
-        h(F.lit(1000)).alias("burn_header_hash"),
-        F.lit(1000).alias("block_height"),
-        F.col("id").cast("int").alias("vtxindex"),
-        F.concat(F.lit("MINER_"), F.col("id")).alias("address"),
-    )
-    headers = blocks.select(
-        h(F.col("bh")).alias("burn_header_hash"),
-        h(F.col("bh") + 30_000_000).alias("block_hash"),
-        F.when(F.col("bh") == 1000, F.lit("0" * 64))
-        .otherwise(h(F.col("bh") - 1 + 30_000_000)).alias("parent_block"),
-        h(F.col("bh") + 10_000_000).alias("consensus_hash"),
-        (F.col("bh") - 1000).alias("block_height"),
-    )
-    from mining_data_integration_spark.schemas import cast_amounts
-    return {
-        "snapshots": cast_amounts("snapshots", snapshots),
-        "block_commits": cast_amounts("block_commits", commits),
-        "leader_keys": leader_keys,
-        "block_headers": headers,
-    }
+from mining_data_integration_spark.synthworld import (
+    land_as_parquet,
+    synth_mining_world,
+)
 
 
 def main() -> None:
@@ -104,14 +35,8 @@ def main() -> None:
     cpb = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     spark = get_spark("bench-e1")
 
-    tables = synth_tables(spark, n_blocks, cpb, n_miners=200)
-    # land as parquet bronze so the timed run reads files (as production
-    # would), not the generator expressions
-    bronze = "/tmp/bench_e1_bronze"
-    for name, df in tables.items():
-        df.write.mode("overwrite").parquet(f"{bronze}/{name}")
-    tables = {n: spark.read.parquet(f"{bronze}/{n}")
-              for n in tables}
+    tables = synth_mining_world(spark, n_blocks, cpb, n_miners=200)
+    tables = land_as_parquet(tables, "/tmp/bench_e1_bronze", spark)
 
     t0 = time.perf_counter()
     golds = streaming.e1_gold_tables(tables)
@@ -120,8 +45,6 @@ def main() -> None:
 
     # steady-state incremental tick: bootstrap the partitioned gold,
     # then time one bounded-reorg refresh (the production cadence)
-    from mining_data_integration_spark.incremental import incremental_refresh
-    from mining_data_integration_spark.io import write_bronze_commits
     gold_dir = "/tmp/bench_e1_gold"
     incremental_refresh(spark, tables, gold_dir, reorg_depth=10 ** 12)
     t0 = time.perf_counter()
