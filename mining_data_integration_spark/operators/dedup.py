@@ -117,13 +117,46 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+MERSENNE31 = (1 << 31) - 1
+
+
+def uh_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a_i, b_i), a_i != 0,
+    derived from fixed md5 seeds so every engine (and the DuckDB
+    oracle) regenerates the identical family."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"mh-a-{i}".encode()).hexdigest()[:8], 16) \
+            % (MERSENNE31 - 1) + 1
+        b = int(hashlib.md5(f"mh-b-{i}".encode()).hexdigest()[:8], 16) \
+            % MERSENNE31
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
-    """MinHash signature per doc: hash_i = min(md5(i||shingle)).
-    Deterministic and engine-portable (hex-string min order)."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
+    """MinHash signature per doc via a universal hash family over the
+    md5's four independent 32-bit segments: hash i uses base
+    h = (segment i%4) mod p, mh_i = min((a_i*h + b_i) mod p),
+    p = 2^31-1. ONE md5 per shingle plus integer arithmetic per hash —
+    vs an md5 per (shingle, hash), the dominant cost at corpus scale.
+    Rotating segments matters: affine maps of a single base value are
+    not min-wise independent enough (measurably low LSH recall); bases
+    from different md5 segments are genuinely independent. Operands
+    stay < 2^62 so int64 arithmetic is exact and the DuckDB oracle
+    reproduces it digit-for-digit."""
+    aggs = []
+    for i, (a, b) in enumerate(uh_params(num_hashes)):
+        seg = i % 4
+        h = (
+            F.conv(
+                F.substring(F.md5(F.col("shingle")), 1 + 8 * seg, 8), 16, 10)
+            .cast("bigint") % MERSENNE31
+        )
+        aggs.append(F.min((h * F.lit(a) + F.lit(b)) % MERSENNE31)
+                    .alias(f"mh{i}"))
     return sh.groupBy("id").agg(*aggs)
 
 

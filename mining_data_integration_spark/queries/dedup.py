@@ -89,18 +89,38 @@ def _simhash_sql(n: int = 2, bits: int = 32) -> str:
 
 
 def _minhash_band_sql(n: int = 3, num_hashes: int = 16, bands: int = 4) -> str:
+    """Mirrors operators.dedup.minhash_signatures: base hash for hash i
+    = md5 segment i%4 (digit-position hex->int, as _simhash_sql) mod
+    2^31-1, then the same universal-hash family (a_i*h + b_i) mod p."""
+    from ..operators.dedup import MERSENNE31 as P, uh_params
+
     rows = num_hashes // bands
+    digit = (
+        "(strpos('0123456789abcdef', substring(md5(shingle), {pos}, 1)) - 1)"
+    )
+
+    def seg_val(seg: int) -> str:
+        return " + ".join(
+            digit.format(pos=1 + 8 * seg + j) + f" * {16 ** (7 - j)}"
+            for j in range(8)
+        )
+
+    segs = ", ".join(
+        f"CAST({seg_val(s)} AS BIGINT) % {P} AS h{s}" for s in range(4))
     mins = ", ".join(
-        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(num_hashes)
+        f"min((h{i % 4} * {a} + {b}) % {P}) AS mh{i}"
+        for i, (a, b) in enumerate(uh_params(num_hashes))
     )
     band_exprs = []
     for b in range(bands):
-        parts = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        parts = " || '|' || ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
         band_exprs.append(f"md5({parts}) AS band{b}")
     buckets = ", ".join(f"'{b}:' || band{b}" for b in range(bands))
     return f"""
         WITH sh AS ({_duck_shingles(n)}),
-        sigs AS (SELECT id, {mins} FROM sh GROUP BY id),
+        hv AS (SELECT id, shingle, {segs} FROM sh),
+        sigs AS (SELECT id, {mins} FROM hv GROUP BY id),
         banded AS (SELECT id, {', '.join(band_exprs)} FROM sigs),
         stacked AS (SELECT id, unnest([{buckets}]) AS bucket FROM banded)
         SELECT DISTINCT a.id AS id1, b.id AS id2
