@@ -92,3 +92,64 @@ def survival_report(docs: DataFrame, cleaned: DataFrame,
     return docs.sparkSession.createDataFrame(
         [(n_in, n_out, round(n_out / n_in, 4) if n_in else 0.0)],
         "docs_in long, docs_out long, survival_rate double")
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      rates: dict[str, float], key_col: str = "doc_id",
+                      default_rate: float = 1.0,
+                      resolution: int = 10_000) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling — the class-
+    rebalancing step of a training-data pipeline (downsample the
+    dominant language/source, keep the rest). A row survives iff
+    bucket(key, stratum) < rate[stratum] * resolution, with bucket =
+    first 4 md5 hex digits of "key:stratum" mod resolution.
+
+    No PRNG state: the decision is a pure function of (key, stratum),
+    so it is stable under reshuffles/reruns/engines (unlike
+    df.sampleBy, whose per-partition RNG draw changes with the
+    partitioning) — which also makes it oracle-checkable. Map-side
+    only: no shuffle at any scale."""
+    key = F.concat(F.col(key_col).cast("string"), F.lit(":"),
+                   F.col(strata_col).cast("string"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("long"),
+        F.lit(resolution))
+    # integer thresholds computed driver-side: no float cast whose
+    # rounding could differ between engines
+    thr = F.lit(int(default_rate * resolution))
+    for stratum, r in rates.items():
+        thr = F.when(F.col(strata_col) == stratum,
+                     F.lit(int(r * resolution))).otherwise(thr)
+    return (
+        df.withColumn("_bucket", bucket)
+        .filter(F.col("_bucket") < thr)
+        .withColumnRenamed("_bucket", "sample_bucket")
+    )
+
+
+def pack_sequences(df: DataFrame, budget: int, token_count: Column,
+                   order_by: list[Column],
+                   id_cols: list[str]) -> DataFrame:
+    """Assign documents to fixed-token-budget training packs: documents
+    in deterministic order, each assigned to the pack where its first
+    token lands (pack_id = starting_offset // budget). The LLM-batch
+    sharding step: downstream workers read one pack's documents and
+    tokenize exactly `budget`-ish tokens.
+
+    The global running offset uses the two-phase range-sharded cumsum
+    (operators/scalable.py) — no single-partition window, so the
+    assignment scales to the full corpus."""
+    from .operators.scalable import global_cumsum
+
+    with_cum = global_cumsum(
+        df.withColumn("_nt", token_count.cast("long")),
+        order_by, F.col("_nt"), out_col="_cum")
+    # integral div/mod, not double division: a corpus-wide token offset
+    # can exceed 2^53, where double arithmetic would misassign packs
+    start = with_cum.withColumn("_start", F.col("_cum") - F.col("_nt"))
+    return start.select(
+        *id_cols,
+        F.col("_nt").alias("n_tokens"),
+        F.expr(f"_start div {budget}").alias("pack_id"),
+        F.pmod("_start", F.lit(budget)).cast("long").alias("pack_offset"),
+    )

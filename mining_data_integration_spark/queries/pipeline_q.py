@@ -76,13 +76,95 @@ def dp3_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_RATES = {"en": 0.5, "zh": 0.25}
+PACK_BUDGET = 512
+
+
+def dp4_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling by language: keep 50% of
+    the dominant `en`, 25% of `zh`, all the rest — the class-rebalance
+    step of a corpus pipeline (pipelines.stratified_sample). Map-side
+    only, no PRNG, engine-portable."""
+    from ..pipelines import stratified_sample
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "lang", SAMPLE_RATES, key_col="doc_id")
+        .select("doc_id", "lang", "sample_bucket")
+        .orderBy("doc_id")
+    )
+
+
+def dp5_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed 512-token training shards by global
+    running token offset (pipelines.pack_sequences): pack_id = first
+    token's offset div budget. The cumulative offset is the two-phase
+    range-sharded cumsum — no single-partition window at any corpus
+    size."""
+    from ..operators.text import tokens
+    from ..pipelines import pack_sequences
+
+    docs = t(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, PACK_BUDGET,
+        token_count=F.size(tokens(F.col("text"))),
+        order_by=[F.col("doc_id")],
+        id_cols=["doc_id"],
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "dp1_clean_corpus": dp1_clean_corpus,
     "dp2_clean_corpus_clustered": dp2_clean_corpus_clustered,
     "dp3_hash_split": dp3_hash_split,
+    "dp4_stratified_sample": dp4_stratified_sample,
+    "dp5_sequence_pack": dp5_sequence_pack,
 }
 
+def _hex4_to_int(expr: str) -> str:
+    """First 4 hex digits of md5(expr) as an integer, by digit-position
+    arithmetic (DuckDB-portable, mirrors the Spark conv/substring)."""
+    digit = "(strpos('0123456789abcdef', substring(md5({e}), {p}, 1)) - 1)"
+    return " + ".join(
+        digit.format(e=expr, p=j + 1) + f" * {16 ** (3 - j)}"
+        for j in range(4)
+    )
+
+
+_DP4_THRESH = " ".join(
+    f"WHEN lang = '{s}' THEN {int(r * 10000)}"
+    for s, r in SAMPLE_RATES.items()
+)
+
 ORACLES = {
+    "dp4_stratified_sample": f"""
+        WITH b AS (
+            SELECT doc_id, lang,
+                   ({_hex4_to_int("CAST(doc_id AS VARCHAR) || ':' || lang")})
+                       % 10000 AS sample_bucket
+            FROM documents
+        )
+        SELECT doc_id, lang, sample_bucket
+        FROM b
+        WHERE sample_bucket < CASE {_DP4_THRESH} ELSE 10000 END
+        ORDER BY doc_id
+    """,
+    "dp5_sequence_pack": f"""
+        WITH tok AS (
+            SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ), cum AS (
+            SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS start
+            FROM tok
+        )
+        SELECT doc_id, n_tokens,
+               start // {PACK_BUDGET} AS pack_id,
+               start % {PACK_BUDGET} AS pack_offset
+        FROM cum ORDER BY doc_id
+    """,
     "dp3_hash_split": """
         WITH h AS (
             SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx

@@ -195,3 +195,36 @@ def test_quality_and_langid_ranges(spark):
     assert 0.0 <= q[1].quality <= 1.0
     lang = {r.doc_id: r.predicted_lang for r in TX.lang_id(df).collect()}
     assert lang[1] == "en" and lang[2] == "other"
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from mining_data_integration_spark.pipelines import stratified_sample
+
+    rows = [(i, f"text {i}", "en" if i % 2 == 0 else "de")
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = stratified_sample(df, "lang", {"en": 0.3}, key_col="doc_id")
+    counts = {r.lang: r.cnt for r in
+              out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert counts["de"] == 500                 # default rate keeps all
+    assert 0.2 < counts["en"] / 500 < 0.4      # ~0.3 within md5 noise
+    # pure function of (key, stratum): rerun is identical
+    again = stratified_sample(df, "lang", {"en": 0.3}, key_col="doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == \
+        sorted(r.doc_id for r in again.collect())
+
+
+def test_pack_sequences_invariants(spark):
+    from mining_data_integration_spark.pipelines import pack_sequences
+
+    rows = [(i, 10 + (i * 37) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, nt int")
+    out = pack_sequences(df, budget=256, token_count=F.col("nt"),
+                         order_by=[F.col("doc_id")], id_cols=["doc_id"]) \
+        .orderBy("doc_id").collect()
+    assert len(out) == 200
+    start = 0
+    for r in out:
+        assert r.pack_id == start // 256
+        assert r.pack_offset == start % 256
+        start += r.n_tokens
