@@ -91,6 +91,47 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def brute_force_topk_sharded(emb: DataFrame, queries: DataFrame,
+                             k: int = 10, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             q_id_col: str = "q_id",
+                             q_vec_col: str = "q_emb") -> DataFrame:
+    """Exact cosine top-k with a partition-local Arrow pre-reduce.
+
+    brute_force_topk's global window shuffles the full N×Q pair set to
+    rank it; here each scan partition first keeps its own top-k per
+    query (an Arrow-batched filter — node-local, no shuffle), so the
+    global window ranks ≤ partitions×Q×k rows. A row outside its
+    partition's top-k cannot be in the global top-k, and cos_sim is
+    computed once JVM-side and only filtered in Python, so results are
+    bit-identical to brute_force_topk — the two share one SQL oracle.
+    This is the shape that holds when N×Q pairs dwarf executor memory."""
+    emb_n = emb.withColumn("_vnorm", norm(F.col(vec_col)))
+    q_n = queries.withColumn("_qnorm", norm(F.col(q_vec_col)))
+    pairs = emb_n.crossJoin(F.broadcast(q_n)).select(
+        F.col(q_id_col),
+        F.col(id_col),
+        _cos(dot(F.col(q_vec_col), F.col(vec_col)),
+             F.col("_qnorm"), F.col("_vnorm")).alias("cos_sim"),
+    )
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(["cos_sim", id_col],
+                                    ascending=[False, True])
+                    .groupby(q_id_col, sort=False).head(k)
+                )
+
+    reduced = pairs.mapInPandas(local_topk, pairs.schema)
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        reduced.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def ann_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                  num_planes: int = 8, dim: int = 64, multi_probe: bool = False,
                  id_col: str = "vec_id", vec_col: str = "embedding",

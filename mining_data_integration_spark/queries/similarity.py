@@ -31,6 +31,16 @@ def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim6_scalable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 with the partition-local Arrow pre-reduce
+    (operators/similarity.brute_force_topk_sharded): the global window
+    ranks partitions×Q×k rows, not N×Q. Bit-identical to sim1, so it
+    shares sim1's oracle."""
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    return S.brute_force_topk_sharded(
+        emb, _queries_df(spark, sf_dir), k=10).orderBy("q_id", "rk")
+
+
 def sim2_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (single probe, 4 hyperplanes
     -> 16 buckets, ~n/16 candidates per probe)."""
@@ -149,11 +159,16 @@ def sim4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sim1_cosine_topk": sim1_cosine_topk,
+    "sim6_scalable_topk": sim6_scalable_topk,
     "sim4_ivf_topk": sim4_ivf_topk,
     "sim5_multiprobe_lsh": sim5_multiprobe_lsh,
     "sim2_ann_lsh_topk": sim2_ann_lsh_topk,
     "sim3_embedding_near_dups": sim3_embedding_near_dups,
 }
+
+# sim6 is exactness-preserving over sim1 (local top-k pre-reduce only
+# discards rows provably outside the global top-k) — same oracle
+ORACLES["sim6_scalable_topk"] = ORACLES["sim1_cosine_topk"]
 
 ORACLES["sim5_multiprobe_lsh"] = f"""
     WITH planes AS ({_planes_cte()}),

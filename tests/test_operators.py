@@ -228,3 +228,17 @@ def test_pack_sequences_invariants(spark):
         assert r.pack_id == start // 256
         assert r.pack_offset == start % 256
         start += r.n_tokens
+
+
+def test_sharded_topk_equals_brute_force(spark):
+    from mining_data_integration_spark.operators import similarity as S
+
+    import math
+    rows = [(i, [math.sin(i * j + j) for j in range(8)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+        .repartition(8)
+    q = emb.filter("vec_id < 4").selectExpr("vec_id as q_id",
+                                            "embedding as q_emb")
+    a = S.brute_force_topk(emb, q, k=7).select("q_id", "vec_id", "rk")
+    b = S.brute_force_topk_sharded(emb, q, k=7).select("q_id", "vec_id", "rk")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
