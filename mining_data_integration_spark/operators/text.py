@@ -9,7 +9,7 @@ exact integers, so results are bit-deterministic and oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalize_text
@@ -142,4 +142,35 @@ def fingerprint(df: DataFrame, text_col: str = "text",
         .cast("long").alias(
             "shard"
         ),
+    )
+
+
+def tf_rarity_topk(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Top-k most characteristic terms per document, scored
+    tf * (N+1) / (df+1) — TF x inverse document-frequency RATIO.
+
+    Linear IDF rather than log on purpose: every input is an exact
+    integer < 2^53 and the single IEEE division is correctly rounded,
+    so scores AND rankings are bit-identical across engines; ln() can
+    differ in the last ulp between libm implementations and flip a
+    near-tie ranking. Two shuffles (doc-term counts, term doc-freq)
+    plus a broadcast scalar N — no corpus-wide window."""
+    toks = tokens(F.col(text_col))
+    terms = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term").crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            (F.col("tf") * (F.col("n_docs") + 1)).cast("double")
+            / (F.col("df") + 1))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("id", "term", "tf", "df", "score", "rk")
     )

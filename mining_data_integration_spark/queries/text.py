@@ -68,6 +68,18 @@ def tx6_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx7_tf_rarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most characteristic terms per document by TF x inverse
+    document-frequency ratio (operators/text.tf_rarity_topk). Linear
+    IDF keeps score arithmetic bit-identical across engines."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    return (
+        TX.tf_rarity_topk(docs, k=3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rk")
+    )
+
+
 QUERIES = {
     "tx1_token_stats": tx1_token_stats,
     "tx2_quality_score": tx2_quality_score,
@@ -75,9 +87,32 @@ QUERIES = {
     "tx4_fingerprint_shards": tx4_fingerprint_shards,
     "tx5_regex_tokens": tx5_regex_tokens,
     "tx6_rolling_hash": tx6_rolling_hash,
+    "tx7_tf_rarity_topk": tx7_tf_rarity_topk,
 }
 
 ORACLES = {
+    "tx7_tf_rarity_topk": f"""
+        WITH terms AS (
+            SELECT doc_id AS id, unnest({_TOKS}) AS term FROM documents
+        ), tf AS (
+            SELECT id, term, count(*) AS tf FROM terms GROUP BY id, term
+        ), dfreq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (
+            SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+        ), scored AS (
+            SELECT tf.id, tf.term, tf.tf, dfreq.df,
+                   CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (dfreq.df + 1)
+                       AS score
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY id
+                          ORDER BY score DESC, term) AS rk
+            FROM scored
+        )
+        SELECT id AS doc_id, term, tf, df, score, rk
+        FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+    """,
     "tx1_token_stats": f"""
         WITH base AS (
             SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents
