@@ -135,3 +135,46 @@ def decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         "real image/audio decode requires codec libraries not present "
         "in this environment; use decode_image_stub for plumbing tests"
     )
+
+
+RESIZE_SCHEMA = (
+    "media_id bigint, mime string, width int, height int, "
+    "new_width int, new_height int, resized binary"
+)
+
+
+def make_resizer(box: int = 64):
+    """mapInPandas kernel factory: aspect-preserving fit into a
+    box×box thumbnail, never upscaling. The DIMENSION arithmetic is
+    the real resize plan (pure IEEE double ops — engine-exact); the
+    pixel resample itself is stubbed (sha256 thumbnail stand-in; a
+    real pipeline calls PIL.Image.resize here with the same batch
+    signature)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nw: list[int] = []
+            nh: list[int] = []
+            res: list[bytes] = []
+            for w, h, payload in zip(pdf["width"], pdf["height"],
+                                     pdf["payload"]):
+                scale = min(box / w, box / h, 1.0)
+                nw.append(max(1, int(w * scale)))
+                nh.append(max(1, int(h * scale)))
+                res.append(hashlib.sha256(bytes(payload)).digest())
+            out = pdf[["media_id", "mime", "width", "height"]].copy()
+            out["new_width"] = pd.Series(nw, dtype="int32")
+            out["new_height"] = pd.Series(nh, dtype="int32")
+            out["resized"] = res
+            yield out
+
+    return kernel
+
+
+def resize_media(media: DataFrame, box: int = 64) -> DataFrame:
+    """Thumbnail stage over binary media (see make_resizer). Payloads
+    stream executor-side through Arrow; only the columns the kernel
+    needs cross the boundary."""
+    return media.select(
+        "media_id", "mime", "width", "height", "payload"
+    ).mapInPandas(make_resizer(box), schema=RESIZE_SCHEMA)

@@ -47,12 +47,45 @@ def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id", "frame_idx")
 
 
+def mm3_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail resize stage: aspect-preserving fit into 64×64, never
+    upscaling (operators/multimodal.resize_media). The dimension math
+    is exact IEEE arithmetic mirrored by the oracle; thumb_bytes
+    proves the binary output column flows (sha256 stub = 32 bytes)."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    media = M.make_fake_media(docs, "doc_id", "text")
+    resized = M.resize_media(media, box=64)
+    return resized.select(
+        "media_id", "width", "height", "new_width", "new_height",
+        F.octet_length("resized").alias("thumb_bytes"),
+    ).orderBy("media_id")
+
+
 QUERIES = {
     "mm1_feature_extract": mm1_feature_extract,
     "mm2_frame_sample": mm2_frame_sample,
+    "mm3_resize_plan": mm3_resize_plan,
 }
 
 ORACLES = {
+    "mm3_resize_plan": """
+        WITH media AS (
+            SELECT doc_id AS media_id,
+                   CAST(length(text) % 640 + 1 AS INTEGER) AS width,
+                   CAST(length(text) % 480 + 1 AS INTEGER) AS height
+            FROM documents
+        ), dims AS (
+            SELECT media_id, width, height,
+                   least(CAST(64 AS DOUBLE) / width,
+                         CAST(64 AS DOUBLE) / height, 1.0) AS scale
+            FROM media
+        )
+        SELECT media_id, width, height,
+               greatest(1, CAST(floor(width * scale) AS INT)) AS new_width,
+               greatest(1, CAST(floor(height * scale) AS INT)) AS new_height,
+               32 AS thumb_bytes
+        FROM dims ORDER BY media_id
+    """,
     "mm2_frame_sample": """
         WITH frames AS (
             SELECT doc_id AS media_id,
