@@ -291,7 +291,28 @@ def e2_burn_fee_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w15_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-RANGE window frame (vs the rows-frames elsewhere):
+    per-customer trailing-30-day spend, frame = all orders whose day
+    lies within the preceding 29 days of the current row's day. A
+    range frame is tie-insensitive — same-day orders always share one
+    frame regardless of intra-day order — which is exactly what makes
+    it deterministic under any shuffle and oracle-checkable."""
+    o = t(spark, sf_dir, "orders").withColumn(
+        "day",
+        F.datediff(F.col("o_orderdate"),
+                   F.lit("1990-01-01").cast("date")).cast("long"))
+    w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-29, 0)
+    return o.select(
+        "o_custkey", "o_orderkey", "day",
+        F.count("*").over(w).alias("n_trailing"),
+        money(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w))
+        .alias("spend_trailing"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
 QUERIES = {
+    "w15_range_frame": w15_range_frame,
     "w1_trailing_mean": w1_trailing_mean,
     "e2_burn_fee_area": e2_burn_fee_area,
     "w2_cumulative_sum": w2_cumulative_sum,
@@ -360,6 +381,22 @@ def w13_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES = {
+    "w15_range_frame": """
+        WITH t AS (
+            SELECT o_custkey, o_orderkey,
+                   datediff('day', DATE '1990-01-01', o_orderdate) AS day,
+                   o_totalprice
+            FROM orders
+        )
+        SELECT o_custkey, o_orderkey, day,
+               count(*) OVER w AS n_trailing,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w, 2)
+                    AS DOUBLE) AS spend_trailing
+        FROM t
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                     RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderkey
+    """,
     "e2_burn_fee_area": """
         WITH hi AS (
             SELECT max(CAST(o_orderdate AS DATE)) AS hi FROM orders
