@@ -156,6 +156,32 @@ def a12_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a18_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond a12's rollup lattice): the
+    status marginal, the priority marginal, and the grand total in ONE
+    pass — one shuffle feeding all three groupings, vs three scans if
+    expressed as a UNION of aggregates. grouping() flags disambiguate
+    a NULL group key from a rolled-up one. Spark 4 DataFrame
+    groupingSets API."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count("*").alias("n_orders"),
+            money(dec_sum("o_totalprice")).alias("sum_total"),
+        )
+        .orderBy(
+            "g_status", "g_priority",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
 def a14_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (SURVEY §2.4 note): exact interpolated percentiles
     per group — Spark `percentile` and DuckDB `quantile_cont` share
@@ -248,6 +274,7 @@ QUERIES = {
     "a8_global_scaled_sum": a8_global_scaled_sum,
     "a10_range_restricted_stats": a10_range_restricted_stats,
     "a12_distinct_rollup": a12_distinct_rollup,
+    "a18_grouping_sets": a18_grouping_sets,
 }
 
 ORACLES = {
@@ -331,6 +358,17 @@ ORACLES = {
         WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
         GROUP BY l_returnflag
         ORDER BY l_returnflag
+    """,
+    "a18_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS sum_total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
     """,
     "a12_distinct_rollup": """
         SELECT o_orderstatus, o_orderpriority,
