@@ -86,14 +86,15 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         fn(spark, sf_dir).count()  # warm: parquet footer + JIT paths
-        # median of 3 timed runs: GC pauses on this box swing single
-        # runs by 2-3x on the hash-heavy queries
+        # median of 5 timed runs: GC pauses / Python-worker churn on
+        # this box can spike a single run 3-5x; with 3 runs one spike
+        # still lands in the median about one run in nine
         times = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             times.append(time.perf_counter() - t0)
-        per_query[name] = round(sorted(times)[1], 3)
+        per_query[name] = round(sorted(times)[2], 3)
 
     total = round(sum(per_query.values()), 3)
     out = {
