@@ -109,8 +109,10 @@ def stratified_sample(df: DataFrame, strata_col: str,
     df.sampleBy, whose per-partition RNG draw changes with the
     partitioning) — which also makes it oracle-checkable. Map-side
     only: no shuffle at any scale."""
+    # coalesce the stratum: a NULL stratum would null the md5 key and
+    # silently DROP the row instead of sampling it at the default rate
     key = F.concat(F.col(key_col).cast("string"), F.lit(":"),
-                   F.col(strata_col).cast("string"))
+                   F.coalesce(F.col(strata_col).cast("string"), F.lit("")))
     bucket = F.pmod(
         F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("long"),
         F.lit(resolution))

@@ -242,3 +242,13 @@ def test_sharded_topk_equals_brute_force(spark):
     a = S.brute_force_topk(emb, q, k=7).select("q_id", "vec_id", "rk")
     b = S.brute_force_topk_sharded(emb, q, k=7).select("q_id", "vec_id", "rk")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_stratified_sample_null_stratum_uses_default_rate(spark):
+    from mining_data_integration_spark.pipelines import stratified_sample
+
+    rows = [(i, "x", None if i % 2 else "en") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = stratified_sample(df, "lang", {"en": 0.5}, key_col="doc_id")
+    null_kept = out.filter(F.col("lang").isNull()).count()
+    assert null_kept == 100  # default rate 1.0 keeps every NULL-stratum row
