@@ -45,31 +45,34 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
-def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-             n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document (id, shingle).
-
-    Built by zip_with-ing the word array with its k-shifted slices —
-    ~20x faster than the transform(sequence, element_at) formulation
-    (positional element_at inside a lambda defeats the array codegen;
-    zip_with streams both arrays linearly). zip_with pads the shorter
-    (shifted) side with NULL and concat_ws drops NULLs, so the tail
-    holds truncated grams — the final slice keeps the size-n+1 full
-    grams only; docs shorter than n words yield an empty set."""
-    words = F.split(normalize_text(F.col(text_col)), " ")
+def gram_array(words: F.Column, n: int) -> F.Column:
+    """Array of ALL word n-gram occurrences (duplicates kept), built by
+    zip_with-ing the word array with its k-shifted slices — ~20x faster
+    than the transform(sequence, element_at) formulation (positional
+    element_at inside a lambda defeats the array codegen; zip_with
+    streams both arrays linearly). zip_with pads the shorter (shifted)
+    side with NULL and concat_ws drops NULLs, so the tail holds
+    truncated grams — the final slice keeps the size-n full grams only;
+    docs shorter than n words yield an empty array."""
     grams = words
     for k in range(1, n):
         shifted = F.slice(
             words, k + 1, F.greatest(F.size(words) - k, F.lit(0)))
         grams = F.zip_with(
             grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    grams = F.when(
+    return F.when(
         F.size(words) >= n,
         F.slice(grams, 1, F.size(words) - n + 1),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (id, shingle)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
     return df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(grams)).alias("shingle"),
+        F.explode(F.array_distinct(gram_array(words, n))).alias("shingle"),
     )
 
 

@@ -145,6 +145,49 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     )
 
 
+def repetition_metrics(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 2,
+                       max_top_frac: float = 0.20,
+                       max_dup_frac: float = 0.60) -> DataFrame:
+    """Gopher-style repetition quality metrics (Rae et al. 2021 §A1.1):
+    per document, the fraction of word n-gram occurrences taken by the
+    single most frequent n-gram (top_gram_frac) and the fraction that
+    are occurrences of any repeated n-gram (dup_gram_frac), plus a
+    keep flag under the given thresholds. Boilerplate / spam /
+    degenerate-repetition filtering for a pre-training corpus.
+
+    Scale shape: explode occurrences -> count per (doc, gram) ->
+    per-doc rollup. Both shuffles are keyed by doc id (the second is a
+    sub-key rollup of the first) and map-side combine applies, so the
+    shuffled volume is bounded by distinct (doc, gram) pairs, not
+    occurrences. Docs with fewer than n words emit no grams and drop
+    out (they have no repetition signal; length filters own them).
+    All ratios are exact-integer divisions — oracle-checkable."""
+    from .dedup import gram_array
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(gram_array(tokens(F.col(text_col)), n)).alias("gram"),
+    )
+    counts = grams.groupBy("id", "gram").agg(F.count("*").alias("cnt"))
+    agg = counts.groupBy("id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0)))
+        .alias("dup_cnt"),
+    )
+    top_frac = F.col("top_cnt").cast("double") / F.col("n_grams").cast("double")
+    dup_frac = F.col("dup_cnt").cast("double") / F.col("n_grams").cast("double")
+    return agg.select(
+        F.col("id"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        top_frac.alias("top_gram_frac"),
+        dup_frac.alias("dup_gram_frac"),
+        ((top_frac <= max_top_frac) & (dup_frac <= max_dup_frac))
+        .alias("keep"),
+    )
+
+
 def tf_rarity_topk(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """Top-k most characteristic terms per document, scored

@@ -22,7 +22,7 @@ DuckDB-oracle-checkable end to end (queries/dedup.py dp1).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .operators import dedup as D
@@ -126,6 +126,126 @@ def stratified_sample(df: DataFrame, strata_col: str,
         df.withColumn("_bucket", bucket)
         .filter(F.col("_bucket") < thr)
         .withColumnRenamed("_bucket", "sample_bucket")
+    )
+
+
+def decontaminate(train: DataFrame, test: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 5,
+                  prefilter_mod: int | None = None) -> DataFrame:
+    """Benchmark decontamination: per training document, count the
+    distinct word n-gram shingles it shares with the evaluation set,
+    and flag it contaminated if any overlap exists (the n-gram-overlap
+    rule of GPT-3 appx C / PaLM — drop or audit training docs that can
+    leak eval answers). Returns every train doc: (doc_id, n_shared,
+    contaminated).
+
+    Scale shape: both sides explode to distinct (doc, shingle); the
+    overlap is ONE equi shuffle join on the shingle (uniformly
+    distributed text keys), then a rollup keyed by doc id. No
+    broadcast assumption on the eval side — at 100 TB the eval set's
+    shingle table can itself be huge.
+
+    prefilter_mod enables the bounded-size membership prefilter: the
+    distinct values of xxhash64(shingle) % prefilter_mod on the eval
+    side are collected (≤ prefilter_mod values regardless of data
+    size — the driver cost is capped, unlike collecting shingles) and
+    broadcast as an isin filter over the train shingles before the
+    shuffle. False positives are removed by the exact join that
+    follows and false negatives are impossible, so results are
+    IDENTICAL with or without it; it only cuts the shuffled volume —
+    the same role a bloom filter plays in runtime row-level filtering."""
+    from .operators.dedup import shingles
+
+    tr = shingles(train, text_col, id_col, n)
+    te = shingles(test, text_col, id_col, n).select("shingle").distinct()
+    if prefilter_mod:
+        buckets = [
+            r[0] for r in
+            te.select(F.pmod(F.xxhash64("shingle"), F.lit(prefilter_mod))
+                      .alias("b")).distinct().collect()
+        ]
+        tr = tr.filter(
+            F.pmod(F.xxhash64("shingle"), F.lit(prefilter_mod))
+            .isin(buckets))
+    hits = (
+        tr.join(te, "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared"))  # tr shingles are distinct/doc
+    )
+    return (
+        train.select(F.col(id_col))
+        .join(hits.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long")
+            .alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0)
+            .alias("contaminated"),
+        )
+    )
+
+
+def temperature_sample(df: DataFrame, strata_col: str,
+                       alpha: float = 0.5, coef: int = 4,
+                       key_col: str = "doc_id") -> DataFrame:
+    """Temperature-flattened corpus sampling: cap each stratum
+    (language / source) at floor(coef * n_s^alpha) documents, keeping
+    the deterministic md5-ordered prefix within the stratum — the
+    multilingual rebalancing rule (alpha < 1 flattens the head
+    stratum's dominance, cf. the T=0.3 sampling of mBERT/XLM-R /
+    sqrt-smoothing of multilingual corpora).
+
+    Determinism across engines: n_s^0.5 is one correctly-rounded IEEE
+    sqrt and coef*sqrt one multiply — no cross-stratum float sum whose
+    accumulation order could differ. The per-stratum rank is a window
+    keyed by the stratum (one shuffle); the md5 order key makes the
+    kept prefix a uniform random-but-reproducible sample."""
+    if alpha != 0.5:
+        raise ValueError("alpha must be 0.5: pow() beyond sqrt is not "
+                         "guaranteed bit-identical across engines")
+    sizes = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
+    cap = F.floor(F.lit(float(coef)) * F.sqrt(F.col("_n").cast("double")))
+    order_key = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":"),
+                               F.col(strata_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(order_key, F.col(key_col))
+    return (
+        df.join(sizes.withColumn("_cap", cap), strata_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_cap"))
+        .select(key_col, strata_col,
+                F.col("_n").cast("long").alias("stratum_size"),
+                F.col("_cap").cast("long").alias("stratum_cap"),
+                F.col("_rk").cast("long").alias("sample_rank"))
+    )
+
+
+def global_shuffle(df: DataFrame, seed: str = "shuf-0",
+                   n_shards: int = 16, key_col: str = "doc_id") -> DataFrame:
+    """Deterministic global training-order shuffle: rank every document
+    by md5(seed || key) — a reproducible pseudo-random permutation —
+    and deal ranks into n_shards round-robin shards (shard = rank mod
+    n_shards, position = rank div n_shards). The epoch-shuffle step of
+    a training-data pipeline; changing the seed re-deals the corpus.
+
+    The global rank uses the two-phase range-sharded row_number
+    (operators/scalable.py) — no single-partition window at any corpus
+    size; the md5 key space is uniform so range shards are balanced."""
+    from .operators.scalable import global_row_number
+
+    keyed = df.withColumn(
+        "_shuf", F.md5(F.concat(F.lit(seed + ":"),
+                                F.col(key_col).cast("string"))))
+    ranked = global_row_number(
+        keyed, [F.col("_shuf"), F.col(key_col)], rn_col="_rank")
+    rank0 = F.col("_rank") - 1
+    return ranked.select(
+        key_col,
+        F.col("_shuf").alias("shuffle_key"),
+        rank0.cast("long").alias("rank"),
+        F.pmod(rank0, F.lit(n_shards)).cast("long").alias("shard"),
+        F.expr(f"(_rank - 1) div {n_shards}").cast("long")
+        .alias("shard_pos"),
     )
 
 

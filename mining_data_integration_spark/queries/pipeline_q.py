@@ -113,12 +113,67 @@ def dp5_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+DECON_N = 5
+
+
+def dp6_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination report: per train-split doc (dp3's
+    hash split), the count of distinct 5-gram shingles shared with the
+    test split, and a contaminated flag (pipelines.decontaminate).
+    One equi shuffle join on the shingle — no broadcast assumption on
+    the eval side."""
+    from ..pipelines import decontaminate
+
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+               16, 10).cast("long"),
+        F.lit(100),
+    )
+    with_b = docs.withColumn("_b", bucket)
+    train = with_b.filter(F.col("_b") < 80).drop("_b")
+    test = with_b.filter(F.col("_b") >= 90).drop("_b")
+    return decontaminate(train, test, n=DECON_N).orderBy("doc_id")
+
+
+TEMP_COEF = 4
+
+
+def dp7_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened sampling by language: cap each language at
+    floor(4 * sqrt(n)) docs, md5-ordered prefix kept
+    (pipelines.temperature_sample)."""
+    from ..pipelines import temperature_sample
+
+    docs = t(spark, sf_dir, "documents")
+    return temperature_sample(docs, "lang", coef=TEMP_COEF) \
+        .orderBy("doc_id")
+
+
+SHUF_SEED = "shuf-0"
+SHUF_SHARDS = 16
+
+
+def dp8_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: md5-permutation rank over the
+    corpus dealt into 16 round-robin shards (pipelines.global_shuffle;
+    rank via the two-phase sharded row_number)."""
+    from ..pipelines import global_shuffle
+
+    docs = t(spark, sf_dir, "documents")
+    return global_shuffle(docs, seed=SHUF_SEED, n_shards=SHUF_SHARDS) \
+        .orderBy("doc_id")
+
+
 QUERIES = {
     "dp1_clean_corpus": dp1_clean_corpus,
     "dp2_clean_corpus_clustered": dp2_clean_corpus_clustered,
     "dp3_hash_split": dp3_hash_split,
     "dp4_stratified_sample": dp4_stratified_sample,
     "dp5_sequence_pack": dp5_sequence_pack,
+    "dp6_decontaminate": dp6_decontaminate,
+    "dp7_temperature_sample": dp7_temperature_sample,
+    "dp8_global_shuffle": dp8_global_shuffle,
 }
 
 def _hex4_to_int(expr: str) -> str:
@@ -136,7 +191,60 @@ _DP4_THRESH = " ".join(
     for s, r in SAMPLE_RATES.items()
 )
 
+_DP6_BUCKET = f"({_hex4_to_int('CAST(doc_id AS VARCHAR)')}) % 100"
+
 ORACLES = {
+    "dp6_decontaminate": f"""
+        WITH b AS (
+            SELECT doc_id, text, {_DP6_BUCKET} AS bucket FROM documents
+        ), train AS (
+            SELECT doc_id, text FROM b WHERE bucket < 80
+        ), test AS (
+            SELECT doc_id, text FROM b WHERE bucket >= 90
+        ), trs AS ({_duck_shingles(DECON_N, "train")}),
+        tes AS (
+            SELECT DISTINCT shingle FROM ({_duck_shingles(DECON_N, "test")})
+        ), hits AS (
+            SELECT id, count(*) AS n_shared
+            FROM trs JOIN tes USING (shingle) GROUP BY id
+        )
+        SELECT t.doc_id,
+               CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+               coalesce(h.n_shared, 0) > 0 AS contaminated
+        FROM train t LEFT JOIN hits h ON t.doc_id = h.id
+        ORDER BY t.doc_id
+    """,
+    "dp7_temperature_sample": f"""
+        WITH sizes AS (
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        ), ranked AS (
+            SELECT d.doc_id, d.lang, s.n,
+                   floor({TEMP_COEF} * sqrt(CAST(s.n AS DOUBLE))) AS cap,
+                   row_number() OVER (PARTITION BY d.lang
+                       ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':' || d.lang),
+                                d.doc_id) AS rk
+            FROM documents d JOIN sizes s USING (lang)
+        )
+        SELECT doc_id, lang, CAST(n AS BIGINT) AS stratum_size,
+               CAST(cap AS BIGINT) AS stratum_cap,
+               CAST(rk AS BIGINT) AS sample_rank
+        FROM ranked WHERE rk <= cap ORDER BY doc_id
+    """,
+    "dp8_global_shuffle": f"""
+        WITH r AS (
+            SELECT doc_id,
+                   md5('{SHUF_SEED}:' || CAST(doc_id AS VARCHAR))
+                       AS shuffle_key,
+                   row_number() OVER (
+                       ORDER BY md5('{SHUF_SEED}:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) - 1 AS rank
+            FROM documents
+        )
+        SELECT doc_id, shuffle_key, CAST(rank AS BIGINT) AS rank,
+               CAST(rank % {SHUF_SHARDS} AS BIGINT) AS shard,
+               CAST(rank // {SHUF_SHARDS} AS BIGINT) AS shard_pos
+        FROM r ORDER BY doc_id
+    """,
     "dp4_stratified_sample": f"""
         WITH b AS (
             SELECT doc_id, lang,

@@ -80,6 +80,18 @@ def tx7_tf_rarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx8_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter metrics: top-2-gram fraction,
+    duplicate-2-gram fraction, keep flag (operators/text.py
+    repetition_metrics)."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    return (
+        TX.repetition_metrics(docs)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "tx1_token_stats": tx1_token_stats,
     "tx2_quality_score": tx2_quality_score,
@@ -88,9 +100,37 @@ QUERIES = {
     "tx5_regex_tokens": tx5_regex_tokens,
     "tx6_rolling_hash": tx6_rolling_hash,
     "tx7_tf_rarity_topk": tx7_tf_rarity_topk,
+    "tx8_repetition": tx8_repetition,
 }
 
 ORACLES = {
+    "tx8_repetition": f"""
+        WITH g AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(words) - 1, 0) + 1),
+                       i -> words[i] || ' ' || words[i+1])) AS gram
+            FROM (SELECT doc_id, {_TOKS} AS words FROM documents)
+        ), c AS (
+            SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram
+        ), a AS (
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_grams,
+                   CAST(max(cnt) AS BIGINT) AS top_cnt,
+                   CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+                       AS dup_cnt
+            FROM c GROUP BY doc_id
+        )
+        SELECT doc_id, n_grams,
+               CAST(top_cnt AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                   AS top_gram_frac,
+               CAST(dup_cnt AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                   AS dup_gram_frac,
+               (CAST(top_cnt AS DOUBLE) / CAST(n_grams AS DOUBLE) <= 0.20
+                AND CAST(dup_cnt AS DOUBLE) / CAST(n_grams AS DOUBLE) <= 0.60)
+                   AS keep
+        FROM a ORDER BY doc_id
+    """,
     "tx7_tf_rarity_topk": f"""
         WITH terms AS (
             SELECT doc_id AS id, unnest({_TOKS}) AS term FROM documents

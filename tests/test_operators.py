@@ -252,3 +252,68 @@ def test_stratified_sample_null_stratum_uses_default_rate(spark):
     out = stratified_sample(df, "lang", {"en": 0.5}, key_col="doc_id")
     null_kept = out.filter(F.col("lang").isNull()).count()
     assert null_kept == 100  # default rate 1.0 keeps every NULL-stratum row
+
+
+def test_repetition_metrics_known_values(spark):
+    # doc 1: "a b a b a" -> 2-grams [ab, ba, ab, ba]: n=4, top=2, dup=4
+    # doc 2: all distinct grams; doc 3: single word -> no grams, dropped
+    df = docs_df(spark, [(1, "a b a b a"), (2, "w x y z"), (3, "solo")])
+    out = {r.id: r for r in TX.repetition_metrics(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_grams == 4
+    assert out[1].top_gram_frac == 0.5
+    assert out[1].dup_gram_frac == 1.0
+    assert not out[1].keep
+    assert out[2].n_grams == 3
+    assert out[2].top_gram_frac == pytest.approx(1 / 3)
+    assert out[2].dup_gram_frac == 0.0
+
+
+def test_decontaminate_prefilter_identical_results(spark):
+    from mining_data_integration_spark.pipelines import decontaminate
+
+    train = docs_df(spark, [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "one two three four five six"),
+        (3, "unrelated words entirely here now yes"),
+    ])
+    test = docs_df(spark, [
+        (100, "zz alpha beta gamma delta epsilon yy"),
+    ])
+    exact = decontaminate(train, test, n=5)
+    pre = decontaminate(train, test, n=5, prefilter_mod=64)
+    rows_e = sorted(map(tuple, exact.collect()))
+    rows_p = sorted(map(tuple, pre.collect()))
+    assert rows_e == rows_p
+    by_id = {r[0]: r for r in rows_e}
+    assert by_id[1][2] is True and by_id[1][1] == 1  # one shared 5-gram
+    assert by_id[2][2] is False and by_id[3][2] is False
+
+
+def test_temperature_sample_caps_and_determinism(spark):
+    from mining_data_integration_spark.pipelines import temperature_sample
+
+    rows = [(i, "en" if i < 90 else "fr") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, "lang", coef=2)
+    counts = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    import math
+    assert counts["en"] == math.floor(2 * math.sqrt(90))  # 18: flattened
+    assert counts["fr"] == math.floor(2 * math.sqrt(10))  # 6
+    again = temperature_sample(df, "lang", coef=2)
+    assert sorted(r.doc_id for r in out.collect()) == \
+        sorted(r.doc_id for r in again.collect())
+
+
+def test_global_shuffle_is_permutation(spark):
+    from mining_data_integration_spark.pipelines import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(97)], "doc_id long")
+    out = global_shuffle(df, seed="s1", n_shards=8).collect()
+    assert sorted(r.rank for r in out) == list(range(97))
+    for r in out:
+        assert r.shard == r.rank % 8
+        assert r.shard_pos == r.rank // 8
+    # a different seed re-deals the permutation
+    other = global_shuffle(df, seed="s2", n_shards=8).collect()
+    assert {r.doc_id: r.rank for r in out} != {r.doc_id: r.rank for r in other}
