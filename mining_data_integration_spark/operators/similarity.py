@@ -250,6 +250,67 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rk") <= k)
 
 
+def int8_quantize(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization: q_i = round-half-up(
+    x_i * 127 / max|x|). The memory-side of a quantized ANN index —
+    4x smaller than float32, integer dot products. Rounding is
+    floor(x*s + 0.5) (round-half-toward-+inf) rather than round():
+    half-even vs half-up conventions differ between engines, floor
+    does not. Elements pass through double before any arithmetic so
+    a float32 source quantizes identically everywhere."""
+    v = F.transform(vec, lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = F.lit(127.0) / maxabs
+    return F.when(
+        maxabs > 0,
+        F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5))
+                    .cast("bigint")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("bigint")))
+
+
+def idot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two bigint arrays (values ≤127 and
+    dims ≤ 2^45 keep the sum far inside int64)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   q_id_col: str = "q_id",
+                   q_vec_col: str = "q_emb") -> DataFrame:
+    """Cosine top-k over int8-quantized vectors — the quantized ANN
+    baseline (recall vs exact pinned in tests). All dot products are
+    exact integers; only the final norm division is floating, so the
+    scores are bit-reproducible across engines and the operator stays
+    oracle-checkable. Same broadcast + window shape as
+    brute_force_topk; at 100 TB the int8 corpus is what makes the
+    scan side fit in a quarter of the memory/IO."""
+    emb_q = emb.select(
+        F.col(id_col), int8_quantize(F.col(vec_col)).alias("_qv"))
+    emb_q = emb_q.withColumn("_vnorm", F.sqrt(idot(F.col("_qv"), F.col("_qv"))
+                                              .cast("double")))
+    qs = queries.select(
+        F.col(q_id_col), int8_quantize(F.col(q_vec_col)).alias("_qq"))
+    qs = qs.withColumn("_qnorm", F.sqrt(idot(F.col("_qq"), F.col("_qq"))
+                                        .cast("double")))
+    pairs = emb_q.crossJoin(F.broadcast(qs)).select(
+        F.col(q_id_col),
+        F.col(id_col),
+        (idot(F.col("_qq"), F.col("_qv")).cast("double")
+         / (F.col("_qnorm") * F.col("_vnorm"))).alias("cos_sim_q8"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.desc("cos_sim_q8"), F.col(id_col))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                              num_planes: int = 8, dim: int = 64,
                              id_col: str = "vec_id",

@@ -157,8 +157,19 @@ def sim4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       n_centroids=8, n_probe=2).orderBy("q_id", "rk")
 
 
+def sim7_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 over int8-quantized vectors (symmetric per-vector
+    scale, integer dot products — operators/similarity.quantized_topk).
+    The quantized-index ANN baseline; recall vs exact pinned in tests."""
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    return S.quantized_topk(emb, _queries_df(spark, sf_dir), k=10).orderBy(
+        "q_id", "rk"
+    )
+
+
 QUERIES = {
     "sim1_cosine_topk": sim1_cosine_topk,
+    "sim7_quantized_topk": sim7_quantized_topk,
     "sim6_scalable_topk": sim6_scalable_topk,
     "sim4_ivf_topk": sim4_ivf_topk,
     "sim5_multiprobe_lsh": sim5_multiprobe_lsh,
@@ -169,6 +180,41 @@ QUERIES = {
 # sim6 is exactness-preserving over sim1 (local top-k pre-reduce only
 # discards rows provably outside the global top-k) — same oracle
 ORACLES["sim6_scalable_topk"] = ORACLES["sim1_cosine_topk"]
+
+ORACLES["sim7_quantized_topk"] = """
+    WITH base AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings
+    ), qv AS (
+        SELECT vec_id,
+               CASE WHEN mx > 0 THEN list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx)
+                                        + 0.5) AS BIGINT))
+                    ELSE list_transform(embedding,
+                        x -> CAST(0 AS BIGINT)) END AS q
+        FROM base
+    ), n AS (
+        SELECT vec_id, q,
+               sqrt(CAST(list_sum(list_transform(range(1, len(q) + 1),
+                   i -> q[i] * q[i])) AS DOUBLE)) AS nrm
+        FROM qv
+    ), pairs AS (
+        SELECT qn.vec_id AS q_id, cn.vec_id AS vec_id,
+               CAST(list_sum(list_transform(range(1, len(qn.q) + 1),
+                   i -> qn.q[i] * cn.q[i])) AS DOUBLE)
+                   / (qn.nrm * cn.nrm) AS cos_sim_q8
+        FROM n qn JOIN n cn ON qn.vec_id < 3
+    ), ranked AS (
+        SELECT q_id, vec_id, cos_sim_q8,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim_q8 DESC, vec_id) AS rk
+        FROM pairs
+    )
+    SELECT q_id, vec_id, cos_sim_q8, rk FROM ranked WHERE rk <= 10
+    ORDER BY q_id, rk
+"""
 
 ORACLES["sim5_multiprobe_lsh"] = f"""
     WITH planes AS ({_planes_cte()}),

@@ -638,6 +638,60 @@ ORACLES = {
     """,
 }
 
+def w16_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-funnel rollup (first-touch, strict ordering): a user
+    converts view -> click -> purchase only if each stage's FIRST event
+    happens strictly after the previous stage's first event. One
+    shuffle keyed by user_id with map-side combine (the min-per-type
+    conditional aggregates), then a global one-row rollup — the shape
+    that holds on a 100 TB event log because nothing ever materializes
+    per-event state after the first aggregate."""
+    ev = t(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+        .alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("t_purchase"),
+    )
+    reached_v = F.col("t_view").isNotNull()
+    reached_c = (reached_v & F.col("t_click").isNotNull()
+                 & (F.col("t_click") > F.col("t_view")))
+    reached_p = (reached_c & F.col("t_purchase").isNotNull()
+                 & (F.col("t_purchase") > F.col("t_click")))
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        F.sum(reached_v.cast("long")).alias("n_view"),
+        F.sum(reached_c.cast("long")).alias("n_view_click"),
+        F.sum(reached_p.cast("long")).alias("n_full_funnel"),
+    )
+
+
+QUERIES["w16_funnel"] = w16_funnel
+
+ORACLES["w16_funnel"] = """
+    WITH s AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN t_view IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                         AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                         AND t_click > t_view AND t_purchase IS NOT NULL
+                         AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM s
+"""
+
 QUERIES["w11_tumbling_window"] = w11_tumbling_window
 QUERIES["w12_sliding_window"] = w12_sliding_window
 QUERIES["w13_session_window_native"] = w13_session_window_native

@@ -317,3 +317,21 @@ def test_global_shuffle_is_permutation(spark):
     # a different seed re-deals the permutation
     other = global_shuffle(df, seed="s2", n_shards=8).collect()
     assert {r.doc_id: r.rank for r in out} != {r.doc_id: r.rank for r in other}
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    from mining_data_integration_spark.io import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings") \
+        .repartition(8, "vec_id")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    exact = {(r.q_id, r.vec_id) for r in S.brute_force_topk(emb, q, k=10).collect()}
+    quant = {(r.q_id, r.vec_id) for r in S.quantized_topk(emb, q, k=10).collect()}
+    recall = len(exact & quant) / len(exact)
+    # int8 keeps ~7 significant bits per component: top-10 overlap stays high
+    assert recall >= 0.8, f"int8 quantization recall collapsed: {recall}"
+    # each query's own vector still ranks first (self-cos == 1 exactly)
+    own = {(r.q_id, r.vec_id) for r in S.quantized_topk(emb, q, k=10).collect()
+           if r.rk == 1}
+    assert own == {(i, i) for i in range(5)}
