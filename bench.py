@@ -42,6 +42,7 @@ def e1_refresh_bench(spark, n_blocks: int, cpb: int = 10) -> dict:
     E1 gold recompute and one steady-state incremental tick against
     height-bucketed bronze, on a synthetic chain of n_blocks burn
     blocks. tools/bench_e1.py is the standalone/larger-scale variant."""
+    import shutil
     import time as _time
 
     from mining_data_integration_spark import streaming
@@ -50,23 +51,37 @@ def e1_refresh_bench(spark, n_blocks: int, cpb: int = 10) -> dict:
     from mining_data_integration_spark.synthworld import (
         land_as_parquet, synth_mining_world)
 
+    # clean slate: stale gold state from a previous invocation would
+    # silently change which refresh path the timed calls take
+    for d in ("/tmp/bench_e1_bronze", "/tmp/bench_e1_bronze_commits",
+              "/tmp/bench_e1_gold_bb"):
+        shutil.rmtree(d, ignore_errors=True)
+
     tables = synth_mining_world(spark, n_blocks, cpb, n_miners=200)
     tables = land_as_parquet(tables, "/tmp/bench_e1_bronze", spark)
 
-    t0 = _time.perf_counter()
-    for df in streaming.e1_gold_tables(tables).values():
-        df.count()
-    full = round(_time.perf_counter() - t0, 2)
+    # steady state of a long-lived refresh process (the reference
+    # recomputes on a 120 s timer in one warm process, server.js:444):
+    # run twice, report the second — the first pays one-off JIT /
+    # codegen / scan-metadata costs that no periodic tick repays
+    full = None
+    for _ in range(2):
+        t0 = _time.perf_counter()
+        for df in streaming.e1_gold_tables(tables).values():
+            df.count()
+        full = round(_time.perf_counter() - t0, 2)
 
     bronze = "/tmp/bench_e1_bronze_commits"
     write_bronze_commits(tables["block_commits"], tables["snapshots"], bronze)
     tables["block_commits"] = spark.read.parquet(bronze)
     gold = "/tmp/bench_e1_gold_bb"
     incremental_refresh(spark, tables, gold, reorg_depth=10 ** 12)
-    t0 = _time.perf_counter()
-    incremental_refresh(spark, tables, gold, reorg_depth=1000)
-    tick = round(_time.perf_counter() - t0, 2)
-
+    tick = None
+    for _ in range(2):
+        t0 = _time.perf_counter()
+        r = incremental_refresh(spark, tables, gold, reorg_depth=1000)
+        tick = round(_time.perf_counter() - t0, 2)
+    assert r["mode"] == "windowed", r  # the tick must not silently go full
     return {"n_blocks": n_blocks, "commits_per_block": cpb,
             "full_refresh_sec": full, "incremental_tick_sec": tick,
             "budget_sec": 120}

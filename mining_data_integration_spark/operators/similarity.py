@@ -326,7 +326,9 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
         F.col(vec_col).alias("v"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
         norm(F.col(vec_col)).alias("nrm"),
-    ).localCheckpoint(eager=True)
+    )
+    from .dedup import materialize
+    keyed = materialize(keyed)
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))

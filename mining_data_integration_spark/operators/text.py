@@ -145,6 +145,34 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     )
 
 
+# (name, pattern, replacement) — patterns restricted to syntax with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): character
+# classes, +, bounded repeats; no lookaround, no backrefs
+PII_PATTERNS = (
+    ("emails", "[a-z0-9]+@[a-z0-9]+\\.[a-z]+", "<EMAIL>"),
+    ("phones", "[0-9]{3}-[0-9]{4}", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id",
+              patterns: tuple = PII_PATTERNS) -> DataFrame:
+    """PII redaction for a training corpus: count and replace every
+    match of each pattern (emails, phone numbers — extend the table
+    for SSNs/IPs/keys). Pure JVM regex in one projection — map-side
+    only, no shuffle, no Python at any scale; the counts make the
+    redaction auditable (sum(n_*) over the corpus = total redactions)."""
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        .cast("long").alias(f"n_{name}")
+        for name, pat, _ in patterns
+    ]
+    scrubbed = F.col(text_col)
+    for _, pat, repl in patterns:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
+
+
 def repetition_metrics(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 2,
                        max_top_frac: float = 0.20,

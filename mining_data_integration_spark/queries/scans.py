@@ -190,8 +190,38 @@ def u2_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def u3_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain tables: a CDC-style changes set
+    (updates: keys ≡ 0 mod 100 get status X and +100.00; inserts:
+    negated keys ≡ 1 mod 100) full-outer-joined into the base, each
+    row tagged insert/update/keep. One shuffle keyed by the merge key;
+    at 100 TB a Delta/Iceberg MERGE adds transactional file rewrite
+    but the dataflow — changes ⟗ base on the key, coalesce per column
+    — is exactly this."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"))
+    upd = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", F.lit("X").alias("u_status"),
+        (F.col("price") + F.lit(100).cast("decimal(18,2)"))
+        .alias("u_price"))
+    ins = o.filter(F.col("o_orderkey") % 100 == 1).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        F.lit("N").alias("u_status"), F.col("price").alias("u_price"))
+    merged = o.join(upd.unionByName(ins), "o_orderkey", "full")
+    return merged.select(
+        "o_orderkey",
+        F.coalesce("u_status", "o_orderstatus").alias("status"),
+        money(F.coalesce("u_price", "price")).alias("totalprice"),
+        F.when(F.col("o_orderstatus").isNull(), F.lit("insert"))
+        .when(F.col("u_status").isNotNull(), F.lit("update"))
+        .otherwise(F.lit("keep")).alias("action"),
+    ).orderBy("o_orderkey")
+
+
 QUERIES = {
     "s9_topk_scan": s9_topk_scan,
+    "u3_upsert": u3_upsert,
     "u2_unpivot": u2_unpivot,
     "u1_set_ops": u1_set_ops,
     "s11_filtered_scan": s11_filtered_scan,
@@ -205,6 +235,35 @@ QUERIES = {
 }
 
 ORACLES = {
+    "u3_upsert": """
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price
+            FROM orders
+        ), upd AS (
+            SELECT o_orderkey, 'X' AS u_status,
+                   price + CAST(100 AS DECIMAL(18,2)) AS u_price
+            FROM base WHERE o_orderkey % 100 = 0
+        ), ins AS (
+            SELECT -o_orderkey AS o_orderkey, 'N' AS u_status,
+                   price AS u_price
+            FROM base WHERE o_orderkey % 100 = 1
+        ), changes AS (
+            SELECT * FROM upd UNION ALL SELECT * FROM ins
+        ), m AS (
+            SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+                   b.o_orderstatus, b.price, c.u_status, c.u_price
+            FROM base b FULL JOIN changes c ON b.o_orderkey = c.o_orderkey
+        )
+        SELECT o_orderkey,
+               coalesce(u_status, o_orderstatus) AS status,
+               CAST(round(coalesce(u_price, price), 2) AS DOUBLE)
+                   AS totalprice,
+               CASE WHEN o_orderstatus IS NULL THEN 'insert'
+                    WHEN u_status IS NOT NULL THEN 'update'
+                    ELSE 'keep' END AS action
+        FROM m ORDER BY o_orderkey
+    """,
     "u1_set_ops": """
         WITH a AS (
             SELECT c_custkey AS k FROM customer

@@ -92,8 +92,37 @@ def tx8_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx9_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit: deterministic synthetic emails/phones are
+    injected (the fixture corpus has none), then operators/text.py
+    pii_scrub counts and redacts them; the scrubbed text surfaces as a
+    hash so the oracle verifies the full redacted string."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" contact user"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-0142 now"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    return (
+        TX.pii_scrub(injected)
+        .select("doc_id", "n_emails", "n_phones",
+                F.md5(F.col("scrubbed")).alias("scrub_hash"))
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "tx1_token_stats": tx1_token_stats,
+    "tx9_pii_scrub": tx9_pii_scrub,
     "tx2_quality_score": tx2_quality_score,
     "tx3_lang_id": tx3_lang_id,
     "tx4_fingerprint_shards": tx4_fingerprint_shards,
@@ -103,7 +132,31 @@ QUERIES = {
     "tx8_repetition": tx8_repetition,
 }
 
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+_INJECTED = """
+    SELECT doc_id, text ||
+        CASE WHEN doc_id % 5 = 0
+             THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com' ELSE '' END ||
+        CASE WHEN doc_id % 7 = 0
+             THEN ' call 555-0142 now' ELSE '' END AS text2
+    FROM documents
+"""
+
 ORACLES = {
+    "tx9_pii_scrub": f"""
+        WITH pii AS ({_INJECTED})
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text2, '{_EMAIL_RE}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(text2, '{_PHONE_RE}')) AS BIGINT)
+                   AS n_phones,
+               md5(regexp_replace(
+                   regexp_replace(text2, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g')) AS scrub_hash
+        FROM pii ORDER BY doc_id
+    """,
     "tx8_repetition": f"""
         WITH g AS (
             SELECT doc_id,
