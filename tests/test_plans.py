@@ -95,3 +95,37 @@ class TestPlanProperties:
         decode = plan.find("MapInPandas")
         filt = plan.find("Filter")
         assert decode != -1 and filt != -1
+
+
+class TestNewOpPlans:
+    def test_tx8_repetition_no_python_and_two_aggs(self, spark, queries):
+        # repetition metrics must stay JVM-side (explode + two hash aggs)
+        df = queries["tx8_repetition"](spark, SF)
+        assert plans.count_operator(df, "BatchEvalPython") == 0
+        assert plans.count_operator(df, "ArrowEvalPython") == 0
+        assert plans.count_operator(df, "HashAggregate") >= 2
+
+    def test_dp8_shuffle_shards_the_window(self, spark, queries):
+        # the epoch-shuffle global rank must go through the range-
+        # sharded two-phase row_number, not one single-partition window
+        # over the corpus (spark_partition_id marks the sharded path)
+        plan = plans.formatted_plan(queries["dp8_global_shuffle"](spark, SF))
+        assert "SPARK_PARTITION_ID" in plan.upper()
+
+    def test_tx9_pii_scrub_is_map_side_only(self, spark, queries):
+        # redaction is one projection over the scan: no joins, no aggs
+        df = queries["tx9_pii_scrub"](spark, SF)
+        assert plans.count_operator(df, "Join") == 0
+        assert plans.count_operator(df, "HashAggregate") == 0
+
+    def test_sim7_quantized_no_python(self, spark, queries):
+        df = queries["sim7_quantized_topk"](spark, SF)
+        assert plans.count_operator(df, "BatchEvalPython") == 0
+        assert plans.count_operator(df, "ArrowEvalPython") == 0
+
+    def test_dp6_decontaminate_single_shingle_shuffle_join(self, spark, queries):
+        # overlap must be an equi join (shuffle or broadcast picked by
+        # AQE at this size), never a nested loop over shingle pairs
+        plan = plans.formatted_plan(queries["dp6_decontaminate"](spark, SF))
+        assert "NestedLoop" not in plan
+        assert "CartesianProduct" not in plan
