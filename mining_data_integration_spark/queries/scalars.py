@@ -159,7 +159,40 @@ def a17_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+_Z_BITS = 8
+
+
+def x15_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key over two bucketized dimensions
+    (customer, order-date day) — the multi-dimensional data-layout key
+    (operators/layout.py). Pure shift/mask integer arithmetic; the
+    layout benefit (every file a bounded box in BOTH dims) is pinned
+    in tests/test_layout.py."""
+    from ..operators.layout import zorder_key
+
+    o = t(spark, sf_dir, "orders")
+    x = F.pmod(F.col("o_custkey"), F.lit(1 << _Z_BITS)).cast("bigint")
+    y = F.pmod(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")),
+        F.lit(1 << _Z_BITS)).cast("bigint")
+    return o.select(
+        "o_orderkey",
+        x.alias("xb"),
+        y.alias("yb"),
+        zorder_key(x, y, _Z_BITS).alias("zkey"),
+    ).orderBy("o_orderkey")
+
+
+def _z_sql(xe: str, ye: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({xe}) // {2 ** i} % 2) * {4 ** i}")
+        terms.append(f"(({ye}) // {2 ** i} % 2) * {2 * 4 ** i}")
+    return " + ".join(terms)
+
+
 QUERIES = {
+    "x15_zorder_key": x15_zorder_key,
     "x7_json_extract": x7_json_extract,
     "x8_string_ops": x8_string_ops,
     "x12_rate_of_return": x12_rate_of_return,
@@ -169,6 +202,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "x15_zorder_key": f"""
+        WITH b AS (
+            SELECT o_orderkey,
+                   o_custkey % {1 << _Z_BITS} AS xb,
+                   datediff('day', DATE '1992-01-01', o_orderdate)
+                       % {1 << _Z_BITS} AS yb
+            FROM orders
+        )
+        SELECT o_orderkey, CAST(xb AS BIGINT) AS xb, CAST(yb AS BIGINT) AS yb,
+               CAST({_z_sql('xb', 'yb', _Z_BITS)} AS BIGINT) AS zkey
+        FROM b ORDER BY o_orderkey
+    """,
     "x14_higher_order_arrays": """
         WITH per_order AS (
             SELECT l_orderkey,
