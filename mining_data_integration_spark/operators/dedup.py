@@ -267,3 +267,51 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def edit_distance_nn(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", prefix_len: int = 4,
+                     len_bucket: int = 64) -> DataFrame:
+    """Blocked fuzzy nearest neighbor by Levenshtein edit distance:
+    for each document, the closest OTHER document inside its block,
+    where a block is (normalized-text prefix, length bucket). The
+    classic record-linkage blocking trick: candidate pairs exist only
+    within a block, so the self-join is an equi-join on the block key
+    (one shuffle, no all-pairs product) and the O(len^2) distance DP
+    runs on block-local pairs only. Both blocking dimensions are
+    necessary conditions for small edit distance ONLY heuristically
+    (an edit in the first prefix_len chars moves a doc between
+    blocks) — the standard recall/cost trade; widen with multiple
+    passes (different prefixes) when recall matters more.
+
+    At 100 TB: the block key is the shuffle key — a length bucket plus
+    a short prefix keeps buckets bounded and uniformly spread for
+    natural-language corpora (first words follow Zipf but the length
+    dimension splits heavy prefixes). For production use cap the DP
+    with levenshtein's threshold argument (Spark >= 3.5) so non-dup
+    pairs exit early; left plain here because the DuckDB oracle has no
+    threshold form.
+    """
+    norm = normalize_text(F.col(text_col))
+    keyed = df.select(F.col(id_col).alias("id"), norm.alias("norm")).withColumn(
+        "block",
+        F.concat_ws(
+            "|",
+            F.substring("norm", 1, prefix_len),
+            (F.length("norm") / len_bucket).cast("long").cast("string"),
+        ),
+    )
+    a = keyed.select(F.col("id").alias("id1"), F.col("norm").alias("n1"), "block")
+    b = keyed.select(F.col("id").alias("id2"), F.col("norm").alias("n2"), "block")
+    pairs = (
+        a.join(b, "block")
+        .filter(F.col("id1") != F.col("id2"))
+        .select("id1", "id2", F.levenshtein("n1", "n2").alias("dist"))
+    )
+    w = Window.partitionBy("id1").orderBy("dist", "id2")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("id1").alias("doc_id"), F.col("id2").alias("nn_id"),
+                F.col("dist").cast("long").alias("dist"))
+    )

@@ -262,7 +262,35 @@ def a16_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HIST_STEP = 25_000
+_HIST_TOP = 19
+
+
+def a19_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: bucket index by integer
+    division, clamped into [0, 19] so the tail lands in one overflow
+    bin. One map-side-combinable hash aggregate — the binning column is
+    pure arithmetic, so at scale this is a single shuffle of at most
+    20 rows per map task (the classic distributed-histogram shape;
+    floor/least on IEEE doubles is bit-identical across engines)."""
+    o = t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / _HIST_STEP), F.lit(_HIST_TOP)
+    ).cast("long")
+    return (
+        o.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"),
+             money(dec_sum("o_totalprice")).alias("sum_price"))
+        .withColumn("lo_edge",
+                    (F.col("bucket") * _HIST_STEP).cast("double"))
+        .select("bucket", "lo_edge", "n_orders", "sum_price")
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
+    "a19_histogram": a19_histogram,
     "a1_pricing_summary": a1_pricing_summary,
     "a14_percentiles": a14_percentiles,
     "a15_salted_group_agg": a15_salted_group_agg,
@@ -278,6 +306,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "a19_histogram": f"""
+        SELECT CAST(least(floor(o_totalprice / {_HIST_STEP}), {_HIST_TOP})
+                    AS BIGINT) AS bucket,
+               CAST(least(floor(o_totalprice / {_HIST_STEP}), {_HIST_TOP})
+                    * {_HIST_STEP} AS DOUBLE) AS lo_edge,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY 1, 2 ORDER BY bucket
+    """,
     "a15_salted_group_agg": """
         SELECT l_returnflag, count(*) AS n_items,
                CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,

@@ -148,7 +148,15 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dd7_edit_distance_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy NN: per doc, the closest other doc in its
+    (prefix, length-bucket) block by Levenshtein distance."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    return D.edit_distance_nn(docs, prefix_len=4, len_bucket=64).orderBy("doc_id")
+
+
 QUERIES = {
+    "dd7_edit_distance_nn": dd7_edit_distance_nn,
     "dd1_exact_dedup": dd1_exact_dedup,
     "dd2_ngram_jaccard": dd2_ngram_jaccard,
     "dd3_minhash_lsh": dd3_minhash_lsh,
@@ -158,6 +166,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dd7_edit_distance_nn": f"""
+        WITH k AS (
+            SELECT doc_id AS id, norm,
+                   substring(norm, 1, 4) || '|'
+                       || CAST(len(norm) // 64 AS VARCHAR) AS block
+            FROM (SELECT doc_id, {_NORM} AS norm FROM documents)
+        ),
+        pairs AS (
+            SELECT a.id AS id1, b.id AS id2,
+                   levenshtein(a.norm, b.norm) AS dist
+            FROM k a JOIN k b ON a.block = b.block AND a.id <> b.id
+        ),
+        ranked AS (
+            SELECT id1, id2, dist,
+                   row_number() OVER (PARTITION BY id1
+                                      ORDER BY dist, id2) AS rn
+            FROM pairs
+        )
+        SELECT id1 AS doc_id, id2 AS nn_id, CAST(dist AS BIGINT) AS dist
+        FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
     "dd1_exact_dedup": f"""
         SELECT md5({_NORM}) AS content_hash,
                min(doc_id) AS keep_id,

@@ -358,7 +358,89 @@ def j15_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_M = 256   # filter bits
+_BLOOM_W = 32    # bits per mask word (avoids the sign bit in both engines)
+
+
+def _bloom_positions(col: F.Column) -> list[F.Column]:
+    """Two bit positions in [0, M) from independent 32-bit segments of
+    md5(key) — the same portable hex->int trick the dedup oracles use."""
+    h = F.md5(col.cast("string"))
+    return [
+        F.pmod(
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("bigint"),
+            F.lit(_BLOOM_M))
+        for i in range(2)
+    ]
+
+
+def j17_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime-pruned semi-join: build a tiny bitmap over
+    the dimension keys (suppliers in every 5th nation), broadcast it,
+    and test the fact side (lineitem) against it BEFORE the real join —
+    the explicit form of Spark's runtime row-level filtering
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) and of the
+    reference's build-then-probe hash joins (rpc.js:80-84).
+
+    At 100 TB this is the pattern that saves the shuffle: the bitmap is
+    O(bits) regardless of fact size, ships to every executor, and drops
+    non-matching fact rows at the scan, so only ~selectivity x fact
+    rows reach the join shuffle. Output checks the contract: zero
+    false negatives, and the measured false-positive rate.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    keys = (t(spark, sf_dir, "supplier")
+            .filter(F.col("s_nationkey") % 5 == 0).select("s_suppkey"))
+
+    kp = keys.select(
+        F.explode(F.array(*_bloom_positions(F.col("s_suppkey")))).alias("p"))
+    words = (
+        kp.select(
+            (F.col("p") / _BLOOM_W).cast("long").alias("w"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                   f"CAST(p % {_BLOOM_W} AS INT))").alias("bit"))
+        .groupBy("w").agg(F.bit_or("bit").alias("mask"))
+    )
+
+    p1, p2 = _bloom_positions(F.col("l_suppkey"))
+    probe = (
+        li.select(F.col("l_suppkey"), p1.alias("p1"), p2.alias("p2"))
+        .withColumn("w1", (F.col("p1") / _BLOOM_W).cast("long"))
+        .withColumn("w2", (F.col("p2") / _BLOOM_W).cast("long"))
+    )
+    tested = (
+        probe
+        .join(F.broadcast(words.select(F.col("w").alias("w1"),
+                                       F.col("mask").alias("m1"))),
+              "w1", "left")
+        .join(F.broadcast(words.select(F.col("w").alias("w2"),
+                                       F.col("mask").alias("m2"))),
+              "w2", "left")
+        .withColumn("m1", F.coalesce("m1", F.lit(0).cast("bigint")))
+        .withColumn("m2", F.coalesce("m2", F.lit(0).cast("bigint")))
+    )
+    bit = (f"shiftright(m{{i}}, CAST(p{{i}} % {_BLOOM_W} AS INT)) & 1 = 1")
+    passed = F.expr(bit.format(i=1)) & F.expr(bit.format(i=2))
+    flagged = (
+        tested
+        .join(F.broadcast(keys.select(F.col("s_suppkey").alias("k"))),
+              F.col("l_suppkey") == F.col("k"), "left")
+        .select(passed.alias("pass"), F.col("k").isNotNull().alias("member"))
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return flagged.agg(
+        F.count("*").alias("n_probed"),
+        one(F.col("pass")).alias("bloom_passes"),
+        one(F.col("member")).alias("true_matches"),
+        one(F.col("member") & ~F.col("pass")).alias("false_negatives"),
+        F.round(
+            one(F.col("pass") & ~F.col("member")).cast("double")
+            / (F.count("*") - one(F.col("member"))), 4).alias("fp_rate"),
+    )
+
+
 QUERIES = {
+    "j17_bloom_prune": j17_bloom_prune,
     "j1_equi_join_chain": j1_equi_join_chain,
     "j9_chain_walk": j9_chain_walk,
     "j2_group_join": j2_group_join,
@@ -374,7 +456,62 @@ QUERIES = {
     "j16_recursive_cte_walk": j16_recursive_cte_walk,
 }
 
+def _hex_val_sql(pos: int) -> str:
+    """DuckDB: int value of md5 hex chars [pos, pos+8) of column h."""
+    digit = "(strpos('0123456789abcdef', substring(h, {p}, 1)) - 1)"
+    return " + ".join(
+        digit.format(p=pos + j) + f" * {16 ** (7 - j)}" for j in range(8))
+
+
+def _bloom_sql() -> str:
+    m, w = _BLOOM_M, _BLOOM_W
+    seg = [f"CAST({_hex_val_sql(1)} AS BIGINT) % {m}",
+           f"CAST({_hex_val_sql(9)} AS BIGINT) % {m}"]
+    return f"""
+        WITH keys AS (
+            SELECT s_suppkey FROM supplier WHERE s_nationkey % 5 = 0
+        ), kh AS (
+            SELECT md5(CAST(s_suppkey AS VARCHAR)) AS h FROM keys
+        ), kp AS (
+            SELECT unnest([{seg[0]}, {seg[1]}]) AS p FROM kh
+        ), words AS (
+            SELECT p // {w} AS w,
+                   bit_or(1::BIGINT << CAST(p % {w} AS INT)) AS mask
+            FROM kp GROUP BY p // {w}
+        ), ph AS (
+            SELECT l_suppkey, md5(CAST(l_suppkey AS VARCHAR)) AS h
+            FROM lineitem
+        ), probe AS (
+            SELECT l_suppkey, {seg[0]} AS p1, {seg[1]} AS p2 FROM ph
+        ), tested AS (
+            SELECT l_suppkey, p1, p2,
+                   coalesce(w1.mask, 0) AS m1, coalesce(w2.mask, 0) AS m2
+            FROM probe
+            LEFT JOIN words w1 ON p1 // {w} = w1.w
+            LEFT JOIN words w2 ON p2 // {w} = w2.w
+        ), flags AS (
+            SELECT ((m1 >> CAST(p1 % {w} AS INT)) & 1 = 1)
+                       AND ((m2 >> CAST(p2 % {w} AS INT)) & 1 = 1) AS pass,
+                   l_suppkey IN (SELECT s_suppkey FROM keys) AS member
+            FROM tested
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_probed,
+               CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+                   AS bloom_passes,
+               CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+                   AS true_matches,
+               CAST(sum(CASE WHEN member AND NOT pass THEN 1 ELSE 0 END)
+                    AS BIGINT) AS false_negatives,
+               round(CAST(sum(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+                     / (count(*) - sum(CASE WHEN member THEN 1 ELSE 0 END)),
+                     4) AS fp_rate
+        FROM flags
+    """
+
+
 ORACLES = {
+    "j17_bloom_prune": _bloom_sql(),
     "j14_band_join": """
         WITH p AS (
             SELECT user_id, event_id AS purchase_id,

@@ -335,3 +335,30 @@ def test_quantized_topk_recall_vs_exact(spark):
     own = {(r.q_id, r.vec_id) for r in S.quantized_topk(emb, q, k=10).collect()
            if r.rk == 1}
     assert own == {(i, i) for i in range(5)}
+
+
+class TestEditDistanceNN:
+    def test_known_neighbors(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the dog"),
+            (2, "the quick brown fox jumps over the dogs"),   # 1 edit from 1
+            (3, "the quick brown cat sleeps under a tree"),   # same block, far
+            (4, "zebra stripes pattern"),                     # lone block
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        from mining_data_integration_spark.operators.dedup import (
+            edit_distance_nn)
+        out = {r.doc_id: (r.nn_id, r.dist)
+               for r in edit_distance_nn(docs, prefix_len=4,
+                                         len_bucket=64).collect()}
+        assert out[1] == (2, 1)
+        assert out[2] == (1, 1)
+        assert out[3][1] > 5            # nearest is still far
+        assert 4 not in out             # no block-mate -> no row
+
+    def test_bloom_has_no_false_negatives(self, spark):
+        import __spark_entry__ as e
+        row = e.queries()["j17_bloom_prune"](
+            spark, "/root/testdata/sf0.001").collect()[0]
+        assert row.false_negatives == 0
+        assert row.bloom_passes >= row.true_matches

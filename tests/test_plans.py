@@ -129,3 +129,26 @@ class TestNewOpPlans:
         plan = plans.formatted_plan(queries["dp6_decontaminate"](spark, SF))
         assert "NestedLoop" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_dd7_edit_distance_is_blocked_equi_join(self, spark, queries):
+        # the levenshtein self-join must ride the block equi-key, never
+        # a cartesian product, and stay JVM-side (levenshtein builtin)
+        df = queries["dd7_edit_distance_nn"](spark, SF)
+        plan = plans.formatted_plan(df)
+        assert "NestedLoop" not in plan
+        assert "CartesianProduct" not in plan
+        assert plans.count_operator(df, "BatchEvalPython") == 0
+
+    def test_j17_bloom_filter_broadcasts_not_shuffles(self, spark, queries):
+        # the bitmap words and the key set are broadcast; the fact side
+        # must reach the bloom test without a fact-sized shuffle join
+        df = queries["j17_bloom_prune"](spark, SF)
+        assert plans.has_broadcast_join(df)
+        assert plans.count_operator(df, "SortMergeJoin") == 0
+
+    def test_a19_histogram_partial_aggregates(self, spark, queries):
+        # binning must map-side combine: two HashAggregates (partial +
+        # final), no join, no window
+        df = queries["a19_histogram"](spark, SF)
+        assert plans.count_operator(df, "HashAggregate") >= 2
+        assert plans.count_operator(df, "Join") == 0
