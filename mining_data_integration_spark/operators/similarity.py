@@ -341,3 +341,46 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def rp_signs(dims: int, out_dims: int) -> list[list[int]]:
+    """Deterministic Rademacher ±1 sign matrix from md5 — the seed IS
+    the string, so any engine (or a later rerun on new hardware)
+    reproduces the identical projection without shipping a matrix."""
+    import hashlib
+
+    return [
+        [1 if hashlib.md5(f"rp|{i}|{j}".encode()).digest()[0] % 2 == 0
+         else -1 for i in range(dims)]
+        for j in range(out_dims)
+    ]
+
+
+def random_projection(emb: DataFrame, dims: int = 64, out_dims: int = 8,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Johnson-Lindenstrauss random projection over int8-quantized
+    vectors: y_j = Σ_i s_ij · q_i with s ∈ {±1} (Achlioptas 2003 —
+    database-friendly random projections; ±1 entries preserve pairwise
+    distances within (1±ε) like Gaussian ones). The ANN scale path for
+    wide embeddings: project 768-d float32 to a few dozen exact-integer
+    dims BEFORE bucketing/LSH, shrinking shuffle and index width ~20×
+    while keeping neighbor order approximately intact (recall pinned
+    in tests).
+
+    Everything is exact integer arithmetic (|y_j| ≤ 127·dims), so the
+    operator is bit-reproducible and oracle-checkable — no float-sum
+    order dependence. Pure map-side projection: no shuffle, whole-stage
+    codegen, the sign matrix folds into the plan as literals."""
+    qv = int8_quantize(F.col(vec_col))
+    df = emb.select(F.col(id_col), qv.alias("_q"))
+    cols = []
+    for j, signs in enumerate(rp_signs(dims, out_dims)):
+        arr = F.array(*[F.lit(s) for s in signs])
+        y = F.aggregate(
+            F.zip_with(F.col("_q"), arr, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        cols.append(y.alias(f"proj_{j}"))
+    return df.select(id_col, *cols)

@@ -167,7 +167,19 @@ def sim7_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim8_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection (64 -> 8 exact-integer dims over the int8
+    quantization) — the width-reduction step ahead of LSH/IVF at
+    scale. Map-side only; the JL norm-preservation expectation and
+    scale invariance are pinned in tests (neighbor *recall* is not —
+    the fixture embeddings are near-orthogonal noise, where no 8-dim
+    sketch preserves rank order)."""
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    return S.random_projection(emb, dims=64, out_dims=8).orderBy("vec_id")
+
+
 QUERIES = {
+    "sim8_random_projection": sim8_random_projection,
     "sim1_cosine_topk": sim1_cosine_topk,
     "sim7_quantized_topk": sim7_quantized_topk,
     "sim6_scalable_topk": sim6_scalable_topk,
@@ -242,3 +254,38 @@ ORACLES["sim5_multiprobe_lsh"] = f"""
     SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= 5
     ORDER BY q_id, rk
 """
+
+
+def _rp_sql(dims: int = 64, out_dims: int = 8) -> str:
+    """DuckDB mirror of operators.similarity.random_projection: the
+    identical int8 quantization (sim7's fragment) then per-output-dim
+    signed integer sums from the same md5-seeded sign matrix."""
+    from ..operators.similarity import rp_signs
+
+    projs = []
+    for j, signs in enumerate(rp_signs(dims, out_dims)):
+        terms = " ".join(
+            ("+" if s == 1 else "-") + f" q[{i + 1}]"
+            for i, s in enumerate(signs))
+        projs.append(f"CAST(0 {terms} AS BIGINT) AS proj_{j}")
+    return f"""
+        WITH base AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS mx
+            FROM embeddings
+        ), qv AS (
+            SELECT vec_id,
+                   CASE WHEN mx > 0 THEN list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx)
+                                            + 0.5) AS BIGINT))
+                        ELSE list_transform(embedding,
+                            x -> CAST(0 AS BIGINT)) END AS q
+            FROM qv_src
+        )
+        SELECT vec_id, {', '.join(projs)}
+        FROM qv ORDER BY vec_id
+    """.replace("FROM qv_src", "FROM base")
+
+
+ORACLES["sim8_random_projection"] = _rp_sql(64, 8)

@@ -362,3 +362,39 @@ class TestEditDistanceNN:
             spark, "/root/testdata/sf0.001").collect()[0]
         assert row.false_negatives == 0
         assert row.bloom_passes >= row.true_matches
+
+
+class TestRandomProjection:
+    def test_jl_norm_preservation_in_expectation(self, spark):
+        """E[||Sq||^2] = out_dims * ||q||^2 for Rademacher S; the mean
+        ratio over 500 vectors concentrates hard around 1."""
+        from mining_data_integration_spark.operators.similarity import (
+            idot, int8_quantize, random_projection)
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        proj = random_projection(emb, dims=64, out_dims=8)
+        pn = sum(F.col(f"proj_{j}") * F.col(f"proj_{j}") for j in range(8))
+        qn = emb.select(
+            "vec_id",
+            idot(int8_quantize(F.col("embedding")),
+                 int8_quantize(F.col("embedding"))).alias("qn"))
+        ratio = (proj.select("vec_id", pn.alias("pn")).join(qn, "vec_id")
+                 .agg(F.avg(F.col("pn") / (8 * F.col("qn")))).collect()[0][0])
+        assert 0.85 < ratio < 1.15, ratio
+
+    def test_scale_invariance(self, spark):
+        """Per-vector quantization makes the projection invariant to
+        positive rescaling — a scaled copy projects identically."""
+        from mining_data_integration_spark.operators.similarity import (
+            random_projection)
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet").limit(20)
+        scaled = emb.select(
+            "vec_id", F.transform("embedding", lambda x: x * 7.5)
+            .alias("embedding"))
+        a = random_projection(emb, 64, 8).collect()
+        b = random_projection(scaled, 64, 8).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))

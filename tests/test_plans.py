@@ -152,3 +152,12 @@ class TestNewOpPlans:
         df = queries["a19_histogram"](spark, SF)
         assert plans.count_operator(df, "HashAggregate") >= 2
         assert plans.count_operator(df, "Join") == 0
+
+    def test_sim8_projection_is_map_side_jvm(self, spark, queries):
+        # the projection must be shuffle-free column math: no joins,
+        # no aggregates, no Python eval (signs fold in as literals)
+        df = queries["sim8_random_projection"](spark, SF)
+        assert plans.count_operator(df, "Join") == 0
+        assert plans.count_operator(df, "HashAggregate") == 0
+        assert plans.count_operator(df, "BatchEvalPython") == 0
+        assert plans.count_operator(df, "ArrowEvalPython") == 0
