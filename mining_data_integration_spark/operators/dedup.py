@@ -247,26 +247,32 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     differing bits in one half is found; a full system uses 4+ bands),
     verified by exact Hamming distance via bit_count(xor)."""
     s = materialize(simhash(df, text_col, id_col))
-    halves = s.select(
+    # band-stack the halves so candidates come from an EQUI join on
+    # (band, value) — an OR of two equalities would plan as a
+    # BroadcastNestedLoopJoin (all-pairs at scale); stacking turns it
+    # into one hash shuffle, same as the MinHash band join
+    stacked = s.select(
         "id", "simhash",
-        (F.col("simhash") % F.lit(65536)).alias("lo"),
-        F.shiftright(F.col("simhash"), 16).alias("hi"),
+        F.explode(F.array(
+            F.concat_ws(":", F.lit("lo"),
+                        (F.col("simhash") % F.lit(65536)).cast("string")),
+            F.concat_ws(":", F.lit("hi"),
+                        F.shiftright(F.col("simhash"), 16).cast("string")),
+        )).alias("band"),
     )
-    a, b = halves.alias("a"), halves.alias("b")
-    cand = a.join(
-        b,
-        ((F.col("a.lo") == F.col("b.lo")) | (F.col("a.hi") == F.col("b.hi")))
-        & (F.col("a.id") < F.col("b.id")),
-    )
-    return (
-        cand.select(
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
             F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair may collide on both halves
     )
+    return cand.filter(F.col("hamming") <= max_hamming)
 
 
 def edit_distance_nn(df: DataFrame, text_col: str = "text",

@@ -161,3 +161,10 @@ class TestNewOpPlans:
         assert plans.count_operator(df, "HashAggregate") == 0
         assert plans.count_operator(df, "BatchEvalPython") == 0
         assert plans.count_operator(df, "ArrowEvalPython") == 0
+
+    def test_dd5_simhash_candidates_equi_not_nested_loop(self, spark, queries):
+        # the half-collision OR condition must be band-stacked into an
+        # equi join; BNLJ here would be all-pairs at scale
+        plan = plans.formatted_plan(queries["dd5_simhash_near_dups"](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan

@@ -1,0 +1,125 @@
+"""Physical-plan audit across the whole query inventory.
+
+For every `queries()` entry, builds the DataFrame at a small sf and
+scans the formatted physical plan for scale red flags:
+
+* `CartesianProduct` / `BroadcastNestedLoopJoin` — an inequality or
+  accidental cross join that explodes at scale.
+* `BatchEvalPython` — row-at-a-time Python in the plan (the slow path;
+  Arrow variants are allowed only where listed).
+* `ArrowEvalPython` / `MapInPandas` / `FlatMapGroupsInPandas` — Python
+  boundaries; allowed only in the queries whose operator IS a Python
+  stage (multimodal decode, crypto codecs, Arrow pre-reduce).
+* `Exchange SinglePartition` — a global single-partition shuffle;
+  allowed only where the flowing rows are provably bounded (final
+  top-k of k rows, per-shard summary tables, single-row aggregates).
+
+Queries may carry a whitelist entry with the justification; an
+un-whitelisted flag fails the audit (exit 1). Run:
+
+    python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+# flag -> {query: reason} exceptions
+ALLOWED: dict[str, dict[str, str]] = {
+    "BroadcastNestedLoopJoin": {
+        # a BNLJ whose build side is O(1) rows IS the right plan —
+        # these are scalar/tiny-set broadcast enrichments, not joins
+        "j10_scalar_enrichment": "1-row price/gas scalars (J10 semantics)",
+        "f8_prefix_until_sentinel": "1-row sentinel cut position",
+        "w4_forward_fill": "1-row global tip for the spine bound",
+        "e2_burn_fee_area": "1-row global tip for the spine bound",
+        "tx7_tf_rarity_topk": "1-row corpus total for rarity weights",
+        "sim1_cosine_topk": "3-row query-vector set broadcast (the "
+                            "standard ANN probe pattern)",
+        "sim6_scalable_topk": "3-row query-vector set broadcast",
+        "sim7_quantized_topk": "3-row query-vector set broadcast",
+    },
+    "ArrowEvalPython": {
+        "j8_computed_key_join": "sha512/256 key: Arrow-batched codec in a "
+                                "final projection (O-R3 placement)",
+        "j9_chain_walk": "c32 address codec on the final result rows",
+        "mm1_feature_extract": "binary decode IS the operator",
+    },
+    "MapInPandas": {
+        "mm1_feature_extract": "binary decode IS the operator",
+        "mm2_frame_sample": "1->N frame fan-out IS the operator",
+        "mm3_resize_plan": "thumbnail resize IS the operator",
+        "sim6_scalable_topk": "partition-local Arrow top-k pre-reduce",
+    },
+    "Exchange SinglePartition": {
+        # bounded-row global sorts/windows: the rows reaching the
+        # single partition are O(k), O(groups) or O(shards), never O(n)
+        "o3_argmax": "single max row",
+        "s12_filtered_top1": "top-1",
+        "f8_prefix_until_sentinel": "top-10 prefix scan",
+        "s9_topk_scan": "top-10",
+        "a8_global_scaled_sum": "single-row global aggregate",
+        "j17_bloom_prune": "single-row stats aggregate",
+        "w14_scalable_cumsum": "per-shard offset table (O(shards) rows)",
+        "o6_tail_slice": "per-shard offset table (O(shards) rows)",
+        "o7_offset_pagination": "per-shard offset table (O(shards) rows)",
+        "o8_range_slice": "per-shard offset table (O(shards) rows)",
+        "dp5_sequence_pack": "per-shard token-cumsum offsets (O(shards))",
+        "dp8_global_shuffle": "per-shard offset table (O(shards) rows)",
+        "w15_range_frame": "single-key demo series (bounded fixture); "
+                           "partitioned variant is w2/w16",
+        "w6_lag_delta": "height-ordered chain delta — the reference's "
+                        "global-order semantics (A2); bounded by chain "
+                        "length, segmented engine covers the scale path",
+        "e2_burn_fee_area": "trailing-1000 slice upstream bounds rows",
+        "w1_trailing_mean": "trailing-20 slice",
+        "w3_keep_last": "trailing slice upstream",
+        "w4_forward_fill": "trailing-1000 spine",
+        "tx7_tf_rarity_topk": "global rarity ranking over the distinct-"
+                              "term table (vocab-bounded, not corpus)",
+        "u2_unpivot": "tiny unpivoted summary",
+        "dp7_temperature_sample": "per-stratum cap table (O(strata))",
+    },
+}
+
+
+def main() -> int:
+    import __spark_entry__ as e
+    from mining_data_integration_spark import plans
+    from mining_data_integration_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    flags_to_check = [
+        "CartesianProduct", "BroadcastNestedLoopJoin",
+        "BatchEvalPython", "ArrowEvalPython",
+        "MapInPandas", "FlatMapGroupsInPandas",
+        "Exchange SinglePartition",
+    ]
+    failures = []
+    for name, fn in sorted(e.queries().items()):
+        try:
+            plan = plans.formatted_plan(fn(spark, SF_DIR))
+        except Exception as ex:
+            print(f"ERROR {name}: {ex}")
+            failures.append(name)
+            continue
+        hits = [f for f in flags_to_check if f in plan]
+        bad = [f for f in hits if name not in ALLOWED.get(f, {})]
+        status = "FAIL" if bad else ("ok*" if hits else "ok")
+        note = "; ".join(
+            f"{f} ({ALLOWED[f][name]})" if name in ALLOWED.get(f, {}) else f
+            for f in hits)
+        print(f"{status:4} {name}" + (f": {note}" if note else ""))
+        if bad:
+            failures.append(name)
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
