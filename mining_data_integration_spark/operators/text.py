@@ -245,3 +245,71 @@ def tf_rarity_topk(df: DataFrame, text_col: str = "text",
         .filter(F.col("rk") <= k)
         .select("id", "term", "tf", "df", "score", "rk")
     )
+
+
+def boilerplate_scrub(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      min_df: int = 5) -> DataFrame:
+    """C4-style boilerplate span removal: word n-grams appearing in >=
+    min_df distinct documents are boilerplate (navigation chrome,
+    license footers, cookie banners); every token position covered by
+    a boilerplate gram occurrence is dropped and the document is
+    reassembled from the surviving tokens in order.
+
+    Shuffle shape at 100 TB: document frequency is one combinable
+    aggregate keyed by gram (count-distinct over doc ids); the
+    boilerplate set is tiny relative to the corpus (df >= min_df caps
+    its cardinality at total_grams / min_df) so the flagging join
+    broadcasts under AQE; covered-position explosion is bounded by n x
+    gram occurrences; reassembly is one groupBy(doc) with the order
+    carried in the rows (no global sort). The frequent grams are
+    exactly the keys a skew-naive design would hot-spot on — here they
+    only ever appear on the BUILD side of the flagging join, never as
+    a shuffle key of the big side.
+
+    Output: (doc_id, n_tokens, n_kept, cleaned_hash) — the hash stands
+    in for the cleaned text so the row stays narrow; swap the final
+    projection to emit the text itself in a real pipeline."""
+    from .dedup import gram_array, normalize_text
+
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col).alias("id"), words.alias("words"))
+
+    grams = base.select(
+        "id", F.posexplode(gram_array(F.col("words"), n))
+    ).withColumnRenamed("pos", "gpos").withColumnRenamed("col", "gram")
+    boiler = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("gram")
+    )
+    covered = (
+        grams.join(boiler, "gram")
+        .select("id", F.explode(
+            F.sequence(F.col("gpos"), F.col("gpos") + F.lit(n - 1))
+        ).alias("pos"))
+        .distinct()
+    )
+    toks = base.selectExpr("id", "posexplode(words) AS (pos, word)")
+    kept = toks.join(covered, ["id", "pos"], "left_anti")
+    cleaned = (
+        kept.groupBy("id")
+        .agg(F.count("*").alias("n_kept"),
+             F.array_sort(F.collect_list(F.struct("pos", "word"))).alias("a"))
+        .select("id", "n_kept",
+                F.concat_ws(" ", F.expr("transform(a, x -> x.word)"))
+                .alias("cleaned"))
+    )
+    return (
+        base.select("id", F.size("words").alias("n_tokens"))
+        .join(cleaned, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
+            .alias("n_kept"),
+            F.md5(F.coalesce(F.col("cleaned"), F.lit("")))
+            .alias("cleaned_hash"),
+        )
+    )

@@ -120,7 +120,15 @@ def tx9_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx10_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate n-gram removal: 3-grams in >= 5 docs are
+    boilerplate; covered token positions drop, docs reassemble."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    return TX.boilerplate_scrub(docs, n=3, min_df=5).orderBy("doc_id")
+
+
 QUERIES = {
+    "tx10_boilerplate": tx10_boilerplate,
     "tx1_token_stats": tx1_token_stats,
     "tx9_pii_scrub": tx9_pii_scrub,
     "tx2_quality_score": tx2_quality_score,
@@ -145,6 +153,46 @@ _INJECTED = """
 """
 
 ORACLES = {
+    "tx10_boilerplate": f"""
+        WITH w AS (
+            SELECT doc_id, {_TOKS} AS words FROM documents
+        ), g AS (
+            SELECT doc_id, u['gpos'] AS gpos, u['gram'] AS gram
+            FROM (SELECT doc_id, unnest(list_transform(
+                      range(1, greatest(len(words) - 2, 0) + 1),
+                      i -> {{'gpos': i - 1,
+                            'gram': words[i] || ' ' || words[i+1]
+                                    || ' ' || words[i+2]}})) AS u
+                  FROM w)
+        ), boiler AS (
+            SELECT gram FROM g GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= 5
+        ), covered AS (
+            SELECT DISTINCT doc_id, gpos + k AS pos
+            FROM g JOIN boiler USING (gram),
+                 (SELECT unnest([0, 1, 2]) AS k)
+        ), toks AS (
+            SELECT doc_id, u['pos'] AS pos, u['word'] AS word
+            FROM (SELECT doc_id, unnest(list_transform(
+                      range(1, len(words) + 1),
+                      i -> {{'pos': i - 1, 'word': words[i]}})) AS u
+                  FROM w)
+        ), kept AS (
+            SELECT t.doc_id, t.pos, t.word
+            FROM toks t ANTI JOIN covered c
+              ON t.doc_id = c.doc_id AND t.pos = c.pos
+        ), cleaned AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(word, ' ' ORDER BY pos) AS cleaned
+            FROM kept GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               CAST(len(w.words) AS BIGINT) AS n_tokens,
+               CAST(coalesce(c.n_kept, 0) AS BIGINT) AS n_kept,
+               md5(coalesce(c.cleaned, '')) AS cleaned_hash
+        FROM w LEFT JOIN cleaned c ON w.doc_id = c.doc_id
+        ORDER BY w.doc_id
+    """,
     "tx9_pii_scrub": f"""
         WITH pii AS ({_INJECTED})
         SELECT doc_id,

@@ -398,3 +398,40 @@ class TestRandomProjection:
         a = random_projection(emb, 64, 8).collect()
         b = random_projection(scaled, 64, 8).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestBoilerplateScrub:
+    def test_planted_boilerplate_removed(self, spark):
+        from mining_data_integration_spark.operators.text import (
+            boilerplate_scrub)
+        chrome = "accept all cookies"
+        docs = [(i, f"unique{i} words here {chrome} tail{i}")
+                for i in range(5)]
+        docs.append((99, "no boilerplate in this document at all"))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               boilerplate_scrub(df, n=3, min_df=5).collect()}
+        # the shared span "words here accept all cookies" yields three
+        # df=5 3-grams covering positions 1-5; only the doc-unique
+        # first and last tokens survive
+        import hashlib
+        for i in range(5):
+            assert out[i].n_tokens == 7 and out[i].n_kept == 2, out[i]
+            assert out[i].cleaned_hash == hashlib.md5(
+                f"unique{i} tail{i}".encode()).hexdigest()
+        # untouched doc keeps everything, hash = md5 of original text
+        r = out[99]
+        assert r.n_kept == r.n_tokens == 7
+        assert r.cleaned_hash == hashlib.md5(
+            b"no boilerplate in this document at all").hexdigest()
+
+    def test_all_boilerplate_doc_survives_empty(self, spark):
+        from mining_data_integration_spark.operators.text import (
+            boilerplate_scrub)
+        import hashlib
+        docs = [(i, "only the chrome") for i in range(5)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = boilerplate_scrub(df, n=3, min_df=5).collect()
+        assert all(r.n_kept == 0 for r in out)
+        assert all(r.cleaned_hash == hashlib.md5(b"").hexdigest()
+                   for r in out)

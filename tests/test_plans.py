@@ -168,3 +168,10 @@ class TestNewOpPlans:
         plan = plans.formatted_plan(queries["dd5_simhash_near_dups"](spark, SF))
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_tx10_boilerplate_jvm_side_equi_joins(self, spark, queries):
+        df = queries["tx10_boilerplate"](spark, SF)
+        plan = plans.formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert plans.count_operator(df, "BatchEvalPython") == 0
+        assert plans.count_operator(df, "ArrowEvalPython") == 0
