@@ -178,3 +178,46 @@ def resize_media(media: DataFrame, box: int = 64) -> DataFrame:
     return media.select(
         "media_id", "mime", "width", "height", "payload"
     ).mapInPandas(make_resizer(box), schema=RESIZE_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = (
+    "media_id bigint, win_idx int, start int, energy bigint, peak int"
+)
+
+
+def make_audio_windower(frame: int, hop: int):
+    """Arrow kernel: payload treated as 8-bit PCM; overlapping windows
+    of `frame` samples every `hop` (the STFT/feature-frame shape —
+    librosa.util.frame semantics: only full windows, count
+    (n - frame) // hop + 1). Energy/peak are exact integers so the
+    stage stays oracle-checkable; a real pipeline computes FFT bins
+    here with the identical 1->N batch fan-out."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "win_idx": [], "start": [],
+                "energy": [], "peak": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = (len(b) - frame) // hop + 1 if len(b) >= frame else 0
+                for w in range(n):
+                    seg = b[w * hop:w * hop + frame]
+                    out["media_id"].append(mid)
+                    out["win_idx"].append(w)
+                    out["start"].append(w * hop)
+                    out["energy"].append(sum(seg))
+                    out["peak"].append(max(seg))
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+def window_audio(media: DataFrame, frame: int = 64,
+                 hop: int = 32) -> DataFrame:
+    """Overlapping audio windowing via mapInPandas. Only (media_id,
+    payload) cross the Arrow boundary; fan-out is bounded by
+    len(payload) / hop per row."""
+    return media.select("media_id", "payload").mapInPandas(
+        make_audio_windower(frame, hop), AUDIO_WINDOW_SCHEMA)

@@ -61,13 +61,49 @@ def mm3_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def mm4_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style overlapping frame windowing (64-sample frames, hop
+    32 — librosa.util.frame counting): per-window integer energy/peak
+    from the payload bytes inside the Arrow batch. Oracle mirrors with
+    range + ord(substring) (ASCII payloads: char = byte)."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    media = M.make_fake_media(docs, "doc_id", "text")
+    return M.window_audio(media, frame=64, hop=32).orderBy(
+        "media_id", "win_idx")
+
+
 QUERIES = {
+    "mm4_audio_windows": mm4_audio_windows,
     "mm1_feature_extract": mm1_feature_extract,
     "mm2_frame_sample": mm2_frame_sample,
     "mm3_resize_plan": mm3_resize_plan,
 }
 
 ORACLES = {
+    "mm4_audio_windows": """
+        WITH m AS (
+            SELECT doc_id AS media_id, text, length(text) AS L
+            FROM documents
+        ), wins AS (
+            SELECT media_id, text,
+                   -- CASE guard: DuckDB's // truncates toward zero,
+                   -- so (L-64)//32 must never see a negative operand
+                   unnest(range(0, CASE WHEN L >= 64
+                                        THEN (L - 64) // 32 + 1
+                                        ELSE 0 END)) AS win_idx
+            FROM m
+        )
+        SELECT media_id,
+               CAST(win_idx AS INTEGER) AS win_idx,
+               CAST(win_idx * 32 AS INTEGER) AS start,
+               CAST(list_sum(list_transform(range(1, 65),
+                    i -> ord(substring(text, CAST(win_idx * 32 + i AS INTEGER), 1))))
+                    AS BIGINT) AS energy,
+               CAST(list_max(list_transform(range(1, 65),
+                    i -> ord(substring(text, CAST(win_idx * 32 + i AS INTEGER), 1))))
+                    AS INTEGER) AS peak
+        FROM wins ORDER BY media_id, win_idx
+    """,
     "mm3_resize_plan": """
         WITH media AS (
             SELECT doc_id AS media_id,

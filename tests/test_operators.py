@@ -435,3 +435,24 @@ class TestBoilerplateScrub:
         assert all(r.n_kept == 0 for r in out)
         assert all(r.cleaned_hash == hashlib.md5(b"").hexdigest()
                    for r in out)
+
+
+class TestAudioWindows:
+    def test_window_counts_and_overlap(self, spark):
+        from mining_data_integration_spark.operators.multimodal import (
+            window_audio)
+        from pyspark.sql import functions as F
+        rows = [(1, bytes(range(100))), (2, b"\x05" * 64), (3, b"short")]
+        media = spark.createDataFrame(rows, "media_id long, payload binary")
+        out = window_audio(media, frame=64, hop=32).collect()
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r.media_id, []).append(r)
+        # 100 bytes -> (100-64)//32+1 = 2 windows; 64 -> 1; short -> 0
+        assert len(by_id[1]) == 2 and len(by_id[2]) == 1
+        assert 3 not in by_id
+        w0, w1 = sorted(by_id[1], key=lambda r: r.win_idx)
+        assert (w0.start, w1.start) == (0, 32)           # 32-byte overlap
+        assert w0.energy == sum(range(64)) and w0.peak == 63
+        assert w1.energy == sum(range(32, 96)) and w1.peak == 95
+        assert by_id[2][0].energy == 5 * 64 and by_id[2][0].peak == 5

@@ -54,6 +54,7 @@ ALLOWED: dict[str, dict[str, str]] = {
         "mm1_feature_extract": "binary decode IS the operator",
         "mm2_frame_sample": "1->N frame fan-out IS the operator",
         "mm3_resize_plan": "thumbnail resize IS the operator",
+        "mm4_audio_windows": "overlap frame windowing IS the operator",
         "sim6_scalable_topk": "partition-local Arrow top-k pre-reduce",
     },
     "Exchange SinglePartition": {
