@@ -695,3 +695,56 @@ ORACLES["w16_funnel"] = """
 QUERIES["w11_tumbling_window"] = w11_tumbling_window
 QUERIES["w12_sliding_window"] = w12_sliding_window
 QUERIES["w13_session_window_native"] = w13_session_window_native
+
+
+def w17_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user over the last 16
+    events (dyadic decay α = 1/2): the standard time-series smoother,
+    computed EXACTLY — values go to integer cents, weights are powers
+    of two, the window sum is integer, and the final /2^16 only moves
+    the float exponent. No float accumulation order anywhere, so the
+    result is bit-identical across engines and partitionings (the
+    property a naive Σ x·αᵏ double loop does not have).
+
+    Scale shape: one partitioned window (shuffle by user), 16-element
+    frame buffer per row — no global sort, no unbounded state."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-15, 0))
+    arr = F.collect_list(cents).over(w)
+    scaled = F.expr(
+        "aggregate(zip_with(_arr, sequence(1, size(_arr)), "
+        "(x, i) -> x * shiftleft(CAST(1 AS BIGINT), 15 - size(_arr) + i)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    return (
+        ev.select("event_id", "user_id", arr.alias("_arr"))
+        .select(
+            "event_id", "user_id",
+            scaled.alias("ewma_scaled"),
+            (scaled.cast("double") / F.lit(65536.0)).alias("ewma"),
+        )
+        .orderBy("event_id")
+    )
+
+
+QUERIES["w17_ewma"] = w17_ewma
+ORACLES["w17_ewma"] = """
+    WITH arrs AS (
+        SELECT event_id, user_id,
+               list(CAST(round(value * 100) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(list_sum(list_transform(range(1, len(arr) + 1),
+                i -> arr[i] * (1::BIGINT
+                               << CAST(15 - len(arr) + i AS INTEGER))))
+                AS BIGINT) AS ewma_scaled,
+           CAST(list_sum(list_transform(range(1, len(arr) + 1),
+                i -> arr[i] * (1::BIGINT
+                               << CAST(15 - len(arr) + i AS INTEGER))))
+                AS DOUBLE) / 65536.0 AS ewma
+    FROM arrs ORDER BY event_id
+"""
