@@ -116,3 +116,84 @@ class TestApproxAggregates:
             F.expr("percentile(o_totalprice, 0.55)").alias("hi"),
         ).collect()[0]
         assert row.lo <= row.ap <= row.hi
+
+
+def _morton_py(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def _morton_inv(z: int, bits: int) -> tuple[int, int]:
+    x = y = 0
+    for i in range(bits):
+        x |= ((z >> (2 * i)) & 1) << i
+        y |= ((z >> (2 * i + 1)) & 1) << i
+    return x, y
+
+
+class TestZorderProperties:
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 2 ** 16 - 1),
+                              st.integers(0, 2 ** 16 - 1)),
+                    min_size=1, max_size=50, unique=True))
+    def test_spark_key_matches_reference_and_inverts(self, pts, spark):
+        """zorder_key == the bit-interleave reference, and the
+        interleave is a bijection (de-interleave recovers x,y)."""
+        from pyspark.sql import functions as F
+        from mining_data_integration_spark.operators.layout import zorder_key
+        df = spark.createDataFrame(pts, "x long, y long")
+        got = {(r.x, r.y): r.z for r in df.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y"), 16).alias("z")
+        ).collect()}
+        for (x, y), z in got.items():
+            assert z == _morton_py(x, y, 16)
+            assert _morton_inv(z, 16) == (x, y)
+
+
+class TestEditDistanceNNProperties:
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=12),
+        min_size=2, max_size=8))
+    def test_nn_is_blockwise_minimum(self, texts, spark):
+        """Within every block, the reported neighbor really is the
+        argmin Levenshtein (ties to lowest id) — checked against a
+        pure-Python DP over the same normalized blocks."""
+        import re
+
+        from mining_data_integration_spark.operators.dedup import (
+            edit_distance_nn)
+
+        def norm(t):
+            return re.sub(r"\s+", " ", t.lower()).strip()
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        rows = list(enumerate(texts))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.nn_id, r.dist)
+               for r in edit_distance_nn(df, prefix_len=2,
+                                         len_bucket=4).collect()}
+        blocks: dict[tuple, list] = {}
+        for i, t in rows:
+            n = norm(t)
+            blocks.setdefault((n[:2], len(n) // 4), []).append((i, n))
+        for key, members in blocks.items():
+            for i, n in members:
+                others = [(j, m) for j, m in members if j != i]
+                if not others:
+                    assert i not in got
+                    continue
+                best = min((lev(n, m), j) for j, m in others)
+                assert got[i] == (best[1], best[0]), (i, key)
