@@ -139,7 +139,7 @@ class TestZorderProperties:
     @given(st.lists(st.tuples(st.integers(0, 2 ** 16 - 1),
                               st.integers(0, 2 ** 16 - 1)),
                     min_size=1, max_size=50, unique=True))
-    def test_spark_key_matches_reference_and_inverts(self, pts, spark):
+    def test_spark_key_matches_reference_and_inverts(self, spark, pts):
         """zorder_key == the bit-interleave reference, and the
         interleave is a bijection (de-interleave recovers x,y)."""
         from pyspark.sql import functions as F
@@ -158,7 +158,7 @@ class TestEditDistanceNNProperties:
     @given(st.lists(
         st.text(alphabet="ab ", min_size=1, max_size=12),
         min_size=2, max_size=8))
-    def test_nn_is_blockwise_minimum(self, texts, spark):
+    def test_nn_is_blockwise_minimum(self, spark, texts):
         """Within every block, the reported neighbor really is the
         argmin Levenshtein (ties to lowest id) — checked against a
         pure-Python DP over the same normalized blocks."""
