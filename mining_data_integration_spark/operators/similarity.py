@@ -343,6 +343,109 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     )
 
 
+def _sub_d2(sub: Column, cent: list[float]) -> Column:
+    """Squared L2 distance between a subvector column and a centroid."""
+    carr = F.array(*[F.lit(v) for v in cent])
+    diff = F.zip_with(sub, carr,
+                      lambda a, b: (a.cast("double") - b)
+                      * (a.cast("double") - b))
+    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_encode(df: DataFrame, books: list[list[list[float]]],
+              vec_col: str, out_col: str = "_codes") -> DataFrame:
+    """Attach the PQ code array: per subspace, the argmin-distance
+    codebook entry for that slice of the vector. m×k inline distance
+    expressions — the codebooks fold into the plan as literals, so
+    encoding is a pure map (no join, no UDF, no shuffle) at any scale."""
+    m = len(books)
+    sd = len(books[0][0])
+    codes = []
+    for j in range(m):
+        sub = F.slice(F.col(vec_col), j * sd + 1, sd)
+        cands = F.array(*[
+            F.struct(_sub_d2(sub, c).alias("d"), F.lit(ci).alias("i"))
+            for ci, c in enumerate(books[j])
+        ])
+        codes.append(F.array_min(cands)["i"])
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_codebooks(emb: DataFrame, m: int = 8, k: int = 16, iters: int = 2,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Deterministic product-quantization training (Jégou et al. 2011,
+    "Product quantization for nearest neighbor search"): split the
+    vector into m contiguous subspaces and run Lloyd's k-means in each,
+    seeded with the k lowest-id vectors' subvectors (no PRNG — rerun-
+    and cluster-layout-independent). All m subspaces train in the SAME
+    pass: one encode + one posexplode/groupBy per iteration, so the
+    corpus is scanned 2·iters times total, never per-subspace.
+    Codebooks are m×k×(dim/m) floats — driver/broadcast-sized for any
+    realistic (m, k), independent of corpus size."""
+    sd_rows = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    dim = len(sd_rows[0][0])
+    sd = dim // m
+    books = [
+        [[float(x) for x in r[0][j * sd:(j + 1) * sd]] for r in sd_rows]
+        for j in range(m)
+    ]
+    for _ in range(iters):
+        coded = pq_encode(emb, books, vec_col)
+        parts = coded.select(
+            F.col("_codes"),
+            F.posexplode(F.col(vec_col)).alias("pos", "val"),
+        ).select(
+            (F.col("pos") / sd).cast("int").alias("sub"),
+            F.element_at("_codes", (F.col("pos") / sd).cast("int") + 1)
+            .alias("code"),
+            F.col("pos"),
+            F.col("val").cast("double").alias("val"),
+        )
+        means = (
+            parts.groupBy("sub", "code", "pos").agg(F.avg("val").alias("m"))
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("a"))
+            .collect()
+        )
+        for r in means:
+            books[r.sub][r.code] = [float(x.m) for x in r.a]
+    return books
+
+
+def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+            m: int = 8, n_codes: int = 16, iters: int = 2,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            q_id_col: str = "q_id", q_vec_col: str = "q_emb") -> DataFrame:
+    """PQ approximate top-k by asymmetric distance (ADC): the corpus is
+    stored as m small codes (m bytes vs dim×4 — a 32× index shrink at
+    dim=64/m=8); each query precomputes an m×n_codes lookup table of
+    subspace distances, and a candidate's approximate distance is m
+    array lookups + a sum. At 100 TB the scan side reads only the code
+    table; the full vectors never enter the distance path. Ties break
+    by candidate id; rows ranked ascending by approximate distance."""
+    books = pq_codebooks(emb, m, n_codes, iters, id_col, vec_col)
+    sd = len(books[0][0])
+    data = pq_encode(emb, books, vec_col).select(id_col, "_codes")
+
+    luts = []
+    for j, book in enumerate(books):
+        sub = F.slice(F.col(q_vec_col), j * sd + 1, sd)
+        luts.append(F.array(*[_sub_d2(sub, c) for c in book])
+                    .alias(f"_lut{j}"))
+    q = queries.select(F.col(q_id_col), *luts)
+
+    approx = F.lit(0.0)
+    for j in range(m):
+        approx = approx + F.element_at(
+            F.col(f"_lut{j}"), F.element_at("_codes", j + 1) + 1)
+    pairs = data.crossJoin(F.broadcast(q)).select(
+        F.col(q_id_col), F.col(id_col), approx.alias("adc_d2"))
+    w = Window.partitionBy(q_id_col).orderBy("adc_d2", F.col(id_col))
+    return pairs.withColumn("rk", F.row_number().over(w).cast("long")) \
+        .filter(F.col("rk") <= k)
+
+
 def rp_signs(dims: int, out_dims: int) -> list[list[int]]:
     """Deterministic Rademacher ±1 sign matrix from md5 — the seed IS
     the string, so any engine (or a later rerun on new hardware)

@@ -157,6 +157,19 @@ def sim4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       n_centroids=8, n_probe=2).orderBy("q_id", "rk")
 
 
+def sim9_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-5 (m=8 subspaces, 16 codes
+    each, deterministic per-subspace Lloyd; asymmetric-distance
+    scoring). No SQL oracle — the k-means training iterations are not
+    reasonably SQL-expressible (same rows-only class as sim4); code
+    validity, determinism, ADC exactness on centroid-aligned corpora,
+    and a recall floor on clustered data are pinned in
+    tests/test_operators (TestPQ)."""
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    return S.pq_topk(emb, _queries_df(spark, sf_dir), k=5,
+                     m=8, n_codes=16).orderBy("q_id", "rk")
+
+
 def sim7_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine top-10 over int8-quantized vectors (symmetric per-vector
     scale, integer dot products — operators/similarity.quantized_topk).
@@ -184,6 +197,7 @@ QUERIES = {
     "sim7_quantized_topk": sim7_quantized_topk,
     "sim6_scalable_topk": sim6_scalable_topk,
     "sim4_ivf_topk": sim4_ivf_topk,
+    "sim9_pq_topk": sim9_pq_topk,
     "sim5_multiprobe_lsh": sim5_multiprobe_lsh,
     "sim2_ann_lsh_topk": sim2_ann_lsh_topk,
     "sim3_embedding_near_dups": sim3_embedding_near_dups,
