@@ -46,6 +46,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _NANO_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    # parquet timestamp[us] WITHOUT timezone reads as TIMESTAMP_NTZ, which
+    # unix_micros/window functions reject; the session tz is pinned to UTC
+    # (session.py) so casting to TIMESTAMP is bit-exact vs the DuckDB oracle
+    for col, dtype in df.dtypes:
+        if dtype.startswith("timestamp_ntz"):
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -95,7 +95,10 @@ def a6_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             money(dec_sum("l_extendedprice")).alias("sum_price"),
             F.count("*").alias("n_items"),
-            F.sort_array(F.collect_list("l_partkey")).alias("part_list"),
+            # CSV-serialized: driver canonicalizer can't hash array<> cols
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("l_partkey"))
+            ).alias("part_list"),
         )
         .filter(F.col("n_items") >= 5)
         .orderBy("l_orderkey")
@@ -373,7 +376,7 @@ ORACLES = {
         SELECT l_orderkey,
                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
                count(*) AS n_items,
-               list_sort(list(l_partkey)) AS part_list
+               array_to_string(list_sort(list(l_partkey)), ',') AS part_list
         FROM lineitem
         GROUP BY l_orderkey
         HAVING count(*) >= 5

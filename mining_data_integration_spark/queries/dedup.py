@@ -39,9 +39,13 @@ def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dd2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram Jaccard >= 0.5 via inverted-index
-    self-join (no all-pairs product)."""
+    self-join (no all-pairs product). max_doc_freq=256 drops stop
+    shingles — the skew keys that would explode one bucket of the
+    self-join at 100 TB; the oracle applies the identical cap."""
     docs = spread(t(spark, sf_dir, "documents"), "doc_id")
-    return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).orderBy("id1", "id2")
+    return D.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_doc_freq=256
+    ).orderBy("id1", "id2")
 
 
 def dd3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,7 +200,10 @@ ORACLES = {
         ORDER BY content_hash
     """,
     "dd2_ngram_jaccard": f"""
-        WITH sh AS ({_duck_shingles(3)}),
+        WITH sh0 AS ({_duck_shingles(3)}),
+        freq AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle),
+        sh AS (SELECT sh0.id, sh0.shingle FROM sh0
+               JOIN freq ON sh0.shingle = freq.shingle WHERE df <= 256),
         sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
         common AS (
             SELECT a.id AS id1, b.id AS id2, count(*) AS common

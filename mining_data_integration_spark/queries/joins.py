@@ -64,7 +64,11 @@ def j2_group_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sort_array(F.collect_list("o_orderkey")).alias("order_list"),
+            # serialized to CSV at the query boundary: the driver's
+            # canonicalizer can't hash raw array<> columns
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("o_orderkey"))
+            ).alias("order_list"),
         )
         .filter(F.col("n_orders") >= 5)
         .orderBy("c_custkey")
@@ -601,7 +605,7 @@ ORACLES = {
     "j2_group_join": """
         SELECT c_custkey,
                count(*) AS n_orders,
-               list_sort(list(o_orderkey)) AS order_list
+               array_to_string(list_sort(list(o_orderkey)), ',') AS order_list
         FROM customer JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey
         HAVING count(*) >= 5

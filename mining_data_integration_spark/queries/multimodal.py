@@ -25,8 +25,16 @@ def mm1_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = M.extract_features(media, min_width=100)
     return feats.select(
         "media_id", "mime", "n_bytes",
-        F.transform(F.col("feature").cast("array<double>"),
-                    lambda x: F.round(x, 6)).alias("feature_r"),
+        # CSV of fixed-6-dp decimals: the driver canonicalizer can't hash
+        # raw array<> columns, and decimal(10,6) renders identically in
+        # Spark and DuckDB (no float-formatting ambiguity)
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("feature").cast("array<double>"),
+                lambda x: F.round(x, 6).cast("decimal(10,6)").cast("string"),
+            ),
+        ).alias("feature_r"),
     ).orderBy("media_id")
 
 
@@ -42,8 +50,14 @@ def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = M.sample_frames(media, frame_size=32, stride=4)
     return frames.select(
         "media_id", "frame_idx",
-        F.transform(F.col("frame_feature").cast("array<double>"),
-                    lambda x: F.round(x, 6)).alias("feature_r"),
+        # CSV-serialized like mm1 (driver canonicalizer vs array<> cols)
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("frame_feature").cast("array<double>"),
+                lambda x: F.round(x, 6).cast("decimal(10,6)").cast("string"),
+            ),
+        ).alias("feature_r"),
     ).orderBy("media_id", "frame_idx")
 
 
@@ -134,10 +148,12 @@ ORACLES = {
             FROM frames
         )
         SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
-               list_transform(range(0, 4), i -> round(CAST(CAST(
+               array_to_string(list_transform(range(0, 4),
+                   i -> CAST(CAST(round(CAST(CAST(
                    ((strpos('0123456789abcdef', substring(hex, 2*i + 1, 1)) - 1) * 16
                     + strpos('0123456789abcdef', substring(hex, 2*i + 2, 1)) - 1
-                   ) / 255.0 AS REAL) AS DOUBLE), 6)) AS feature_r
+                   ) / 255.0 AS REAL) AS DOUBLE), 6) AS DECIMAL(10,6)) AS VARCHAR)),
+                   ',') AS feature_r
         FROM hashed
         ORDER BY media_id, frame_idx
     """,
@@ -156,10 +172,12 @@ ORACLES = {
         SELECT media_id, mime, n_bytes,
                -- CAST .. AS REAL mirrors the operator's float32
                -- feature column before the 6-dp round
-               list_transform(range(0, 16), i -> round(CAST(CAST(
+               array_to_string(list_transform(range(0, 16),
+                   i -> CAST(CAST(round(CAST(CAST(
                    ((strpos('0123456789abcdef', substring(hex, 2*i + 1, 1)) - 1) * 16
                     + strpos('0123456789abcdef', substring(hex, 2*i + 2, 1)) - 1
-                   ) / 255.0 AS REAL) AS DOUBLE), 6)) AS feature_r
+                   ) / 255.0 AS REAL) AS DOUBLE), 6) AS DECIMAL(10,6)) AS VARCHAR)),
+                   ',') AS feature_r
         FROM hashed
         ORDER BY media_id
     """,

@@ -43,6 +43,7 @@ ALLOWED: dict[str, dict[str, str]] = {
                             "standard ANN probe pattern)",
         "sim6_scalable_topk": "3-row query-vector set broadcast",
         "sim7_quantized_topk": "3-row query-vector set broadcast",
+        "sim9_pq_topk": "3-row query LUT broadcast (ADC probe pattern)",
     },
     "ArrowEvalPython": {
         "j8_computed_key_join": "sha512/256 key: Arrow-batched codec in a "
