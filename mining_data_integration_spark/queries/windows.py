@@ -353,13 +353,21 @@ def w12_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").withColumn(
         "value", F.col("value").cast("decimal(18,6)"))
     out = sliding_avg(ev, window="30 minutes", slide="15 minutes")
-    # mean from the exact sum: double(sum)/double(n) is bit-identical
-    # across engines; decimal avg rounding rules are not
+    # round(sum/n, 4) computed in EXACT integer arithmetic: rounding a
+    # double quotient near a .00005 boundary goes opposite ways in
+    # Spark (BigDecimal HALF_UP on the binary value) and DuckDB
+    # (scale-multiply) — sf0.1 hit one such tie. With non-negative
+    # sums, HALF_UP(S/n, 4dp) = (2*S_micros + 100*n) div (200*n) where
+    # S_micros = S*1e6 (exact off the decimal(·,6) sum); the final
+    # /10000.0 is one correctly-rounded IEEE op in both engines.
     return out.select(
         F.unix_micros("w_start").alias("w_start_us"),
         "event_type", "n",
-        F.round(F.col("total_value").cast("double") / F.col("n"), 4)
-        .alias("avg_value"),
+        (F.col("total_value") * 1_000_000).cast("long").alias("_s_us"),
+    ).select(
+        "w_start_us", "event_type", "n",
+        (F.expr("(2 * _s_us + 100 * n) div (200 * n)").cast("double")
+         / F.lit(10_000.0)).alias("avg_value"),
     ).orderBy("w_start_us", "event_type")
 
 
@@ -598,7 +606,11 @@ ORACLES = {
             FROM ev
         )
         SELECT w_start_us, event_type, count(*) AS n,
-               round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS avg_value
+               -- exact-integer HALF_UP(sum/n, 4dp); mirrors the Spark
+               -- side ((2*S_us + 100n) // (200n) / 1e4) — sums are
+               -- non-negative so // (trunc) == floor == div
+               CAST((2 * CAST(sum(v) * 1000000 AS BIGINT) + 100 * count(*))
+                    // (200 * count(*)) AS DOUBLE) / 10000.0 AS avg_value
         FROM fanned GROUP BY 1, 2
         ORDER BY w_start_us, event_type
     """,
