@@ -487,3 +487,70 @@ def random_projection(emb: DataFrame, dims: int = 64, out_dims: int = 8,
         )
         cols.append(y.alias(f"proj_{j}"))
     return df.select(id_col, *cols)
+
+
+def centroid_classify(emb: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      label_col: str = "label",
+                      scale: int = 1_000_000) -> DataFrame:
+    """Nearest-centroid classification over the labeled embedding
+    corpus — the standard embedding-quality / cluster-coherence eval in
+    a training-data pipeline (assign each vector to the closest class
+    centroid, report the label confusion matrix).
+
+    Exact integer arithmetic end to end, so the result is
+    bit-reproducible and DuckDB-oracle-checkable: vectors quantize to
+    round(x*scale) bigints (round is half-away-from-zero in BOTH
+    engines); per-label centroids are integer sums + an exact HALF_UP
+    division onto the same grid; distances are integer squared-L2.
+    |v| <= ~scale and dim<=1k keeps every term far below 2^63.
+
+    Scale shape: one shuffle keyed (label, pos) whose output is
+    labels x dim rows (map-side combine does the heavy sum), then the
+    tiny centroid table broadcasts back over the corpus — assignment
+    is map-side; the confusion rollup shuffles labels^2 rows. No
+    per-vector state crosses the network beyond the first combine.
+
+    Returns (label, predicted, n) ordered by (label, predicted)."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale, 0).cast("long"))
+    qd = emb.select(F.col(id_col), F.col(label_col).alias("_lbl"),
+                    q.alias("_q"))
+
+    sums = (
+        qd.select("_lbl", F.posexplode("_q").alias("pos", "v"))
+        .groupBy("_lbl", "pos")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+    )
+    # HALF_UP(s/c) away from zero, pure bigint (div truncates toward 0,
+    # so feed it |s| and restore the sign)
+    m = (F.signum("s").cast("long")
+         * F.expr("(2 * abs(s) + c) div (2 * c)"))
+    cent = (
+        sums.select("_lbl", "pos", m.alias("m"))
+        .groupBy("_lbl")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("a"))
+        .select(F.col("_lbl").alias("c_lbl"),
+                F.expr("transform(a, x -> x.m)").alias("mu"))
+    )
+
+    dist = F.aggregate(
+        F.zip_with(F.col("_q"), F.col("mu"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        qd.crossJoin(F.broadcast(cent))
+        .select(F.col(id_col), "_lbl",
+                F.struct(dist.alias("d"), F.col("c_lbl").alias("l"))
+                .alias("dl"))
+        .groupBy(F.col(id_col), "_lbl")
+        .agg(F.min("dl").alias("best"))  # min (dist, label): exact argmin
+    )
+    return (
+        assigned.groupBy(F.col("_lbl").alias("label"),
+                         F.col("best.l").alias("predicted"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("label", "predicted")
+    )

@@ -358,3 +358,50 @@ ORACLES = {
         ORDER BY s.doc_id
     """,
 }
+
+
+def dp9_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition report: per (source, lang) stratum, document
+    count, whitespace-token sum, and the stratum's share of all corpus
+    tokens — the domain-mixing table that drives sampling-weight
+    decisions in a pretraining pipeline (cf. dp4/dp7, which consume
+    such weights).
+
+    Scale shape: one combinable groupBy keyed (source, lang) — output
+    is strata rows, not corpus rows — plus a 1-row global total
+    broadcast back. token_share is a single IEEE division of two exact
+    bigints (no rounding call), bit-identical across engines."""
+    from ..operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_tot"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "lang", "n_docs", "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("_tot").cast("double"))
+            .alias("token_share"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+QUERIES["dp9_source_mix"] = dp9_source_mix
+
+ORACLES["dp9_source_mix"] = f"""
+    WITH per AS (
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(len({_WORDS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source, lang
+    ), tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per
+    )
+    SELECT source, lang, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS token_share
+    FROM per CROSS JOIN tot
+    ORDER BY source, lang
+"""

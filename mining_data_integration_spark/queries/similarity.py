@@ -303,3 +303,53 @@ def _rp_sql(dims: int = 64, out_dims: int = 8) -> str:
 
 
 ORACLES["sim8_random_projection"] = _rp_sql(64, 8)
+
+
+def sim10_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid label confusion matrix over the labeled
+    embeddings (operators/similarity.centroid_classify) — exact
+    integer quantization/centroids/distances, so the full assignment
+    is hash-checked against the oracle, not just row counts."""
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    return S.centroid_classify(emb)
+
+
+QUERIES["sim10_centroid_classify"] = sim10_centroid_classify
+
+ORACLES["sim10_centroid_classify"] = f"""
+    WITH qv AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                   AS q
+        FROM embeddings
+    ), pos AS (
+        SELECT unnest(range(1, {_DIM + 1})) AS i
+    ), sums AS (
+        SELECT label, i, CAST(sum(q[i]) AS BIGINT) AS s,
+               count(*) AS c
+        FROM qv CROSS JOIN pos GROUP BY label, i
+    ), cent AS (
+        -- HALF_UP(s/c) away from zero in pure integer arithmetic
+        -- (// truncates toward zero, so feed it abs(s))
+        SELECT label AS c_lbl,
+               list(CASE WHEN s >= 0 THEN (2 * s + c) // (2 * c)
+                         ELSE -((2 * (-s) + c) // (2 * c)) END
+                    ORDER BY i) AS mu
+        FROM sums GROUP BY label
+    ), dists AS (
+        SELECT qv.vec_id, qv.label, cent.c_lbl,
+               CAST(list_sum(list_transform(range(1, {_DIM + 1}),
+                   i -> (q[i] - mu[i]) * (q[i] - mu[i]))) AS BIGINT) AS d
+        FROM qv CROSS JOIN cent
+    ), best AS (
+        SELECT vec_id, label, c_lbl,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, c_lbl) AS rn
+        FROM dists
+    )
+    SELECT label, c_lbl AS predicted, count(*) AS n
+    FROM best WHERE rn = 1
+    GROUP BY label, c_lbl
+    ORDER BY label, predicted
+"""

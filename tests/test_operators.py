@@ -456,3 +456,43 @@ class TestAudioWindows:
         assert w0.energy == sum(range(64)) and w0.peak == 63
         assert w1.energy == sum(range(32, 96)) and w1.peak == 95
         assert by_id[2][0].energy == 5 * 64 and by_id[2][0].peak == 5
+
+
+class TestCentroidClassify:
+    def test_separated_clusters_classify_perfectly(self, spark):
+        from mining_data_integration_spark.operators.similarity import (
+            centroid_classify)
+        # two well-separated 4-d clusters: label 0 near (1,0,0,0),
+        # label 1 near (0,1,0,0) — nearest centroid must be diagonal
+        rows = []
+        for i in range(10):
+            eps = i * 0.01
+            rows.append((i, [1.0 + eps, eps, 0.0, 0.0], 0))
+            rows.append((100 + i, [eps, 1.0 - eps, 0.0, 0.0], 1))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+        out = {(r.label, r.predicted): r.n
+               for r in centroid_classify(df).collect()}
+        assert out == {(0, 0): 10, (1, 1): 10}
+
+    def test_deterministic_across_partitionings(self, spark):
+        from mining_data_integration_spark.operators.similarity import (
+            centroid_classify)
+        import random
+        rng = random.Random(7)
+        rows = [(i, [rng.uniform(-0.5, 0.5) for _ in range(8)], i % 3)
+                for i in range(60)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+        a = centroid_classify(df.repartition(1)).collect()
+        b = centroid_classify(df.repartition(13, "vec_id")).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+class TestSourceMix:
+    def test_share_sums_to_one_and_counts(self, spark):
+        from mining_data_integration_spark.queries.pipeline_q import (
+            dp9_source_mix)
+        out = dp9_source_mix(spark, "/root/testdata/sf0.001").collect()
+        assert abs(sum(r.token_share for r in out) - 1.0) < 1e-12
+        assert all(r.n_docs > 0 and r.n_tokens > 0 for r in out)

@@ -44,6 +44,8 @@ ALLOWED: dict[str, dict[str, str]] = {
         "sim6_scalable_topk": "3-row query-vector set broadcast",
         "sim7_quantized_topk": "3-row query-vector set broadcast",
         "sim9_pq_topk": "3-row query LUT broadcast (ADC probe pattern)",
+        "sim10_centroid_classify": "n_labels-row centroid table broadcast",
+        "dp9_source_mix": "1-row corpus token total broadcast",
     },
     "ArrowEvalPython": {
         "j8_computed_key_join": "sha512/256 key: Arrow-batched codec in a "
