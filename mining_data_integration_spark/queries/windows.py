@@ -760,3 +760,75 @@ ORACLES["w17_ewma"] = """
                 AS DOUBLE) / 65536.0 AS ewma
     FROM arrs ORDER BY event_id
 """
+
+
+def w18_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over events: users grouped by first-
+    activity week (the cohort), then for each later week the count and
+    share of the cohort still active — the standard product-analytics
+    retention triangle (complements w16's funnel and w10's sessions).
+
+    Scale shape: distinct (user, week) first — one combinable shuffle
+    that collapses event volume to user-weeks; the per-user min-week is
+    a second combinable aggregate; the final rollup is cohort x offset
+    (tiny). The cohort-size join broadcasts under AQE (cohort count =
+    number of weeks in the corpus). Weeks are Monday-truncated in both
+    engines (Spark date_trunc = DuckDB date_trunc, ISO); the retention
+    rate is one IEEE division of exact counts."""
+    ev = t(spark, sf_dir, "events")
+    uw = (
+        ev.select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("wk"))
+        .distinct()
+    )
+    first = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    joined = uw.join(first, "user_id").select(
+        "user_id", "cohort_wk",
+        (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+        .cast("long").alias("week_offset"),
+    )
+    sizes = first.groupBy("cohort_wk").agg(
+        F.count("*").alias("cohort_size"))
+    ret = joined.groupBy("cohort_wk", "week_offset").agg(
+        F.count("*").alias("n_active"))
+    return (
+        ret.join(sizes, "cohort_wk")
+        .select(
+            F.col("cohort_wk").cast("string").alias("cohort_week"),
+            "week_offset", "n_active", "cohort_size",
+            (F.col("n_active").cast("double")
+             / F.col("cohort_size").cast("double")).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+QUERIES["w18_cohort_retention"] = w18_cohort_retention
+
+ORACLES["w18_cohort_retention"] = """
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        FROM events
+    ), first AS (
+        SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id
+    ), joined AS (
+        SELECT uw.user_id, f.cohort_wk,
+               CAST(datediff('day', f.cohort_wk, uw.wk) // 7 AS BIGINT)
+                   AS week_offset
+        FROM uw JOIN first f ON uw.user_id = f.user_id
+    ), sizes AS (
+        SELECT cohort_wk, count(*) AS cohort_size FROM first
+        GROUP BY cohort_wk
+    ), ret AS (
+        SELECT cohort_wk, week_offset, count(*) AS n_active
+        FROM joined GROUP BY cohort_wk, week_offset
+    )
+    SELECT CAST(r.cohort_wk AS VARCHAR) AS cohort_week,
+           r.week_offset, r.n_active, s.cohort_size,
+           CAST(r.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+               AS retention
+    FROM ret r JOIN sizes s ON r.cohort_wk = s.cohort_wk
+    ORDER BY cohort_week, week_offset
+"""
