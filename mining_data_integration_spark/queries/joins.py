@@ -432,14 +432,21 @@ def j17_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(passed.alias("pass"), F.col("k").isNotNull().alias("member"))
     )
     one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
-    return flagged.agg(
+    agg = flagged.agg(
         F.count("*").alias("n_probed"),
         one(F.col("pass")).alias("bloom_passes"),
         one(F.col("member")).alias("true_matches"),
         one(F.col("member") & ~F.col("pass")).alias("false_negatives"),
-        F.round(
-            one(F.col("pass") & ~F.col("member")).cast("double")
-            / (F.count("*") - one(F.col("member"))), 4).alias("fp_rate"),
+        one(F.col("pass") & ~F.col("member")).alias("_fp"),
+    )
+    # fp_rate = HALF_UP(fp/nonmembers, 4dp) in exact bigint arithmetic
+    # (the w12 lesson: rounding a double quotient near a .00005 tie
+    # goes opposite ways in Spark and DuckDB)
+    return agg.select(
+        "n_probed", "bloom_passes", "true_matches", "false_negatives",
+        (F.expr("(2 * _fp * 10000 + (n_probed - true_matches)) "
+                "div (2 * (n_probed - true_matches))").cast("double")
+         / F.lit(10_000.0)).alias("fp_rate"),
     )
 
 
@@ -506,10 +513,14 @@ def _bloom_sql() -> str:
                    AS true_matches,
                CAST(sum(CASE WHEN member AND NOT pass THEN 1 ELSE 0 END)
                     AS BIGINT) AS false_negatives,
-               round(CAST(sum(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END)
-                          AS DOUBLE)
-                     / (count(*) - sum(CASE WHEN member THEN 1 ELSE 0 END)),
-                     4) AS fp_rate
+               -- exact bigint HALF_UP(fp/nonmembers, 4dp); counts are
+               -- non-negative so // (trunc) == floor == div
+               CAST((2 * sum(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END)
+                         * 10000
+                     + (count(*) - sum(CASE WHEN member THEN 1 ELSE 0 END)))
+                    // (2 * (count(*)
+                             - sum(CASE WHEN member THEN 1 ELSE 0 END)))
+                    AS DOUBLE) / 10000.0 AS fp_rate
         FROM flags
     """
 
