@@ -832,3 +832,60 @@ ORACLES["w18_cohort_retention"] = """
     FROM ret r JOIN sizes s ON r.cohort_wk = s.cohort_wk
     ORDER BY cohort_week, week_offset
 """
+
+
+def w19_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (DAU / WAU7 /
+    stickiness) — the canonical distinct-count-over-sliding-window
+    metric. Spark has no COUNT(DISTINCT) window frame; the scalable
+    form materializes distinct (user, day) once (collapsing event
+    volume in a combinable shuffle), fans each user-day to the 7
+    window end-days it contributes to, and de-dups (user, window-day)
+    — bounded 7x fanout of user-days, never of events, and every
+    shuffle is a combinable groupBy. Stickiness is one IEEE division
+    of exact counts."""
+    ev = t(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    contrib = (
+        d.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("cday"))
+        .distinct()
+    )
+    wau = contrib.groupBy("cday").agg(F.count("*").alias("wau7"))
+    dau = d.groupBy("day").agg(F.count("*").alias("dau"))
+    return (
+        dau.join(wau, dau.day == wau.cday)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau", "wau7",
+            (F.col("dau").cast("double") / F.col("wau7").cast("double"))
+            .alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["w19_rolling_active_users"] = w19_rolling_active_users
+
+ORACLES["w19_rolling_active_users"] = """
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), contrib AS (
+        SELECT DISTINCT user_id,
+               day + CAST(i AS INTEGER) AS cday
+        FROM d CROSS JOIN (SELECT unnest(range(0, 7)) AS i)
+    ), wau AS (
+        SELECT cday, count(*) AS wau7 FROM contrib GROUP BY cday
+    ), dau AS (
+        SELECT day, count(*) AS dau FROM d GROUP BY day
+    )
+    SELECT CAST(dau.day AS VARCHAR) AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau7 AS BIGINT) AS wau7,
+           CAST(dau.dau AS DOUBLE) / CAST(wau.wau7 AS DOUBLE) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.cday
+    ORDER BY day
+"""
