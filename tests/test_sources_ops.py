@@ -112,3 +112,62 @@ class TestOpsAndTransactions:
         assert got[2].tx_count == 1
         assert len(got[1].txid_prefixes) == 3
         assert all(len(p) == 10 for p in got[1].txid_prefixes)
+
+
+class TestTextCorpus:
+    def test_jsonl_roundtrip_documents(self, spark, tmp_path):
+        from mining_data_integration_spark.io import read_table
+        from mining_data_integration_spark.sources import textcorpus as tc
+        docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+        out = str(tmp_path / "docs_jsonl")
+        tc.write_jsonl(docs, out, shards=4)
+        back = tc.read_jsonl(spark, out, tc.documents_schema(),
+                             keep_corrupt=False)
+        a = sorted(tuple(r) for r in docs.collect())
+        b = sorted(tuple(r) for r in back.collect())
+        assert a == b
+
+    def test_jsonl_corrupt_lines_quarantined(self, spark, tmp_path):
+        from mining_data_integration_spark.sources import textcorpus as tc
+        p = tmp_path / "bad.jsonl"
+        p.write_text(
+            '{"doc_id": 1, "text": "ok", "lang": "en", '
+            '"source": "s", "n_chars": 2}\n'
+            'NOT JSON AT ALL\n'
+            '{"doc_id": 2, "text": "also ok", "lang": "en", '
+            '"source": "s", "n_chars": 7}\n')
+        df = tc.read_jsonl(spark, str(p), tc.documents_schema())
+        bad = df.filter(df["_corrupt_record"].isNotNull())
+        good = df.filter(df["_corrupt_record"].isNull())
+        assert bad.count() == 1 and good.count() == 2
+        clean = tc.read_jsonl(spark, str(p), tc.documents_schema(),
+                              keep_corrupt=False)
+        assert clean.count() == 2 and "_corrupt_record" not in clean.columns
+
+    def test_gzip_shards_roundtrip(self, spark, tmp_path):
+        import glob
+        from mining_data_integration_spark.io import read_table
+        from mining_data_integration_spark.sources import textcorpus as tc
+        docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+        out = str(tmp_path / "docs_gz")
+        tc.write_jsonl(docs, out, shards=3, compress=True)
+        assert len(glob.glob(out + "/part-*.json.gz")) == 3
+        back = tc.read_jsonl(spark, out, tc.documents_schema(),
+                             keep_corrupt=False)
+        assert back.count() == docs.count()
+
+    def test_csv_roundtrip_and_quarantine(self, spark, tmp_path):
+        from pyspark.sql import types as T
+        from mining_data_integration_spark.sources import textcorpus as tc
+        schema = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ])
+        df = spark.createDataFrame(
+            [(1, "a", 0.5), (2, "b", 1.5)], schema=schema)
+        out = str(tmp_path / "csv")
+        tc.write_csv(df, out, shards=1)
+        back = tc.read_csv(spark, out, schema)
+        assert sorted((r.id, r.name, r.score) for r in back.collect()) \
+            == [(1, "a", 0.5), (2, "b", 1.5)]
