@@ -321,3 +321,50 @@ def edit_distance_nn(df: DataFrame, text_col: str = "text",
         .select(F.col("id1").alias("doc_id"), F.col("id2").alias("nn_id"),
                 F.col("dist").cast("long").alias("dist"))
     )
+
+
+def substring_dup_spans(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 64,
+                        stride: int = 32) -> DataFrame:
+    """Substring-level duplicate-span detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    k-char spans of normalized text that occur in MORE THAN ONE
+    document. The exact method is a corpus suffix array; the
+    distributed equivalent hashes k-char windows at `stride` — any
+    cross-doc duplicate run of length >= k + stride - 1 is guaranteed
+    to contain at least one aligned-window collision in both copies,
+    so detection needs no cross-doc alignment.
+
+    Scale shape: window hashing is a pure map (one SQL transform over
+    char positions — rows explode to ~chars/stride spans, the same
+    O(chars) budget a suffix array spends); duplicated hashes surface
+    from ONE combinable groupBy(hash); the span list joins back on the
+    hash — both shuffles keyed by the uniform md5. Docs shorter than k
+    chars emit nothing (no span can repeat).
+
+    Returns (doc_id, pos, span_hash, n_docs) for every span whose hash
+    appears in >= 2 distinct docs — the spans a cleaning pass would
+    cut (merging overlapping spans per doc is a cheap per-doc
+    follow-up, cf. pipelines.clean_corpus)."""
+    norm = normalize_text(F.col(text_col))
+    base = (
+        df.select(F.col(id_col).alias("id"), norm.alias("_norm"))
+        .filter(F.length("_norm") >= k)
+    )
+    spans = base.select(
+        "id",
+        F.explode(F.expr(
+            f"transform(sequence(0, (length(_norm) - {k}) div {stride}),"
+            f" i -> struct(i * {stride} as pos,"
+            f" md5(substr(_norm, i * {stride} + 1, {k})) as h))"
+        )).alias("s"),
+    ).select("id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    return (
+        spans.join(dup, "h")
+        .select("id", "pos", F.col("h").alias("span_hash"), "n_docs")
+    )

@@ -257,3 +257,40 @@ ORACLES = {
         ORDER BY id1, id2
     """,
 }
+
+
+def dd8_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate k-char spans (suffix-array-style
+    substring dedup, distributed via stride-aligned window hashing —
+    operators/dedup.substring_dup_spans)."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    return (
+        D.substring_dup_spans(docs, k=64, stride=32)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "pos")
+    )
+
+
+QUERIES["dd8_substring_dup_spans"] = dd8_substring_dup_spans
+
+ORACLES["dd8_substring_dup_spans"] = f"""
+    WITH base AS (
+        SELECT doc_id AS id, {_NORM} AS norm FROM documents
+        WHERE length({_NORM}) >= 64
+    ), idx AS (
+        SELECT id, norm,
+               unnest(range(0, CAST((length(norm) - 64) // 32 AS INT) + 1))
+                   AS i
+        FROM base
+    ), spans AS (
+        SELECT id, CAST(i * 32 AS INT) AS pos,
+               md5(substr(norm, CAST(i * 32 + 1 AS INT), 64)) AS h
+        FROM idx
+    ), dup AS (
+        SELECT h, CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+        FROM spans GROUP BY h HAVING count(DISTINCT id) >= 2
+    )
+    SELECT s.id AS doc_id, s.pos, s.h AS span_hash, d.n_docs
+    FROM spans s JOIN dup d ON s.h = d.h
+    ORDER BY doc_id, pos
+"""

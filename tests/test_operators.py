@@ -496,3 +496,27 @@ class TestSourceMix:
         out = dp9_source_mix(spark, "/root/testdata/sf0.001").collect()
         assert abs(sum(r.token_share for r in out) - 1.0) < 1e-12
         assert all(r.n_docs > 0 and r.n_tokens > 0 for r in out)
+
+
+class TestSubstringDupSpans:
+    def test_detects_shared_long_run_and_skips_unique(self, spark):
+        from mining_data_integration_spark.operators.dedup import (
+            substring_dup_spans)
+        shared = "x" * 200  # shared run >> k + stride - 1
+        rows = [
+            (1, "aaa " + shared + " tail one"),
+            (2, "prefix two " + shared + " zzz"),
+            (3, "completely different text " + "q" * 200),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = substring_dup_spans(df, k=64, stride=32).collect()
+        ids = {r.id for r in out}
+        assert {1, 2} <= ids and 3 not in ids
+        assert all(r.n_docs == 2 for r in out)
+
+    def test_short_docs_emit_nothing(self, spark):
+        from mining_data_integration_spark.operators.dedup import (
+            substring_dup_spans)
+        df = spark.createDataFrame(
+            [(1, "short"), (2, "short")], "doc_id long, text string")
+        assert substring_dup_spans(df, k=64, stride=32).count() == 0
