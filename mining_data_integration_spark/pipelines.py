@@ -275,3 +275,44 @@ def pack_sequences(df: DataFrame, budget: int, token_count: Column,
         F.expr(f"_start div {budget}").alias("pack_id"),
         F.pmod("_start", F.lit(budget)).cast("long").alias("pack_offset"),
     )
+
+
+def chunk_documents(docs: DataFrame, max_chars: int = 512,
+                    overlap: int = 64, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window document chunking — the pre-tokenization splitter
+    (long doc -> overlapping max_chars windows; RAG indexers and
+    fixed-context tokenizer feeds both run this shape). Chunk i covers
+    [i*stride, i*stride + max_chars) of the normalized text with
+    stride = max_chars - overlap; every char position is covered and
+    consecutive chunks share `overlap` chars of context.
+
+    Pure map-side explode (no shuffle at any corpus size): fanout is
+    ceil(len/stride) rows per doc — the same O(total chars) budget the
+    downstream tokenizer pays anyway. Exact integer arithmetic only
+    (the dd8 lesson: cross-engine / vs // casts diverge; use div).
+    Returns (doc_id, chunk_idx, chunk_start, chunk_len, chunk_hash) —
+    the hash stands in for the chunk text to keep rows narrow; swap
+    the projection to carry text in a real feed."""
+    from .operators.dedup import normalize_text
+
+    stride = max_chars - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than max_chars")
+    base = docs.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
+    ).filter(F.length("_norm") > 0)
+    return base.select(
+        id_col,
+        F.explode(F.expr(
+            f"transform(sequence(0, (length(_norm) - 1) div {stride}),"
+            f" i -> struct("
+            f"   cast(i as long) as chunk_idx,"
+            f"   cast(i * {stride} as long) as chunk_start,"
+            f"   cast(least({max_chars},"
+            f"        length(_norm) - i * {stride}) as long) as chunk_len,"
+            f"   md5(substr(_norm, i * {stride} + 1, {max_chars}))"
+            f"     as chunk_hash))"
+        )).alias("c"),
+    ).select(id_col, "c.chunk_idx", "c.chunk_start", "c.chunk_len",
+             "c.chunk_hash")

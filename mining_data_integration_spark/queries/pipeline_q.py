@@ -405,3 +405,35 @@ ORACLES["dp9_source_mix"] = f"""
     FROM per CROSS JOIN tot
     ORDER BY source, lang
 """
+
+
+def dp10_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (512 chars, 64 overlap) over the
+    corpus (pipelines.chunk_documents) — map-side only."""
+    from ..pipelines import chunk_documents
+
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    return chunk_documents(docs, max_chars=512, overlap=64) \
+        .orderBy("doc_id", "chunk_idx")
+
+
+QUERIES["dp10_chunk_documents"] = dp10_chunk_documents
+
+ORACLES["dp10_chunk_documents"] = f"""
+    WITH base AS (
+        SELECT doc_id, {_NORM} AS norm FROM documents
+        WHERE length({_NORM}) > 0
+    ), idx AS (
+        SELECT doc_id, norm,
+               unnest(range(0, CAST((length(norm) - 1) // 448 AS INT) + 1))
+                   AS i
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * 448 AS BIGINT) AS chunk_start,
+           CAST(least(512, length(norm) - i * 448) AS BIGINT) AS chunk_len,
+           md5(substr(norm, CAST(i * 448 + 1 AS INT), 512)) AS chunk_hash
+    FROM idx
+    ORDER BY doc_id, chunk_idx
+"""

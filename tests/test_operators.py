@@ -520,3 +520,33 @@ class TestSubstringDupSpans:
         df = spark.createDataFrame(
             [(1, "short"), (2, "short")], "doc_id long, text string")
         assert substring_dup_spans(df, k=64, stride=32).count() == 0
+
+
+class TestChunkDocuments:
+    def test_coverage_and_overlap(self, spark):
+        from mining_data_integration_spark.pipelines import chunk_documents
+        text = "a" * 1000
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = sorted(chunk_documents(df, max_chars=512, overlap=64).collect(),
+                     key=lambda r: r.chunk_idx)
+        # stride 448: starts 0, 448, 896; last chunk truncated
+        assert [(r.chunk_start, r.chunk_len) for r in out] \
+            == [(0, 512), (448, 512), (896, 104)]
+        # full coverage: next start is inside the previous chunk by 64
+        for a, b in zip(out, out[1:]):
+            assert b.chunk_start == a.chunk_start + 448
+
+    def test_short_doc_single_chunk(self, spark):
+        from mining_data_integration_spark.pipelines import chunk_documents
+        df = spark.createDataFrame([(1, "hello world")],
+                                   "doc_id long, text string")
+        out = chunk_documents(df, max_chars=512, overlap=64).collect()
+        assert len(out) == 1
+        assert out[0].chunk_start == 0 and out[0].chunk_len == 11
+
+    def test_bad_overlap_raises(self, spark):
+        import pytest as _pytest
+        from mining_data_integration_spark.pipelines import chunk_documents
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            chunk_documents(df, max_chars=64, overlap=64)
