@@ -229,8 +229,14 @@ def chain_members_rcte(edges: DataFrame, tip_id: str,
     SQL-surface parity, but the pointer-doubling (O(log n) rounds) and
     segmented (O(1) shuffles) walks remain the scale paths.
     """
+    import hashlib
+
     spark = edges.sparkSession
-    view = f"chain_edges_{abs(hash((id_col, parent_col, tip_id))) % 10**8}"
+    # md5, not Python hash(): hash() of str is salted per process
+    # (PYTHONHASHSEED), and this codebase is otherwise deterministic
+    tag = hashlib.md5(
+        f"{id_col}|{parent_col}|{tip_id}".encode()).hexdigest()[:8]
+    view = f"chain_edges_{tag}"
     edges.select(id_col, parent_col).createOrReplaceTempView(view)
     tip_lit = tip_id.replace("'", "''")
     return spark.sql(f"""

@@ -330,22 +330,42 @@ def substring_dup_spans(df: DataFrame, text_col: str = "text",
     "Deduplicating Training Data Makes Language Models Better"): find
     k-char spans of normalized text that occur in MORE THAN ONE
     document. The exact method is a corpus suffix array; the
-    distributed equivalent hashes k-char windows at `stride` — any
-    cross-doc duplicate run of length >= k + stride - 1 is guaranteed
-    to contain at least one aligned-window collision in both copies,
-    so detection needs no cross-doc alignment.
+    distributed equivalent hashes k-char windows at *content-defined*
+    anchor positions (winnowing/CDC-style) UNIONed with a fixed
+    stride grid. A position i anchors when (a) i sits on the stride
+    grid, or (b) md5 of the 8-char seed gram at i falls in a 1/stride
+    slice of hash space. Content anchors depend only on the local
+    characters, so two copies of the same run anchor at the SAME
+    in-run offsets wherever the copies sit — no a ≡ b (mod stride)
+    alignment precondition (the round-2 grid-only design silently
+    missed ~(stride-1)/stride of mis-aligned duplicates). The grid is
+    kept as a deterministic floor: duplicate runs >= k + stride - 1
+    that ARE stride-aligned — or whose content is periodic, where
+    every in-run window hashes identically but a constant seed gram
+    makes content anchors all-or-nothing — always collide. Net
+    guarantee for a duplicate run of length L >= k: deterministic when
+    aligned or periodic (L >= k + stride - 1); otherwise miss chance
+    (1 - 1/stride)^(L-k+1), e.g. < 2% for L = k + 4·stride at the
+    defaults.
 
-    Scale shape: window hashing is a pure map (one SQL transform over
-    char positions — rows explode to ~chars/stride spans, the same
-    O(chars) budget a suffix array spends); duplicated hashes surface
-    from ONE combinable groupBy(hash); the span list joins back on the
-    hash — both shuffles keyed by the uniform md5. Docs shorter than k
-    chars emit nothing (no span can repeat).
+    Scale shape: anchor selection + window hashing is a pure map (one
+    SQL transform over char positions; the seed-gram md5 per position
+    is O(chars) map-side work — a Karp-Rabin rolling hash would cut
+    the constant but md5 keeps cross-engine oracle parity); surviving
+    spans are ~chars/stride rows. Duplicated hashes surface from ONE
+    combinable groupBy(hash); the span list joins back on the hash —
+    both shuffles keyed by the uniform md5. Spans are ~2·chars/stride
+    rows (grid + content anchors). Docs shorter than k chars emit
+    nothing (no span can repeat). `stride` must divide 256 (the
+    anchor test is a two-hex-digit prefix compare both engines share).
 
-    Returns (doc_id, pos, span_hash, n_docs) for every span whose hash
-    appears in >= 2 distinct docs — the spans a cleaning pass would
-    cut (merging overlapping spans per doc is a cheap per-doc
-    follow-up, cf. pipelines.clean_corpus)."""
+    Returns (doc_id, pos, span_hash, n_docs) for every anchored span
+    whose hash appears in >= 2 distinct docs — the spans a cleaning
+    pass would cut (merging overlapping spans per doc is a cheap
+    per-doc follow-up, cf. pipelines.clean_corpus)."""
+    if 256 % stride:
+        raise ValueError("stride must divide 256")
+    thr = format(256 // stride, "02x")
     norm = normalize_text(F.col(text_col))
     base = (
         df.select(F.col(id_col).alias("id"), norm.alias("_norm"))
@@ -354,9 +374,12 @@ def substring_dup_spans(df: DataFrame, text_col: str = "text",
     spans = base.select(
         "id",
         F.explode(F.expr(
-            f"transform(sequence(0, (length(_norm) - {k}) div {stride}),"
-            f" i -> struct(i * {stride} as pos,"
-            f" md5(substr(_norm, i * {stride} + 1, {k})) as h))"
+            f"transform("
+            f" filter(sequence(1, length(_norm) - {k} + 1),"
+            f"  i -> (i - 1) % {stride} = 0 OR"
+            f"   substr(md5(substr(_norm, i, 8)), 1, 2) < '{thr}'),"
+            f" i -> struct(i - 1 as pos,"
+            f"  md5(substr(_norm, i, {k})) as h))"
         )).alias("s"),
     ).select("id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
     dup = (

@@ -10,8 +10,8 @@ the same scaling wall — this module is the Spark-native fix.
 
 Two-phase pattern (the classic distributed prefix computation):
 
-1. ``repartitionByRange`` on the order key — rows land in height-sorted
-   shards, each shard's key range disjoint and ordered;
+1. assign each row a *shard id* = its range bucket in the requested
+   order, so shard boundaries are contiguous in the global order;
 2. run the window WITHIN each shard (``partitionBy(shard)`` — fully
    parallel, no single-partition exchange on the big data);
 3. compute one summary row per shard (count / sum / last value — a few
@@ -22,30 +22,124 @@ The only single-partition window left runs over #shards rows, not
 #data rows. Requires a *total* order (callers pass a unique tiebreak
 key, same rule every deterministic query here already follows).
 
-``repartitionByRange`` boundaries come from reservoir sampling with a
-fixed seed over a fixed input partitioning — deterministic, and the
-planner reuses the exchange across the summary/join branches
-(ReusedExchange), so shard ids are consistent within the plan.
+Plan independence (the round-2 ``dp5`` lesson): an earlier version
+derived the shard id from ``spark_partition_id()`` after a
+``repartitionByRange`` and relied on the planner reusing that exchange
+across the window branch and the per-shard-totals branch. That is an
+implicit planner contract, not a guarantee — AQE, a different
+``spark.sql.shuffle.partitions``, or a non-reused exchange could assign
+the two branches different ids. Now the shard id is a PURE FUNCTION of
+the row's own order-key value: range boundaries are sampled once
+(deterministically, by md5 order) and folded into the plan as literals,
+so every branch — under any session conf, any adaptive re-plan — maps a
+row to the same shard. Pinned by ``tests/test_scalable.py``
+(``test_plan_independent_across_session_confs``, and the plan test
+asserts no ``spark_partition_id`` call survives).
+
+Boundaries are drawn FROM actual key values, so every non-trailing
+shard is non-empty (its own boundary value lands in it); ``global_lag``
+additionally chains per-shard last values with a tiny-table ``lag`` so
+even an empty shard (impossible today, cheap to guard) would not break
+the boundary patch.
+
+Classic (JVM) PySpark only: the sort-direction introspection reads the
+Column's internal SortOrder node via py4j.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.column import Column as _PyColumn
 
 _PID = "_sc_pid"
 _LRN = "_sc_lrn"
 _OFF = "_sc_off"
+
+# boundary sample size per shard: n*128 rows collected to the driver —
+# a few thousand rows at most, independent of data size
+_SAMPLE_PER_SHARD = 128
+
+
+def _sort_spec(col: Column, jvm) -> tuple[Column, bool]:
+    """Split a possibly-SortOrder Column into (value column, descending).
+
+    ``F.desc("k")`` / ``col.desc()`` build an internal SortOrder node;
+    plain columns pass through as ascending. Default null ordering only
+    (ASC NULLS FIRST / DESC NULLS LAST) — order keys here are non-null
+    by contract (they include a unique tiebreak key).
+    """
+    node = col._jc.node()
+    if node.getClass().getSimpleName() == "SortOrder":
+        value = _PyColumn(jvm.org.apache.spark.sql.Column(node.child()))
+        descending = "Descending" in node.sortDirection().toString()
+        return value, descending
+    return col, False
+
+
+def _range_boundaries(df: DataFrame, key: Column, descending: bool,
+                      n: int) -> list:
+    """n-1 range cut points for ``key``, sampled from the data itself.
+
+    Deterministic: the sample is the md5-least ``n*_SAMPLE_PER_SHARD``
+    key values (ties share a key value, so the sampled multiset is
+    unique), sorted in the requested direction, quantile-indexed, and
+    de-duplicated. One small extra job at plan-build time — the same
+    pass ``repartitionByRange`` would spend on sampling, but the result
+    becomes plan literals instead of exchange-internal state.
+    """
+    if n <= 1:
+        return []
+    cap = n * _SAMPLE_PER_SHARD
+    rows = (
+        df.select(key.alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .orderBy(F.md5(F.col("_k").cast("string")))
+        .limit(cap)
+        .collect()
+    )
+    # Python sort order matches Spark's for every key type used here
+    # (ints/longs/decimals numerically; str by code point == UTF-8
+    # binary order; date/datetime chronologically).
+    vals = sorted((r["_k"] for r in rows), reverse=descending)
+    if not vals:
+        return []
+    bounds: list = []
+    for i in range(1, n):
+        b = vals[i * len(vals) // n]
+        if not bounds or b != bounds[-1]:
+            bounds.append(b)
+    return bounds
+
+
+def _bucket_expr(key: Column, bounds: list, descending: bool) -> Column:
+    """Shard id as a pure row expression: how many boundaries this
+    row's key has passed in the requested order. Ties with a boundary
+    land in the earlier shard — consistent everywhere because the
+    comparison is against the same literals in every branch."""
+    if not bounds:
+        return F.lit(0)
+    pid: Column = F.lit(0)
+    for b in bounds:
+        passed = (key < F.lit(b)) if descending else (key > F.lit(b))
+        pid = pid + F.when(passed, F.lit(1)).otherwise(F.lit(0))
+    if descending:
+        # DESC NULLS LAST: a null key sorts after everything
+        pid = F.when(key.isNull(), F.lit(len(bounds))).otherwise(pid)
+    return pid.cast("int")
 
 
 def _sharded(df: DataFrame, order_by: list[Column],
              num_partitions: int | None) -> DataFrame:
     n = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return (
-        df.repartitionByRange(n, *order_by)
-        .withColumn(_PID, F.spark_partition_id())
-    )
+    key, descending = _sort_spec(order_by[0], df.sparkSession._jvm)
+    bounds = _range_boundaries(df, key, descending, n)
+    part = df.withColumn(_PID, _bucket_expr(key, bounds, descending))
+    # co-locate each shard; the shard-local window and the per-shard
+    # aggregate both cluster on _PID, so this one hash exchange serves
+    # every branch (and correctness no longer depends on its reuse)
+    return part.repartition(n, F.col(_PID))
 
 
 def _prefix_offsets(per_shard: DataFrame, measure: str) -> DataFrame:
@@ -105,8 +199,9 @@ def global_lag(df: DataFrame, order_by: list[Column], value: Column,
                out_col: str = "prev",
                num_partitions: int | None = None) -> DataFrame:
     """Globally-ordered lag(value, 1): shard-local lag, with each
-    shard's first row patched from the previous shard's last value
-    (one boundary row per shard, broadcast back)."""
+    shard's first row patched from the previous non-empty shard's last
+    value (one boundary row per shard, chained by a tiny-table ``lag``
+    so shard-id gaps cannot drop the patch, then broadcast back)."""
     part = _sharded(df, order_by, num_partitions)
     w_local = Window.partitionBy(_PID).orderBy(*order_by)
     w_shard = Window.partitionBy(_PID)
@@ -115,11 +210,15 @@ def global_lag(df: DataFrame, order_by: list[Column], value: Column,
         .withColumn(_LRN, F.row_number().over(w_local))
         .withColumn("_pcnt", F.count("*").over(w_shard))
     )
-    # last row of each shard -> boundary value for the NEXT shard
-    bounds = (
+    # last row of each shard -> boundary value for the NEXT shard,
+    # chained over the tiny per-shard table (one row per shard)
+    lasts = (
         local.filter(F.col(_LRN) == F.col("_pcnt"))
-        .select((F.col(_PID) + 1).alias(_PID), value.alias("_prev_shard"))
+        .select(F.col(_PID), value.alias("_last"))
     )
+    bounds = lasts.withColumn(
+        "_prev_shard", F.lag("_last").over(Window.orderBy(_PID))
+    ).select(_PID, "_prev_shard")
     return (
         local.join(F.broadcast(bounds), _PID, "left")
         .withColumn(

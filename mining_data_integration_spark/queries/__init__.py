@@ -8,6 +8,12 @@ Each submodule exposes two dicts:
 dicts as the driver contract. Names are prefixed with the SURVEY §2
 operator ids they exercise (e.g. ``a1_``, ``j6_``, ``w4_``).
 
+Registry order: modules merge in a fixed alphabetical order; on top of
+that, queries whose OUTPUT changed recently or that have never received
+a driver verdict are listed first (``_REVERIFY_FIRST``), so a capped
+verification pass re-checks exactly the entries whose green status is
+least established. Changed queries re-verify first — never last.
+
 Determinism rules (driver compares row count + schema + order-insensitive
 value hash, so values must be bit-exact across Spark and DuckDB):
   * money aggregates go through DECIMAL(18,2) sums (exact, order-independent),
@@ -26,22 +32,45 @@ from pyspark.sql import DataFrame, SparkSession
 from . import aggregates, joins, scans, scalars, windows
 from . import dedup, multimodal, pipeline_q, similarity, text
 
-# never-driver-checked modules first: if the driver caps the number of
-# entries it verifies per round, the LLM-pipeline suite + scalars get
-# their verdict before the already-green r01 modules re-run
-_MODULES = (dedup, similarity, text, multimodal, pipeline_q, scalars,
-            scans, joins, aggregates, windows)
+# stable, neutral ordering: alphabetical by module name
+_MODULES = (aggregates, dedup, joins, multimodal, pipeline_q, scalars,
+            scans, similarity, text, windows)
+
+# Queries that must be (re-)verified before anything else:
+#  * round-3 output-affecting changes (dp5's plan-independent cumsum is
+#    shared by dp8/o6/o7/o8/w14; dd8's alignment-invariant span hashing);
+#  * round-2 output changes the driver has not re-sampled (j2/a6 array
+#    serialization, j17 fp_rate formula, w10/j14/j15 NTZ fix, w12 exact
+#    HALF_UP average, a16);
+#  * queries that have never received a driver verdict (aj1, w11-w13,
+#    w16-w19).
+_REVERIFY_FIRST = (
+    "dp5_sequence_pack", "dp8_global_shuffle", "o6_tail_slice",
+    "o7_offset_pagination", "o8_range_slice", "w14_scalable_cumsum",
+    "dd8_substring_dup_spans",
+    "j2_group_join", "a6_order_rollup", "j17_bloom_prune",
+    "w10_sessionize", "j14_band_join", "j15_interval_overlap_join",
+    "w12_sliding_window", "a16_approx_stats",
+    "aj1_asof_join", "w11_tumbling_window", "w13_session_window_native",
+    "w16_funnel", "w17_ewma", "w18_cohort_retention",
+    "w19_rolling_active_users",
+)
 
 
 def registry() -> tuple[
     dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]
 ]:
-    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
     for mod in _MODULES:
         for name, fn in getattr(mod, "QUERIES", {}).items():
-            if name in queries:
+            if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
-            queries[name] = fn
+            merged[name] = fn
         oracles.update(getattr(mod, "ORACLES", {}))
+    missing = [n for n in _REVERIFY_FIRST if n not in merged]
+    if missing:
+        raise ValueError(f"_REVERIFY_FIRST names not in registry: {missing}")
+    queries = {n: merged[n] for n in _REVERIFY_FIRST}
+    queries.update(merged)
     return queries, oracles

@@ -261,8 +261,8 @@ ORACLES = {
 
 def dd8_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate k-char spans (suffix-array-style
-    substring dedup, distributed via stride-aligned window hashing —
-    operators/dedup.substring_dup_spans)."""
+    substring dedup, distributed via content-defined anchor hashing —
+    alignment-invariant; operators/dedup.substring_dup_spans)."""
     docs = spread(t(spark, sf_dir, "documents"), "doc_id")
     return (
         D.substring_dup_spans(docs, k=64, stride=32)
@@ -279,13 +279,16 @@ ORACLES["dd8_substring_dup_spans"] = f"""
         WHERE length({_NORM}) >= 64
     ), idx AS (
         SELECT id, norm,
-               unnest(range(0, CAST((length(norm) - 64) // 32 AS INT) + 1))
-                   AS i
+               unnest(range(1, length(norm) - 64 + 2)) AS i
         FROM base
+    ), anchors AS (
+        SELECT id, norm, i FROM idx
+        WHERE (i - 1) % 32 = 0
+           OR substr(md5(substr(norm, CAST(i AS INT), 8)), 1, 2) < '08'
     ), spans AS (
-        SELECT id, CAST(i * 32 AS INT) AS pos,
-               md5(substr(norm, CAST(i * 32 + 1 AS INT), 64)) AS h
-        FROM idx
+        SELECT id, CAST(i - 1 AS INT) AS pos,
+               md5(substr(norm, CAST(i AS INT), 64)) AS h
+        FROM anchors
     ), dup AS (
         SELECT h, CAST(count(DISTINCT id) AS BIGINT) AS n_docs
         FROM spans GROUP BY h HAVING count(DISTINCT id) >= 2

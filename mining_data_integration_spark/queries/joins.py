@@ -441,12 +441,20 @@ def j17_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # fp_rate = HALF_UP(fp/nonmembers, 4dp) in exact bigint arithmetic
     # (the w12 lesson: rounding a double quotient near a .00005 tie
-    # goes opposite ways in Spark and DuckDB)
+    # goes opposite ways in Spark and DuckDB). Zero-nonmember guard:
+    # Spark's non-ANSI div-by-0 yields NULL while DuckDB errors —
+    # define fp_rate = 0.0 when every probe is a member (no false
+    # positive is possible), identically on both sides.
     return agg.select(
         "n_probed", "bloom_passes", "true_matches", "false_negatives",
-        (F.expr("(2 * _fp * 10000 + (n_probed - true_matches)) "
-                "div (2 * (n_probed - true_matches))").cast("double")
-         / F.lit(10_000.0)).alias("fp_rate"),
+        F.expr(
+            "CASE WHEN n_probed = true_matches THEN CAST(0 AS BIGINT) "
+            "ELSE (2 * _fp * 10000 + (n_probed - true_matches)) "
+            "div (2 * (n_probed - true_matches)) END"
+        ).cast("double").alias("_fp_scaled"),
+    ).select(
+        "n_probed", "bloom_passes", "true_matches", "false_negatives",
+        (F.col("_fp_scaled") / F.lit(10_000.0)).alias("fp_rate"),
     )
 
 
@@ -514,13 +522,19 @@ def _bloom_sql() -> str:
                CAST(sum(CASE WHEN member AND NOT pass THEN 1 ELSE 0 END)
                     AS BIGINT) AS false_negatives,
                -- exact bigint HALF_UP(fp/nonmembers, 4dp); counts are
-               -- non-negative so // (trunc) == floor == div
-               CAST((2 * sum(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END)
-                         * 10000
-                     + (count(*) - sum(CASE WHEN member THEN 1 ELSE 0 END)))
-                    // (2 * (count(*)
+               -- non-negative so // (trunc) == floor == div; fp_rate
+               -- defined as 0.0 when every probe is a member (guards
+               -- the divide-by-zero, mirrored in the Spark query)
+               CAST(CASE
+                    WHEN count(*) = sum(CASE WHEN member THEN 1 ELSE 0 END)
+                    THEN 0
+                    ELSE (2 * sum(CASE WHEN pass AND NOT member
+                                       THEN 1 ELSE 0 END) * 10000
+                          + (count(*)
                              - sum(CASE WHEN member THEN 1 ELSE 0 END)))
-                    AS DOUBLE) / 10000.0 AS fp_rate
+                         // (2 * (count(*)
+                                  - sum(CASE WHEN member THEN 1 ELSE 0 END)))
+                    END AS DOUBLE) / 10000.0 AS fp_rate
         FROM flags
     """
 

@@ -360,10 +360,21 @@ def w12_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sums, HALF_UP(S/n, 4dp) = (2*S_micros + 100*n) div (200*n) where
     # S_micros = S*1e6 (exact off the decimal(·,6) sum); the final
     # /10000.0 is one correctly-rounded IEEE op in both engines.
+    # Enforced (not just documented) preconditions of the HALF_UP
+    # identity: the window sum must be non-negative and small enough
+    # that S*1e6 fits a BIGINT (|S| <= ~9.2e12; the decimal sum type
+    # is wider). Out-of-bounds data raises instead of silently
+    # NULLing/wrapping under non-ANSI casts.
+    s_us = F.expr(
+        "CASE WHEN total_value >= 0 AND total_value <= 9200000000000 "
+        "THEN CAST(total_value * 1000000 AS BIGINT) "
+        "ELSE CAST(raise_error('w12 avg_value: window sum outside "
+        "exact-HALF_UP bounds') AS BIGINT) END"
+    )
     return out.select(
         F.unix_micros("w_start").alias("w_start_us"),
         "event_type", "n",
-        (F.col("total_value") * 1_000_000).cast("long").alias("_s_us"),
+        s_us.alias("_s_us"),
     ).select(
         "w_start_us", "event_type", "n",
         (F.expr("(2 * _s_us + 100 * n) div (200 * n)").cast("double")

@@ -521,6 +521,32 @@ class TestSubstringDupSpans:
             [(1, "short"), (2, "short")], "doc_id long, text string")
         assert substring_dup_spans(df, k=64, stride=32).count() == 0
 
+    def test_misaligned_nonperiodic_duplicate_is_found(self, spark):
+        """The round-2 flaw this operator was rewritten for: a shared
+        run embedded at offsets that differ mod stride, in non-periodic
+        text, must still collide (content-defined anchors move with the
+        content, not with the document's absolute offset grid)."""
+        import random
+        from mining_data_integration_spark.operators.dedup import (
+            substring_dup_spans)
+        rng = random.Random(42)
+        letters = "abcdefghijklmnopqrstuvwxyz"
+        mk = lambda n: "".join(rng.choice(letters) for _ in range(n))
+        shared = mk(600)          # non-periodic, >> k + a few gaps
+        rows = [
+            (1, mk(3) + shared + mk(40)),    # offset 3
+            (2, mk(17) + shared + mk(25)),   # offset 17 (17 != 3 mod 32)
+            (3, mk(700)),                    # unique text
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = substring_dup_spans(df, k=64, stride=32).collect()
+        ids = {r.id for r in out}
+        assert {1, 2} <= ids and 3 not in ids
+        # the colliding span hashes must agree across both copies
+        by_doc = {
+            d: {r.span_hash for r in out if r.id == d} for d in (1, 2)}
+        assert by_doc[1] & by_doc[2]
+
 
 class TestChunkDocuments:
     def test_coverage_and_overlap(self, spark):

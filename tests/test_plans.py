@@ -54,13 +54,16 @@ class TestPlanProperties:
             assert "CartesianProduct" not in plan, name
 
     def test_scalable_rownum_queries_shard_the_window(self, spark, queries):
-        """o6/o7/o8 pagination must range-shard; the only allowed
-        single-partition window runs over per-shard summary rows."""
+        """o6/o7/o8 pagination must shard on the literal-bucketed shard
+        id (a pure row expression — never spark_partition_id); the only
+        allowed single-partition window runs over per-shard summary
+        rows."""
         for name in ("o6_tail_slice", "o7_offset_pagination",
                      "o8_range_slice"):
             plan = plans.formatted_plan(queries[name](spark, SF))
             assert "windowspecdefinition(_sc_pid" in plan, name
-            assert "rangepartitioning" in plan.lower(), name
+            assert "hashpartitioning(_sc_pid" in plan.lower(), name
+            assert "spark_partition_id" not in plan.lower(), name
 
     def test_bucketed_join_has_no_shuffle(self, spark, tmp_path):
         """Two tables bucketed on the join key join without a shuffle
@@ -106,11 +109,13 @@ class TestNewOpPlans:
         assert plans.count_operator(df, "HashAggregate") >= 2
 
     def test_dp8_shuffle_shards_the_window(self, spark, queries):
-        # the epoch-shuffle global rank must go through the range-
-        # sharded two-phase row_number, not one single-partition window
-        # over the corpus (spark_partition_id marks the sharded path)
+        # the epoch-shuffle global rank must go through the two-phase
+        # sharded row_number, not one single-partition window over the
+        # corpus (_sc_pid marks the sharded path; the shard id must be
+        # a pure row expression, never spark_partition_id)
         plan = plans.formatted_plan(queries["dp8_global_shuffle"](spark, SF))
-        assert "SPARK_PARTITION_ID" in plan.upper()
+        assert "windowspecdefinition(_sc_pid" in plan
+        assert "spark_partition_id" not in plan.lower()
 
     def test_tx9_pii_scrub_is_map_side_only(self, spark, queries):
         # redaction is one projection over the scan: no joins, no aggs

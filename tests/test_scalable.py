@@ -82,8 +82,36 @@ def test_empty_and_single_row(spark):
 
 def test_big_window_is_sharded(data):
     """The data-bearing window must be partitioned by the shard id; the
-    only unpartitioned window runs over the per-shard summary rows."""
+    only unpartitioned window runs over the per-shard summary rows. The
+    shard id must be a pure row expression — no spark_partition_id()
+    (the round-2 dp5 lesson: partition ids after an exchange are an
+    implicit planner contract, not a guarantee)."""
     plan = formatted_plan(
         global_row_number(data, [F.col("k")], num_partitions=8))
     assert "windowspecdefinition(_sc_pid" in plan
-    assert "rangepartitioning" in plan.lower()
+    assert "hashpartitioning(_sc_pid" in plan.lower()
+    assert "spark_partition_id" not in plan.lower()
+
+
+def test_plan_independent_across_session_confs(spark, data):
+    """The dp5 regression pin: results must be bit-identical under any
+    shuffle-partition count and with AQE on or off — shard assignment
+    is a function of row values, not of the physical plan."""
+    order = [F.col("grp"), F.desc("k")]
+
+    def run():
+        out = global_cumsum(
+            data, order, F.col("amt"), out_col="c").select("k", "c")
+        return sorted((r.k, str(r.c)) for r in out.collect())
+
+    keys = ("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
+    saved = {k: spark.conf.get(k) for k in keys}
+    base = run()
+    try:
+        for parts, aqe in (("7", "true"), ("200", "false"), ("3", "true")):
+            spark.conf.set(keys[0], parts)
+            spark.conf.set(keys[1], aqe)
+            assert run() == base, f"diverged at partitions={parts} aqe={aqe}"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
