@@ -554,3 +554,65 @@ def centroid_classify(emb: DataFrame, id_col: str = "vec_id",
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy("label", "predicted")
     )
+
+
+def semantic_dedup(emb: DataFrame, threshold_pct: int = 40,
+                   num_planes: int = 4, dim: int = 64,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embedding space, then inside each cluster drop every
+    vector that has a sufficiently-similar neighbor of higher keep
+    priority, keeping exactly one exemplar per near-duplicate
+    neighborhood.
+
+    Deterministic re-expression of the paper's pipeline:
+
+    * the k-means clustering step is replaced by the LSH hyperplane
+      bucketing already used for ANN (deterministic, streaming-friendly,
+      and at 100 TB the bucket id is a pure map-side expression instead
+      of an iterative float k-means);
+    * cosine similarity is evaluated on int8-quantized vectors with the
+      threshold test cross-multiplied into exact integer arithmetic:
+      cos(a,b) >= t  <=>  dot>0 and dot^2 * 10000 >= (100t)^2 * |a|^2*|b|^2
+      (dims<=64, |q_i|<=127 keep every term far inside int64), so the
+      keep/drop decision is bit-reproducible and oracle-checkable;
+    * keep priority is md5(id) — uniform, so the retained exemplar is an
+      unbiased choice within each neighborhood (the paper keeps a
+      random point per duplicate group).
+
+    Scale shape: one map-side bucket/quantize pass, one bucketed
+    equi-self-join (never all-pairs), one semi-join back. Returns
+    (vec_id, cluster, kept 0/1).
+    """
+    planes = hyperplanes(num_planes, dim)
+    thr2 = (threshold_pct * threshold_pct)
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        lsh_bucket(F.col(vec_col), planes).alias("cluster"),
+        int8_quantize(F.col(vec_col)).alias("q"),
+    )
+    base = base.withColumn("n2", idot(F.col("q"), F.col("q")))
+    base = base.withColumn("pri", F.md5(F.col("id").cast("string")))
+    from .dedup import materialize
+    base = materialize(base)  # quantize/bucket once, read from both sides
+    a, b = base.alias("a"), base.alias("b")
+    d = idot(F.col("a.q"), F.col("b.q"))
+    near = (d > 0) & (d * d * F.lit(10000) >=
+                      F.lit(thr2) * F.col("a.n2") * F.col("b.n2"))
+    higher_pri = (F.col("b.pri") < F.col("a.pri")) | (
+        (F.col("b.pri") == F.col("a.pri")) & (F.col("b.id") < F.col("a.id")))
+    dropped = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.id") != F.col("b.id")) & near & higher_pri,
+        "left_semi",
+    ).select(F.col("id"))
+    # no broadcast hint: the dropped set is O(duplicates) — can be a
+    # large fraction of the corpus; let AQE pick the join strategy
+    return (
+        base.join(dropped.withColumn("_drop", F.lit(1)), "id", "left")
+        .select(F.col("id").alias(id_col), "cluster",
+                F.when(F.col("_drop").isNull(), F.lit(1))
+                .otherwise(F.lit(0)).cast("int").alias("kept"))
+    )

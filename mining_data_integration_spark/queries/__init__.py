@@ -45,6 +45,9 @@ _MODULES = (aggregates, dedup, joins, multimodal, pipeline_q, scalars,
 #  * queries that have never received a driver verdict (aj1, w11-w13,
 #    w16-w19).
 _REVERIFY_FIRST = (
+    # round-3 additions (no driver verdict yet)
+    "dd9_semantic_dedup", "w20_zscore_outliers",
+    "dp11_curriculum_epochs", "a20_scalable_median",
     "dp5_sequence_pack", "dp8_global_shuffle", "o6_tail_slice",
     "o7_offset_pagination", "o8_range_slice", "w14_scalable_cumsum",
     "dd8_substring_dup_spans",

@@ -422,3 +422,69 @@ ORACLES = {
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
     """,
 }
+
+
+def a20_scalable_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rank-based median + p90 of order value per market segment
+    via a VALUE HISTOGRAM — the scale path for a14_percentiles.
+
+    a14 sorts every row inside its group (fine per-group, but the sort
+    is O(rows)); here the cumulative scan runs over the DISTINCT-value
+    table (groupBy(seg, price) first, map-side combinable), so the
+    window sees O(|value domain|) rows per segment no matter how many
+    orders exist — at 100 TB the 2-decimal price domain is ~1e7 values
+    while the fact table is ~1e12 rows. Rank statistics (value at
+    ceil(n/2) / ceil(0.9n)) rather than interpolation: the output is a
+    value that exists in the data, exact in any engine."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").alias("price"))
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"))
+    j = o.join(F.broadcast(c), "o_custkey")
+    counts = j.groupBy("seg", "price").agg(F.count("*").alias("cnt"))
+    w = (Window.partitionBy("seg").orderBy("price")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = counts.withColumn("cum", F.sum("cnt").over(w))
+    tot = counts.groupBy("seg").agg(F.sum("cnt").alias("n_orders"))
+    joined = cum.join(F.broadcast(tot), "seg")
+    med = (joined.filter(F.expr("cum >= (n_orders + 1) div 2"))
+           .groupBy("seg").agg(F.min("price").alias("median_price")))
+    p90 = (joined.filter(F.expr("cum >= (9 * n_orders + 9) div 10"))
+           .groupBy("seg").agg(F.min("price").alias("p90_price")))
+    return (tot.join(med, "seg").join(p90, "seg")
+            .select("seg", "n_orders", "median_price", "p90_price")
+            .orderBy("seg"))
+
+
+QUERIES["a20_scalable_median"] = a20_scalable_median
+
+ORACLES["a20_scalable_median"] = """
+    WITH j AS (
+        SELECT c.c_mktsegment AS seg, o.o_totalprice AS price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), counts AS (
+        SELECT seg, price, count(*) AS cnt FROM j GROUP BY seg, price
+    ), cum AS (
+        SELECT seg, price, cnt,
+               sum(cnt) OVER (PARTITION BY seg ORDER BY price
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM counts
+    ), tot AS (
+        SELECT seg, CAST(sum(cnt) AS BIGINT) AS n_orders
+        FROM counts GROUP BY seg
+    ), med AS (
+        SELECT cum.seg, min(price) AS median_price
+        FROM cum JOIN tot ON cum.seg = tot.seg
+        WHERE cum >= (n_orders + 1) // 2 GROUP BY cum.seg
+    ), p90 AS (
+        SELECT cum.seg, min(price) AS p90_price
+        FROM cum JOIN tot ON cum.seg = tot.seg
+        WHERE cum >= (9 * n_orders + 9) // 10 GROUP BY cum.seg
+    )
+    SELECT tot.seg, n_orders, median_price, p90_price
+    FROM tot JOIN med ON tot.seg = med.seg JOIN p90 ON tot.seg = p90.seg
+    ORDER BY tot.seg
+"""

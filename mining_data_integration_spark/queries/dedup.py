@@ -297,3 +297,68 @@ ORACLES["dd8_substring_dup_spans"] = f"""
     FROM spans s JOIN dup d ON s.h = d.h
     ORDER BY doc_id, pos
 """
+
+
+def dd9_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over embeddings: LSH-bucket
+    clusters, exact-integer quantized-cosine threshold (0.40 — the top
+    of the fixture similarity tail, same as dd/sim3), md5-priority
+    exemplar retention. operators/similarity.semantic_dedup."""
+    from ..operators import similarity as S
+
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    return S.semantic_dedup(emb, threshold_pct=40, num_planes=4).orderBy(
+        "vec_id"
+    )
+
+
+QUERIES["dd9_semantic_dedup"] = dd9_semantic_dedup
+
+
+def _dd9_oracle() -> str:
+    from .similarity import _bucket_sql, _planes_cte
+
+    return f"""
+    WITH planes AS ({_planes_cte()}),
+    base AS (
+        SELECT vec_id AS id, embedding,
+               {_bucket_sql('embedding')} AS cluster,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings CROSS JOIN planes
+    ), qv AS (
+        SELECT id, cluster,
+               CASE WHEN mx > 0 THEN list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx)
+                                        + 0.5) AS BIGINT))
+                    ELSE list_transform(embedding,
+                        x -> CAST(0 AS BIGINT)) END AS q
+        FROM base
+    ), n AS (
+        SELECT id, cluster, q,
+               CAST(list_sum(list_transform(range(1, len(q) + 1),
+                   i -> q[i] * q[i])) AS BIGINT) AS n2,
+               md5(CAST(id AS VARCHAR)) AS pri
+        FROM qv
+    ), pairs AS (
+        SELECT a.id AS aid,
+               CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                   i -> a.q[i] * b.q[i])) AS BIGINT) AS d,
+               a.n2 AS an2, b.n2 AS bn2
+        FROM n a JOIN n b
+          ON a.cluster = b.cluster AND a.id <> b.id
+         AND (b.pri < a.pri OR (b.pri = a.pri AND b.id < a.id))
+    ), dropped AS (
+        SELECT DISTINCT aid AS id FROM pairs
+        WHERE d > 0
+          AND CAST(d AS HUGEINT) * d * 10000
+              >= 1600 * CAST(an2 AS HUGEINT) * bn2
+    )
+    SELECT n.id AS vec_id, n.cluster,
+           CAST(CASE WHEN dr.id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+    FROM n LEFT JOIN dropped dr ON n.id = dr.id
+    ORDER BY vec_id
+    """
+
+
+ORACLES["dd9_semantic_dedup"] = _dd9_oracle()

@@ -16,6 +16,8 @@ from ..pipelines import clean_corpus
 from ._util import spread, t
 from .dedup import _NORM, _WORDS, _duck_shingles, _minhash_band_sql
 
+_DP_STOPLIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
 MIN_TOKENS = 10
 MIN_QUALITY = 0.3
 EN_THRESHOLD = 0.08
@@ -436,4 +438,52 @@ ORACLES["dp10_chunk_documents"] = f"""
            md5(substr(norm, CAST(i * 448 + 1 AS INT), 512)) AS chunk_hash
     FROM idx
     ORDER BY doc_id, chunk_idx
+"""
+
+
+def dp11_curriculum_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: rank the corpus globally by the tx2
+    quality score (desc, doc_id tiebreak) and deal ranks round-robin
+    into 4 training epochs, so every epoch sees the full quality range
+    in rank order. The global rank uses the two-phase range-sharded
+    global_row_number (operators/scalable.py) — no single-partition
+    window over the corpus; the quality doubles are computed from the
+    same integer counts in the same op order both engines, so the sort
+    key is bit-identical (tx2 precedent)."""
+    from ..operators.scalable import global_row_number
+    from ..operators.text import quality_score
+
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    q = quality_score(docs).select("doc_id", "quality")
+    ranked = global_row_number(
+        q, [F.desc("quality"), F.asc("doc_id")], rn_col="grank")
+    return (
+        ranked.select(
+            "doc_id", "quality", "grank",
+            ((F.col("grank") - 1) % 4).cast("int").alias("epoch"))
+        .orderBy("grank")
+    )
+
+
+QUERIES["dp11_curriculum_epochs"] = dp11_curriculum_epochs
+
+_QUALITY_CTE = f"""
+    SELECT doc_id,
+           CAST(len(list_filter(toks, w -> w IN ({_DP_STOPLIST}))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) * 0.5
+           + CAST(len(list_distinct(toks)) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) * 0.5 AS quality
+    FROM (SELECT doc_id, {_WORDS} AS toks FROM documents)
+"""
+
+ORACLES["dp11_curriculum_epochs"] = f"""
+    WITH q AS ({_QUALITY_CTE}),
+    ranked AS (
+        SELECT doc_id, quality,
+               row_number() OVER (ORDER BY quality DESC, doc_id) AS grank
+        FROM q
+    )
+    SELECT doc_id, quality, CAST(grank AS BIGINT) AS grank,
+           CAST((grank - 1) % 4 AS INTEGER) AS epoch
+    FROM ranked ORDER BY grank
 """

@@ -900,3 +900,70 @@ ORACLES["w19_rolling_active_users"] = """
     FROM dau JOIN wau ON dau.day = wau.cday
     ORDER BY day
 """
+
+
+def w20_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection (|value - mean| > 3 sigma
+    within event_type) — the statistical outlier-filter stage of a
+    training-data pipeline, in EXACT integer arithmetic.
+
+    (x_i - mean)^2 > 9*var  <=>  (n*v_i - S)^2 > 9*(n*Q - S^2)
+    with v = micros(value) (exact off decimal(18,6)), S = sum v,
+    Q = sum v^2 — every term an integer, so the flag decision is
+    bit-identical in Spark and DuckDB regardless of aggregation order
+    (a double-based mean/stddev would round differently per plan).
+    Q and the squares run in DECIMAL(38,0) (HUGEINT on the oracle
+    side): n*Q ~ n^2 * max(v)^2 overflows int64 at ~2k rows/group.
+
+    Scale shape: one partial-aggregated groupBy over O(groups) rows,
+    broadcast of the tiny stats table back onto the fact scan — no
+    window, no sort, no second shuffle of the data.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value",
+        F.expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+        .alias("v"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.expr("CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))"))
+        .alias("q"),
+    )
+    flagged = ev.join(F.broadcast(stats), "event_type").withColumn(
+        "_lhs",
+        F.expr("CAST(n * v - s AS DECIMAL(19,0))"
+               " * CAST(n * v - s AS DECIMAL(19,0))"),
+    ).withColumn(
+        "_rhs",
+        F.expr("9 * (CAST(n AS DECIMAL(19,0)) * q"
+               " - CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)))"),
+    )
+    return (
+        flagged.filter(F.col("_lhs") > F.col("_rhs"))
+        .select("event_id", "event_type", "value",
+                F.signum(F.expr("CAST(n * v - s AS DOUBLE)"))
+                .cast("int").alias("z_sign"))
+        .orderBy("event_id")
+    )
+
+
+QUERIES["w20_zscore_outliers"] = w20_zscore_outliers
+
+ORACLES["w20_zscore_outliers"] = """
+    WITH v AS (
+        SELECT event_id, event_type, value,
+               CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+        FROM events
+    ), stats AS (
+        SELECT event_type, count(*) AS n, sum(v) AS s,
+               sum(CAST(v AS HUGEINT) * v) AS q
+        FROM v GROUP BY event_type
+    )
+    SELECT event_id, v.event_type, value,
+           CAST(sign(n * v.v - s) AS INTEGER) AS z_sign
+    FROM v JOIN stats USING (event_type)
+    WHERE CAST(n * v.v - s AS HUGEINT) * (n * v.v - s)
+          > 9 * (n * q - CAST(s AS HUGEINT) * s)
+    ORDER BY event_id
+"""

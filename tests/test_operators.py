@@ -576,3 +576,99 @@ class TestChunkDocuments:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with _pytest.raises(ValueError):
             chunk_documents(df, max_chars=64, overlap=64)
+
+
+class TestSemanticDedup:
+    def test_keeps_one_exemplar_per_duplicate_group(self, spark):
+        from mining_data_integration_spark.operators.similarity import (
+            semantic_dedup)
+        # ids 0/1/2 are near-identical (tiny perturbations of one
+        # direction -> same LSH bucket, cosine ~1); ids 10/11 are two
+        # mutually-orthogonal directions — no near-dup neighbor
+        base = [1.0, 0.5, -0.25, 0.125]
+        rows = [(i, [v + i * 1e-4 for v in base]) for i in range(3)]
+        rows += [(10, [0.0, 0.0, 1.0, 0.0]), (11, [0.0, 0.0, 0.0, 1.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r.vec_id: r.kept
+               for r in semantic_dedup(df, threshold_pct=90, num_planes=2,
+                                       dim=4).collect()}
+        assert sum(out[i] for i in (0, 1, 2)) == 1  # one exemplar survives
+        assert out[10] == 1 and out[11] == 1        # singletons kept
+
+    def test_threshold_zero_pct_like_exact_only(self, spark):
+        from mining_data_integration_spark.operators.similarity import (
+            semantic_dedup)
+        # threshold 100% (cos >= 1.0): only exact duplicates collapse
+        rows = [(0, [1.0, 2.0, 3.0, 4.0]), (1, [2.0, 4.0, 6.0, 8.0]),
+                (2, [1.0, 2.0, 3.0, 4.1])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r.vec_id: r.kept
+               for r in semantic_dedup(df, threshold_pct=100, num_planes=2,
+                                       dim=4).collect()}
+        # 0 and 1 quantize identically (scale-invariant int8) -> dups;
+        # 2 differs after quantization -> kept
+        assert sum(out[i] for i in (0, 1)) == 1 and out[2] == 1
+
+
+class TestZscoreOutliers:
+    def test_flags_exactly_the_planted_spike(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+        from mining_data_integration_spark.queries.windows import (
+            w20_zscore_outliers)
+        # 40 values at 10.0 +- 0.5 and one spike at 1000 -> only the
+        # spike exceeds 3 sigma
+        rows = [(i, "t", 10.0 + (0.5 if i % 2 else -0.5)) for i in range(40)]
+        rows.append((99, "t", 1000.0))
+        df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+        import datetime
+        ev = df.select("event_id", F.lit(datetime.datetime(2024, 1, 1)).alias("ts"),
+                       F.lit(7).cast("long").alias("user_id"),
+                       "event_type", "value", F.lit("{}").alias("props"))
+        d = str(tmp_path / "sf")
+        ev.write.parquet(d + "/events.parquet")
+        out = w20_zscore_outliers(spark, d).collect()
+        assert [(r.event_id, r.z_sign) for r in out] == [(99, 1)]
+
+
+class TestScalableMedian:
+    def test_matches_sorted_rank_definition(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+        from mining_data_integration_spark.queries.aggregates import (
+            a20_scalable_median)
+        import datetime
+        prices = [10.0, 20.0, 20.0, 30.0, 100.0]  # n=5 -> median 20, p90 100
+        orders = spark.createDataFrame(
+            [(i, 1, "O", p, datetime.datetime(2024, 1, 1), "1-URGENT")
+             for i, p in enumerate(prices)],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+        cust = spark.createDataFrame(
+            [(1, "c", 0, 0.0, "SEG")],
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string")
+        d = str(tmp_path / "sf")
+        orders.write.parquet(d + "/orders.parquet")
+        cust.write.parquet(d + "/customer.parquet")
+        r, = a20_scalable_median(spark, d).collect()
+        assert (r.seg, r.n_orders, r.median_price, r.p90_price) == \
+            ("SEG", 5, 20.0, 100.0)
+
+
+class TestCurriculumEpochs:
+    def test_rank_is_permutation_and_epochs_balanced(self, spark):
+        from mining_data_integration_spark.operators.scalable import (
+            global_row_number)
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame(
+            [(i, float((i * 37) % 101)) for i in range(101)],
+            "doc_id long, quality double")
+        out = global_row_number(
+            df, [F.desc("quality"), F.asc("doc_id")], rn_col="grank")
+        rows = out.withColumn("epoch", ((F.col("grank") - 1) % 4)).collect()
+        ranks = sorted(r.grank for r in rows)
+        assert ranks == list(range(1, 102))
+        by_q = sorted(rows, key=lambda r: (-r.quality, r.doc_id))
+        assert [r.grank for r in by_q] == list(range(1, 102))
+        from collections import Counter
+        c = Counter((r.grank - 1) % 4 for r in rows)
+        assert max(c.values()) - min(c.values()) <= 1
