@@ -112,11 +112,24 @@ def main() -> None:
         per_query[name] = round(sorted(times)[2], 3)
 
     total = round(sum(per_query.values()), 3)
+
+    # plan hygiene pin: total Exchange SinglePartition occurrences across
+    # the headline plans. Every one is a whitelisted bounded-row exchange
+    # (tools/plan_audit.py); the COUNT is pinned in
+    # tests/test_driver_contract.py so an accidentally-unpartitioned new
+    # window/sort in the bench path shows up the moment it lands.
+    from mining_data_integration_spark import plans
+    sp_exchanges = sum(
+        plans.formatted_plan(queries[n](spark, sf_dir))
+        .count("Exchange SinglePartition")
+        for n in HEADLINE)
+
     out = {
         "metric": "headline_suite_wall",
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "single_partition_exchanges": sp_exchanges,
         "sf": sf,
     }
 

@@ -71,3 +71,23 @@ def test_plan_audit_is_green():
     )
     assert proc.returncode == 0, (
         f"plan audit failed:\n{proc.stdout[-4000:]}\n{proc.stderr[-2000:]}")
+
+
+def test_headline_plans_have_zero_single_partition_exchanges(spark):
+    """Plan-hygiene pin (VERDICT r2 item 7): the 15 bench headline
+    queries compile to ZERO `Exchange SinglePartition` operators — the
+    range-sharded two-phase windows (w14/o7) patch their per-shard
+    offsets via broadcast joins, never a global exchange. If a new or
+    edited headline query reintroduces one, this fails before the
+    bench does."""
+    import __spark_entry__ as e
+    from bench import HEADLINE
+    from mining_data_integration_spark import plans
+
+    queries = e.queries()
+    counts = {
+        name: plans.formatted_plan(queries[name](spark, SF_DIR))
+        .count("Exchange SinglePartition")
+        for name in HEADLINE
+    }
+    assert counts == {name: 0 for name in HEADLINE}, counts

@@ -58,7 +58,14 @@ def main() -> int:
     import __spark_entry__ as e
     from mining_data_integration_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    import os
+    # adversarial-determinism knob: ORACLE_SHUFFLE_PARTITIONS=7 reruns
+    # the whole sweep under a different parallelism — any query whose
+    # result depends on the physical partitioning (the dp5 bug class)
+    # fails here before the driver sees it
+    spark = get_spark("oracle-check",
+                      shuffle_partitions=os.environ.get(
+                          "ORACLE_SHUFFLE_PARTITIONS"))
     con = duckdb.connect()
     for name in TABLES:
         con.execute(
