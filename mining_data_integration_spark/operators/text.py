@@ -313,3 +313,70 @@ def boilerplate_scrub(df: DataFrame, text_col: str = "text",
             .alias("cleaned_hash"),
         )
     )
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Gopher-rules document quality gate (Rae et al. 2021 §A1.1),
+    combined into one keep/drop verdict with a REASON BITMASK so the
+    pipeline can report per-rule drop rates, not just a survivor count:
+
+      bit 1  word count outside [50, 100000]
+      bit 2  mean word length outside [3, 10]
+      bit 4  fewer than 2 distinct stopwords (fluency proxy)
+      bit 8  top bigram takes > 20% of bigram occurrences
+      bit 16 repeated bigrams take > 30% of bigram occurrences
+
+    Every rule is evaluated in exact integer arithmetic (means and
+    fractions cross-multiplied: 3n <= chars <= 10n, 5*top <= n_grams),
+    so verdicts are bit-identical across engines and plans. Docs with
+    fewer than 2 words have no bigram signal — bits 8/16 stay 0 and the
+    length rule owns them.
+
+    Scale shape: the token-level rules are pure map-side expressions;
+    the bigram rules reuse the repetition_metrics shuffle pair (doc-gram
+    counts -> per-doc rollup, both keyed on doc id, map-side combined).
+    """
+    from .dedup import gram_array
+
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(F.transform(toks, F.length),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("word_chars"),
+        F.size(F.array_distinct(
+            F.filter(toks, lambda w: w.isin(*EN_STOPWORDS))))
+        .cast("long").alias("n_stop"),
+    )
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(gram_array(tokens(F.col(text_col)), 2)).alias("gram"),
+    )
+    counts = grams.groupBy("id", "gram").agg(F.count("*").alias("cnt"))
+    gstats = counts.groupBy("id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0)))
+        .alias("dup_cnt"),
+    )
+    j = base.join(gstats, "id", "left")
+    n, wc = F.col("n_tokens"), F.col("word_chars")
+    bit = lambda cond, v: F.when(cond, F.lit(v)).otherwise(F.lit(0))
+    reasons = (
+        bit((n < 50) | (n > 100000), 1)
+        + bit((wc < 3 * n) | (wc > 10 * n), 2)
+        + bit(F.col("n_stop") < 2, 4)
+        + bit(F.coalesce(5 * F.col("top_cnt") > F.col("n_grams"),
+                         F.lit(False)), 8)
+        + bit(F.coalesce(10 * F.col("dup_cnt") > 3 * F.col("n_grams"),
+                         F.lit(False)), 16)
+    )
+    return j.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        reasons.cast("int").alias("reasons"),
+        F.when(reasons == 0, F.lit(1)).otherwise(F.lit(0)).cast("int")
+        .alias("keep"),
+    )

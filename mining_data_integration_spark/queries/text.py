@@ -334,3 +334,56 @@ ORACLES = {
         FROM fp GROUP BY shard ORDER BY shard
     """,
 }
+
+
+def tx11_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined Gopher-rules quality gate with per-rule reason bitmask
+    (operators/text.gopher_filter) — the keep/drop stage a pre-training
+    pipeline runs after tx2/tx8 compute their raw signals."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    return TX.gopher_filter(docs).orderBy("doc_id")
+
+
+QUERIES["tx11_gopher_filter"] = tx11_gopher_filter
+
+ORACLES["tx11_gopher_filter"] = f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), stats AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform(toks, w -> length(w)))
+                    AS BIGINT) AS word_chars,
+               CAST(len(list_distinct(list_filter(toks,
+                    w -> w IN ({_STOPLIST})))) AS BIGINT) AS n_stop
+        FROM base
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(toks) - 1, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1])) AS gram
+        FROM base
+    ), c AS (
+        SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram
+    ), gs AS (
+        SELECT doc_id, sum(cnt) AS n_grams, max(cnt) AS top_cnt,
+               sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_cnt
+        FROM c GROUP BY doc_id
+    ), r AS (
+        SELECT s.doc_id, n_tokens,
+               (CASE WHEN n_tokens < 50 OR n_tokens > 100000
+                     THEN 1 ELSE 0 END
+              + CASE WHEN word_chars < 3 * n_tokens
+                          OR word_chars > 10 * n_tokens
+                     THEN 2 ELSE 0 END
+              + CASE WHEN n_stop < 2 THEN 4 ELSE 0 END
+              + CASE WHEN coalesce(5 * top_cnt > n_grams, FALSE)
+                     THEN 8 ELSE 0 END
+              + CASE WHEN coalesce(10 * dup_cnt > 3 * n_grams, FALSE)
+                     THEN 16 ELSE 0 END) AS reasons
+        FROM stats s LEFT JOIN gs ON s.doc_id = gs.doc_id
+    )
+    SELECT doc_id, n_tokens, CAST(reasons AS INTEGER) AS reasons,
+           CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM r ORDER BY doc_id
+"""

@@ -672,3 +672,27 @@ class TestCurriculumEpochs:
         from collections import Counter
         c = Counter((r.grank - 1) % 4 for r in rows)
         assert max(c.values()) - min(c.values()) <= 1
+
+
+class TestGopherFilter:
+    def test_reason_bits_fire_on_planted_docs(self, spark):
+        from mining_data_integration_spark.operators.text import (
+            gopher_filter)
+        # 60 distinct-ish words, >=2 distinct stopwords, no repeated
+        # bigram, mean word length inside [3, 10]
+        good = "the start of it all " + " ".join(
+            f"word{i:02d} item{i:02d}" for i in range(28))
+        short = "tiny doc here"                # < 50 words -> bit 1 (+4)
+        longwords = " ".join(["pneumonoultramicroscopic"] * 60)
+        repeat = " ".join(["the of"] * 40)     # one bigram dominates
+        rows = [(0, good), (1, short), (2, longwords), (3, repeat)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in gopher_filter(df).collect()}
+        assert out[0].reasons == 0 and out[0].keep == 1
+        assert out[1].reasons & 1 and out[1].keep == 0
+        assert out[2].reasons & 2 and out[2].reasons & 4  # long words, no stops
+        assert out[3].reasons & 8 and out[3].reasons & 16
+        # single-word doc: no bigram signal, only length/stopword bits
+        one = spark.createDataFrame([(9, "word")], "doc_id long, text string")
+        r9, = gopher_filter(one).collect()
+        assert r9.reasons & 1 and not (r9.reasons & 8) and not (r9.reasons & 16)
