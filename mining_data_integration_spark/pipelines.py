@@ -316,3 +316,78 @@ def chunk_documents(docs: DataFrame, max_chars: int = 512,
         )).alias("c"),
     ).select(id_col, "c.chunk_idx", "c.chunk_start", "c.chunk_len",
              "c.chunk_hash")
+
+
+def fuzzy_decontaminate(docs: DataFrame, is_eval,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, num_hashes: int = 16, bands: int = 4,
+                        thr_num: int = 1, thr_den: int = 2) -> DataFrame:
+    """Fuzzy train-vs-eval decontamination: MinHash-band candidate pairs
+    BETWEEN the two corpus splits, verified by exact n-gram Jaccard.
+
+    `decontaminate` (dp6) implements the exact n-gram-overlap rule;
+    this is the fuzzy complement (the near-duplicate contamination
+    screens of GPT-3 appx C / Lee et al. 2021): an eval document that
+    was lightly edited before landing in the training set shares no
+    long exact run but still collides in MinHash band space. Returns
+    every cross-split candidate pair with its exact overlap and a
+    contaminated flag at Jaccard >= thr_num/thr_den — the flag test is
+    cross-multiplied (thr_den*common >= thr_num*union) so the verdict
+    is exact-integer, engine- and order-independent.
+
+    Scale shape: signatures cost one md5 per shingle; candidates come
+    from a band-bucket equi join between the (thin) stacked band tables
+    — never train x eval; verification explodes only candidate pairs
+    against their own shingle sets (two id-keyed joins). `is_eval` is a
+    Column predicate so the split never materializes twice.
+    """
+    from .operators.dedup import materialize, minhash_signatures, shingles
+
+    sh = materialize(shingles(docs, text_col, id_col, n))
+    sigs = minhash_signatures(sh, num_hashes)
+    rows = num_hashes // bands
+    band_cols = [
+        F.md5(F.concat_ws(
+            "|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]))
+        .alias(f"band{b}")
+        for b in range(bands)
+    ]
+    stacked = sigs.select("id", *band_cols).select(
+        "id",
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(str(b)), F.col(f"band{b}"))
+            for b in range(bands)
+        ])).alias("bucket"),
+    )
+    side = docs.select(F.col(id_col).alias("id"), is_eval.alias("_ev"))
+    st = stacked.join(side, "id")
+    train = st.filter(~F.col("_ev")).select(F.col("id").alias("train_id"),
+                                            "bucket")
+    evl = st.filter(F.col("_ev")).select(F.col("id").alias("eval_id"),
+                                         "bucket")
+    cand = train.join(evl, "bucket").select("train_id", "eval_id").distinct()
+    sz = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    com = (
+        cand
+        .join(sh.select(F.col("id").alias("train_id"), "shingle"), "train_id")
+        .join(sh.select(F.col("id").alias("eval_id"), "shingle"),
+              ["eval_id", "shingle"])
+        .groupBy("train_id", "eval_id").agg(F.count("*").alias("common"))
+    )
+    out = (
+        cand.join(com, ["train_id", "eval_id"], "left")
+        .join(sz.select(F.col("id").alias("train_id"),
+                        F.col("sz").alias("sz_t")), "train_id")
+        .join(sz.select(F.col("id").alias("eval_id"),
+                        F.col("sz").alias("sz_e")), "eval_id")
+        .withColumn("common", F.coalesce(F.col("common"),
+                                         F.lit(0).cast("long")))
+        .withColumn("union_sz", F.col("sz_t") + F.col("sz_e")
+                    - F.col("common"))
+    )
+    return out.select(
+        "train_id", "eval_id", "common", "union_sz",
+        F.when(F.lit(thr_den) * F.col("common")
+               >= F.lit(thr_num) * F.col("union_sz"), F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("contaminated"),
+    )

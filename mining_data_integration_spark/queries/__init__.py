@@ -48,7 +48,7 @@ _REVERIFY_FIRST = (
     # round-3 additions (no driver verdict yet)
     "dd9_semantic_dedup", "w20_zscore_outliers",
     "dp11_curriculum_epochs", "a20_scalable_median",
-    "tx11_gopher_filter",
+    "tx11_gopher_filter", "dp12_fuzzy_decontaminate",
     "dp5_sequence_pack", "dp8_global_shuffle", "o6_tail_slice",
     "o7_offset_pagination", "o8_range_slice", "w14_scalable_cumsum",
     "dd8_substring_dup_spans",

@@ -487,3 +487,62 @@ ORACLES["dp11_curriculum_epochs"] = f"""
            CAST((grank - 1) % 4 AS INTEGER) AS epoch
     FROM ranked ORDER BY grank
 """
+
+
+def dp12_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (MinHash-band) train-vs-eval decontamination with exact
+    Jaccard verification — eval split = even-numbered sources
+    (pipelines.fuzzy_decontaminate; dp6 is the exact-overlap rule)."""
+    from ..pipelines import fuzzy_decontaminate
+
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    return fuzzy_decontaminate(
+        docs, F.expr("CAST(substring(source, 4) AS INT) % 2 = 0"),
+    ).orderBy("train_id", "eval_id")
+
+
+QUERIES["dp12_fuzzy_decontaminate"] = dp12_fuzzy_decontaminate
+
+
+def _dp12_oracle() -> str:
+    from .dedup import _minhash_band_sql
+
+    inner = _minhash_band_sql(3, 16, 4).replace("ORDER BY id1, id2", "")
+    return f"""
+    WITH cand0 AS ({inner}),
+    src AS (
+        SELECT doc_id AS id,
+               CAST(substring(source, 4) AS INTEGER) % 2 = 0 AS is_eval
+        FROM documents
+    ), cand AS (
+        SELECT CASE WHEN s1.is_eval THEN c.id2 ELSE c.id1 END AS train_id,
+               CASE WHEN s1.is_eval THEN c.id1 ELSE c.id2 END AS eval_id
+        FROM cand0 c
+        JOIN src s1 ON c.id1 = s1.id
+        JOIN src s2 ON c.id2 = s2.id
+        WHERE s1.is_eval <> s2.is_eval
+    ), sh AS ({_duck_shingles(3)}),
+    sz AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY id
+    ), com AS (
+        SELECT cand.train_id, cand.eval_id, CAST(count(*) AS BIGINT) AS common
+        FROM cand
+        JOIN sh a ON a.id = cand.train_id
+        JOIN sh b ON b.id = cand.eval_id AND a.shingle = b.shingle
+        GROUP BY cand.train_id, cand.eval_id
+    )
+    SELECT c.train_id, c.eval_id,
+           coalesce(m.common, 0) AS common,
+           sa.sz + sb.sz - coalesce(m.common, 0) AS union_sz,
+           CAST(CASE WHEN 2 * coalesce(m.common, 0)
+                          >= sa.sz + sb.sz - coalesce(m.common, 0)
+                     THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+    FROM cand c
+    LEFT JOIN com m ON c.train_id = m.train_id AND c.eval_id = m.eval_id
+    JOIN sz sa ON c.train_id = sa.id
+    JOIN sz sb ON c.eval_id = sb.id
+    ORDER BY c.train_id, c.eval_id
+    """
+
+
+ORACLES["dp12_fuzzy_decontaminate"] = _dp12_oracle()

@@ -696,3 +696,23 @@ class TestGopherFilter:
         one = spark.createDataFrame([(9, "word")], "doc_id long, text string")
         r9, = gopher_filter(one).collect()
         assert r9.reasons & 1 and not (r9.reasons & 8) and not (r9.reasons & 16)
+
+
+class TestFuzzyDecontaminate:
+    def test_planted_near_dup_crosses_split(self, spark):
+        import pyspark.sql.functions as F
+        from mining_data_integration_spark.pipelines import (
+            fuzzy_decontaminate)
+        base = " ".join(f"tok{i:03d}" for i in range(60))
+        edited = base.replace("tok030", "tokXXX")   # light edit, J >> 0.5
+        other = " ".join(f"zzz{i:03d}" for i in range(60))
+        rows = [(1, base, "train"), (2, edited, "eval"), (3, other, "train")]
+        df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+        out = fuzzy_decontaminate(df, F.col("split") == "eval").collect()
+        pairs = {(r.train_id, r.eval_id): r for r in out}
+        assert (1, 2) in pairs
+        r = pairs[(1, 2)]
+        # 58 shingles each, 2 edits x 3-gram window -> common=53, union=63
+        assert r.common > 0 and r.union_sz > r.common
+        assert r.contaminated == 1
+        assert (3, 2) not in pairs or pairs[(3, 2)].contaminated == 0
