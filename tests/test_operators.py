@@ -716,3 +716,33 @@ class TestFuzzyDecontaminate:
         assert r.common > 0 and r.union_sz > r.common
         assert r.contaminated == 1
         assert (3, 2) not in pairs or pairs[(3, 2)].contaminated == 0
+
+    def test_exemplar_invariants_on_fixture(self, spark):
+        """Every dropped vector has a higher-priority near-dup neighbor
+        in its cluster; every kept vector has none — i.e. the kept set
+        is exactly the md5-priority-minimal exemplar set."""
+        from mining_data_integration_spark.operators.similarity import (
+            idot, int8_quantize, lsh_bucket, hyperplanes, semantic_dedup)
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = {r.vec_id: r for r in
+               semantic_dedup(emb, threshold_pct=30, num_planes=3).collect()}
+        # recompute ground truth driver-side
+        import hashlib
+        planes = hyperplanes(3, 64)
+        rows = emb.select(
+            "vec_id",
+            lsh_bucket(F.col("embedding"), planes).alias("cluster"),
+            int8_quantize(F.col("embedding")).alias("q")).collect()
+        pri = {r.vec_id: hashlib.md5(str(r.vec_id).encode()).hexdigest()
+               for r in rows}
+        def near(a, b):
+            d = sum(x * y for x, y in zip(a.q, b.q))
+            na = sum(x * x for x in a.q); nb = sum(x * x for x in b.q)
+            return d > 0 and d * d * 10000 >= 900 * na * nb
+        for a in rows:
+            has_better = any(
+                b.cluster == a.cluster and b.vec_id != a.vec_id
+                and near(a, b)
+                and (pri[b.vec_id], b.vec_id) < (pri[a.vec_id], a.vec_id)
+                for b in rows)
+            assert out[a.vec_id].kept == (0 if has_better else 1), a.vec_id
