@@ -30,7 +30,8 @@ implicit planner contract, not a guarantee — AQE, a different
 ``spark.sql.shuffle.partitions``, or a non-reused exchange could assign
 the two branches different ids. Now the shard id is a PURE FUNCTION of
 the row's own order-key value: range boundaries are sampled once
-(deterministically, by md5 order) and folded into the plan as literals,
+(deterministically, via an md5-threshold filter) and folded into the
+plan as literals,
 so every branch — under any session conf, any adaptive re-plan — maps a
 row to the same shard. Pinned by ``tests/test_scalable.py``
 (``test_plan_independent_across_session_confs``, and the plan test
@@ -77,38 +78,73 @@ def _sort_spec(col: Column, jvm) -> tuple[Column, bool]:
     return col, False
 
 
+# (plan semanticHash, key expr, n, desc) -> boundary list. Safe by
+# construction: the global_* results are identical under ANY contiguous
+# bucketing (offsets correct per shard), so a stale entry can only skew
+# shard balance, never values. Bounded FIFO.
+_BOUNDS_CACHE: dict = {}
+_BOUNDS_CACHE_MAX = 64
+
+
 def _range_boundaries(df: DataFrame, key: Column, descending: bool,
                       n: int) -> list:
     """n-1 range cut points for ``key``, sampled from the data itself.
 
-    Deterministic: the sample is the md5-least ``n*_SAMPLE_PER_SHARD``
-    key values (ties share a key value, so the sampled multiset is
-    unique), sorted in the requested direction, quantile-indexed, and
-    de-duplicated. One small extra job at plan-build time — the same
-    pass ``repartitionByRange`` would spend on sampling, but the result
-    becomes plan literals instead of exchange-internal state.
+    Deterministic given the data: rows whose md5 32-bit prefix falls
+    under cap/total survive a pure map-side filter, so the driver
+    receives O(cap) rows no matter how many partitions the scan has —
+    unlike a sort-limit sample, whose per-partition top-k merge grows
+    with the partition count (40M rows on a 10k-partition cluster).
+    The sampled values are sorted in the requested direction,
+    quantile-indexed, and de-duplicated. Two small jobs at plan-build
+    time (count + filtered collect) — the same pass
+    ``repartitionByRange`` would spend sampling, but the result becomes
+    plan literals instead of exchange-internal state, and it is cached
+    per (plan, key, n): repeated runs of the same query in a session
+    skip the sampling entirely (boundary staleness cannot corrupt
+    results — see cache note above).
     """
     if n <= 1:
         return []
+    try:
+        ck = (df.semanticHash(), str(key._jc), n, descending)
+    except Exception:
+        ck = None
+    if ck is not None and ck in _BOUNDS_CACHE:
+        return _BOUNDS_CACHE[ck]
     cap = n * _SAMPLE_PER_SHARD
-    rows = (
-        df.select(key.alias("_k"))
-        .where(F.col("_k").isNotNull())
-        .orderBy(F.md5(F.col("_k").cast("string")))
-        .limit(cap)
-        .collect()
-    )
-    # Python sort order matches Spark's for every key type used here
-    # (ints/longs/decimals numerically; str by code point == UTF-8
-    # binary order; date/datetime chronologically).
-    vals = sorted((r["_k"] for r in rows), reverse=descending)
-    if not vals:
-        return []
-    bounds: list = []
-    for i in range(1, n):
-        b = vals[i * len(vals) // n]
-        if not bounds or b != bounds[-1]:
-            bounds.append(b)
+    keyed = df.select(key.alias("_k")).where(F.col("_k").isNotNull())
+    total = keyed.count()
+    if total == 0:
+        bounds: list = []
+    else:
+        if total <= cap:
+            rows = keyed.collect()
+        else:
+            thr = (1 << 32) * cap // total + 1
+            h = F.conv(
+                F.substring(F.md5(F.col("_k").cast("string")), 1, 8), 16, 10
+            ).cast("bigint")
+            rows = keyed.where(h < F.lit(thr)).collect()
+            if not rows:
+                # degenerate key space (few distinct values duplicated
+                # many times): any distinct values are valid cut points
+                rows = keyed.distinct().limit(cap).collect()
+        # Python sort order matches Spark's for every key type used here
+        # (ints/longs/decimals numerically; str by code point == UTF-8
+        # binary order; date/datetime chronologically).
+        vals = sorted((r["_k"] for r in rows), reverse=descending)
+        bounds = []
+        for i in range(1, n):
+            if not vals:
+                break
+            b = vals[i * len(vals) // n]
+            if not bounds or b != bounds[-1]:
+                bounds.append(b)
+    if ck is not None:
+        if len(_BOUNDS_CACHE) >= _BOUNDS_CACHE_MAX:
+            _BOUNDS_CACHE.pop(next(iter(_BOUNDS_CACHE)))
+        _BOUNDS_CACHE[ck] = bounds
     return bounds
 
 
