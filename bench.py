@@ -113,15 +113,17 @@ def main() -> None:
 
     total = round(sum(per_query.values()), 3)
 
-    # plan hygiene pin: total Exchange SinglePartition occurrences across
-    # the headline plans. Every one is a whitelisted bounded-row exchange
-    # (tools/plan_audit.py); the COUNT is pinned in
-    # tests/test_driver_contract.py so an accidentally-unpartitioned new
-    # window/sort in the bench path shows up the moment it lands.
+    # plan hygiene: total single-partition exchanges across the headline
+    # plans (detector fixed round 4 per ADVICE — formatted explain puts
+    # the partitioning on an `Arguments: SinglePartition` detail line,
+    # so the old `Exchange SinglePartition` substring never matched and
+    # reported a false 0). True steady-state value is 2: the O(shards)
+    # per-shard offset-table prefix scans in o7 and w14, both bounded
+    # and whitelisted (tools/plan_audit.py); per-query counts pinned in
+    # tests/test_driver_contract.py.
     from mining_data_integration_spark import plans
     sp_exchanges = sum(
-        plans.formatted_plan(queries[n](spark, sf_dir))
-        .count("Exchange SinglePartition")
+        plans.single_partition_exchanges(queries[n](spark, sf_dir))
         for n in HEADLINE)
 
     out = {

@@ -90,19 +90,24 @@ def _range_boundaries(df: DataFrame, key: Column, descending: bool,
                       n: int) -> list:
     """n-1 range cut points for ``key``, sampled from the data itself.
 
-    Deterministic given the data: rows whose md5 32-bit prefix falls
-    under cap/total survive a pure map-side filter, so the driver
-    receives O(cap) rows no matter how many partitions the scan has —
-    unlike a sort-limit sample, whose per-partition top-k merge grows
-    with the partition count (40M rows on a 10k-partition cluster).
-    The sampled values are sorted in the requested direction,
-    quantile-indexed, and de-duplicated. Two small jobs at plan-build
-    time (count + filtered collect) — the same pass
-    ``repartitionByRange`` would spend sampling, but the result becomes
-    plan literals instead of exchange-internal state, and it is cached
-    per (plan, key, n): repeated runs of the same query in a session
-    skip the sampling entirely (boundary staleness cannot corrupt
-    results — see cache note above).
+    Deterministic given the data, and the driver collect is bounded by
+    DISTINCT keys, not rows: keys whose md5 32-bit prefix falls under
+    cap/approx_distinct survive (survival is a pure function of the key
+    value), and surviving rows are pre-aggregated to (key, count) pairs
+    before collect — so a heavy-hitter key that wins the lottery
+    contributes ONE pair, never its full row multiset (the round-3
+    ADVICE bound hole). Frequency weighting is preserved through the
+    count: boundaries are weighted quantiles over the sampled pairs
+    (Horvitz-Thompson — uniform key-survival probability means sampled
+    weight mass per interval is proportional to true row mass).
+
+    Two cheap jobs at plan-build time: a map-side-combinable
+    approx_count_distinct probe (replacing the round-3 exact count()
+    full scan) and the filtered groupBy collect, whose shuffle carries
+    only surviving keys after map-side partial aggregation. The result
+    becomes plan literals instead of exchange-internal state, cached
+    per (plan, key, n); staleness cannot corrupt results — the global_*
+    outputs are identical under ANY contiguous bucketing.
     """
     if n <= 1:
         return []
@@ -114,33 +119,56 @@ def _range_boundaries(df: DataFrame, key: Column, descending: bool,
         return _BOUNDS_CACHE[ck]
     cap = n * _SAMPLE_PER_SHARD
     keyed = df.select(key.alias("_k")).where(F.col("_k").isNotNull())
-    total = keyed.count()
-    if total == 0:
+    md5_of_key = F.md5(F.col("_k").cast("string"))
+    approx = keyed.agg(
+        F.approx_count_distinct("_k").alias("_d")).collect()[0]["_d"]
+    if approx == 0:
+        pairs: list = []
+    elif approx <= (cap * 4) // 5:
+        # few distinct keys (HLL error ~2% << the 20% margin): collect
+        # them all, with counts — bounded by ~cap pairs
+        pairs = keyed.groupBy("_k").agg(F.count("*").alias("_c")).collect()
+    else:
+        thr = (1 << 32) * cap // approx + 1
+        h = F.conv(F.substring(md5_of_key, 1, 8), 16, 10).cast("bigint")
+        pairs = (
+            keyed.where(h < F.lit(thr))
+            .groupBy("_k").agg(F.count("*").alias("_c"))
+            .collect()
+        )
+        if not pairs:
+            # degenerate: lottery missed every key (possible when the
+            # HLL estimate is far above the true distinct count).
+            # Deterministic pick: md5-ordered distinct prefix — any
+            # distinct values are valid cut points.
+            pairs = (
+                keyed.groupBy("_k").agg(F.count("*").alias("_c"))
+                .orderBy(md5_of_key, F.col("_k"))
+                .limit(cap).collect()
+            )
+    if not pairs:
         bounds: list = []
     else:
-        if total <= cap:
-            rows = keyed.collect()
-        else:
-            thr = (1 << 32) * cap // total + 1
-            h = F.conv(
-                F.substring(F.md5(F.col("_k").cast("string")), 1, 8), 16, 10
-            ).cast("bigint")
-            rows = keyed.where(h < F.lit(thr)).collect()
-            if not rows:
-                # degenerate key space (few distinct values duplicated
-                # many times): any distinct values are valid cut points
-                rows = keyed.distinct().limit(cap).collect()
         # Python sort order matches Spark's for every key type used here
         # (ints/longs/decimals numerically; str by code point == UTF-8
         # binary order; date/datetime chronologically).
-        vals = sorted((r["_k"] for r in rows), reverse=descending)
+        pairs.sort(key=lambda r: r["_k"], reverse=descending)
+        weight = sum(r["_c"] for r in pairs)
         bounds = []
-        for i in range(1, n):
-            if not vals:
-                break
-            b = vals[i * len(vals) // n]
-            if not bounds or b != bounds[-1]:
-                bounds.append(b)
+        cum = 0
+        it = iter(range(1, n))
+        target = next(it) * weight // n
+        for r in pairs:
+            cum += r["_c"]
+            while cum > target:
+                b = r["_k"]
+                if not bounds or b != bounds[-1]:
+                    bounds.append(b)
+                nxt = next(it, None)
+                if nxt is None:
+                    target = weight + 1  # exhausted: no more cuts
+                    break
+                target = nxt * weight // n
     if ck is not None:
         if len(_BOUNDS_CACHE) >= _BOUNDS_CACHE_MAX:
             _BOUNDS_CACHE.pop(next(iter(_BOUNDS_CACHE)))
@@ -229,6 +257,92 @@ def global_cumsum(df: DataFrame, order_by: list[Column], value: Column,
         .withColumn(out_col, F.col("_lcum") + F.col(_OFF))
         .drop(_PID, "_lcum", _OFF)
     )
+
+
+def global_rank(df: DataFrame, order_by: list[Column],
+                rank_col: str = "rnk", dense_col: str = "drnk",
+                ntile: int | None = None, ntile_col: str = "tile",
+                num_partitions: int | None = None) -> DataFrame:
+    """Globally-ordered rank() / dense_rank() (and optionally ntile)
+    without a single-partition window over the data.
+
+    Tie-correct by construction: the engine ranks DISTINCT order-key
+    tuples (with their row multiplicities), not rows —
+      dense_rank = two-phase row_number over the distinct-key table;
+      rank      = (cumulative row count through this key) − count + 1;
+    then joins back to the rows on the key tuple (equi shuffle join —
+    the distinct-key table can be vocabulary-sized, so no broadcast
+    assumption). The only single-partition window is over the
+    O(shards) summary table, same as the sibling engines.
+
+    ``ntile`` uses the SQL-standard bucket split (first ``total mod n``
+    buckets get one extra row) computed from rank and the global total,
+    which matches Window.ntile exactly when the order is total (unique
+    keys). With ties, Window.ntile splits tied rows across buckets in
+    nondeterministic physical order — this engine instead gives every
+    tied row the tile of its rank, the only deterministic choice.
+    """
+    jvm = df.sparkSession._jvm
+    specs = [_sort_spec(c, jvm) for c in order_by]
+    knames = [f"_gk{i}" for i in range(len(specs))]
+    dist = (
+        df.select(*(v.alias(k) for (v, _), k in zip(specs, knames)))
+        .groupBy(*knames).agg(F.count("*").alias("_cnt"))
+    )
+    order2 = [
+        F.col(k).desc() if desc else F.col(k).asc()
+        for (_, desc), k in zip(specs, knames)
+    ]
+    part = _sharded(dist, order2, num_partitions)
+    w_local = Window.partitionBy(_PID).orderBy(*order2)
+    w_frame = w_local.rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)
+    local = (
+        part.withColumn(_LRN, F.row_number().over(w_local))
+        .withColumn("_lcum", F.sum("_cnt").over(w_frame))
+    )
+    per = part.groupBy(_PID).agg(
+        F.count("*").alias("_nk"), F.sum("_cnt").alias("_nr"))
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding,
+                                             Window.unboundedFollowing)
+    offs = (
+        per.withColumn("_offk", F.coalesce(F.sum("_nk").over(w_off),
+                                           F.lit(0)))
+        .withColumn("_offr", F.coalesce(F.sum("_nr").over(w_off), F.lit(0)))
+        .withColumn("_tot", F.sum("_nr").over(w_all))
+        .select(_PID, "_offk", "_offr", "_tot")
+    )
+    ranked = local.join(F.broadcast(offs), _PID).select(
+        *knames,
+        (F.col(_LRN) + F.col("_offk")).cast("long").alias(dense_col),
+        (F.col("_lcum") + F.col("_offr") - F.col("_cnt") + 1)
+        .cast("long").alias(rank_col),
+        F.col("_tot").cast("long").alias("_tot"),
+    )
+    if ntile is not None:
+        # integer div throughout — float division would misbucket once
+        # totals approach 2^53 (the scale this module exists for)
+        t = int(ntile)
+        ranked = (
+            ranked.withColumn("_q", F.expr(f"_tot div {t}"))
+            .withColumn("_rem", F.col("_tot") % t)
+            .withColumn("_big", F.col("_rem") * (F.col("_q") + 1))
+            .withColumn(
+                ntile_col,
+                F.when(
+                    F.col(rank_col) <= F.col("_big"),
+                    F.expr(f"({rank_col} - 1) div (_q + 1) + 1"),
+                ).otherwise(
+                    F.expr(f"_rem + ({rank_col} - _big - 1) div _q + 1")
+                ).cast("long"),
+            )
+            .drop("_q", "_rem", "_big")
+        )
+    ranked = ranked.drop("_tot")
+    rows = df.select(
+        "*", *(v.alias(k) for (v, _), k in zip(specs, knames)))
+    return rows.join(ranked, knames).drop(*knames)
 
 
 def global_lag(df: DataFrame, order_by: list[Column], value: Column,

@@ -48,8 +48,25 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Shuffle exchanges in the final plan (AQE may coalesce at run
-    time; this counts the static plan's exchanges)."""
+    """Shuffle exchanges in the static plan, excluding broadcast and
+    single-partition exchanges (AQE may coalesce at run time). In
+    formatted explain mode each operator appears once as a detail
+    header ``(n) Exchange``; its partitioning is NOT on that line but
+    in the detail body as ``Arguments: SinglePartition, ...`` — so
+    count headers and subtract the SinglePartition bodies."""
     plan = formatted_plan(df)
-    return len(re.findall(r"\bExchange\b(?! .*SinglePartition)", plan)) \
-        - plan.count("BroadcastExchange")
+    headers = len(re.findall(r"^\(\d+\) Exchange\s*$", plan, re.M))
+    return headers - single_partition_exchanges(df, _plan=plan)
+
+
+def single_partition_exchanges(df: DataFrame, _plan: str | None = None) -> int:
+    """Count Exchange operators that shuffle everything to ONE partition.
+
+    The formatted plan renders the operator line as just ``Exchange (n)``
+    — the string ``Exchange SinglePartition`` (the simple-mode rendering)
+    never occurs, so substring-matching it silently returns 0 (the
+    round-3 ADVICE finding). The partitioning lives in the detail
+    section: ``Arguments: SinglePartition, ENSURE_REQUIREMENTS, ...`` —
+    one such line per single-partition Exchange."""
+    plan = _plan if _plan is not None else formatted_plan(df)
+    return plan.count("Arguments: SinglePartition")

@@ -36,28 +36,21 @@ from . import dedup, multimodal, pipeline_q, similarity, text
 _MODULES = (aggregates, dedup, joins, multimodal, pipeline_q, scalars,
             scans, similarity, text, windows)
 
-# Queries that must be (re-)verified before anything else:
-#  * round-3 output-affecting changes (dp5's plan-independent cumsum is
-#    shared by dp8/o6/o7/o8/w14; dd8's alignment-invariant span hashing);
-#  * round-2 output changes the driver has not re-sampled (j2/a6 array
-#    serialization, j17 fp_rate formula, w10/j14/j15 NTZ fix, w12 exact
-#    HALF_UP average, a16);
-#  * queries that have never received a driver verdict (aj1, w11-w13,
-#    w16-w19).
+# Queries that must be (re-)verified before anything else (trimmed each
+# round to: output changed since last verdict, or never driver-checked):
+#  * dp5 + its round-4 localization diagnostics (oracle HUGEINT->BIGINT
+#    casts; dp5a/b/c isolate the divergent stage if the cast isn't it);
+#  * the scalable-cumsum engine family (round-4 boundary-sampler change:
+#    deterministic distinct pick + bounded (key,count) sample — values
+#    are boundary-independent by design, but this is dp5's engine);
+#  * w20 (round-4 decimal-from-the-start overflow fix).
 _REVERIFY_FIRST = (
-    # round-3 additions (no driver verdict yet)
-    "dd9_semantic_dedup", "w20_zscore_outliers",
-    "dp11_curriculum_epochs", "a20_scalable_median",
-    "tx11_gopher_filter", "dp12_fuzzy_decontaminate",
-    "dp5_sequence_pack", "dp8_global_shuffle", "o6_tail_slice",
-    "o7_offset_pagination", "o8_range_slice", "w14_scalable_cumsum",
-    "dd8_substring_dup_spans",
-    "j2_group_join", "a6_order_rollup", "j17_bloom_prune",
-    "w10_sessionize", "j14_band_join", "j15_interval_overlap_join",
-    "w12_sliding_window", "a16_approx_stats",
-    "aj1_asof_join", "w11_tumbling_window", "w13_session_window_native",
-    "w16_funnel", "w17_ewma", "w18_cohort_retention",
-    "w19_rolling_active_users",
+    "dp5_sequence_pack", "dp5a_token_counts", "dp5b_token_cumsum",
+    "dp5c_pack_columns",
+    "dp8_global_shuffle", "o6_tail_slice", "o7_offset_pagination",
+    "o8_range_slice", "w14_scalable_cumsum", "dp11_curriculum_epochs",
+    "a20_scalable_median",
+    "w20_zscore_outliers",
 )
 
 

@@ -165,18 +165,24 @@ def w14_scalable_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w7_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking surface (SURVEY §2.5 note: absent from the reference,
     free in Spark): rank / dense_rank / ntile over a deterministic
-    ordering."""
+    ordering. Round 4: runs on operators/scalable.global_rank — the
+    two-phase sharded engine over distinct order keys — instead of an
+    unpartitioned Window over the whole aggregate (the last
+    data-sized single-partition exchange in the inventory). The order
+    is total (l_suppkey tiebreak), so rank == the Window semantics
+    bit-for-bit, ntile included."""
+    from ..operators.scalable import global_rank
+
     li = t(spark, sf_dir, "lineitem")
     supp = li.groupBy("l_suppkey").agg(
         money(dec_sum("l_extendedprice")).alias("total_price")
     )
-    w = Window.orderBy(F.desc("total_price"), "l_suppkey")
-    return supp.select(
-        "l_suppkey",
-        "total_price",
-        F.rank().over(w).cast("long").alias("rnk"),
-        F.dense_rank().over(w).cast("long").alias("drnk"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
+    ranked = global_rank(
+        supp, [F.desc("total_price"), F.asc("l_suppkey")],
+        rank_col="rnk", dense_col="drnk", ntile=4, ntile_col="quartile",
+    )
+    return ranked.select(
+        "l_suppkey", "total_price", "rnk", "drnk", "quartile"
     ).orderBy("rnk", "l_suppkey")
 
 
@@ -930,20 +936,30 @@ def w20_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))"))
         .alias("q"),
     )
-    flagged = ev.join(F.broadcast(stats), "event_type").withColumn(
-        "_lhs",
-        F.expr("CAST(n * v - s AS DECIMAL(19,0))"
-               " * CAST(n * v - s AS DECIMAL(19,0))"),
-    ).withColumn(
-        "_rhs",
-        F.expr("9 * (CAST(n AS DECIMAL(19,0)) * q"
-               " - CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)))"),
+    # the centered term n*v - s runs in DECIMAL from the FIRST multiply
+    # (round-3 ADVICE): an int64 n*v wraps silently in non-ANSI Spark
+    # once rows/group x max-micros nears 2^63 even when the difference
+    # itself is small, while the DuckDB oracle errors loudly — the
+    # decimal product (19,0)x(19,0) is exact to 38 digits. Remaining
+    # documented bound: |n*v - s| < 10^19 so the SQUARE fits 38 digits.
+    flagged = (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "_c",
+            F.expr("CAST(n AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))"
+                   " - CAST(s AS DECIMAL(19,0))"),
+        )
+        .withColumn("_lhs", F.expr("_c * _c"))
+        .withColumn(
+            "_rhs",
+            F.expr("9 * (CAST(n AS DECIMAL(19,0)) * q"
+                   " - CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)))"),
+        )
     )
     return (
         flagged.filter(F.col("_lhs") > F.col("_rhs"))
         .select("event_id", "event_type", "value",
-                F.signum(F.expr("CAST(n * v - s AS DOUBLE)"))
-                .cast("int").alias("z_sign"))
+                F.expr("CAST(sign(_c) AS INT)").alias("z_sign"))
         .orderBy("event_id")
     )
 
@@ -961,9 +977,9 @@ ORACLES["w20_zscore_outliers"] = """
         FROM v GROUP BY event_type
     )
     SELECT event_id, v.event_type, value,
-           CAST(sign(n * v.v - s) AS INTEGER) AS z_sign
+           CAST(sign(CAST(n AS HUGEINT) * v.v - s) AS INTEGER) AS z_sign
     FROM v JOIN stats USING (event_type)
-    WHERE CAST(n * v.v - s AS HUGEINT) * (n * v.v - s)
+    WHERE (CAST(n AS HUGEINT) * v.v - s) * (CAST(n AS HUGEINT) * v.v - s)
           > 9 * (n * q - CAST(s AS HUGEINT) * s)
     ORDER BY event_id
 """

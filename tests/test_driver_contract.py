@@ -73,21 +73,27 @@ def test_plan_audit_is_green():
         f"plan audit failed:\n{proc.stdout[-4000:]}\n{proc.stderr[-2000:]}")
 
 
-def test_headline_plans_have_zero_single_partition_exchanges(spark):
-    """Plan-hygiene pin (VERDICT r2 item 7): the 15 bench headline
-    queries compile to ZERO `Exchange SinglePartition` operators — the
-    range-sharded two-phase windows (w14/o7) patch their per-shard
-    offsets via broadcast joins, never a global exchange. If a new or
-    edited headline query reintroduces one, this fails before the
-    bench does."""
+def test_headline_single_partition_exchange_counts_pinned(spark):
+    """Plan-hygiene pin, corrected per round-3 ADVICE: the old detector
+    substring-matched `Exchange SinglePartition`, which never occurs in
+    formatted explain output (the operator line is `Exchange (n)`; the
+    partitioning is a detail-section `Arguments: SinglePartition` line)
+    — so the asserted zero was vacuous. The TRUE counts: o7 and w14
+    each compile exactly ONE single-partition exchange — the prefix
+    scan over their O(shards) per-shard offset table (bounded rows,
+    whitelisted in tools/plan_audit.py) — and every other headline
+    query compiles none. A new data-sized global exchange in any
+    headline path fails here before the bench runs."""
     import __spark_entry__ as e
     from bench import HEADLINE
     from mining_data_integration_spark import plans
 
     queries = e.queries()
     counts = {
-        name: plans.formatted_plan(queries[name](spark, SF_DIR))
-        .count("Exchange SinglePartition")
+        name: plans.single_partition_exchanges(queries[name](spark, SF_DIR))
         for name in HEADLINE
     }
-    assert counts == {name: 0 for name in HEADLINE}, counts
+    expected = {name: 0 for name in HEADLINE}
+    expected["o7_offset_pagination"] = 1   # O(shards) offset table
+    expected["w14_scalable_cumsum"] = 1    # O(shards) offset table
+    assert counts == expected, counts

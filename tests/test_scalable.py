@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from mining_data_integration_spark.operators.scalable import (
     global_cumsum,
     global_lag,
+    global_rank,
     global_row_number,
 )
 from mining_data_integration_spark.plans import formatted_plan
@@ -67,6 +68,41 @@ class TestEquivalence:
         ref = data.select(
             "k", F.lag("amt").over(Window.orderBy(*order)).alias("p"))
         assert got.exceptAll(ref).isEmpty() and ref.exceptAll(got).isEmpty()
+
+
+@pytest.mark.parametrize("n_shards", [1, 3, 8])
+def test_rank_with_ties(data, n_shards):
+    """rank/dense_rank over an order with HEAVY ties (grp has ~50 rows
+    per value): the distinct-key engine must agree with Window.rank /
+    Window.dense_rank exactly — tied rows share a rank, rank jumps by
+    the tie count, dense_rank doesn't."""
+    order = [F.desc("grp")]
+    got = global_rank(
+        data, order, rank_col="r", dense_col="d", num_partitions=n_shards
+    ).select("k", "r", "d")
+    w = Window.orderBy(F.desc("grp"))
+    ref = data.select(
+        "k",
+        F.rank().over(w).cast("long").alias("r"),
+        F.dense_rank().over(w).cast("long").alias("d"),
+    )
+    assert got.exceptAll(ref).isEmpty() and ref.exceptAll(got).isEmpty()
+
+
+@pytest.mark.parametrize("n_shards", [1, 5])
+@pytest.mark.parametrize("tiles", [3, 4, 7])
+def test_rank_ntile_unique_order(data, n_shards, tiles):
+    """ntile over a TOTAL order matches Window.ntile bit-for-bit (with
+    ties Window.ntile is physically nondeterministic, so the contract
+    is unique-key orderings — which is what every oracle query uses)."""
+    order = [F.col("grp"), F.desc("k")]
+    got = global_rank(
+        data, order, ntile=tiles, ntile_col="t", num_partitions=n_shards
+    ).select("k", "t")
+    ref = data.select(
+        "k", F.ntile(tiles).over(Window.orderBy(*order))
+        .cast("long").alias("t"))
+    assert got.exceptAll(ref).isEmpty() and ref.exceptAll(got).isEmpty()
 
 
 def test_empty_and_single_row(spark):

@@ -69,3 +69,42 @@ class TestSqlSurface:
             FROM mv_commits
         """).collect()[0]
         assert out.n == 14 and int(out.burned) == 27500
+
+
+class TestOracleTypedSurface:
+    """Every oracle output column must reach a typed (Arrow) driver as a
+    narrow type — ints/floats/bool/varchar/date/timestamp — never
+    decimal128. DuckDB widens sum() and window sums over BIGINT to
+    HUGEINT, and integer `//` / `%` keep the width; via Arrow that
+    surfaces as decimal128, which canonicalizes differently from
+    Spark's BIGINT even when the values are equal (the dp5 r2/r3
+    local-green/driver-red class). `fetchall()` hides this by returning
+    plain Python ints, so the gate must read the Arrow schema."""
+
+    def test_no_widened_duckdb_types(self):
+        import duckdb
+        import pyarrow as pa
+        import __spark_entry__ as e
+
+        con = duckdb.connect()
+        for name in ("region", "nation", "customer", "supplier", "part",
+                     "orders", "lineitem", "events", "documents",
+                     "embeddings"):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM "
+                f"read_parquet('{SF}/{name}.parquet')"
+            )
+        offenders = {}
+        for qname, sql in e.oracle_sql().items():
+            # LIMIT 0 wrap: schema-only, runs in milliseconds per oracle
+            tbl = con.execute(
+                f"SELECT * FROM (\n{sql}\n) _typed_surface LIMIT 0"
+            ).arrow()
+            bad = {c: str(t)
+                   for c, t in zip(tbl.column_names, tbl.schema.types)
+                   if pa.types.is_decimal(t)}
+            if bad:
+                offenders[qname] = bad
+        assert not offenders, (
+            f"oracles emit widened DuckDB types (add CAST(... AS "
+            f"BIGINT/DOUBLE)): {offenders}")

@@ -93,9 +93,22 @@ def main() -> int:
                   f"{time.time()-t0:.1f}s) — no oracle")
             continue
         try:
+            # fetch via Arrow, not fetchall(): a typed driver sees DuckDB's
+            # widened types (HUGEINT -> decimal128) that fetchall() hides as
+            # plain Python ints — the exact local-green/driver-red class that
+            # bit dp5 in rounds 2-3. Any decimal column is an immediate FAIL.
             res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            atbl = res.arrow()
+            dcols = list(atbl.column_names)
+            import pyarrow as pa
+            widened = {c: str(t) for c, t in zip(dcols, atbl.schema.types)
+                       if pa.types.is_decimal(t)}
+            if widened:
+                print(f"FAIL  {name}: oracle emits widened DuckDB types "
+                      f"(add CASTs): {widened}")
+                failures.append(name)
+                continue
+            drows = [tuple(d[c] for c in dcols) for d in atbl.to_pylist()]
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {ex}")
             failures.append(name)

@@ -68,13 +68,23 @@ ALLOWED: dict[str, dict[str, str]] = {
         "f8_prefix_until_sentinel": "top-10 prefix scan",
         "s9_topk_scan": "top-10",
         "a8_global_scaled_sum": "single-row global aggregate",
+        "a7_group_count_sum": "single-row global aggregate",
+        "x13_sentinel_filter": "single-row global aggregate",
+        "w16_funnel": "single-row funnel summary aggregate",
+        "dp9_source_mix": "single-row corpus token total aggregate",
         "j17_bloom_prune": "single-row stats aggregate",
         "w14_scalable_cumsum": "per-shard offset table (O(shards) rows)",
         "o6_tail_slice": "per-shard offset table (O(shards) rows)",
         "o7_offset_pagination": "per-shard offset table (O(shards) rows)",
         "o8_range_slice": "per-shard offset table (O(shards) rows)",
         "dp5_sequence_pack": "per-shard token-cumsum offsets (O(shards))",
+        "dp5b_token_cumsum": "per-shard token-cumsum offsets (O(shards))",
+        "dp5c_pack_columns": "per-shard token-cumsum offsets (O(shards))",
         "dp8_global_shuffle": "per-shard offset table (O(shards) rows)",
+        "dp11_curriculum_epochs": "per-shard offset table (O(shards) rows)",
+        "w7_ranking": "per-shard offset table (O(shards) rows; the "
+                      "data-sized rank window was replaced by "
+                      "global_rank in round 4)",
         "w15_range_frame": "single-key demo series (bounded fixture); "
                            "partitioned variant is w2/w16",
         "w6_lag_delta": "height-ordered chain delta — the reference's "
@@ -98,12 +108,20 @@ def main() -> int:
     from mining_data_integration_spark.session import get_spark
 
     spark = get_spark("plan-audit")
-    flags_to_check = [
-        "CartesianProduct", "BroadcastNestedLoopJoin",
-        "BatchEvalPython", "ArrowEvalPython",
-        "MapInPandas", "FlatMapGroupsInPandas",
-        "Exchange SinglePartition",
-    ]
+    # flag -> substring that actually occurs in FORMATTED explain output.
+    # "Exchange SinglePartition" is the simple-mode rendering and never
+    # appears in formatted mode (operator line is just "Exchange (n)");
+    # the partitioning is in the detail body as "Arguments:
+    # SinglePartition, ..." — the round-3 ADVICE vacuous-detector bug.
+    flags_to_check = {
+        "CartesianProduct": "CartesianProduct",
+        "BroadcastNestedLoopJoin": "BroadcastNestedLoopJoin",
+        "BatchEvalPython": "BatchEvalPython",
+        "ArrowEvalPython": "ArrowEvalPython",
+        "MapInPandas": "MapInPandas",
+        "FlatMapGroupsInPandas": "FlatMapGroupsInPandas",
+        "Exchange SinglePartition": "Arguments: SinglePartition",
+    }
     failures = []
     for name, fn in sorted(e.queries().items()):
         try:
@@ -112,7 +130,7 @@ def main() -> int:
             print(f"ERROR {name}: {ex}")
             failures.append(name)
             continue
-        hits = [f for f in flags_to_check if f in plan]
+        hits = [f for f, pat in flags_to_check.items() if pat in plan]
         bad = [f for f in hits if name not in ALLOWED.get(f, {})]
         status = "FAIL" if bad else ("ok*" if hits else "ok")
         note = "; ".join(
