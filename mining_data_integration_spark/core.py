@@ -11,8 +11,16 @@ per-miner / per-block aggregates. Here the same dataflow is declarative:
     leader_keys ───J6 (composite, bcast)────┤──> commits_enriched (J7 flag)
                                             │
     block_headers ──J9 chain walk──> canonical stacks chain ──A3──> wins
+        │                                   │
+    payments ──J3 (consensus_hash)──────────┤
+    staging_blocks ──J4 (consensus_hash)────┤──> burn_blocks_with_feeds
                                             │
     miner_info (A1+A3+F11+X12) ∥ mining_info (F12) ∥ block_info (A6)
+
+The J3/J4 arrays are attached for DAG fidelity (rpc.js:206-229) even
+though the reference consumes them only in dead debug code — see
+burn_blocks_with_feeds' docstring; the staging feed additionally powers
+the ST6 sync gate (serving.py).
 
 Every join is an equi-join Catalyst can pick a strategy for: leader_keys
 and the chain-membership sets are broadcast (small dims), the
@@ -52,6 +60,53 @@ def snapshots_with_actual_burn(snapshots: DataFrame) -> DataFrame:
     return canon.withColumn(
         "actual_burn",
         F.col("total_burn") - F.lag("total_burn", 1, 0).over(w),
+    )
+
+
+def burn_blocks_with_feeds(snapshots_canon: DataFrame,
+                           payments: DataFrame,
+                           staging_blocks: DataFrame) -> DataFrame:
+    """J3/J4 (rpc.js:206-229): attach the ``payments`` and
+    ``staging_blocks`` arrays to each canonical burn block by
+    consensus_hash — the reference's process_payments /
+    process_staging_blocks push rows into nested per-block arrays,
+    skipping rows whose consensus_hash matches no block (left-join-
+    with-empty-default semantics; the miss-skip is the `continue` at
+    rpc.js:213,226).
+
+    Fidelity note: the reference computes these arrays and then reads
+    them only in dead debug code — the at_tip/parent_hash loop
+    (rpc.js:400-418) computes values that are never used, and
+    process_staging_blocks' own logging is commented out. They are
+    instantiated here so the E1 DAG is shape-complete; no *served*
+    output of the reference depends on them. The staging feed serves
+    the ST6 sync gate separately (serving.py:111).
+
+    Arrays are sorted for deterministic compares (the reference's order
+    is SQLite scan order — unspecified). Scale shape: two combinable
+    groupBys keyed on consensus_hash (uniform hash key) reducing to one
+    row per block, then two left equi-joins onto the block spine; the
+    arrays are per-block bounded (a handful of payments / fork
+    candidates each), never corpus-sized."""
+    pay = payments.groupBy("consensus_hash").agg(
+        F.sort_array(F.collect_list(F.struct(
+            "stacks_block_height", "address"))).alias("payments"))
+    stag = staging_blocks.groupBy("consensus_hash").agg(
+        F.sort_array(F.collect_list(F.struct(
+            "height", "processed", "orphaned"))).alias("staging_blocks"))
+    # miss -> EMPTY array, not null (the reference pre-initializes
+    # `.payments = []` per block, rpc.js:137-140); empty-literal types
+    # derived from the aggregates so input column types stay authoritative
+    pay_t = dict(pay.dtypes)["payments"]
+    stag_t = dict(stag.dtypes)["staging_blocks"]
+    return (
+        snapshots_canon
+        .join(pay, "consensus_hash", "left")
+        .join(stag, "consensus_hash", "left")
+        .withColumn("payments", F.coalesce(
+            "payments", F.expr(f"CAST(array() AS {pay_t})")))
+        .withColumn("staging_blocks", F.coalesce(
+            "staging_blocks", F.expr(f"CAST(array() AS {stag_t})")))
     )
 
 

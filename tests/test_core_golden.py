@@ -198,3 +198,30 @@ class TestMiningAndBlockInfo:
             fees = sum(int(c.burn_fee) for c in row["commit_value_list"])
             assert fees == int(row["sum_burn_fees"])
             assert len(row["commit_value_list"]) == row["sum_miner_amount"]
+
+    def test_burn_blocks_with_feeds_j3_j4(self, tables):
+        """J3/J4 (rpc.js:206-229): payments + staging arrays attached
+        per canonical burn block by consensus_hash; misses become EMPTY
+        arrays (the reference pre-initializes `.payments = []`); rows
+        whose consensus_hash matches no canonical block are dropped
+        (the `continue` miss-skip)."""
+        canon = canonical_snapshots(tables["snapshots"])
+        got = rows_by(
+            core.burn_blocks_with_feeds(
+                canon, tables["payments"], tables["staging_blocks"]),
+            "block_height")
+        assert sorted(got) == list(range(100, 107))
+        # payments: (stacks_block_height, address) per block
+        pays = {h: [(p.stacks_block_height, p.address)
+                    for p in got[h]["payments"]] for h in got}
+        assert pays == {100: [(1, A)], 101: [(2, A)], 102: [(3, B)],
+                        103: [(4, C)], 104: [(5, B)],
+                        105: [],                       # no payment row
+                        106: [(6, A)]}
+        # staging: the unprocessed fork candidate rides along at 105,
+        # the orphaned flag at 106
+        stag = {h: [(s.height, s.processed, s.orphaned)
+                    for s in got[h]["staging_blocks"]] for h in got}
+        assert stag[105] == [(5, 0, 0)]
+        assert stag[106] == [(6, 1, 1)]
+        assert all(stag[h] == [(h - 99, 1, 0)] for h in range(100, 105))
