@@ -129,12 +129,125 @@ def sample_frames(media: DataFrame, frame_size: int = 32,
 
 
 def decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """The real decoder slot. Kept as an explicit NotImplementedError:
-    the container ships no codec libraries (PIL/opencv/librosa)."""
+    """The compressed-codec slot (JPEG/PNG/opus). Kept as an explicit
+    NotImplementedError: the container ships no codec libraries
+    (PIL/opencv/librosa). For UNcompressed formats the engine decodes
+    for real — see decode_ppm / decode_ppm_stats below, a from-scratch
+    binary-PPM parser that runs end-to-end in the same Arrow slot."""
     raise NotImplementedError(
-        "real image/audio decode requires codec libraries not present "
-        "in this environment; use decode_image_stub for plumbing tests"
+        "compressed image/audio decode requires codec libraries not "
+        "present in this environment; decode_ppm_stats is the real "
+        "(pure-Python) decode path, decode_image_stub the plumbing stub"
     )
+
+
+# --- real image decode: binary PPM (P6), from scratch ------------------
+# The one raster format simple enough to parse correctly with no codec
+# library: ASCII header "P6 <w> <h> <maxval>" (with #-comments), one
+# whitespace byte, then w*h*3 raw sample bytes.
+
+PPM_W, PPM_H = 4, 2
+
+PPM_STATS_SCHEMA = (
+    "media_id bigint, width int, height int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint, ok boolean"
+)
+
+
+def make_ppm_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic REAL image corpus: every row becomes a valid
+    binary PPM — header + 4x2 raster whose byte j is the pure function
+    (media_id * (j+1)) % 256 — built entirely JVM-side (transform/
+    lpad/hex over a sequence, then unhex), so the encode stage is
+    whole-stage-codegen and the oracle can recompute every pixel."""
+    n = PPM_W * PPM_H * 3
+    hexstr = F.expr(
+        f"concat_ws('', transform(sequence(0, {n - 1}), "
+        f"j -> lpad(hex(({id_col} * (j + 1)) % 256), 2, '0')))"
+    )
+    header = f"P6\n{PPM_W} {PPM_H}\n255\n"
+    return ids.select(
+        F.col(id_col).alias("media_id"),
+        F.concat(F.encode(F.lit(header), "utf-8"),
+                 F.unhex(hexstr)).alias("payload"),
+    )
+
+
+def decode_ppm(data: bytes) -> tuple[int, int, bytes]:
+    """From-scratch binary-PPM (P6) parser: magic, three whitespace-
+    separated ASCII integers with ``#``-to-end-of-line comments allowed
+    between tokens, exactly ONE whitespace byte before the raster, then
+    w*h*3 one-byte samples (maxval < 256 only). Raises ValueError on
+    any malformed payload — the kernel maps that to ok=false rows."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(data):
+            c = data[pos:pos + 1]
+            if c.isspace():
+                pos += 1
+            elif c == b"#":
+                nl = data.find(b"\n", pos)
+                if nl == -1:
+                    raise ValueError("unterminated header comment")
+                pos = nl + 1
+            else:
+                break
+        start = pos
+        while (pos < len(data) and not data[pos:pos + 1].isspace()
+               and data[pos:pos + 1] != b"#"):
+            pos += 1
+        tok = data[start:pos]
+        if not tok.isdigit():
+            raise ValueError(f"bad header token {tok!r}")
+        vals.append(int(tok))
+    w, h, maxval = vals
+    if not 0 < maxval < 256:
+        raise ValueError("only 1-byte samples supported (maxval < 256)")
+    if pos >= len(data) or not data[pos:pos + 1].isspace():
+        raise ValueError("missing raster separator")
+    pos += 1
+    need = w * h * 3
+    pix = data[pos:pos + need]
+    if len(pix) != need:
+        raise ValueError("truncated raster")
+    return w, h, pix
+
+
+def decode_ppm_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel around decode_ppm: real pixel decode reduced
+    to exact integer per-channel sums (oracle-checkable — no float
+    resample). Malformed payloads survive as ok=false rows with null
+    dimensions instead of failing the task: at corpus scale a poison
+    file must not kill the stage."""
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "media_id", "width", "height", "sum_r", "sum_g", "sum_b", "ok")}
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            out["media_id"].append(mid)
+            try:
+                w, h, pix = decode_ppm(bytes(payload))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(sum(pix[0::3]))
+                out["sum_g"].append(sum(pix[1::3]))
+                out["sum_b"].append(sum(pix[2::3]))
+                out["ok"].append(True)
+            except ValueError:
+                for k in ("width", "height", "sum_r", "sum_g", "sum_b"):
+                    out[k].append(None)
+                out["ok"].append(False)
+        yield pd.DataFrame({
+            "media_id": pd.Series(out["media_id"], dtype="int64"),
+            "width": pd.Series(out["width"], dtype="Int32"),
+            "height": pd.Series(out["height"], dtype="Int32"),
+            "sum_r": pd.Series(out["sum_r"], dtype="Int64"),
+            "sum_g": pd.Series(out["sum_g"], dtype="Int64"),
+            "sum_b": pd.Series(out["sum_b"], dtype="Int64"),
+            "ok": pd.Series(out["ok"], dtype="bool"),
+        })
 
 
 RESIZE_SCHEMA = (

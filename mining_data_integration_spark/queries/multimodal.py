@@ -86,14 +86,49 @@ def mm4_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "win_idx")
 
 
+def mm5_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end image decode (round 4 — the decoder slot is no
+    longer stub-only): every doc_id becomes an actual binary PPM (P6)
+    image built JVM-side (operators/multimodal.make_ppm_media), and the
+    Arrow kernel genuinely parses the format — magic, comment-tolerant
+    header tokenizer, raster slicing — reducing the 4x2 raster to
+    exact integer per-channel sums. The oracle never sees the binary:
+    it recomputes the sums from the pixel generator formula, so a
+    parser that misreads even one byte hash-mismatches."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    media = M.make_ppm_media(docs.select("doc_id"), id_col="doc_id")
+    return media.mapInPandas(
+        M.decode_ppm_stats, M.PPM_STATS_SCHEMA).orderBy("media_id")
+
+
 QUERIES = {
     "mm4_audio_windows": mm4_audio_windows,
     "mm1_feature_extract": mm1_feature_extract,
     "mm2_frame_sample": mm2_frame_sample,
     "mm3_resize_plan": mm3_resize_plan,
+    "mm5_ppm_decode": mm5_ppm_decode,
 }
 
+
+def _ppm_chan_sum(offset: int) -> str:
+    """Channel sum from the generator formula: raster byte j has value
+    (media_id*(j+1)) % 256; channel `offset` owns bytes j = 3p+offset."""
+    n_px = M.PPM_W * M.PPM_H
+    terms = " + ".join(
+        f"(doc_id * {3 * p + offset + 1}) % 256" for p in range(n_px))
+    return f"CAST({terms} AS BIGINT)"
+
 ORACLES = {
+    "mm5_ppm_decode": f"""
+        SELECT doc_id AS media_id,
+               CAST({M.PPM_W} AS INTEGER) AS width,
+               CAST({M.PPM_H} AS INTEGER) AS height,
+               {_ppm_chan_sum(0)} AS sum_r,
+               {_ppm_chan_sum(1)} AS sum_g,
+               {_ppm_chan_sum(2)} AS sum_b,
+               TRUE AS ok
+        FROM documents ORDER BY media_id
+    """,
     "mm4_audio_windows": """
         WITH m AS (
             SELECT doc_id AS media_id, text, length(text) AS L

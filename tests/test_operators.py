@@ -163,6 +163,62 @@ def test_multimodal_feature_plumbing(spark):
            {r.media_id: r.feature for r in again}
 
 
+def test_ppm_decoder_parses_real_images():
+    """From-scratch PPM parser vs hand-built payloads: comment-laden
+    headers, multi-whitespace, and each malformed class raises."""
+    import pytest as _pytest
+
+    from mining_data_integration_spark.operators.multimodal import decode_ppm
+
+    pix = bytes(range(12))  # 2x2 RGB
+    assert decode_ppm(b"P6\n2 2\n255\n" + pix) == (2, 2, pix)
+    # comments between any header tokens + arbitrary whitespace runs
+    fancy = b"P6 # magic\n  2 # width\n\t2\n# maxval next\n255 " + pix
+    assert decode_ppm(fancy) == (2, 2, pix)
+    # exactly one separator byte: the raster may BEGIN with whitespace
+    # bytes (0x20 pixels) and must not be eaten
+    ws_pix = b" " * 12
+    assert decode_ppm(b"P6\n2 2\n255\n" + ws_pix) == (2, 2, ws_pix)
+    for bad in (
+        b"P5\n2 2\n255\n" + pix,          # wrong magic (grayscale)
+        b"P6\n2 2\n65535\n" + pix * 2,    # 2-byte samples unsupported
+        b"P6\n2 2\n255\n" + pix[:-1],     # truncated raster
+        b"P6\n2 x\n255\n" + pix,          # non-numeric dimension
+        b"P6\n2 2\n255",                  # no separator / raster
+        b"P6 # comment never ends",       # unterminated comment
+    ):
+        with _pytest.raises(ValueError):
+            decode_ppm(bad)
+
+
+def test_ppm_decode_stats_end_to_end(spark):
+    """make_ppm_media builds REAL binary PPMs JVM-side; the Arrow
+    kernel decodes them; channel sums match a pure-Python replay of
+    the generator. A poison (non-PPM) payload yields ok=false, not a
+    task failure."""
+    from pyspark.sql import functions as F
+
+    from mining_data_integration_spark.operators.multimodal import (
+        PPM_STATS_SCHEMA, PPM_W, PPM_H, decode_ppm_stats, make_ppm_media,
+    )
+
+    ids = spark.range(1, 8).select(F.col("id").alias("media_id"))
+    media = make_ppm_media(ids)
+    out = {r.media_id: r for r in media.mapInPandas(
+        decode_ppm_stats, PPM_STATS_SCHEMA).collect()}
+    for mid in range(1, 8):
+        raster = [(mid * (j + 1)) % 256 for j in range(PPM_W * PPM_H * 3)]
+        r = out[mid]
+        assert (r.width, r.height, r.ok) == (PPM_W, PPM_H, True)
+        assert (r.sum_r, r.sum_g, r.sum_b) == (
+            sum(raster[0::3]), sum(raster[1::3]), sum(raster[2::3]))
+    poison = spark.createDataFrame(
+        [(99, bytearray(b"GIF89a not a ppm"))],
+        "media_id long, payload binary")
+    bad = poison.mapInPandas(decode_ppm_stats, PPM_STATS_SCHEMA).collect()[0]
+    assert bad.ok is False and bad.width is None and bad.sum_r is None
+
+
 def test_frame_sampling_plumbing(spark):
     from mining_data_integration_spark.operators.multimodal import (
         sample_frames,

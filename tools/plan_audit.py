@@ -55,6 +55,8 @@ ALLOWED: dict[str, dict[str, str]] = {
     },
     "MapInPandas": {
         "mm1_feature_extract": "binary decode IS the operator",
+        "mm5_ppm_decode": "real from-scratch PPM pixel decode IS the "
+                          "operator",
         "mm2_frame_sample": "1->N frame fan-out IS the operator",
         "mm3_resize_plan": "thumbnail resize IS the operator",
         "mm4_audio_windows": "overlap frame windowing IS the operator",
