@@ -75,10 +75,19 @@ def main() -> int:
 
     queries = e.queries()
     oracles = e.oracle_sql()
+    # ORACLE_EXCLUDE=name1,name2 — skip the ORACLE for these (Spark side
+    # still runs, reported rows-only). For the sf0.1 sweep, where the
+    # j9/j16 DuckDB recursive-CTE oracles are infeasible (30k chain
+    # iterations over 150k rows); their cross-check at that scale is the
+    # exact agreement of the pointer-doubling and segmented engines.
+    excluded = set(filter(None, os.environ.get(
+        "ORACLE_EXCLUDE", "").split(",")))
     failures = []
     for name, fn in queries.items():
         if FILTERS and not any(f in name for f in FILTERS):
             continue
+        if name in excluded:
+            oracles = {k: v for k, v in oracles.items() if k != name}
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
