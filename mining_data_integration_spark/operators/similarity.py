@@ -250,6 +250,108 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rk") <= k)
 
 
+def int_assign_centroid(df: DataFrame, cents: list[list[int]],
+                        vec_col: str) -> DataFrame:
+    """Argmin over k INTEGER centroids by exact int64 squared L2 (k
+    inline codegen expressions, like assign_centroid); ties break to
+    the lowest centroid index — array_min over (d2, i) structs compares
+    lexicographically, so the tie rule is explicit and engine-portable
+    (int8 range: diffs ≤ 254, dim 64 → d2 ≤ 4.2M, far inside int64)."""
+    d2s = []
+    for i, c in enumerate(cents):
+        carr = F.array(*[F.lit(int(v)).cast("bigint") for v in c])
+        diff = F.zip_with(F.col(vec_col), carr,
+                          lambda a, b: (a - b) * (a - b))
+        d2s.append(F.struct(
+            F.aggregate(diff, F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x).alias("d"),
+            F.lit(i).alias("i")))
+    return df.withColumn("_cid", F.array_min(F.array(*d2s))["i"])
+
+
+def int_ivf_centroids(emb_q: DataFrame, n_centroids: int = 4,
+                      iters: int = 2, id_col: str = "vec_id",
+                      vec_col: str = "_qv") -> list[list[int]]:
+    """Integer Lloyd's k-means over int8-quantized vectors — the
+    oracle-checkable coarse quantizer (sim11). Every step is exact:
+    seeds are the k lowest-id vectors, assignment is int64 squared L2
+    with a lowest-cid tie rule, and the update is per-dimension
+    truncating division (sum div count — `div` and DuckDB `//` both
+    truncate toward zero). A cell that loses all members keeps its
+    previous centroid. This is what ivf_centroids (sim4) cannot give:
+    float averaging is aggregation-order-dependent, so sim4 stays
+    rows-only while sim11 hash-checks."""
+    seed_rows = emb_q.orderBy(id_col).limit(n_centroids) \
+        .select(id_col, vec_col).collect()
+    seed_rows.sort(key=lambda r: r[0])
+    cents = [[int(x) for x in r[1]] for r in seed_rows]
+    for _ in range(iters):
+        assigned = int_assign_centroid(emb_q, cents, vec_col).select(
+            "_cid", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        rows = (
+            assigned.groupBy("_cid", "pos")
+            .agg(F.expr("sum(val) div count(*)").alias("m"))
+            .groupBy("_cid")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("pos", "m"))).alias("a"))
+            .collect()
+        )
+        for r in rows:
+            cents[r._cid] = [int(x.m) for x in r.a]
+    return cents
+
+
+def int_ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                 n_centroids: int = 4, n_probe: int = 2, iters: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 q_id_col: str = "q_id",
+                 q_vec_col: str = "q_emb") -> DataFrame:
+    """IVF approximate top-k with the integer coarse quantizer — the
+    hash-checked sibling of ivf_topk (sim4): int8-quantize the corpus,
+    integer k-means for cells, each query probes its n_probe nearest
+    cells (exact-int distance, lowest-cid ties) and scores candidates
+    with exact integer dot products; only the final norm division is
+    floating (single IEEE op — bit-identical across engines, the sim7
+    precedent). Same scale shape as sim4: cell id is the partition/
+    prune key, probes read n_probe/k of the corpus."""
+    emb_q = emb.select(
+        F.col(id_col), int8_quantize(F.col(vec_col)).alias("_qv"))
+    cents = int_ivf_centroids(emb_q, n_centroids, iters, id_col, "_qv")
+    data = int_assign_centroid(emb_q, cents, "_qv").withColumn(
+        "_vnorm", F.sqrt(idot(F.col("_qv"), F.col("_qv")).cast("double")))
+    qs = queries.select(
+        F.col(q_id_col), int8_quantize(F.col(q_vec_col)).alias("_qq"))
+    d2s = []
+    for i, c in enumerate(cents):
+        carr = F.array(*[F.lit(int(v)).cast("bigint") for v in c])
+        diff = F.zip_with(F.col("_qq"), carr,
+                          lambda a, b: (a - b) * (a - b))
+        d2s.append(F.struct(
+            F.aggregate(diff, F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x).alias("d"),
+            F.lit(i).alias("i")))
+    probes = F.slice(F.array_sort(F.array(*d2s)), 1, n_probe)
+    q_probed = (
+        qs.withColumn("_p", F.explode(probes))
+        .select(F.col(q_id_col), F.col("_qq"),
+                F.col("_p.i").alias("_cid"))
+        .withColumn("_qnorm",
+                    F.sqrt(idot(F.col("_qq"), F.col("_qq"))
+                           .cast("double")))
+    )
+    pairs = data.join(F.broadcast(q_probed), "_cid").select(
+        F.col(q_id_col), F.col(id_col),
+        (idot(F.col("_qq"), F.col("_qv")).cast("double")
+         / (F.col("_qnorm") * F.col("_vnorm"))).alias("cos_sim_q8"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.desc("cos_sim_q8"), F.col(id_col))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def int8_quantize(vec: Column) -> Column:
     """Symmetric per-vector int8 quantization: q_i = round-half-up(
     x_i * 127 / max|x|). The memory-side of a quantized ANN index —

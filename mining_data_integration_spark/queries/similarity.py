@@ -157,6 +157,19 @@ def sim4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       n_centroids=8, n_probe=2).orderBy("q_id", "rk")
 
 
+def sim11_int_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with the INTEGER coarse quantizer (round 4): int8
+    quantization, integer Lloyd's k-means (truncating-div centroid
+    update, exact-int argmin with lowest-cid ties), 2-probe, exact
+    integer dot products — every arithmetic step is engine-exact, so
+    unlike sim4 this IVF is fully hash-checked against a DuckDB oracle
+    that replays both k-means iterations in SQL."""
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    return S.int_ivf_topk(emb, _queries_df(spark, sf_dir), k=5,
+                          n_centroids=4, n_probe=2, iters=2).orderBy(
+        "q_id", "rk")
+
+
 def sim9_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization approximate top-5 (m=8 subspaces, 16 codes
     each, deterministic per-subspace Lloyd; asymmetric-distance
@@ -201,7 +214,98 @@ QUERIES = {
     "sim5_multiprobe_lsh": sim5_multiprobe_lsh,
     "sim2_ann_lsh_topk": sim2_ann_lsh_topk,
     "sim3_embedding_near_dups": sim3_embedding_near_dups,
+    "sim11_int_ivf_topk": sim11_int_ivf_topk,
 }
+
+
+def _int_ivf_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
+                 n_probe: int = 2, topk: int = 5, n_q: int = 3) -> str:
+    """DuckDB replay of operators.similarity.int_ivf_topk: sim7's int8
+    quantization, then each Lloyd iteration as three CTEs (assign by
+    exact-int squared L2 with lowest-cid ties / per-dim truncating-div
+    means / centroid update keeping empty cells), then the n_probe
+    probe and exact-int scoring. `//` and Spark's `div` both truncate
+    toward zero, so the centroid updates are bit-identical."""
+    d2 = lambda v, c: (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])))")
+    norm2 = lambda v: (
+        f"sqrt(CAST(list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> {v}[i]*{v}[i])) AS DOUBLE))")
+    parts = [f"""
+    WITH base AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings
+    ), qv AS (
+        SELECT vec_id,
+               CASE WHEN mx > 0 THEN list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx)
+                                        + 0.5) AS BIGINT))
+                    ELSE list_transform(embedding,
+                        x -> CAST(0 AS BIGINT)) END AS q
+        FROM base
+    ), c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cent
+        FROM qv ORDER BY vec_id LIMIT {k_cent}
+    )"""]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        parts.append(f""", a{it} AS (
+        SELECT vec_id, q, cid FROM (
+            SELECT v.vec_id, v.q, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {d2('v.q', 'c.cent')}, c.cid) AS rn
+            FROM qv v CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    ), m{it} AS (
+        SELECT cid, pos, CAST(sum(q[pos]) // count(*) AS BIGINT) AS m
+        FROM a{it}, (SELECT unnest(range(1, {dim + 1})) AS pos) p
+        GROUP BY cid, pos
+    ), c{it} AS (
+        SELECT s.cid,
+               CASE WHEN count(m.pos) = 0 THEN s.cent
+                    ELSE list(m.m ORDER BY m.pos) END AS cent
+        FROM {prev} s LEFT JOIN m{it} m ON s.cid = m.cid
+        GROUP BY s.cid, s.cent
+    )""")
+    last = f"c{iters}"
+    parts.append(f""", af AS (
+        SELECT vec_id, q, cid FROM (
+            SELECT v.vec_id, v.q, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {d2('v.q', 'c.cent')}, c.cid) AS rn
+            FROM qv v CROSS JOIN {last} c
+        ) WHERE rn = 1
+    ), qq AS (
+        SELECT vec_id AS q_id, q AS qvec, {norm2('q')} AS qnrm
+        FROM qv WHERE vec_id < {n_q}
+    ), probe AS (
+        SELECT q_id, qvec, qnrm, cid FROM (
+            SELECT q.q_id, q.qvec, q.qnrm, c.cid,
+                   row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY {d2('q.qvec', 'c.cent')}, c.cid) AS rn
+            FROM qq q CROSS JOIN {last} c
+        ) WHERE rn <= {n_probe}
+    ), scored AS (
+        SELECT p.q_id, a.vec_id,
+               CAST(list_sum(list_transform(range(1, {dim + 1}),
+                   i -> p.qvec[i]*a.q[i])) AS DOUBLE)
+                   / (p.qnrm * {norm2('a.q')}) AS cos_sim_q8
+        FROM probe p JOIN af a ON p.cid = a.cid
+    ), ranked AS (
+        SELECT q_id, vec_id, cos_sim_q8,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos_sim_q8 DESC, vec_id) AS rk
+        FROM scored
+    )
+    SELECT q_id, vec_id, cos_sim_q8, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {topk} ORDER BY q_id, rk""")
+    return "".join(parts)
+
+
+ORACLES["sim11_int_ivf_topk"] = _int_ivf_sql()
 
 # sim6 is exactness-preserving over sim1 (local top-k pre-reduce only
 # discards rows provably outside the global top-k) — same oracle

@@ -28,6 +28,32 @@ class TestIvf:
         own = {(r.q_id, r.vec_id) for r in approx.collect() if r.rk == 1}
         assert own == {(i, i) for i in range(5)}
 
+    def test_int_ivf_recall_and_determinism(self, spark):
+        """sim11's integer-k-means IVF: recall floor vs brute force,
+        own-vector-is-top-hit, and bit-identical reruns under a
+        different partitioning (the property that makes it
+        hash-checkable where float-k-means sim4 is rows-only)."""
+        from pyspark.sql import functions as F
+        from mining_data_integration_spark.io import read_table
+        from mining_data_integration_spark.operators import similarity as S
+
+        emb = read_table(spark, "/root/testdata/sf0.001", "embeddings") \
+            .repartition(8, "vec_id")
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+        exact = S.brute_force_topk(emb, q, k=5)
+        approx = S.int_ivf_topk(emb, q, k=5, n_centroids=4, n_probe=3)
+        ex = {(r.q_id, r.vec_id) for r in exact.collect()}
+        got = approx.collect()
+        ap = {(r.q_id, r.vec_id) for r in got}
+        recall = len(ex & ap) / len(ex)
+        assert recall >= 0.4, f"int-IVF recall collapsed: {recall}"
+        own = {(r.q_id, r.vec_id) for r in got if r.rk == 1}
+        assert own == {(i, i) for i in range(5)}
+        again = S.int_ivf_topk(emb.repartition(3, "vec_id"), q, k=5,
+                               n_centroids=4, n_probe=3).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
 from pyspark.sql import functions as F
 
 from mining_data_integration_spark.operators import dedup as D
