@@ -47,6 +47,8 @@ _MODULES = (aggregates, dedup, joins, multimodal, pipeline_q, scalars,
 _REVERIFY_FIRST = (
     "dp5_sequence_pack", "dp5a_token_counts", "dp5b_token_cumsum",
     "dp5c_pack_columns",
+    # round-4 sketch suite — never driver-checked:
+    "a21_hll_distinct", "tx12_heavy_hitter_langs", "tx13_countmin_tokens",
     "mm5_ppm_decode", "w7_ranking", "sim11_int_ivf_topk",
     "dp8_global_shuffle", "o6_tail_slice", "o7_offset_pagination",
     "o8_range_slice", "w14_scalable_cumsum", "dp11_curriculum_epochs",

@@ -488,3 +488,70 @@ ORACLES["a20_scalable_median"] = """
     FROM tot JOIN med ON tot.seg = med.seg JOIN p90 ON tot.seg = p90.seg
     ORDER BY tot.seg
 """
+
+
+def a21_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count of orders.o_custkey
+    (operators/sketches.py): every register derives from md5, so the
+    harmonic sum is an exact int64 and the estimate a single IEEE
+    division — the whole *approximate* sketch is value-hash checkable
+    against DuckDB, unlike approx_count_distinct (a16, rows-only).
+
+    Scale: one map-side pass, a 256-key shuffle, one broadcast — the
+    distinct-count plan for a 10^12-row key column with no
+    O(distinct) shuffle. exact_distinct rides along for error audit
+    only (drop it at fleet scale)."""
+    from ..operators import sketches as SK
+
+    return SK.hll_distinct(t(spark, sf_dir, "orders"), "o_custkey")
+
+
+QUERIES["a21_hll_distinct"] = a21_hll_distinct
+
+
+def _hll_oracle() -> str:
+    from ..operators.sketches import (
+        HLL_M_LOG2, HLL_RHO_HEX, HLL_RHO_MAX, hll_alpha_numerator)
+
+    m = 1 << HLL_M_LOG2
+    top = HLL_RHO_MAX - 1
+    d1 = "(strpos('0123456789abcdef', substring(hh, 1, 1)) - 1)"
+    d2 = "(strpos('0123456789abcdef', substring(hh, 2, 1)) - 1)"
+    return f"""
+    WITH h AS (
+        SELECT md5(CAST(o_custkey AS VARCHAR)) AS hh, o_custkey FROM orders
+    ), b AS (
+        SELECT (({d1}) * 16 + ({d2})) % {m} AS bucket,
+               ltrim(substring(hh, 3, {HLL_RHO_HEX}), '0') AS lt
+        FROM h
+    ), r AS (
+        SELECT bucket,
+               CASE WHEN lt = '' THEN {HLL_RHO_MAX}
+                    ELSE 4 * ({HLL_RHO_HEX} - length(lt))
+                         + CASE WHEN substring(lt, 1, 1) = '1' THEN 3
+                                WHEN substring(lt, 1, 1) IN ('2', '3') THEN 2
+                                WHEN substring(lt, 1, 1) IN ('4', '5', '6', '7') THEN 1
+                                ELSE 0 END + 1 END AS rho
+        FROM b
+    ), regs AS (
+        SELECT bucket, max(rho) AS register FROM r GROUP BY bucket
+    ), agg AS (
+        SELECT count(*) AS np,
+               CAST(sum(CAST(1 AS BIGINT) << ({top} - register)) AS BIGINT) AS sp
+        FROM regs
+    ), ex AS (
+        SELECT count(DISTINCT o_custkey) AS exact_distinct FROM orders
+    )
+    SELECT CAST({m} AS BIGINT) AS m,
+           CAST({m} - np AS BIGINT) AS v_zero,
+           CAST(sp + ({m} - np) * (CAST(1 AS BIGINT) << {top}) AS BIGINT)
+               AS harmonic_scaled,
+           {hll_alpha_numerator()!r}
+               / CAST(sp + ({m} - np) * (CAST(1 AS BIGINT) << {top}) AS DOUBLE)
+               AS hll_estimate,
+           exact_distinct
+    FROM agg, ex
+"""
+
+
+ORACLES["a21_hll_distinct"] = _hll_oracle()

@@ -387,3 +387,102 @@ ORACLES["tx11_gopher_filter"] = f"""
            CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
     FROM r ORDER BY doc_id
 """
+
+
+def tx12_heavy_hitter_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over the token-weighted language stream via
+    Misra-Gries summaries (operators/sketches.py:28): one row per token
+    occurrence carrying its document's lang; keep every lang holding
+    > 1/4 of all token mass. s=4 counters against 5 live keys forces
+    the decrement path, and the MG superset guarantee (freq > n/(s+1)
+    survives some partition summary) makes the exact refinement pass
+    complete — the stream's distinct-key space never shuffles."""
+    from ..operators import sketches as SK
+
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    stream = docs.select(
+        "lang", F.explode(TX.tokens(F.col("text"))).alias("_tok"))
+    return (
+        SK.heavy_hitters_exact(stream.select("lang"), "lang", 4)
+        .select("lang", "cnt")
+        .orderBy("lang")
+    )
+
+
+QUERIES["tx12_heavy_hitter_langs"] = tx12_heavy_hitter_langs
+
+ORACLES["tx12_heavy_hitter_langs"] = f"""
+    WITH toks AS (
+        SELECT lang, unnest(string_split({_NORM}, ' ')) AS tok
+        FROM documents
+    ), tot AS (SELECT count(*) AS n FROM toks)
+    SELECT lang, count(*) AS cnt
+    FROM toks GROUP BY lang
+    HAVING count(*) * 4 > (SELECT n FROM tot)
+    ORDER BY lang
+"""
+
+
+def tx13_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Count-Min token frequencies
+    (operators/sketches.py): md5-derived cells make the whole sketch
+    and its point estimates engine-reproducible, so an approximate
+    frequency operator gets a full value-hash check. Output audits
+    every distinct token's estimate against its exact count
+    (cm_estimate >= exact_cnt by construction). Scale: the sketch
+    shuffle is capped at d*w = 256 cells regardless of corpus size;
+    the probe join broadcasts the sketch."""
+    from ..operators import sketches as SK
+
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("term"))
+    return (
+        SK.countmin_estimates(toks, "term")
+        .withColumnRenamed("value", "term")
+        .orderBy("term")
+    )
+
+
+QUERIES["tx13_countmin_tokens"] = tx13_countmin_tokens
+
+
+def _cm_oracle() -> str:
+    from ..operators.sketches import CM_DEPTH, CM_WIDTH
+
+    def hex4(e: str) -> str:
+        ds = [
+            f"(strpos('0123456789abcdef', substring(md5({e}), {p}, 1)) - 1)"
+            for p in (1, 2, 3, 4)
+        ]
+        return (f"(({ds[0]}) * 4096 + ({ds[1]}) * 256 "
+                f"+ ({ds[2]}) * 16 + ({ds[3]}))")
+
+    tok_args = [f"'{i}:' || tok" for i in range(CM_DEPTH)]
+    term_args = [f"'{i}:' || term" for i in range(CM_DEPTH)]
+    cells = " UNION ALL ".join(
+        f"SELECT {i} AS r, {hex4(tok_args[i])} % {CM_WIDTH} AS c FROM toks"
+        for i in range(CM_DEPTH)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT term, exact_cnt, {i} AS r, "
+        f"{hex4(term_args[i])} % {CM_WIDTH} AS c FROM keys"
+        for i in range(CM_DEPTH)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+    ), cells AS ({cells}
+    ), sketch AS (
+        SELECT r, c, count(*) AS cnt FROM cells GROUP BY r, c
+    ), keys AS (
+        SELECT tok AS term, count(*) AS exact_cnt FROM toks GROUP BY tok
+    ), probes AS ({probes}
+    )
+    SELECT p.term, p.exact_cnt, CAST(min(s.cnt) AS BIGINT) AS cm_estimate
+    FROM probes p JOIN sketch s ON p.r = s.r AND p.c = s.c
+    GROUP BY p.term, p.exact_cnt
+    ORDER BY p.term
+"""
+
+
+ORACLES["tx13_countmin_tokens"] = _cm_oracle()

@@ -828,3 +828,49 @@ class TestFuzzyDecontaminate:
                 and (pri[b.vec_id], b.vec_id) < (pri[a.vec_id], a.vec_id)
                 for b in rows)
             assert out[a.vec_id].kept == (0 if has_better else 1), a.vec_id
+
+
+class TestSketches:
+    def test_misra_gries_superset_and_exact(self, spark):
+        """MG summaries are a superset of true heavy hitters, and the
+        exact refinement returns precisely the > n/s keys."""
+        from pyspark.sql import functions as F
+        from mining_data_integration_spark.operators import sketches as SK
+
+        # 60% 'a', 25% 'b', rest singletons — across 8 partitions
+        rows = [("a",)] * 600 + [("b",)] * 260 + [(f"z{i}",) for i in range(140)]
+        df = spark.createDataFrame(rows, "k string").repartition(8)
+        hh = {r.k: r.cnt for r in SK.heavy_hitters_exact(df, "k", 3).collect()}
+        assert hh == {"a": 600}  # only 'a' exceeds 1000/3
+        hh4 = {r.k: r.cnt for r in SK.heavy_hitters_exact(df, "k", 4).collect()}
+        assert hh4 == {"a": 600, "b": 260}  # strict >: 250 would NOT qualify
+        # summaries stay bounded: <= s rows per partition
+        summ = SK.misra_gries_summaries(df, "k", 3)
+        per_part = summ.groupBy(F.spark_partition_id().alias("p")).count()
+        assert all(r["count"] <= 3 for r in per_part.collect())
+
+    def test_hll_estimate_error_and_partition_independence(self, spark):
+        from mining_data_integration_spark.operators import sketches as SK
+
+        df = spark.createDataFrame([(i % 700,) for i in range(5000)], "v long")
+        r1 = SK.hll_distinct(df, "v").collect()[0]
+        r2 = SK.hll_distinct(df.repartition(13), "v").collect()[0]
+        assert r1 == r2  # registers are data-only, never plan-dependent
+        assert r1.exact_distinct == 700
+        # m=256 -> ~6.5% std err; allow 4 sigma
+        assert abs(r1.hll_estimate - 700) / 700 < 0.26
+
+    def test_countmin_never_underestimates(self, spark):
+        from pyspark.sql import functions as F
+        from mining_data_integration_spark.operators import sketches as SK
+
+        df = spark.createDataFrame(
+            [(f"k{i % 300}",) for i in range(4000)], "v string").repartition(7)
+        est = SK.countmin_estimates(df, "v")
+        assert est.filter(F.col("cm_estimate") < F.col("exact_cnt")).count() == 0
+        assert est.count() == 300
+        # deterministic across partitionings
+        a = sorted(map(tuple, est.collect()))
+        b = sorted(map(tuple,
+                       SK.countmin_estimates(df.repartition(3), "v").collect()))
+        assert a == b

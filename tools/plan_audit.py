@@ -46,6 +46,10 @@ ALLOWED: dict[str, dict[str, str]] = {
         "sim9_pq_topk": "3-row query LUT broadcast (ADC probe pattern)",
         "sim10_centroid_classify": "n_labels-row centroid table broadcast",
         "dp9_source_mix": "1-row corpus token total broadcast",
+        "a21_hll_distinct": "1-row register fold x 1-row exact-distinct "
+                            "audit column",
+        "tx12_heavy_hitter_langs": "1-row stream total broadcast (the "
+                                   "> n/s threshold)",
     },
     "ArrowEvalPython": {
         "j8_computed_key_join": "sha512/256 key: Arrow-batched codec in a "
@@ -61,6 +65,9 @@ ALLOWED: dict[str, dict[str, str]] = {
         "mm3_resize_plan": "thumbnail resize IS the operator",
         "mm4_audio_windows": "overlap frame windowing IS the operator",
         "sim6_scalable_topk": "partition-local Arrow top-k pre-reduce",
+        "tx12_heavy_hitter_langs": "Misra-Gries partition summaries ARE "
+                                   "the operator (<= s rows out per "
+                                   "partition)",
     },
     "Exchange SinglePartition": {
         # bounded-row global sorts/windows: the rows reaching the
@@ -100,6 +107,8 @@ ALLOWED: dict[str, dict[str, str]] = {
                               "term table (vocab-bounded, not corpus)",
         "u2_unpivot": "tiny unpivoted summary",
         "dp7_temperature_sample": "per-stratum cap table (O(strata))",
+        "a21_hll_distinct": "m=256-row register table folds to one row",
+        "tx12_heavy_hitter_langs": "single-row stream total aggregate",
     },
 }
 
