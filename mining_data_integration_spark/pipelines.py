@@ -391,3 +391,62 @@ def fuzzy_decontaminate(docs: DataFrame, is_eval,
                >= F.lit(thr_num) * F.col("union_sz"), F.lit(1))
         .otherwise(F.lit(0)).cast("int").alias("contaminated"),
     )
+
+
+def token_budget_mix(df: DataFrame, strata_col: str, token_count: Column,
+                     budget_num: int, budget_den: int,
+                     key_col: str = "doc_id") -> DataFrame:
+    """Token-budget mixture sampling: allocate a global token budget of
+    (budget_num/budget_den) x corpus tokens across strata proportional
+    to sqrt(stratum token mass) — the temperature-style source
+    reweighting used to compose pre-training mixtures (upweights tail
+    sources vs proportional sampling) — then keep each stratum's
+    md5-priority document prefix while the running token count fits
+    its allocation.
+
+    Exactness at any scale: the only float op is one correctly-rounded
+    IEEE sqrt per stratum (floor() of it is a bit-stable integer
+    weight, the dp7 rule); everything else is int64. The per-stratum
+    allocation (B*w) div tw is computed as
+    (B div tw)*w + ((B mod tw)*w) div tw — ALGEBRAICALLY IDENTICAL
+    (write B = q*tw + r) but never forms the B*w product, which at
+    10^14 corpus tokens x 10^6-scale weights would overflow int64.
+
+    Scale: one groupBy(strata) for masses (O(strata) rows), one
+    broadcast of the allocation table, one window partitioned by
+    stratum. A stratum's documents shuffle to one partition only for
+    the prefix scan — for a head stratum holding ~half the corpus, the
+    scale path swaps the window for the two-phase range-sharded cumsum
+    (operators/scalable.global_cumsum) per stratum."""
+    base = (
+        df.withColumn("_nt", token_count.cast("long"))
+        .select(key_col, strata_col, "_nt")
+    )
+    mass = base.groupBy(strata_col).agg(F.sum("_nt").alias("_mass"))
+    wts = mass.withColumn(
+        "_w", F.floor(F.sqrt(F.col("_mass").cast("double"))).cast("long"))
+    tot = wts.agg(F.sum("_mass").alias("_tm"), F.sum("_w").alias("_tw"))
+    alloc = (
+        wts.crossJoin(F.broadcast(tot))
+        .withColumn("_b", F.expr(f"(_tm * {budget_num}) div {budget_den}"))
+        .withColumn(
+            "_budget",
+            F.expr("(_b div _tw) * _w + ((_b % _tw) * _w) div _tw"))
+        .select(strata_col, "_w", "_budget")
+    )
+    order_key = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":"),
+                               F.col(strata_col).cast("string")))
+    w = (Window.partitionBy(strata_col)
+         .orderBy(order_key, F.col(key_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        base.join(F.broadcast(alloc), strata_col)
+        .withColumn("_cum", F.sum("_nt").over(w))
+        .filter(F.col("_cum") <= F.col("_budget"))
+        .select(
+            key_col, strata_col,
+            F.col("_nt").alias("n_tokens"),
+            F.col("_cum").cast("long").alias("cum_tokens"),
+            F.col("_budget").alias("tok_budget"),
+        )
+    )

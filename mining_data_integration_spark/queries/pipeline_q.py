@@ -633,3 +633,64 @@ ORACLES["dp5c_pack_columns"] = f"""
            CAST(start % {PACK_BUDGET} AS BIGINT) AS pack_offset
     FROM cum ORDER BY doc_id
 """
+
+
+MIX_NUM, MIX_DEN = 2, 5  # global budget = 40% of corpus tokens
+
+
+def dp13_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (pipelines.token_budget_mix):
+    40% of corpus tokens allocated across sources proportional to
+    sqrt(source token mass), each source keeping its md5-priority
+    document prefix within the allocation. Doc-level output so the
+    hash check pins the exact kept set, not just totals."""
+    from ..operators.text import tokens
+    from ..pipelines import token_budget_mix
+
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    return (
+        token_budget_mix(
+            docs, "source",
+            token_count=F.size(tokens(F.col("text"))),
+            budget_num=MIX_NUM, budget_den=MIX_DEN,
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+QUERIES["dp13_token_budget_mix"] = dp13_token_budget_mix
+
+ORACLES["dp13_token_budget_mix"] = f"""
+    WITH base AS (
+        SELECT doc_id, source, CAST(len({_WORDS}) AS BIGINT) AS nt
+        FROM documents
+    ), mass AS (
+        SELECT source, CAST(sum(nt) AS BIGINT) AS mass
+        FROM base GROUP BY source
+    ), wts AS (
+        SELECT source, mass,
+               CAST(floor(sqrt(CAST(mass AS DOUBLE))) AS BIGINT) AS w
+        FROM mass
+    ), tot AS (
+        SELECT CAST(sum(mass) AS BIGINT) AS tm, CAST(sum(w) AS BIGINT) AS tw
+        FROM wts
+    ), alloc AS (
+        SELECT source, w,
+               ((tm * {MIX_NUM}) // {MIX_DEN} // tw) * w
+               + (((tm * {MIX_NUM}) // {MIX_DEN} % tw) * w) // tw AS budget
+        FROM wts, tot
+    ), cum AS (
+        SELECT b.doc_id, b.source, b.nt,
+               CAST(sum(b.nt) OVER (
+                   PARTITION BY b.source
+                   ORDER BY md5(CAST(b.doc_id AS VARCHAR) || ':' || b.source),
+                            b.doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               a.budget
+        FROM base b JOIN alloc a ON b.source = a.source
+    )
+    SELECT doc_id, source, nt AS n_tokens, cum AS cum_tokens,
+           budget AS tok_budget
+    FROM cum WHERE cum <= budget
+    ORDER BY source, doc_id
+"""

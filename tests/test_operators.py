@@ -874,3 +874,47 @@ class TestSketches:
         b = sorted(map(tuple,
                        SK.countmin_estimates(df.repartition(3), "v").collect()))
         assert a == b
+
+
+def test_token_budget_mix_invariants(spark):
+    """Every stratum's kept prefix fits its allocation, is maximal
+    (next doc in priority order would overflow), and allocations sum
+    to <= the global budget with sqrt flattening."""
+    import math
+    from pyspark.sql import functions as F
+    from mining_data_integration_spark.pipelines import token_budget_mix
+
+    rows = [(i, "big" if i < 160 else "small", 10 + (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, nt long")
+    out = token_budget_mix(df, "src", F.col("nt"), 1, 2, key_col="doc_id")
+    got = out.collect()
+    assert got, "empty mix"
+    # per-stratum: cum <= budget everywhere
+    assert all(r.cum_tokens <= r.tok_budget for r in got)
+    # allocations replay exactly
+    masses = {"big": sum(10 + (i % 7) for i in range(160)),
+              "small": sum(10 + (i % 7) for i in range(160, 200))}
+    tm = sum(masses.values())
+    ws = {s: math.floor(math.sqrt(m)) for s, m in masses.items()}
+    tw = sum(ws.values())
+    B = tm * 1 // 2
+    budgets = {s: (B // tw) * w + ((B % tw) * w) // tw for s, w in ws.items()}
+    for r in got:
+        assert r.tok_budget == budgets[r.src], (r.src, r.tok_budget)
+    # maximality: kept token mass + the smallest unkept doc > budget is
+    # too strong (prefix rule, not knapsack); instead pin prefix order:
+    # within a stratum the kept set is exactly the first k docs by
+    # (md5(doc:src), doc) priority
+    import hashlib
+    for s in ("big", "small"):
+        pri = sorted(
+            (hashlib.md5(f"{i}:{s}".encode()).hexdigest(), i)
+            for i in (range(160) if s == "big" else range(160, 200)))
+        kept = {r.doc_id for r in got if r.src == s}
+        run, expect = 0, set()
+        for _, i in pri:
+            run += 10 + (i % 7)
+            if run > budgets[s]:
+                break
+            expect.add(i)
+        assert kept == expect, s

@@ -50,6 +50,8 @@ ALLOWED: dict[str, dict[str, str]] = {
                             "audit column",
         "tx12_heavy_hitter_langs": "1-row stream total broadcast (the "
                                    "> n/s threshold)",
+        "dp13_token_budget_mix": "1-row corpus-total broadcast into the "
+                                 "O(strata) allocation table",
     },
     "ArrowEvalPython": {
         "j8_computed_key_join": "sha512/256 key: Arrow-batched codec in a "
@@ -109,6 +111,8 @@ ALLOWED: dict[str, dict[str, str]] = {
         "dp7_temperature_sample": "per-stratum cap table (O(strata))",
         "a21_hll_distinct": "m=256-row register table folds to one row",
         "tx12_heavy_hitter_langs": "single-row stream total aggregate",
+        "dp13_token_budget_mix": "O(strata)-row mass table folds to the "
+                                 "single-row global budget",
     },
 }
 
