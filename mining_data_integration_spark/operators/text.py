@@ -380,3 +380,85 @@ def gopher_filter(df: DataFrame, text_col: str = "text",
         F.when(reasons == 0, F.lit(1)).otherwise(F.lit(0)).cast("int")
         .alias("keep"),
     )
+
+
+# --- BPE merge learning (Sennrich et al. 2016) ------------------------------
+
+BPE_SEP = "\x1f"  # segmentation separator; never occurs in normalized text
+
+
+def _bpe_pairs(words: DataFrame) -> DataFrame:
+    """Adjacent symbol pairs of each word's current segmentation,
+    weighted by word frequency: (l, r, pf)."""
+    syms = F.split(F.col("seg"), BPE_SEP)
+    shifted = F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0)))
+    z = F.zip_with(
+        syms, shifted,
+        lambda x, y: F.struct(x.alias("l"), y.alias("r")))
+    return (
+        words.select("freq", F.explode(z).alias("p"))
+        .filter(F.col("p.r").isNotNull())
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("pf"))
+    )
+
+
+def _bpe_apply(seg_col: Column, left: str, right: str) -> Column:
+    """Left-to-right greedy merge of adjacent (left, right) symbols —
+    standard BPE application order ('aaa' + (a,a) -> [aa, a]). A fold
+    over the symbol list: when the accumulated segmentation ends with
+    the `left` symbol (exactly — the separator guard rejects suffixes
+    like 'xa' for left='a') and the next symbol is `right`, append
+    `right` WITHOUT a separator, fusing the pair; the fused token
+    l||r can never re-match `left`, which is what makes the single
+    pass greedy-correct. DuckDB replays the identical fold via
+    list_reduce (same acc-starts-at-first-element semantics as the
+    slice+element_at form here)."""
+    syms = F.split(seg_col, BPE_SEP)
+    rest = F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0)))
+
+    def step(acc: Column, x: Column) -> Column:
+        hit = (
+            (acc == F.lit(left)) | acc.endswith(F.lit(BPE_SEP + left))
+        ) & (x == F.lit(right))
+        return (F.when(hit, F.concat(acc, x))
+                .otherwise(F.concat(acc, F.lit(BPE_SEP), x)))
+
+    return F.aggregate(rest, F.element_at(syms, 1), step)
+
+
+def bpe_merges(df: DataFrame, n_merges: int, text_col: str = "text"):
+    """Learn the first `n_merges` BPE merge rules from a corpus:
+    per iteration, the globally most frequent adjacent symbol pair
+    (ties broken lexicographically) is fused in every word's
+    segmentation. Returns the merge table rows
+    [(iteration, left_sym, right_sym, pair_freq), ...] — the
+    tokenizer-training artifact.
+
+    Scale shape: learning runs over the DISTINCT-word table with
+    frequencies (vocab-bounded — millions of rows at web scale, not
+    the corpus), so each iteration is one map-side pair explode +
+    one combinable groupBy(pair); the argmax collect is 1 row per
+    iteration (k bounded driver rows total, like sim11's k-means
+    seeds). Each iteration nests one more fold into the segmentation
+    expression — for large n_merges, localCheckpoint() the word table
+    every ~16 iterations to cap plan depth."""
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+    words = (
+        toks.groupBy("word").agg(F.count("*").alias("freq"))
+        .withColumn("seg", F.concat_ws(BPE_SEP, F.split(F.col("word"), "")))
+    )
+    out = []
+    for it in range(1, n_merges + 1):
+        best = (
+            _bpe_pairs(words)
+            .orderBy(F.desc("pf"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, pf = best[0].l, best[0].r, int(best[0].pf)
+        out.append((it, l, r, pf))
+        words = words.withColumn("seg", _bpe_apply(F.col("seg"), l, r))
+    return out

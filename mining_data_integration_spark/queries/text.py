@@ -486,3 +486,66 @@ def _cm_oracle() -> str:
 
 
 ORACLES["tx13_countmin_tokens"] = _cm_oracle()
+
+
+BPE_K = 6
+
+
+def tx14_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators/text.bpe_merges): the first 6
+    learned merge rules over the corpus vocabulary — per iteration the
+    most frequent adjacent symbol pair (freq DESC, pair ASC tie-break)
+    fuses everywhere, left-to-right greedy. The oracle replays all 6
+    iterations as generated CTEs (list_reduce fold == the Spark
+    aggregate() fold, pinned by the same tie-break)."""
+    from ..operators.text import bpe_merges
+
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    rows = bpe_merges(docs, BPE_K)
+    return spark.createDataFrame(
+        rows,
+        "iteration INT, left_sym STRING, right_sym STRING, pair_freq BIGINT",
+    ).orderBy("iteration")
+
+
+QUERIES["tx14_bpe_merges"] = tx14_bpe_merges
+
+
+def _bpe_oracle(k: int) -> str:
+    sep = "\x1f"
+    ctes = [
+        f"toks AS (SELECT unnest(string_split({_NORM}, ' ')) AS word "
+        f"FROM documents)",
+        "words AS (SELECT word, count(*) AS freq FROM toks GROUP BY word)",
+        f"seg1 AS (SELECT word, freq, list_aggregate(string_split(word, ''),"
+        f" 'string_agg', '{sep}') AS seg FROM words)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"p{i} AS (SELECT freq, string_split(seg, '{sep}') AS syms, "
+            f"unnest(generate_series(1, len(string_split(seg, '{sep}')) - 1))"
+            f" AS i FROM seg{i})")
+        ctes.append(
+            f"pairs{i} AS (SELECT syms[i] AS l, syms[i+1] AS r, "
+            f"CAST(sum(freq) AS BIGINT) AS pf FROM p{i} "
+            f"GROUP BY syms[i], syms[i+1])")
+        ctes.append(
+            f"best{i} AS (SELECT l, r, pf FROM pairs{i} "
+            f"ORDER BY pf DESC, l, r LIMIT 1)")
+        if i < k:
+            ctes.append(
+                f"seg{i + 1} AS (SELECT word, freq, "
+                f"list_reduce(string_split(seg, '{sep}'), (acc, x) -> "
+                f"CASE WHEN (acc = b.l OR ends_with(acc, '{sep}' || b.l)) "
+                f"AND x = b.r THEN acc || x "
+                f"ELSE acc || '{sep}' || x END) AS seg "
+                f"FROM seg{i}, best{i} b)")
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS iteration, l AS left_sym, "
+        f"r AS right_sym, pf AS pair_freq FROM best{i}"
+        for i in range(1, k + 1))
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + union + \
+        "\n    ORDER BY iteration"
+
+
+ORACLES["tx14_bpe_merges"] = _bpe_oracle(BPE_K)

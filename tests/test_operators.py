@@ -918,3 +918,22 @@ def test_token_budget_mix_invariants(spark):
                 break
             expect.add(i)
         assert kept == expect, s
+
+
+def test_bpe_merges_known_corpus(spark):
+    """Hand-computed BPE on a toy corpus, including early exhaustion
+    (fewer merges available than requested) and greedy overlap rule."""
+    from mining_data_integration_spark.operators.text import bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "aa aa ab"), (2, "aaa")], "doc_id long, text string")
+    got = bpe_merges(df, n_merges=5)
+    # words: aa x2, ab x1, aaa x1
+    # it1: (a,a) freq 2+1(ab has none)+2(aaa: a-a,a-a)=4 ... hand-walk:
+    #   'aa' x2 -> pair (a,a) x2; 'ab' -> (a,b) x1; 'aaa' -> (a,a) x2
+    #   best (a,a) pf=4
+    # it2: 'aa'->[aa]; 'ab'->[a,b]; 'aaa'->[aa,a] (greedy)
+    #   pairs: (a,b) x1, (aa,a) x1 -> tie pf=1, lexicographic: (a,b)
+    # it3: (aa,a) x1
+    # it4: exhausted -> stop
+    assert got == [(1, "a", "a", 4), (2, "a", "b", 1), (3, "aa", "a", 1)]
