@@ -462,3 +462,49 @@ def bpe_merges(df: DataFrame, n_merges: int, text_col: str = "text"):
         out.append((it, l, r, pf))
         words = words.withColumn("seg", _bpe_apply(F.col("seg"), l, r))
     return out
+
+
+def surprisal_score(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Exact-integer unigram-LM surprisal score per document — the
+    perplexity-proxy quality signal (a cheap stand-in for a KenLM
+    filter: low mean surprisal ~ common/templated text, high ~ rare
+    or noisy text).
+
+    Per token w: surprisal(w) = floor(log2(N / df(w))) where N is the
+    corpus document count and df the token's document frequency —
+    computed WITHOUT floating log as length(bin(N div df)) - 1, exact
+    for any bigint and immune to libm last-ulp drift (the tf_rarity
+    rationale, one step further: not even a float division). Per doc:
+    the occurrence-weighted sum, plus a HALF_UP milli-unit mean in
+    pure integer arithmetic ((2000*S + n) div (2n), the w12 pattern).
+
+    Scale shape: two combinable keyed shuffles (doc-term tf, term df)
+    + one broadcast scalar N + one doc-keyed regroup — no corpus-wide
+    window, no skewed key (the term join is vocab-keyed; stop-words
+    are the heavy hitters but their df rows are 1-per-term after the
+    df agg, so the join side is unique-keyed)."""
+    toks = tokens(F.col(text_col))
+    terms = df.select(F.col(id_col).alias("id"),
+                      F.explode(toks).alias("term"))
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term").crossJoin(F.broadcast(n))
+        .withColumn(
+            "surp",
+            (F.length(F.bin(F.expr("n_docs DIV df"))) - 1).cast("long"))
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("surp")).cast("long")
+        .alias("sum_surprisal"),
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        "sum_surprisal",
+        F.expr("(2000 * sum_surprisal + n_tokens) DIV (2 * n_tokens)")
+        .cast("long").alias("mean_surprisal_milli"),
+    )

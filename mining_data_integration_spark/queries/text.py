@@ -549,3 +549,38 @@ def _bpe_oracle(k: int) -> str:
 
 
 ORACLES["tx14_bpe_merges"] = _bpe_oracle(BPE_K)
+
+
+def tx15_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score (operators/text.surprisal_score):
+    per-doc unigram-LM surprisal with floor(log2(N/df)) computed as
+    exact bit-length integers — no float log anywhere, so the milli-
+    unit mean is hash-exact across engines."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    return TX.surprisal_score(docs).orderBy("doc_id")
+
+
+QUERIES["tx15_surprisal_score"] = tx15_surprisal_score
+
+ORACLES["tx15_surprisal_score"] = f"""
+    WITH terms AS (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM terms GROUP BY doc_id, term
+    ), dfq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    ), s AS (
+        SELECT doc_id, tf,
+               length(bin(n_docs // df)) - 1 AS surp
+        FROM tf JOIN dfq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(tf * surp) AS BIGINT) AS sum_surprisal,
+           CAST((2000 * sum(tf * surp) + sum(tf)) // (2 * sum(tf))
+                AS BIGINT) AS mean_surprisal_milli
+    FROM s GROUP BY doc_id ORDER BY doc_id
+"""

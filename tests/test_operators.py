@@ -937,3 +937,22 @@ def test_bpe_merges_known_corpus(spark):
     # it3: (aa,a) x1
     # it4: exhausted -> stop
     assert got == [(1, "a", "a", 4), (2, "a", "b", 1), (3, "aa", "a", 1)]
+
+
+def test_surprisal_score_known_values(spark):
+    """Hand-computed exact-integer surprisal on a 4-doc corpus."""
+    from mining_data_integration_spark.operators.text import surprisal_score
+
+    df = spark.createDataFrame(
+        [(1, "the cat"), (2, "the dog"), (3, "the the rare"),
+         (4, "the cat dog")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in surprisal_score(df).collect()}
+    # N=4. df: the->4, cat->2, dog->2, rare->1
+    # surp = floor(log2(4 // df)): the->0, cat->1, dog->1, rare->2
+    assert (got[1].n_tokens, got[1].sum_surprisal) == (2, 1)
+    assert (got[3].n_tokens, got[3].sum_surprisal) == (3, 2)
+    assert (got[4].n_tokens, got[4].sum_surprisal) == (2 + 1, 0 + 1 + 1)
+    # HALF_UP milli mean: doc3 -> 2000*2+3 // 6 = 4003//6 = 667
+    assert got[3].mean_surprisal_milli == 667
+    assert got[1].mean_surprisal_milli == 500
