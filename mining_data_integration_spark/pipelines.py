@@ -22,7 +22,7 @@ DuckDB-oracle-checkable end to end (queries/dedup.py dp1).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .operators import dedup as D
@@ -274,6 +274,50 @@ def pack_sequences(df: DataFrame, budget: int, token_count: Column,
         F.col("_nt").alias("n_tokens"),
         F.expr(f"_start div {budget}").alias("pack_id"),
         F.pmod("_start", F.lit(budget)).cast("long").alias("pack_offset"),
+    )
+
+
+def length_bucket_batches(df: DataFrame, batch_size: int = 8,
+                          token_count: Column | None = None,
+                          key_col: str = "doc_id") -> DataFrame:
+    """Length-bucketed batch assignment: group documents into
+    power-of-2 token-length buckets (bucket = floor(log2(n_tokens)),
+    exact via bit length — no float log) and deal each bucket's docs
+    into fixed-size batches in md5-pseudo-random order. The dynamic-
+    batching step of a training pipeline: batches hold like-length
+    sequences, so padding waste is bounded by 2x within a batch.
+
+    Scale shape: a handful of buckets would make PARTITION BY bucket
+    a giant-partition window, so the rank is computed as ONE composite
+    global_row_number over (bucket, md5, key) — the two-phase range-
+    sharded engine — then rebased per bucket by subtracting the
+    bucket's min rank (a broadcast O(buckets) table). No
+    single-partition window over the data at any corpus size."""
+    from .operators.scalable import global_row_number
+
+    nt = (token_count if token_count is not None
+          else F.size(T.tokens(F.col("text")))).cast("long")
+    keyed = df.select(
+        F.col(key_col),
+        nt.alias("n_tokens"),
+        (F.length(F.bin(nt)) - 1).cast("long").alias("bucket"),
+        F.md5(F.col(key_col).cast("string")).alias("_h"),
+    )
+    ranked = global_row_number(
+        keyed,
+        [F.asc("bucket"), F.asc("_h"), F.asc(key_col)],
+        rn_col="_grank")
+    base = ranked.groupBy("bucket").agg(F.min("_grank").alias("_b0"))
+    rib = F.col("_grank") - F.col("_b0")  # 0-based rank in bucket
+    return (
+        ranked.join(F.broadcast(base), "bucket")
+        .select(
+            key_col, "n_tokens", "bucket",
+            F.expr(f"(_grank - _b0) div {batch_size}").cast("long")
+            .alias("batch_id"),
+            F.pmod(rib, F.lit(batch_size)).cast("long")
+            .alias("pos_in_batch"),
+        )
     )
 
 

@@ -548,6 +548,44 @@ def _dp12_oracle() -> str:
 ORACLES["dp12_fuzzy_decontaminate"] = _dp12_oracle()
 
 
+def dp14_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed dynamic batching (pipelines.length_bucket_batches):
+    power-of-2 token-length buckets (exact bit-length log2), md5-dealt
+    fixed-size batches per bucket — padding waste bounded by 2x. One
+    composite two-phase global rank; per-bucket rebase via a broadcast
+    O(buckets) min-rank table, so the handful of giant buckets never
+    becomes a single-partition window."""
+    from ..pipelines import length_bucket_batches
+
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    return length_bucket_batches(docs, batch_size=8).orderBy("doc_id")
+
+
+QUERIES["dp14_length_buckets"] = dp14_length_buckets
+
+ORACLES["dp14_length_buckets"] = f"""
+    WITH tokc AS (
+        SELECT doc_id,
+               CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), b AS (
+        SELECT doc_id, n_tokens,
+               CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM tokc
+    ), r AS (
+        SELECT doc_id, n_tokens, bucket,
+               row_number() OVER (PARTITION BY bucket
+                                  ORDER BY h, doc_id) - 1 AS rib
+        FROM b
+    )
+    SELECT doc_id, n_tokens, bucket,
+           CAST(rib // 8 AS BIGINT) AS batch_id,
+           CAST(rib % 8 AS BIGINT) AS pos_in_batch
+    FROM r ORDER BY doc_id
+"""
+
+
 # --- dp5 driver-red localization diagnostics (round 4, VERDICT.md #1) ---
 # dp5 has hash-mismatched in the driver (r2+r3) while passing locally.
 # The round-4 oracle fix CASTs dp5's HUGEINT-derived outputs to BIGINT

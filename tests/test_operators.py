@@ -956,3 +956,32 @@ def test_surprisal_score_known_values(spark):
     # HALF_UP milli mean: doc3 -> 2000*2+3 // 6 = 4003//6 = 667
     assert got[3].mean_surprisal_milli == 667
     assert got[1].mean_surprisal_milli == 500
+
+
+def test_length_bucket_batches_invariants(spark):
+    """Buckets are exact floor(log2(n_tokens)); each bucket's batches
+    fill 0..batch_size-1 densely in md5 order."""
+    from mining_data_integration_spark.pipelines import length_bucket_batches
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in
+         enumerate([1, 2, 3, 4, 7, 8, 9, 15, 16, 31, 32, 100])],
+        "doc_id long, text string")
+    rows = length_bucket_batches(docs, batch_size=2).collect()
+    import math
+    for r in rows:
+        assert r.bucket == int(math.floor(math.log2(r.n_tokens)))
+        assert 0 <= r.pos_in_batch < 2
+    # per (bucket, batch) positions are dense from 0
+    from collections import defaultdict
+    seen = defaultdict(list)
+    for r in rows:
+        seen[(r.bucket, r.batch_id)].append(r.pos_in_batch)
+    for ps in seen.values():
+        assert sorted(ps) == list(range(len(ps)))
+    # batch ids per bucket are dense from 0
+    byb = defaultdict(set)
+    for r in rows:
+        byb[r.bucket].add(r.batch_id)
+    for bs in byb.values():
+        assert bs == set(range(len(bs)))
