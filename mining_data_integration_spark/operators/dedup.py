@@ -391,3 +391,48 @@ def substring_dup_spans(df: DataFrame, text_col: str = "text",
         spans.join(dup, "h")
         .select("id", "pos", F.col("h").alias("span_hash"), "n_docs")
     )
+
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      threshold_pct: int = 70,
+                      max_doc_freq: int | None = None) -> DataFrame:
+    """Directional doc-in-doc containment (the RefinedWeb/Gopher
+    "document A is mostly a substring of document B" rule that plain
+    Jaccard misses: a short doc inside a long one has low Jaccard but
+    containment ~1). containment(A->B) = |S_A cap S_B| / |S_A| over
+    n-gram shingle sets; pairs with 100*common >= threshold_pct*|S_A|
+    survive (exact cross-multiplied integers — no float threshold),
+    and contained_full marks |S_A cap S_B| = |S_A| exactly.
+
+    Same scale shape as ngram_jaccard_pairs: inverted-index equi
+    self-join (docs sharing >= 1 shingle), optional stop-shingle cap
+    kills the hot-shingle skew keys, sizes and commons are combinable
+    groupBys. Directional output: both (A,B) and (B,A) can appear —
+    downstream keeps the shorter side as the drop candidate."""
+    sh = shingles(df, text_col, id_col, n)
+    if max_doc_freq:
+        sh = drop_stop_shingles(sh, max_doc_freq)
+    sh = materialize(sh)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("contained_id"),
+                 F.col("b.id").alias("container_id"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("contained_id"),
+                      F.col("sz").alias("sz_contained"))
+    return (
+        common.join(sa, "contained_id")
+        .filter(F.col("common") * 100
+                >= F.col("sz_contained") * threshold_pct)
+        .select(
+            "contained_id", "container_id", "common", "sz_contained",
+            (F.col("common") == F.col("sz_contained"))
+            .cast("int").alias("contained_full"),
+        )
+    )

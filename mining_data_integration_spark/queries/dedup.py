@@ -362,3 +362,37 @@ def _dd9_oracle() -> str:
 
 
 ORACLES["dd9_semantic_dedup"] = _dd9_oracle()
+
+
+def dd10_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional doc-in-doc containment >= 70% over 3-gram shingles
+    (operators/dedup.containment_pairs) — the short-doc-inside-long-doc
+    rule Jaccard misses. Same capped inverted-index shape as dd2."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    return D.containment_pairs(
+        docs, n=3, threshold_pct=70, max_doc_freq=256
+    ).orderBy("contained_id", "container_id")
+
+
+QUERIES["dd10_containment_pairs"] = dd10_containment_pairs
+
+ORACLES["dd10_containment_pairs"] = f"""
+    WITH sh0 AS ({_duck_shingles(3)}),
+    freq AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle),
+    sh AS (SELECT sh0.id, sh0.shingle FROM sh0
+           JOIN freq ON sh0.shingle = freq.shingle WHERE df <= 256),
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    common AS (
+        SELECT a.id AS contained_id, b.id AS container_id,
+               CAST(count(*) AS BIGINT) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id <> b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT c.contained_id, c.container_id, c.common,
+           CAST(s.sz AS BIGINT) AS sz_contained,
+           CAST(CASE WHEN c.common = s.sz THEN 1 ELSE 0 END AS INTEGER)
+               AS contained_full
+    FROM common c JOIN sizes s ON c.contained_id = s.id
+    WHERE c.common * 100 >= s.sz * 70
+    ORDER BY contained_id, container_id
+"""

@@ -985,3 +985,23 @@ def test_length_bucket_batches_invariants(spark):
         byb[r.bucket].add(r.batch_id)
     for bs in byb.values():
         assert bs == set(range(len(bs)))
+
+
+def test_containment_pairs_known_values(spark):
+    """Planted containment: doc 2's text is a strict prefix of doc 1's;
+    doc 3 unrelated."""
+    from mining_data_integration_spark.operators.dedup import (
+        containment_pairs)
+
+    long_text = "a b c d e f g h i j"
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "a b c d e"), (3, "x y z w v u")],
+        "doc_id long, text string")
+    rows = {(r.contained_id, r.container_id): r
+            for r in containment_pairs(df, n=3, threshold_pct=70).collect()}
+    # doc2 shingles: 3 of them (a b c, b c d, c d e) all inside doc1 (8)
+    r = rows[(2, 1)]
+    assert (r.common, r.sz_contained, r.contained_full) == (3, 3, 1)
+    # doc1 -> doc2: 3/8 common = 37% < 70%, absent; doc3 shares nothing
+    assert (1, 2) not in rows
+    assert not any(3 in k for k in rows)
