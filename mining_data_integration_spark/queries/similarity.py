@@ -457,3 +457,80 @@ ORACLES["sim10_centroid_classify"] = f"""
     GROUP BY label, c_lbl
     ORDER BY label, predicted
 """
+
+
+def sim13_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness: recall@5 of the single-probe LSH search
+    (sim2) against the exact brute-force top-5 (sim1) per query vector
+    — the evaluation loop that tunes num_planes/probes before a 100 TB
+    index build. Both sides reuse the production operators; the hit
+    count is a tiny (queries x k) join and the HALF_UP percent is
+    exact integer arithmetic, so the report hash-checks."""
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    q = _queries_df(spark, sf_dir)
+    exact = S.brute_force_topk(emb, q, k=5).select("q_id", "vec_id")
+    approx = S.ann_lsh_topk(emb, q, k=5, num_planes=4) \
+        .select("q_id", "vec_id")
+    hits = (exact.join(approx, ["q_id", "vec_id"])
+            .groupBy("q_id").agg(F.count("*").alias("n_hits")))
+    napp = approx.groupBy("q_id").agg(F.count("*").alias("n_approx"))
+    return (
+        q.select("q_id")
+        .join(hits, "q_id", "left").join(napp, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce("n_approx", F.lit(0)).cast("long")
+            .alias("n_approx"),
+            F.expr("(200 * coalesce(n_hits, 0) + 5) DIV 10").cast("long")
+            .alias("recall_pct"),
+        )
+        .orderBy("q_id")
+    )
+
+
+QUERIES["sim13_recall_eval"] = sim13_recall_eval
+
+ORACLES["sim13_recall_eval"] = f"""
+    WITH q0 AS (
+        SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id < 3
+    ), exact AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY
+                       {_cos_sql('q_emb', 'embedding')} DESC, vec_id) AS rk
+            FROM embeddings CROSS JOIN q0
+        ) WHERE rk <= 5
+    ), planes AS ({_planes_cte()}),
+    keyed AS (
+        SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+        FROM embeddings CROSS JOIN planes
+    ), qb AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+        FROM keyed WHERE vec_id < 3
+    ), approx AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q_id, keyed.vec_id AS vec_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY
+                       {_cos_sql('q_emb', 'embedding')} DESC,
+                       keyed.vec_id) AS rk
+            FROM keyed JOIN qb ON keyed.bucket = qb.q_bucket
+        ) WHERE rk <= 5
+    ), h AS (
+        SELECT e.q_id, count(*) AS n_hits
+        FROM exact e JOIN approx a
+          ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+        GROUP BY e.q_id
+    ), na AS (
+        SELECT q_id, count(*) AS n_approx FROM approx GROUP BY q_id
+    )
+    SELECT q0.q_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(na.n_approx, 0) AS BIGINT) AS n_approx,
+           CAST((200 * coalesce(h.n_hits, 0) + 5) // 10 AS BIGINT)
+               AS recall_pct
+    FROM q0 LEFT JOIN h ON q0.q_id = h.q_id
+    LEFT JOIN na ON q0.q_id = na.q_id
+    ORDER BY q0.q_id
+"""
