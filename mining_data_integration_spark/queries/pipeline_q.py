@@ -732,3 +732,60 @@ ORACLES["dp13_token_budget_mix"] = f"""
     FROM cum WHERE cum <= budget
     ORDER BY source, doc_id
 """
+
+
+def dp15_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: the corpus-level fact sheet a pipeline
+    publishes next to a training mix (docs, token mass, language and
+    source breadth, exact-dup mass, token-length envelope). A single
+    combinable global aggregate over per-doc map-side columns — one
+    shuffle of 32 partial rows, any corpus size; the mean is HALF_UP
+    milli-tokens in pure integer arithmetic (w12 pattern)."""
+    from ..operators.dedup import normalize_text
+    from ..operators.text import tokens
+
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    per = docs.select(
+        F.size(tokens(F.col("text"))).cast("long").alias("nt"),
+        "lang", "source",
+        F.md5(normalize_text(F.col("text"))).alias("digest"),
+    )
+    agg = per.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        (F.count("*") - F.count_distinct("digest")).cast("long")
+        .alias("n_dup_docs"),
+        F.min("nt").cast("long").alias("min_tokens"),
+        F.max("nt").cast("long").alias("max_tokens"),
+    )
+    return agg.select(
+        "*",
+        F.expr("(2000 * n_tokens + n_docs) DIV (2 * n_docs)").cast("long")
+        .alias("mean_tokens_milli"),
+    )
+
+
+QUERIES["dp15_dataset_card"] = dp15_dataset_card
+
+ORACLES["dp15_dataset_card"] = f"""
+    WITH per AS (
+        SELECT CAST(len({_WORDS}) AS BIGINT) AS nt, lang, source,
+               md5({_NORM}) AS digest
+        FROM documents
+    ), a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(count(*) - count(DISTINCT digest) AS BIGINT)
+                   AS n_dup_docs,
+               CAST(min(nt) AS BIGINT) AS min_tokens,
+               CAST(max(nt) AS BIGINT) AS max_tokens
+        FROM per
+    )
+    SELECT *, CAST((2000 * n_tokens + n_docs) // (2 * n_docs) AS BIGINT)
+               AS mean_tokens_milli
+    FROM a
+"""
