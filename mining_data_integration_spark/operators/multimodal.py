@@ -334,3 +334,213 @@ def window_audio(media: DataFrame, frame: int = 64,
     len(payload) / hop per row."""
     return media.select("media_id", "payload").mapInPandas(
         make_audio_windower(frame, hop), AUDIO_WINDOW_SCHEMA)
+
+
+# --- real image decode #2: PNG, from scratch ---------------------------
+# PNG is a genuinely COMPRESSED format the engine can still decode with
+# no codec library: the container is chunks with CRC32s, the raster is
+# zlib (stdlib) over per-scanline filtered bytes, and the five filter
+# types (None/Sub/Up/Average/Paeth) are pure byte arithmetic. The
+# encoder below cycles filter types per scanline so the decoder's
+# unfilter paths are all exercised end-to-end on every image.
+
+import struct
+import zlib
+
+PNG_W, PNG_H = 6, 4
+_PNG_BPP = 3  # RGB, 8-bit
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+PNG_POISON_EVERY = 97
+
+PNG_STATS_SCHEMA = (
+    "media_id bigint, width int, height int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint, ok boolean"
+)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _filter_scanline(ftype: int, raw: bytes, prev: bytes) -> bytes:
+    bpp = _PNG_BPP
+    out = bytearray(len(raw))
+    for i, x in enumerate(raw):
+        a = raw[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            out[i] = x
+        elif ftype == 1:
+            out[i] = (x - a) % 256
+        elif ftype == 2:
+            out[i] = (x - b) % 256
+        elif ftype == 3:
+            out[i] = (x - (a + b) // 2) % 256
+        else:
+            out[i] = (x - _paeth(a, b, c)) % 256
+    return bytes(out)
+
+
+def _unfilter_scanline(ftype: int, filt: bytes, prev: bytes) -> bytes:
+    bpp = _PNG_BPP
+    out = bytearray(len(filt))
+    for i, x in enumerate(filt):
+        a = out[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            out[i] = x
+        elif ftype == 1:
+            out[i] = (x + a) % 256
+        elif ftype == 2:
+            out[i] = (x + b) % 256
+        elif ftype == 3:
+            out[i] = (x + (a + b) // 2) % 256
+        elif ftype == 4:
+            out[i] = (x + _paeth(a, b, c)) % 256
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+    return bytes(out)
+
+
+def png_encode(raw: bytes, width: int, height: int,
+               filter_seed: int = 0) -> bytes:
+    """Minimal RGB8 PNG encoder: scanline r gets filter type
+    (filter_seed + r) % 5, so every filter path round-trips."""
+    stride = width * _PNG_BPP
+    if len(raw) != stride * height:
+        raise ValueError("raster size mismatch")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    body = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        line = raw[r * stride:(r + 1) * stride]
+        ftype = (filter_seed + r) % 5
+        body.append(ftype)
+        body += _filter_scanline(ftype, line, prev)
+        prev = line
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(body), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def png_decode(data: bytes) -> tuple[int, int, bytes]:
+    """From-scratch PNG decoder for the subset a data pipeline can
+    verify without a codec library: 8-bit RGB (colour type 2), no
+    interlace. Walks the chunk stream verifying every CRC32, inflates
+    the concatenated IDATs (zlib verifies the adler32), and reverses
+    the per-scanline filters. Raises ValueError on any malformation —
+    the kernel maps that to ok=false rows."""
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("bad PNG signature")
+    pos = len(_PNG_SIG)
+    width = height = None
+    idat = bytearray()
+    seen_end = False
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError("truncated chunk")
+        payload = data[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_px, comp, filt, inter = \
+                struct.unpack(">IIBBBBB", payload)
+            if (depth, ctype_px, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError("unsupported PNG variant")
+        elif ctype == b"IDAT":
+            idat += payload
+        elif ctype == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + length
+    if width is None or not seen_end or not idat:
+        raise ValueError("missing IHDR/IDAT/IEND")
+    try:
+        body = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad IDAT stream: {e}") from e
+    stride = width * _PNG_BPP
+    if len(body) != (stride + 1) * height:
+        raise ValueError("raster size mismatch")
+    out = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        row = body[r * (stride + 1):(r + 1) * (stride + 1)]
+        line = _unfilter_scanline(row[0], row[1:], prev)
+        out += line
+        prev = line
+    return width, height, bytes(out)
+
+
+def make_png_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas ENCODER kernel: media_id -> real PNG payload whose
+    raw raster byte j is the pure function (media_id*(j+1)) % 256 —
+    so the DuckDB oracle recomputes the decoded channel sums in closed
+    form without parsing PNG. Every PNG_POISON_EVERY-th id gets one
+    IDAT byte flipped (CRC + inflate both break): the poison-file path
+    a 100 TB crawl always contains."""
+    n = PNG_W * PNG_H * _PNG_BPP
+    for pdf in batches:
+        payloads = []
+        for mid in pdf["media_id"]:
+            raw = bytes((int(mid) * (j + 1)) % 256 for j in range(n))
+            png = bytearray(png_encode(raw, PNG_W, PNG_H,
+                                       filter_seed=int(mid)))
+            if int(mid) % PNG_POISON_EVERY == 0:
+                png[41] ^= 0xFF  # first IDAT data byte
+            payloads.append(bytes(png))
+        yield pd.DataFrame({
+            "media_id": pdf["media_id"].astype("int64"),
+            "payload": payloads,
+        })
+
+
+def decode_png_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel around png_decode: real inflate + unfilter
+    reduced to exact per-channel integer sums; malformed payloads
+    survive as ok=false rows (poison must not kill the stage)."""
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "media_id", "width", "height", "sum_r", "sum_g", "sum_b", "ok")}
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            out["media_id"].append(mid)
+            try:
+                w, h, pix = png_decode(bytes(payload))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(sum(pix[0::3]))
+                out["sum_g"].append(sum(pix[1::3]))
+                out["sum_b"].append(sum(pix[2::3]))
+                out["ok"].append(True)
+            except ValueError:
+                for k in ("width", "height", "sum_r", "sum_g", "sum_b"):
+                    out[k].append(None)
+                out["ok"].append(False)
+        yield pd.DataFrame({
+            "media_id": pd.Series(out["media_id"], dtype="int64"),
+            "width": pd.Series(out["width"], dtype="Int32"),
+            "height": pd.Series(out["height"], dtype="Int32"),
+            "sum_r": pd.Series(out["sum_r"], dtype="Int64"),
+            "sum_g": pd.Series(out["sum_g"], dtype="Int64"),
+            "sum_b": pd.Series(out["sum_b"], dtype="Int64"),
+            "ok": pd.Series(out["ok"], dtype="bool"),
+        })

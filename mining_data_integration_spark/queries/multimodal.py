@@ -101,12 +101,31 @@ def mm5_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.decode_ppm_stats, M.PPM_STATS_SCHEMA).orderBy("media_id")
 
 
+def mm6_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode of a COMPRESSED format, end-to-end: every doc_id
+    becomes a genuine RGB8 PNG (Arrow encoder kernel — chunk CRC32s,
+    zlib IDAT, per-scanline filters cycling through all five types),
+    and the decoder kernel (operators/multimodal.png_decode) walks the
+    chunk stream verifying CRCs, inflates, reverses Sub/Up/Average/
+    Paeth filtering, and reduces the raster to exact channel sums.
+    Every 97th id carries a flipped IDAT byte -> ok=false poison rows.
+    The oracle never touches the binary: pixel sums come from the
+    closed-form generator, so one wrong unfiltered byte anywhere
+    hash-mismatches."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    media = docs.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        M.make_png_media, "media_id bigint, payload binary")
+    return media.mapInPandas(
+        M.decode_png_stats, M.PNG_STATS_SCHEMA).orderBy("media_id")
+
+
 QUERIES = {
     "mm4_audio_windows": mm4_audio_windows,
     "mm1_feature_extract": mm1_feature_extract,
     "mm2_frame_sample": mm2_frame_sample,
     "mm3_resize_plan": mm3_resize_plan,
     "mm5_ppm_decode": mm5_ppm_decode,
+    "mm6_png_decode": mm6_png_decode,
 }
 
 
@@ -118,7 +137,27 @@ def _ppm_chan_sum(offset: int) -> str:
         f"(doc_id * {3 * p + offset + 1}) % 256" for p in range(n_px))
     return f"CAST({terms} AS BIGINT)"
 
+def _png_chan_sum(offset: int) -> str:
+    n_px = M.PNG_W * M.PNG_H
+    terms = " + ".join(
+        f"(doc_id * {3 * p + offset + 1}) % 256" for p in range(n_px))
+    return (f"CASE WHEN doc_id % {M.PNG_POISON_EVERY} = 0 THEN NULL "
+            f"ELSE CAST({terms} AS BIGINT) END")
+
+
 ORACLES = {
+    "mm6_png_decode": f"""
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % {M.PNG_POISON_EVERY} = 0 THEN NULL
+                    ELSE CAST({M.PNG_W} AS INTEGER) END AS width,
+               CASE WHEN doc_id % {M.PNG_POISON_EVERY} = 0 THEN NULL
+                    ELSE CAST({M.PNG_H} AS INTEGER) END AS height,
+               {_png_chan_sum(0)} AS sum_r,
+               {_png_chan_sum(1)} AS sum_g,
+               {_png_chan_sum(2)} AS sum_b,
+               doc_id % {M.PNG_POISON_EVERY} <> 0 AS ok
+        FROM documents ORDER BY media_id
+    """,
     "mm5_ppm_decode": f"""
         SELECT doc_id AS media_id,
                CAST({M.PPM_W} AS INTEGER) AS width,

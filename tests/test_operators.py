@@ -1005,3 +1005,45 @@ def test_containment_pairs_known_values(spark):
     # doc1 -> doc2: 3/8 common = 37% < 70%, absent; doc3 shares nothing
     assert (1, 2) not in rows
     assert not any(3 in k for k in rows)
+
+
+class TestPngCodec:
+    def test_roundtrip_all_filters(self):
+        from mining_data_integration_spark.operators import multimodal as M
+        for seed in range(5):
+            raw = bytes((seed * 31 + j * 7) % 256
+                        for j in range(M.PNG_W * M.PNG_H * 3))
+            png = M.png_encode(raw, M.PNG_W, M.PNG_H, filter_seed=seed)
+            assert M.png_decode(png) == (M.PNG_W, M.PNG_H, raw)
+
+    def test_corruptions_raise(self):
+        import pytest as _pytest
+        from mining_data_integration_spark.operators import multimodal as M
+        raw = bytes(range(M.PNG_W * M.PNG_H * 3 % 256 or 256))[
+            :M.PNG_W * M.PNG_H * 3]
+        raw = bytes((j * 3) % 256 for j in range(M.PNG_W * M.PNG_H * 3))
+        png = bytearray(M.png_encode(raw, M.PNG_W, M.PNG_H))
+        for mut in (lambda b: b[:10],                  # truncated
+                    lambda b: b"X" + bytes(b[1:]),     # bad signature
+                    lambda b: bytes(b[:41]) + bytes([b[41] ^ 1])
+                    + bytes(b[42:])):                  # IDAT bitflip
+            with _pytest.raises(ValueError):
+                M.png_decode(mut(png))
+
+    def test_decode_stats_end_to_end(self, spark):
+        from mining_data_integration_spark.operators import multimodal as M
+        ids = spark.range(0, 200).selectExpr("id as media_id")
+        media = ids.mapInPandas(
+            M.make_png_media, "media_id bigint, payload binary")
+        rows = {r.media_id: r for r in media.mapInPandas(
+            M.decode_png_stats, M.PNG_STATS_SCHEMA).collect()}
+        n = M.PNG_W * M.PNG_H * 3
+        for mid in (1, 42, 97, 150, 0):
+            r = rows[mid]
+            if mid % M.PNG_POISON_EVERY == 0:
+                assert not r.ok and r.sum_r is None
+            else:
+                exp = [sum((mid * (j + 1)) % 256
+                           for j in range(c, n, 3)) for c in range(3)]
+                assert (r.sum_r, r.sum_g, r.sum_b) == tuple(exp)
+                assert (r.width, r.height, r.ok) == (M.PNG_W, M.PNG_H, True)

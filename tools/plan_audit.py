@@ -52,6 +52,10 @@ ALLOWED: dict[str, dict[str, str]] = {
                                    "> n/s threshold)",
         "dp13_token_budget_mix": "1-row corpus-total broadcast into the "
                                  "O(strata) allocation table",
+        "tx15_surprisal_score": "1-row corpus doc-count broadcast for "
+                                "the N/df surprisal base",
+        "sim13_recall_eval": "3-row query-vector set broadcast (both "
+                             "the exact and LSH probe sides)",
     },
     "ArrowEvalPython": {
         "j8_computed_key_join": "sha512/256 key: Arrow-batched codec in a "
@@ -70,6 +74,8 @@ ALLOWED: dict[str, dict[str, str]] = {
         "tx12_heavy_hitter_langs": "Misra-Gries partition summaries ARE "
                                    "the operator (<= s rows out per "
                                    "partition)",
+        "mm6_png_decode": "real PNG encode + inflate/unfilter decode "
+                          "ARE the operator (two Arrow stages)",
     },
     "Exchange SinglePartition": {
         # bounded-row global sorts/windows: the rows reaching the
@@ -113,6 +119,10 @@ ALLOWED: dict[str, dict[str, str]] = {
         "tx12_heavy_hitter_langs": "single-row stream total aggregate",
         "dp13_token_budget_mix": "O(strata)-row mass table folds to the "
                                  "single-row global budget",
+        "tx15_surprisal_score": "single-row corpus doc-count aggregate",
+        "dp14_length_buckets": "per-shard offset table (O(shards) rows) "
+                               "+ O(buckets) min-rank rebase table",
+        "dp15_dataset_card": "single-row dataset-card aggregate",
     },
 }
 
