@@ -983,3 +983,158 @@ ORACLES["w20_zscore_outliers"] = """
           > 9 * (n * q - CAST(s AS HUGEINT) * s)
     ORDER BY event_id
 """
+
+
+_ST_SEQ = __import__("itertools").count()
+
+
+def _stream_dir(sf_dir: str, table: str) -> str:
+    """The file-stream source only accepts DIRECTORIES; the driver
+    tables are single parquet files. Build (once per sf dir) a tmp
+    directory holding a symlink to the table file — zero data copy,
+    and the stream lists exactly that table."""
+    import os
+    import tempfile
+
+    safe = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"sg_stream_{safe}_{table}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+    return d
+
+
+def st1_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE Structured Streaming execution, oracle-checked: the
+    events parquet is read as a FILE STREAM (availableNow trigger),
+    run through the watermarked tumbling aggregate
+    (streaming.tumbling_counts — the same operator w11 exercises in
+    batch form), and materialized through a memory sink in complete
+    output mode. The returned DataFrame reads the sink table, so the
+    driver hash-compares an actual micro-batch engine run against the
+    batch SQL oracle — pinning stream/batch semantic parity, not just
+    wiring. Scale path: swap the memory sink for a Delta/parquet sink
+    and the availableNow trigger for the 120 s cadence (ST1); the agg
+    state is O(open windows x event types), bounded by the watermark."""
+    from ..streaming import tumbling_counts
+
+    path = _stream_dir(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(schema).parquet(path)
+        # driver parquet stores ts as TIMESTAMP_NTZ; the streaming
+        # event-time clock requires TIMESTAMP (io.read_table does the
+        # same cast on the batch path — bit-exact under the UTC session)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("value", F.col("value").cast("decimal(18,6)"))
+    )
+    out = tumbling_counts(src, window="15 minutes")
+    name = f"st1_sink_{next(_ST_SEQ)}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.unix_micros("w_start").alias("w_start_us"),
+            "event_type", "n",
+            money(F.col("total_value"), 4).alias("total_value"),
+        )
+        .orderBy("w_start_us", "event_type")
+    )
+
+
+QUERIES["st1_stream_tumbling_counts"] = st1_stream_tumbling_counts
+ORACLES["st1_stream_tumbling_counts"] = ORACLES["w11_tumbling_window"]
+
+
+def st2_stream_sliding_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sliding-window totals (30 min / 15 min
+    slide) through the real micro-batch engine — streaming.sliding_avg
+    with an availableNow file stream and a complete-mode memory sink
+    (st1 pattern). Each event lands in exactly two windows; the batch
+    oracle replays the fan-out."""
+    from ..streaming import sliding_avg
+
+    path = _stream_dir(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(schema).parquet(path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("value", F.col("value").cast("decimal(18,6)"))
+    )
+    out = sliding_avg(src, window="30 minutes", slide="15 minutes")
+    name = f"st2_sink_{next(_ST_SEQ)}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.unix_micros("w_start").alias("w_start_us"),
+            "event_type", "n",
+            money(F.col("total_value"), 4).alias("total_value"),
+        )
+        .orderBy("w_start_us", "event_type")
+    )
+
+
+QUERIES["st2_stream_sliding_totals"] = st2_stream_sliding_totals
+
+ORACLES["st2_stream_sliding_totals"] = """
+    WITH ev AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type,
+               CAST(value AS DECIMAL(18,6)) AS v
+        FROM events
+    ), fanned AS (
+        SELECT unnest([ (ts_us // 900000000) * 900000000,
+                        (ts_us // 900000000) * 900000000 - 900000000
+                      ]) AS w_start_us,
+               event_type, v
+        FROM ev
+    )
+    SELECT w_start_us, event_type, count(*) AS n,
+           CAST(round(sum(v), 4) AS DOUBLE) AS total_value
+    FROM fanned GROUP BY 1, 2
+    ORDER BY w_start_us, event_type
+"""
+
+
+def st3_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup through the real engine: the
+    event stream UNIONed with itself (every row arrives exactly twice)
+    goes through dropDuplicatesWithinWatermark on event_id
+    (streaming.streaming_dedup) — 2N rows in, N out, first-seen wins
+    (identical twins, so arrival order cannot change values). State
+    self-expires at the watermark horizon — the property that makes
+    exact dedup feasible on an unbounded stream."""
+    from ..streaming import streaming_dedup
+
+    path = _stream_dir(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+
+    def one() -> DataFrame:
+        return (
+            spark.readStream.schema(schema).parquet(path)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    out = streaming_dedup(one().union(one()), watermark="1 hour")
+    name = f"st3_sink_{next(_ST_SEQ)}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+QUERIES["st3_stream_dedup"] = st3_stream_dedup
+
+ORACLES["st3_stream_dedup"] = """
+    SELECT event_id, user_id, event_type, value
+    FROM events ORDER BY event_id
+"""
