@@ -718,3 +718,91 @@ def semantic_dedup(emb: DataFrame, threshold_pct: int = 40,
                 F.when(F.col("_drop").isNull(), F.lit(1))
                 .otherwise(F.lit(0)).cast("int").alias("kept"))
     )
+
+
+def mmr_rerank(emb: DataFrame, queries: DataFrame, pool: int = 10,
+               k: int = 5, id_col: str = "vec_id",
+               vec_col: str = "embedding", q_id_col: str = "q_id",
+               q_vec_col: str = "q_emb") -> DataFrame:
+    """Maximal-Marginal-Relevance diversity re-ranking (Carbonell &
+    Goldstein 1998) with lambda = 1/2, in EXACT integer arithmetic:
+    relevance and inter-candidate similarity are raw int8-quantized
+    dot products (no norm division anywhere), so the greedy argmax
+    at every step — score(d) = rel(d) - max_{s in selected} dot(d, s)
+    — is deterministic and oracle-replayable. The near-dup-suppressing
+    selection step of a retrieval-augmented data pipeline: a top-k
+    full of one duplicated passage wastes the context budget.
+
+    Scale shape: the candidate pool is top-`pool` per query (one
+    broadcast probe, same as quantized_topk), so every later stage —
+    pairwise dots (pool^2 per query), k greedy rounds of anti-join +
+    max-reduction + per-query argmax — runs on O(queries x pool) rows
+    regardless of corpus size. The k-step loop nests k plans deep,
+    never collects."""
+    from .dedup import materialize
+
+    embq = emb.select(F.col(id_col).alias("vec_id"),
+                      int8_quantize(F.col(vec_col)).alias("_qv"))
+    qq = queries.select(F.col(q_id_col).alias("q_id"),
+                        int8_quantize(F.col(q_vec_col)).alias("_qq"))
+    scored = embq.crossJoin(F.broadcast(qq)).select(
+        "q_id", "vec_id", "_qv",
+        idot(F.col("_qq"), F.col("_qv")).alias("rel"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = (scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= pool).drop("_rk"))
+    cand = materialize(cand)
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = a.join(
+        b, (F.col("a.q_id") == F.col("b.q_id"))
+        & (F.col("a.vec_id") != F.col("b.vec_id"))
+    ).select(
+        F.col("a.q_id").alias("q_id"),
+        F.col("a.vec_id").alias("a_id"),
+        F.col("b.vec_id").alias("b_id"),
+        idot(F.col("a._qv"), F.col("b._qv")).alias("s"),
+    )
+    pairs = materialize(pairs)
+    cand = cand.drop("_qv")
+
+    w1 = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    sel = (
+        cand.withColumn("_rk", F.row_number().over(w1))
+        .filter(F.col("_rk") == 1).drop("_rk")
+        .select("q_id", "vec_id", "rel",
+                F.lit(0).cast("bigint").alias("red"),
+                F.lit(1).cast("int").alias("rank"))
+    )
+    for step in range(2, k + 1):
+        # fresh disambiguated projections each round: cand/pairs/sel all
+        # descend from the same lineage, so qualified column names from
+        # the raw frames would be ambiguous under the self-join analyzer
+        sel_keys = sel.select(F.col("q_id").alias("_sq"),
+                              F.col("vec_id").alias("_sv"))
+        remaining = cand.join(
+            sel_keys, (F.col("q_id") == F.col("_sq"))
+            & (F.col("vec_id") == F.col("_sv")), "left_anti")
+        pr = pairs.select(F.col("q_id").alias("_pq"), "a_id", "b_id", "s")
+        red = (
+            remaining
+            .join(pr, (F.col("q_id") == F.col("_pq"))
+                  & (F.col("vec_id") == F.col("a_id")))
+            .join(sel_keys, (F.col("_pq") == F.col("_sq"))
+                  & (F.col("b_id") == F.col("_sv")))
+            .groupBy("q_id", "vec_id", "rel")
+            .agg(F.max("s").alias("red"))
+        )
+        ws = Window.partitionBy("q_id").orderBy(
+            F.desc(F.col("rel") - F.col("red")), F.asc("vec_id"))
+        pick = (
+            red.withColumn("_rk", F.row_number().over(ws))
+            .filter(F.col("_rk") == 1).drop("_rk")
+            .select("q_id", "vec_id", "rel", "red",
+                    F.lit(step).cast("int").alias("rank"))
+        )
+        # truncate the iterative lineage each round (LOCAL checkpoint —
+        # sel is O(queries x k) rows): without this the k-th round's
+        # plan nests every prior round's anti-join/argmax and analyzer
+        # time grows super-linearly (measured 72 s -> ~15 s at k=5)
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel

@@ -534,3 +534,93 @@ ORACLES["sim13_recall_eval"] = f"""
     LEFT JOIN na ON q0.q_id = na.q_id
     ORDER BY q0.q_id
 """
+
+
+def sim14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking (operators/similarity.mmr_rerank):
+    top-10 integer-dot candidates per query greedily re-ranked to 5
+    with score = rel - max-similarity-to-selected (lambda = 1/2), all
+    in exact int64 off int8-quantized vectors — the oracle replays
+    every greedy round as generated CTEs."""
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    out = S.mmr_rerank(emb, _queries_df(spark, sf_dir), pool=10, k=5)
+    return (
+        out.withColumnRenamed("rank", "sel_rank")
+        .select("q_id", "sel_rank", "vec_id", "rel", "red")
+        .orderBy("q_id", "sel_rank")
+    )
+
+
+QUERIES["sim14_mmr_rerank"] = sim14_mmr_rerank
+
+
+def _mmr_oracle(pool: int = 10, k: int = 5) -> str:
+    idotsql = ("CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+               "i -> {a}[i] * {b}[i])) AS BIGINT)")
+    ctes = [f"""base AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings
+    )""", """qvv AS (
+        SELECT vec_id,
+               CASE WHEN mx > 0 THEN list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx)
+                                        + 0.5) AS BIGINT))
+                    ELSE list_transform(embedding,
+                        x -> CAST(0 AS BIGINT)) END AS q
+        FROM base
+    )""", "qs AS (SELECT vec_id AS q_id, q AS qq FROM qvv "
+          "WHERE vec_id < 3)",
+        f"""scored AS (
+        SELECT qs.q_id, c.vec_id,
+               {idotsql.format(a='qs.qq', b='c.q')} AS rel
+        FROM qvv c CROSS JOIN qs
+    )""", f"""cand AS (
+        SELECT q_id, vec_id, rel FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY rel DESC, vec_id) AS rn FROM scored)
+        WHERE rn <= {pool}
+    )""", """candq AS (
+        SELECT cand.q_id, cand.vec_id, cand.rel, qvv.q
+        FROM cand JOIN qvv USING (vec_id)
+    )""", f"""pairs AS (
+        SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id,
+               {idotsql.format(a='a.q', b='b.q')} AS s
+        FROM candq a JOIN candq b
+          ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+    )""", """sel1 AS (
+        SELECT q_id, vec_id, rel, CAST(0 AS BIGINT) AS red,
+               1 AS sel_rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY rel DESC, vec_id) AS rn FROM cand)
+        WHERE rn = 1
+    )""", "selu1 AS (SELECT * FROM sel1)"]
+    for i in range(2, k + 1):
+        p = i - 1
+        ctes.append(f"""rem{i} AS (
+        SELECT c.* FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM selu{p} s
+                          WHERE s.q_id = c.q_id AND s.vec_id = c.vec_id)
+    )""")
+        ctes.append(f"""red{i} AS (
+        SELECT r.q_id, r.vec_id, r.rel, max(p.s) AS red
+        FROM rem{i} r
+        JOIN pairs p ON p.q_id = r.q_id AND p.a_id = r.vec_id
+        JOIN selu{p} s ON s.q_id = p.q_id AND s.vec_id = p.b_id
+        GROUP BY r.q_id, r.vec_id, r.rel
+    )""")
+        ctes.append(f"""sel{i} AS (
+        SELECT q_id, vec_id, rel, red, {i} AS sel_rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY rel - red DESC, vec_id) AS rn FROM red{i})
+        WHERE rn = 1
+    )""")
+        ctes.append(f"selu{i} AS (SELECT * FROM selu{p} "
+                    f"UNION ALL SELECT * FROM sel{i})")
+    return ("WITH " + ",\n    ".join(ctes)
+            + f"\n    SELECT q_id, CAST(sel_rank AS INTEGER) AS sel_rank, "
+              f"vec_id, rel, red FROM selu{k} ORDER BY q_id, sel_rank")
+
+
+ORACLES["sim14_mmr_rerank"] = _mmr_oracle(10, 5)

@@ -1047,3 +1047,22 @@ class TestPngCodec:
                            for j in range(c, n, 3)) for c in range(3)]
                 assert (r.sum_r, r.sum_g, r.sum_b) == tuple(exp)
                 assert (r.width, r.height, r.ok) == (M.PNG_W, M.PNG_H, True)
+
+
+def test_mmr_rerank_prefers_diverse_pick(spark):
+    """Hand-walked MMR: d1 and d2 are near-duplicates, d3 is diverse;
+    after picking d1, MMR must pick d3 over the duplicate d2."""
+    from mining_data_integration_spark.operators.similarity import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [(1, [2.0, 0.2]), (2, [4.0, 0.4]), (3, [2.0, -1.0])],
+        "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "q_id long, q_emb array<float>")
+    rows = {r.rank: r for r in mmr_rerank(emb, q, pool=3, k=3).collect()}
+    # quantized (floor(x*scale + 0.5)): d1=d2=[127,13], d3=[127,-63]
+    # (-63.5 + 0.5 floors to -63), qq=[127,0] -> rel all 16129
+    assert [rows[i].vec_id for i in (1, 2, 3)] == [1, 3, 2]
+    assert rows[1].red == 0
+    assert rows[2].red == 127 * 127 - 63 * 13   # dot(d3, d1) = 15310
+    assert rows[3].red == 127 * 127 + 13 * 13   # dot(d2, d1) = 16298

@@ -56,6 +56,8 @@ ALLOWED: dict[str, dict[str, str]] = {
                                 "the N/df surprisal base",
         "sim13_recall_eval": "3-row query-vector set broadcast (both "
                              "the exact and LSH probe sides)",
+        "sim14_mmr_rerank": "3-row query-vector set broadcast (the "
+                            "candidate-pool probe)",
     },
     "ArrowEvalPython": {
         "j8_computed_key_join": "sha512/256 key: Arrow-batched codec in a "
