@@ -508,3 +508,40 @@ def surprisal_score(df: DataFrame, text_col: str = "text",
         F.expr("(2000 * sum_surprisal + n_tokens) DIV (2 * n_tokens)")
         .cast("long").alias("mean_surprisal_milli"),
     )
+
+
+# (mojibake, fix) pairs: UTF-8 bytes mis-decoded as Latin-1/cp1252 —
+# the classic double-encoding corruption a web crawl accumulates.
+MOJIBAKE_FIXES = (
+    ("Ã©", "é"),          # Ã©  -> é
+    ("Ã¨", "è"),          # Ã¨  -> è
+    ("Ã¼", "ü"),          # Ã¼  -> ü
+    ("â€™", "'"),         # â€™ -> '
+    ("â€œ", '"'),         # â€œ -> "
+)
+
+
+def mojibake_repair(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Encoding-corruption repair (ftfy's core case, dependency-free):
+    rewrite UTF-8-mis-decoded-as-Latin-1 sequences back to the intended
+    characters, counting fixes per document. Pure chained replace()
+    column expressions — whole-stage codegen, zero shuffle, and both
+    engines count fix occurrences as exact character arithmetic
+    ((len - len_without) / len(pattern)), so the repaired text's md5
+    is hash-checkable."""
+    c = F.col(text_col)
+    n_fixes = F.lit(0).cast("long")
+    fixed = c
+    for pat, rep in MOJIBAKE_FIXES:
+        n_fixes = n_fixes + (
+            (F.length(c) - F.length(F.replace(c, F.lit(pat), F.lit(""))))
+            / F.lit(len(pat))
+        ).cast("long")
+        fixed = F.replace(fixed, F.lit(pat), F.lit(rep))
+    return df.select(
+        F.col(id_col),
+        n_fixes.alias("n_fixes"),
+        F.length(fixed).cast("long").alias("fixed_len"),
+        F.md5(fixed).alias("fixed_hash"),
+    )

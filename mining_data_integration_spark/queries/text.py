@@ -584,3 +584,51 @@ ORACLES["tx15_surprisal_score"] = f"""
                 AS BIGINT) AS mean_surprisal_milli
     FROM s GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def tx16_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-corruption repair audit (operators/text.mojibake_repair):
+    deterministic mojibake is injected (the fixture corpus is clean
+    ASCII, tx9 pattern), then the chained-replace repair counts and
+    rewrites UTF-8-as-Latin-1 sequences; the repaired text surfaces as
+    length + md5 so the oracle verifies the full rewrite."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(" cafÃ© rÃ©sumÃ©")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" donâ€™t â€œquoteâ€œ")).otherwise(F.lit("")),
+        ),
+    )
+    return TX.mojibake_repair(injected).orderBy("doc_id")
+
+
+QUERIES["tx16_mojibake_repair"] = tx16_mojibake_repair
+
+
+def _tx16_oracle() -> str:
+    inj = """SELECT doc_id, text ||
+        CASE WHEN doc_id % 3 = 0 THEN ' cafÃ© rÃ©sumÃ©' ELSE '' END ||
+        CASE WHEN doc_id % 5 = 0 THEN ' donâ€™t â€œquoteâ€œ' ELSE '' END
+            AS t
+        FROM documents"""
+    counts = []
+    fixed = "t"
+    for pat, rep in TX.MOJIBAKE_FIXES:
+        patq = pat.replace("'", "''")
+        repq = rep.replace("'", "''")
+        counts.append(
+            f"(length(t) - length(replace(t, '{patq}', ''))) // {len(pat)}")
+        fixed = f"replace({fixed}, '{patq}', '{repq}')"
+    return (f"WITH inj AS ({inj})\n"
+            f"    SELECT doc_id, CAST({' + '.join(counts)} AS BIGINT)"
+            f" AS n_fixes,\n"
+            f"           CAST(length({fixed}) AS BIGINT) AS fixed_len,\n"
+            f"           md5({fixed}) AS fixed_hash\n"
+            f"    FROM inj ORDER BY doc_id")
+
+
+ORACLES["tx16_mojibake_repair"] = _tx16_oracle()

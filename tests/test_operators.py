@@ -1066,3 +1066,19 @@ def test_mmr_rerank_prefers_diverse_pick(spark):
     assert rows[1].red == 0
     assert rows[2].red == 127 * 127 - 63 * 13   # dot(d3, d1) = 15310
     assert rows[3].red == 127 * 127 + 13 * 13   # dot(d2, d1) = 16298
+
+
+def test_mojibake_repair_known_values(spark):
+    from mining_data_integration_spark.operators.text import mojibake_repair
+
+    df = spark.createDataFrame(
+        [(1, "cafÃ© is donâ€™t"), (2, "clean text")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in mojibake_repair(df).collect()}
+    assert got[1].n_fixes == 2
+    import hashlib
+    assert got[1].fixed_hash == hashlib.md5(
+        "café is don't".encode()).hexdigest()
+    assert got[1].fixed_len == len("café is don't")
+    assert got[2].n_fixes == 0
+    assert got[2].fixed_hash == hashlib.md5(b"clean text").hexdigest()
