@@ -718,3 +718,52 @@ ORACLES = {
         ORDER BY c_custkey
     """,
 }
+
+
+def j18_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join on a pathologically skewed key
+    (operators/skew.salted_join): lineitem joins a 3-row weight dim on
+    l_returnflag — 3 key values over the whole fact table, the shape
+    where a plain shuffled join sends ~N/3 rows to ONE reducer. The
+    salt (xxhash64 of l_orderkey mod 8) splits each hot key 8 ways on
+    the big side while the dim replicates 8x — row-identical to the
+    plain join (property-tested), and here value-checked against the
+    unsalted oracle. At 100 TB this is the fallback when the dim is
+    too big to broadcast and AQE's skew splitting can't help (it only
+    splits SORT-MERGE partitions, not a hash-partitioned aggregate
+    feeding the join)."""
+    from ..operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_orderkey"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    )
+    dim = spark.createDataFrame(
+        [("A", 2), ("N", 3), ("R", 5)], "flag string, weight long")
+    joined = salted_join(li, dim, "flag", buckets=8,
+                         salt_from="l_orderkey")
+    return (
+        joined.groupBy("flag")
+        .agg(
+            F.count("*").alias("n"),
+            money(F.sum(F.col("qty") * F.col("weight")))
+            .alias("weighted_qty"),
+        )
+        .orderBy("flag")
+    )
+
+
+QUERIES["j18_salted_skew_join"] = j18_salted_skew_join
+
+ORACLES["j18_salted_skew_join"] = """
+    WITH dim AS (
+        SELECT * FROM (VALUES ('A', 2), ('N', 3), ('R', 5))
+            AS v(flag, weight)
+    )
+    SELECT l.l_returnflag AS flag, count(*) AS n,
+           CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,2)) * d.weight),
+                      2) AS DOUBLE) AS weighted_qty
+    FROM lineitem l JOIN dim d ON l.l_returnflag = d.flag
+    GROUP BY 1 ORDER BY flag
+"""
