@@ -9,7 +9,7 @@ does map-side partial aggregation before the shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._util import dec_sum, money, t
@@ -555,3 +555,106 @@ def _hll_oracle() -> str:
 
 
 ORACLES["a21_hll_distinct"] = _hll_oracle()
+
+
+def a22_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode (most frequent event_type) per user with
+    deterministic lexicographic tie-break — the categorical-imputation
+    statistic. Scale shape: ONE combinable groupBy(user, type)
+    collapses the events to its value domain before the per-user
+    argmax window ranks O(types) rows per user."""
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("cnt"), F.asc("event_type"))
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1).drop("_rk")
+        .select("user_id",
+                F.col("event_type").alias("mode_event_type"),
+                F.col("cnt").cast("long").alias("mode_count"))
+        .orderBy("user_id")
+    )
+
+
+QUERIES["a22_mode_per_group"] = a22_mode_per_group
+
+ORACLES["a22_mode_per_group"] = """
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ), r AS (
+        SELECT user_id, event_type, cnt,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY cnt DESC, event_type) AS rk
+        FROM c
+    )
+    SELECT user_id, event_type AS mode_event_type,
+           CAST(cnt AS BIGINT) AS mode_count
+    FROM r WHERE rk = 1 ORDER BY user_id
+"""
+
+
+def a23_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return
+    flag, computed from EXACT integer-cent sums (Sx, Sy, Sxx, Syy,
+    Sxy as decimal(38,0)) with the final r assembled in a fixed IEEE
+    op order — bit-identical across engines where a built-in corr()
+    (one streaming pass, order-dependent float accumulation) is not.
+    One combinable groupBy; the moment sums are the map-side combine."""
+    li = t(spark, sf_dir, "lineitem")
+    x = (F.col("l_quantity").cast("decimal(18,2)") * 100) \
+        .cast("decimal(38,0)")
+    y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("decimal(38,0)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) \
+        .cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")) \
+        .cast("double")
+    return s.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("n").cast("long").alias("n"),
+        (num / (F.sqrt(dx) * F.sqrt(dy))).alias("corr_qty_price"),
+    ).orderBy("flag")
+
+
+QUERIES["a23_exact_corr"] = a23_exact_corr
+
+ORACLES["a23_exact_corr"] = """
+    WITH c AS (
+        SELECT l_returnflag AS flag,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                    AS DECIMAL(38,0)) AS x,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS DECIMAL(38,0)) AS y
+        FROM lineitem
+    ), s AS (
+        SELECT flag, CAST(count(*) AS DECIMAL(38,0)) AS n,
+               CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+               CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+               CAST(sum(CAST(x * y AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS sxy,
+               CAST(sum(CAST(x * x AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS sxx,
+               CAST(sum(CAST(y * y AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS syy
+        FROM c GROUP BY flag
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+               AS corr_qty_price
+    FROM s ORDER BY flag
+"""

@@ -1138,3 +1138,51 @@ ORACLES["st3_stream_dedup"] = """
     SELECT event_id, user_id, event_type, value
     FROM events ORDER BY event_id
 """
+
+
+def w21_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-active-day streaks — the
+    classic islands derivation (day - dense_rank(day) is constant
+    within a run of consecutive days). Scale shape: the event stream
+    collapses to distinct (user, day) in ONE combinable groupBy before
+    any window; the per-user window then ranks a few hundred day rows
+    per user, never raw events."""
+    ev = t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = days.withColumn(
+        "_grp", F.date_sub(F.col("d"), F.row_number().over(w)))
+    streaks = (
+        runs.groupBy("user_id", "_grp")
+        .agg(F.count("*").alias("len"), F.min("d").alias("start_day"))
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_streaks"),
+            F.max("len").cast("long").alias("longest_streak"),
+            F.min("start_day").alias("first_day"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["w21_activity_streaks"] = w21_activity_streaks
+
+ORACLES["w21_activity_streaks"] = """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), runs AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY d) AS INTEGER) AS grp
+        FROM days
+    ), streaks AS (
+        SELECT user_id, grp, count(*) AS len, min(d) AS start_day
+        FROM runs GROUP BY user_id, grp
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           min(start_day) AS first_day
+    FROM streaks GROUP BY user_id ORDER BY user_id
+"""
