@@ -369,3 +369,28 @@ ORACLES = {
         FROM ranked WHERE rn BETWEEN 101 AND 150
     """,
 }
+
+
+def o9_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-method) pagination — the scale-correct sibling of
+    o7's offset pagination: WHERE key > cursor ORDER BY key LIMIT n
+    compiles to a pushed filter + TakeOrderedAndProject, so page cost
+    is O(page), not O(offset + page). o7 exists because the reference
+    serves arbitrary offsets; a 100 TB API should hand out cursors."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") > 1000)
+        .orderBy("o_orderkey")
+        .limit(20)
+        .select("o_orderkey", "o_custkey",
+                F.to_date("o_orderdate").alias("order_date"))
+    )
+
+
+QUERIES["o9_keyset_pagination"] = o9_keyset_pagination
+
+ORACLES["o9_keyset_pagination"] = """
+    SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date
+    FROM orders WHERE o_orderkey > 1000
+    ORDER BY o_orderkey LIMIT 20
+"""

@@ -632,3 +632,46 @@ def _tx16_oracle() -> str:
 
 
 ORACLES["tx16_mojibake_repair"] = _tx16_oracle()
+
+
+def tx17_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics per source (the Heaps'-law corpus report):
+    token occurrences, distinct types, hapax legomena (frequency-1
+    words — the vocabulary tail that dominates tokenizer OOV), and a
+    HALF_UP milli type/token ratio. One combinable (source, word)
+    groupBy collapses the corpus to its vocabulary before the
+    per-source rollup — the shuffle is vocab-sized, not corpus-sized."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    words = docs.select(
+        "source", F.explode(TX.tokens(F.col("text"))).alias("w"))
+    wc = words.groupBy("source", "w").agg(F.count("*").alias("c"))
+    per = wc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_hapax"),
+    )
+    return per.select(
+        "source", "n_tokens", "n_types", "n_hapax",
+        F.expr("(2000 * n_types + n_tokens) DIV (2 * n_tokens)")
+        .cast("long").alias("type_token_milli"),
+    ).orderBy("source")
+
+
+QUERIES["tx17_vocab_stats"] = tx17_vocab_stats
+
+ORACLES["tx17_vocab_stats"] = f"""
+    WITH words AS (
+        SELECT source, unnest({_TOKS}) AS w FROM documents
+    ), wc AS (
+        SELECT source, w, count(*) AS c FROM words GROUP BY source, w
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST((2000 * count(*) + sum(c)) // (2 * sum(c)) AS BIGINT)
+               AS type_token_milli
+    FROM wc GROUP BY source ORDER BY source
+"""
