@@ -1186,3 +1186,58 @@ ORACLES["w21_activity_streaks"] = """
            min(start_day) AS first_day
     FROM streaks GROUP BY user_id ORDER BY user_id
 """
+
+
+def st4_stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator through the real engine,
+    oracle-checked: per-user running stats carried in the state store
+    by applyInPandasWithState (streaming.stateful_user_stats — the
+    escape hatch for logic windowed aggregation can't express), driven
+    by an availableNow file stream into an update-mode memory sink.
+    The value column is pre-converted to integer cents (exact decimal
+    -> bigint), so the Python-side running float total is integer-
+    valued and order-independent — hash-exact against the batch SQL
+    rollup no matter how rows arrive in the Arrow batches."""
+    from ..streaming import stateful_user_stats
+
+    path = _stream_dir(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(schema).parquet(path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn(
+            "value",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint").cast("double"))
+    )
+    out = stateful_user_stats(src)
+    name = f"st4_sink_{next(_ST_SEQ)}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    # update mode emits one row per key PER MICRO-BATCH; if availableNow
+    # ever splits the input into several batches, keep each key's FINAL
+    # state row (n_events is strictly increasing per key)
+    wl = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("_rk", F.row_number().over(wl))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "user_id", "n_events",
+            F.col("total_value").cast("long").alias("total_cents"),
+            "max_ts_us",
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["st4_stream_stateful_stats"] = st4_stream_stateful_stats
+
+ORACLES["st4_stream_stateful_stats"] = """
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS total_cents,
+           max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_ts_us
+    FROM events GROUP BY user_id ORDER BY user_id
+"""
