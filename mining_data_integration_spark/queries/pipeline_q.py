@@ -789,3 +789,64 @@ ORACLES["dp15_dataset_card"] = f"""
                AS mean_tokens_milli
     FROM a
 """
+
+
+SHARD_TARGET_CHARS = 8192
+
+
+def dp16_shard_writer_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-layout planning for a partitioned corpus write: within
+    each lang partition, documents (in md5-deterministic order) are
+    assigned to target-size output files by running char offset —
+    file_idx = start div target, the decision a DataFrameWriter makes
+    implicitly and a 100 TB pipeline wants pinned and auditable
+    (file sizes drive downstream scan parallelism). Scale shape: ONE
+    composite (lang, md5, key) two-phase global cumsum
+    (operators/scalable.py), rebased per lang with a broadcast
+    O(langs) min-offset table — the dp14 rebase trick applied to a
+    measure instead of a rank, so a handful of giant lang partitions
+    never see a single-partition window."""
+    from ..operators.scalable import global_cumsum
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("nc"),
+        F.md5(F.col("doc_id").cast("string")).alias("_h"),
+    )
+    cum = global_cumsum(
+        docs, [F.asc("lang"), F.asc("_h"), F.asc("doc_id")],
+        F.col("nc"), out_col="_cum")
+    start = cum.withColumn("_start", F.col("_cum") - F.col("nc"))
+    base = start.groupBy("lang").agg(F.min("_start").alias("_b0"))
+    return (
+        start.join(F.broadcast(base), "lang")
+        .select(
+            "doc_id", "lang", "nc",
+            F.expr(f"(_start - _b0) div {SHARD_TARGET_CHARS}")
+            .cast("long").alias("file_idx"),
+            F.pmod(F.col("_start") - F.col("_b0"),
+                   F.lit(SHARD_TARGET_CHARS)).cast("long")
+            .alias("file_offset"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["dp16_shard_writer_plan"] = dp16_shard_writer_plan
+
+ORACLES["dp16_shard_writer_plan"] = f"""
+    WITH d AS (
+        SELECT doc_id, lang, n_chars AS nc,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, lang, nc,
+               sum(nc) OVER (PARTITION BY lang ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - nc AS start
+        FROM d
+    )
+    SELECT doc_id, lang, CAST(nc AS BIGINT) AS nc,
+           CAST(start // {SHARD_TARGET_CHARS} AS BIGINT) AS file_idx,
+           CAST(start % {SHARD_TARGET_CHARS} AS BIGINT) AS file_offset
+    FROM cum ORDER BY doc_id
+"""

@@ -394,3 +394,67 @@ ORACLES["o9_keyset_pagination"] = """
     FROM orders WHERE o_orderkey > 1000
     ORDER BY o_orderkey LIMIT 20
 """
+
+
+def u4_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 maintenance on plain tables:
+    a CDC update set (every 10th customer gets +100.00 balance)
+    applied to the customer dimension produces the versioned history —
+    unchanged keys keep their open row, changed keys CLOSE version 1
+    (valid_to set, is_current 0) and open version 2. The dataflow is
+    one broadcast-or-shuffle join on the dimension key + a union; a
+    Delta/Iceberg MERGE adds the transactional file rewrite around
+    exactly this plan. Exact decimal money through the money() rule."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"))
+    upd = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        (F.col("bal") + F.lit(100).cast("decimal(18,2)")).alias("new_bal"))
+    base = c.join(upd, "c_custkey", "left")
+    keep = base.filter(F.col("new_bal").isNull()).select(
+        "c_custkey", F.lit(1).alias("version"),
+        F.col("bal").alias("acctbal"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(1).alias("is_current"))
+    closed = base.filter(F.col("new_bal").isNotNull()).select(
+        "c_custkey", F.lit(1).alias("version"),
+        F.col("bal").alias("acctbal"),
+        F.lit("2026-01-01").alias("valid_to"),
+        F.lit(0).alias("is_current"))
+    opened = base.filter(F.col("new_bal").isNotNull()).select(
+        "c_custkey", F.lit(2).alias("version"),
+        F.col("new_bal").alias("acctbal"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(1).alias("is_current"))
+    return (
+        keep.unionByName(closed).unionByName(opened)
+        .select("c_custkey", F.col("version").cast("int").alias("version"),
+                money(F.col("acctbal")).alias("acctbal"),
+                "valid_to",
+                F.col("is_current").cast("int").alias("is_current"))
+        .orderBy("c_custkey", "version")
+    )
+
+
+QUERIES["u4_scd2_history"] = u4_scd2_history
+
+ORACLES["u4_scd2_history"] = """
+    WITH c AS (
+        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+               c_custkey % 10 = 0 AS changed
+        FROM customer
+    )
+    SELECT c_custkey, CAST(1 AS INTEGER) AS version,
+           CAST(round(bal, 2) AS DOUBLE) AS acctbal,
+           CASE WHEN changed THEN '2026-01-01' END AS valid_to,
+           CAST(CASE WHEN changed THEN 0 ELSE 1 END AS INTEGER)
+               AS is_current
+    FROM c
+    UNION ALL
+    SELECT c_custkey, 2,
+           CAST(round(bal + 100, 2) AS DOUBLE),
+           NULL, 1
+    FROM c WHERE changed
+    ORDER BY c_custkey, version
+"""

@@ -125,6 +125,8 @@ ALLOWED: dict[str, dict[str, str]] = {
         "dp14_length_buckets": "per-shard offset table (O(shards) rows) "
                                "+ O(buckets) min-rank rebase table",
         "dp15_dataset_card": "single-row dataset-card aggregate",
+        "dp16_shard_writer_plan": "per-shard offset table (O(shards) "
+                                  "rows) + O(langs) rebase table",
     },
 }
 
