@@ -544,3 +544,119 @@ def decode_png_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "sum_b": pd.Series(out["sum_b"], dtype="Int64"),
             "ok": pd.Series(out["ok"], dtype="bool"),
         })
+
+
+# --- real audio decode: RIFF/WAVE PCM, from scratch --------------------
+# The audio sibling of the PPM/PNG decoders: RIFF container walk
+# (chunk ids + little-endian sizes, word alignment), fmt block
+# validation, 16-bit PCM samples. No codec library involved.
+
+WAV_SR = 8000
+WAV_N_SAMPLES = 64
+WAV_POISON_EVERY = 89
+
+WAV_STATS_SCHEMA = (
+    "media_id bigint, sample_rate int, n_samples int, "
+    "energy bigint, peak int, ok boolean"
+)
+
+
+def wav_encode(samples: list[int], sample_rate: int) -> bytes:
+    """Minimal mono 16-bit PCM WAV encoder (RIFF + fmt + data);
+    samples packed explicitly little-endian for portability."""
+    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(data: bytes) -> tuple[int, list[int]]:
+    """From-scratch RIFF/WAVE parser for mono 16-bit PCM: validates the
+    RIFF envelope size, walks chunks with word alignment, checks the
+    fmt block (PCM, mono, 16-bit), and decodes the data chunk into
+    signed samples. Raises ValueError on any malformation."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (riff_sz,) = struct.unpack("<I", data[4:8])
+    if riff_sz != len(data) - 8:
+        raise ValueError("RIFF size mismatch")
+    pos = 12
+    sample_rate = None
+    pcm = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (sz,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        payload = data[pos + 8:pos + 8 + sz]
+        if len(payload) != sz:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            if sz < 16:
+                raise ValueError("short fmt chunk")
+            audio_fmt, n_ch, sr, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", payload[:16])
+            if (audio_fmt, n_ch, bits) != (1, 1, 16):
+                raise ValueError("unsupported WAV variant")
+            sample_rate = sr
+        elif cid == b"data":
+            pcm = payload
+        pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+    if sample_rate is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    if len(pcm) % 2:
+        raise ValueError("odd PCM byte count")
+    samples = [struct.unpack("<h", pcm[i:i + 2])[0]
+               for i in range(0, len(pcm), 2)]
+    return sample_rate, samples
+
+
+def make_wav_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow ENCODER kernel: media_id -> real WAV whose sample j is the
+    pure function ((media_id*(j+3)) % 4001) - 2000, so the oracle
+    recomputes energy/peak in closed form. Every WAV_POISON_EVERY-th
+    id gets its RIFF size field corrupted."""
+    for pdf in batches:
+        payloads = []
+        for mid in pdf["media_id"]:
+            samples = [((int(mid) * (j + 3)) % 4001) - 2000
+                       for j in range(WAV_N_SAMPLES)]
+            wav = bytearray(wav_encode(samples, WAV_SR))
+            if int(mid) % WAV_POISON_EVERY == 0:
+                wav[4] ^= 0xFF  # RIFF envelope size now wrong
+            payloads.append(bytes(wav))
+        yield pd.DataFrame({
+            "media_id": pdf["media_id"].astype("int64"),
+            "payload": payloads,
+        })
+
+
+def decode_wav_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow kernel around wav_decode: exact integer energy
+    (sum of |sample|) and peak per payload; malformed payloads
+    degrade to ok=false rows."""
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "media_id", "sample_rate", "n_samples", "energy", "peak", "ok")}
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            out["media_id"].append(mid)
+            try:
+                sr, samples = wav_decode(bytes(payload))
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(len(samples))
+                out["energy"].append(sum(abs(s) for s in samples))
+                out["peak"].append(max(abs(s) for s in samples)
+                                   if samples else 0)
+                out["ok"].append(True)
+            except ValueError:
+                for k in ("sample_rate", "n_samples", "energy", "peak"):
+                    out[k].append(None)
+                out["ok"].append(False)
+        yield pd.DataFrame({
+            "media_id": pd.Series(out["media_id"], dtype="int64"),
+            "sample_rate": pd.Series(out["sample_rate"], dtype="Int32"),
+            "n_samples": pd.Series(out["n_samples"], dtype="Int32"),
+            "energy": pd.Series(out["energy"], dtype="Int64"),
+            "peak": pd.Series(out["peak"], dtype="Int32"),
+            "ok": pd.Series(out["ok"], dtype="bool"),
+        })

@@ -256,3 +256,53 @@ ORACLES = {
         ORDER BY media_id
     """,
 }
+
+
+def mm7_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: every doc_id becomes a genuine
+    mono 16-bit PCM WAV (Arrow encoder kernel — RIFF envelope, fmt
+    validation, word-aligned chunk walk) from a closed-form sample
+    generator; the decoder kernel (operators/multimodal.wav_decode,
+    cross-checked against the stdlib wave module in tests) parses the
+    container and reduces samples to exact integer energy/peak. Every
+    89th id carries a corrupted RIFF size -> ok=false poison rows.
+    The oracle recomputes energy/peak from the generator formula."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    media = docs.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        M.make_wav_media, "media_id bigint, payload binary")
+    return media.mapInPandas(
+        M.decode_wav_stats, M.WAV_STATS_SCHEMA).orderBy("media_id")
+
+
+QUERIES["mm7_wav_decode"] = mm7_wav_decode
+
+
+def _wav_oracle() -> str:
+    n = M.WAV_N_SAMPLES
+    p = M.WAV_POISON_EVERY
+    sample = "abs(((doc_id * (j + 3)) % 4001) - 2000)"
+    return f"""
+    WITH s AS (
+        SELECT doc_id, unnest(range(0, {n})) AS j FROM documents
+    ), agg AS (
+        SELECT doc_id,
+               CAST(sum({sample}) AS BIGINT) AS energy,
+               CAST(max({sample}) AS INTEGER) AS peak
+        FROM s GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CASE WHEN d.doc_id % {p} = 0 THEN NULL
+                ELSE CAST({M.WAV_SR} AS INTEGER) END AS sample_rate,
+           CASE WHEN d.doc_id % {p} = 0 THEN NULL
+                ELSE CAST({n} AS INTEGER) END AS n_samples,
+           CASE WHEN d.doc_id % {p} = 0 THEN NULL ELSE a.energy END
+               AS energy,
+           CASE WHEN d.doc_id % {p} = 0 THEN NULL ELSE a.peak END
+               AS peak,
+           d.doc_id % {p} <> 0 AS ok
+    FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+    ORDER BY media_id
+    """
+
+
+ORACLES["mm7_wav_decode"] = _wav_oracle()

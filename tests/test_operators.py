@@ -1082,3 +1082,29 @@ def test_mojibake_repair_known_values(spark):
     assert got[1].fixed_len == len("café is don't")
     assert got[2].n_fixes == 0
     assert got[2].fixed_hash == hashlib.md5(b"clean text").hexdigest()
+
+
+class TestWavCodec:
+    def test_roundtrip_and_stdlib_crosscheck(self):
+        import io
+        import wave as stdwave
+        from mining_data_integration_spark.operators import multimodal as M
+        samples = [((7 * (j + 3)) % 4001) - 2000
+                   for j in range(M.WAV_N_SAMPLES)]
+        w = M.wav_encode(samples, M.WAV_SR)
+        assert M.wav_decode(w) == (M.WAV_SR, samples)
+        wf = stdwave.open(io.BytesIO(w))
+        assert (wf.getframerate(), wf.getnchannels(),
+                wf.getsampwidth(), wf.getnframes()) == (
+            M.WAV_SR, 1, 2, M.WAV_N_SAMPLES)
+
+    def test_corruptions_raise(self):
+        import pytest as _pytest
+        from mining_data_integration_spark.operators import multimodal as M
+        w = bytearray(M.wav_encode([0, 1, -1], 8000))
+        for mut in (lambda b: b[:10],
+                    lambda b: b"XIFF" + bytes(b[4:]),
+                    lambda b: bytes(b[:4]) + bytes([b[4] ^ 1])
+                    + bytes(b[5:])):
+            with _pytest.raises(ValueError):
+                M.wav_decode(mut(w))

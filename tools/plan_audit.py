@@ -78,6 +78,8 @@ ALLOWED: dict[str, dict[str, str]] = {
                                    "partition)",
         "mm6_png_decode": "real PNG encode + inflate/unfilter decode "
                           "ARE the operator (two Arrow stages)",
+        "mm7_wav_decode": "real WAV encode + RIFF-walk decode ARE the "
+                          "operator (two Arrow stages)",
     },
     "Exchange SinglePartition": {
         # bounded-row global sorts/windows: the rows reaching the
