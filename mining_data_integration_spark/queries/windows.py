@@ -1241,3 +1241,70 @@ ORACLES["st4_stream_stateful_stats"] = """
            max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_ts_us
     FROM events GROUP BY user_id ORDER BY user_id
 """
+
+
+def w22_rolling_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling least-squares trend per user over the last 16 events —
+    the windowed-OLS slope a time-series monitor alarms on, computed
+    EXACTLY: values go to integer cents, positions are 1..n, and the
+    slope numerator n*Six - Si*Sx and denominator n*Sii - Si^2 are
+    pure int64 (|num| < 16 * 2^7 * max_cents — far inside range); the
+    only float op is the final single division. w17's exact-window
+    discipline applied to regression instead of smoothing.
+
+    Scale shape: one partitioned window (shuffle by user), 16-element
+    frame buffer per row — no global sort, no unbounded state."""
+    ev = t(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-15, 0))
+    arr = F.collect_list(cents).over(w)
+    base = ev.select("event_id", "user_id", arr.alias("_arr"))
+    n = F.size("_arr").cast("long")
+    si = (n * (n + 1) / 2).cast("long")
+    sii = (n * (n + 1) * (2 * n + 1) / 6).cast("long")
+    sx = F.expr("aggregate(_arr, CAST(0 AS BIGINT), (a, x) -> a + x)")
+    six = F.expr(
+        "aggregate(zip_with(_arr, sequence(1, size(_arr)), "
+        "(x, i) -> x * i), CAST(0 AS BIGINT), (a, x) -> a + x)")
+    num = (n * six - si * sx).cast("long")
+    den = (n * sii - si * si).cast("long")
+    return base.select(
+        "event_id", "user_id",
+        n.alias("n"),
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.when(den > 0, num.cast("double") / den.cast("double"))
+        .alias("slope_cents"),
+    ).orderBy("event_id")
+
+
+QUERIES["w22_rolling_trend"] = w22_rolling_trend
+
+ORACLES["w22_rolling_trend"] = """
+    WITH arrs AS (
+        SELECT event_id, user_id,
+               list(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr
+        FROM events
+    ), s AS (
+        SELECT event_id, user_id,
+               CAST(len(arr) AS BIGINT) AS n,
+               CAST(len(arr) * (len(arr) + 1) // 2 AS BIGINT) AS si,
+               CAST(len(arr) * (len(arr) + 1) * (2 * len(arr) + 1) // 6
+                    AS BIGINT) AS sii,
+               CAST(list_sum(arr) AS BIGINT) AS sx,
+               CAST(list_sum(list_transform(range(1, len(arr) + 1),
+                    i -> arr[i] * i)) AS BIGINT) AS six
+        FROM arrs
+    )
+    SELECT event_id, user_id, n,
+           CAST(n * six - si * sx AS BIGINT) AS slope_num,
+           CAST(n * sii - si * si AS BIGINT) AS slope_den,
+           CASE WHEN n * sii - si * si > 0
+                THEN CAST(n * six - si * sx AS DOUBLE)
+                     / CAST(n * sii - si * si AS DOUBLE) END
+               AS slope_cents
+    FROM s ORDER BY event_id
+"""
