@@ -850,3 +850,87 @@ ORACLES["dp16_shard_writer_plan"] = f"""
            CAST(start % {SHARD_TARGET_CHARS} AS BIGINT) AS file_offset
     FROM cum ORDER BY doc_id
 """
+
+
+def dp17_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning-pipeline observability: the per-stage survival funnel
+    (raw -> token floor -> quality floor -> language -> exact dedup ->
+    near-dup removal) as one report — the numbers a corpus curator
+    watches to catch a filter suddenly eating the corpus. Each stage
+    count is a single-row aggregate over the staged filters (the same
+    expressions dp1/clean_corpus run); no driver-side .count() loops,
+    just a union of six one-row aggregates the scheduler runs in
+    parallel."""
+    from ..operators import dedup as D
+    from ..operators.text import lang_id, quality_score
+    from ..pipelines import clean_corpus
+
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    q = quality_score(docs).select("doc_id", "n_tokens", "quality")
+    l = lang_id(docs).select("doc_id", "predicted_lang")
+    flagged = docs.join(q, "doc_id").join(l, "doc_id")
+    s2 = flagged.filter(F.col("n_tokens") >= MIN_TOKENS)
+    s3 = s2.filter(F.col("quality") >= MIN_QUALITY)
+    s4 = s3.filter(F.col("predicted_lang") == "en")
+    digests = s4.select(
+        "doc_id", F.md5(D.normalize_text(F.col("text"))).alias("_d"))
+    s5 = digests.groupBy("_d").agg(F.min("doc_id").alias("doc_id"))
+    s6 = clean_corpus(docs, min_tokens=MIN_TOKENS,
+                      min_quality=MIN_QUALITY, lang="en")
+
+    def stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n_docs")) \
+            .select(F.lit(label).alias("stage"), "n_docs")
+
+    return (
+        stage(docs, "1_raw")
+        .unionByName(stage(s2, "2_token_floor"))
+        .unionByName(stage(s3, "3_quality_floor"))
+        .unionByName(stage(s4, "4_language"))
+        .unionByName(stage(s5, "5_exact_dedup"))
+        .unionByName(stage(s6, "6_near_dedup"))
+        .orderBy("stage")
+    )
+
+
+QUERIES["dp17_pipeline_funnel"] = dp17_pipeline_funnel
+
+ORACLES["dp17_pipeline_funnel"] = f"""
+    WITH scored AS (
+        SELECT doc_id, text, {_WORDS} AS toks FROM documents
+    ), q AS (
+        SELECT doc_id, text,
+               len(toks) AS n_tokens,
+               CAST(len(list_filter(toks,
+                   w -> list_contains({_STOPLIST}, w))) AS DOUBLE)
+                   / len(toks) AS stop_ratio,
+               CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / len(toks) AS uniq_ratio
+        FROM scored
+    ), s2 AS (
+        SELECT * FROM q WHERE n_tokens >= {MIN_TOKENS}
+    ), s3 AS (
+        SELECT * FROM s2
+        WHERE stop_ratio * 0.5 + uniq_ratio * 0.5 >= {MIN_QUALITY}
+    ), s4 AS (
+        SELECT * FROM s3 WHERE stop_ratio >= {EN_THRESHOLD}
+    ), keepers AS (
+        SELECT min(doc_id) AS doc_id FROM s4 GROUP BY md5({_NORM})
+    ), survivors AS (
+        SELECT k.doc_id, k.text FROM s4 k JOIN keepers USING (doc_id)
+    ), cand AS ({_BANDS_OVER_SURVIVORS}),
+    drops AS (SELECT DISTINCT id2 AS doc_id FROM cand),
+    s6 AS (
+        SELECT s.doc_id FROM survivors s
+        LEFT JOIN drops d ON s.doc_id = d.doc_id
+        WHERE d.doc_id IS NULL
+    )
+    SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents
+    UNION ALL SELECT '2_token_floor', count(*) FROM s2
+    UNION ALL SELECT '3_quality_floor', count(*) FROM s3
+    UNION ALL SELECT '4_language', count(*) FROM s4
+    UNION ALL SELECT '5_exact_dedup', count(*) FROM keepers
+    UNION ALL SELECT '6_near_dedup', count(*) FROM s6
+    ORDER BY stage
+"""

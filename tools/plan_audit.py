@@ -129,6 +129,7 @@ ALLOWED: dict[str, dict[str, str]] = {
         "dp15_dataset_card": "single-row dataset-card aggregate",
         "dp16_shard_writer_plan": "per-shard offset table (O(shards) "
                                   "rows) + O(langs) rebase table",
+        "dp17_pipeline_funnel": "six single-row stage-count aggregates",
     },
 }
 
