@@ -624,3 +624,82 @@ def _mmr_oracle(pool: int = 10, k: int = 5) -> str:
 
 
 ORACLES["sim14_mmr_rerank"] = _mmr_oracle(10, 5)
+
+
+def sim15_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction over the WHOLE corpus (not a query
+    sample): each vector's top-3 neighbours among its LSH-bucket
+    co-residents, scored by exact int64 quantized dot products — the
+    candidate-graph step ahead of clustering / SemDeDup / label
+    propagation. Scale shape: the only join is the bucket-keyed
+    self-join (never all-pairs); per-node ranking windows see
+    O(bucket) rows. Nodes alone in their bucket emit nothing — at
+    fleet scale you re-probe with multi-probe buckets (sim5) before
+    accepting an empty neighbourhood."""
+    from ..operators.similarity import idot, int8_quantize
+
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    keyed = emb.select(
+        "vec_id",
+        int8_quantize(F.col("embedding")).alias("_qv"),
+        S.lsh_bucket(F.col("embedding"), _PLANES).alias("bucket"),
+    )
+    from ..operators.dedup import materialize
+    keyed = materialize(keyed)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("nbr_id"),
+        idot(F.col("a._qv"), F.col("b._qv")).alias("sim"),
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.asc("nbr_id"))
+    return (
+        pairs.withColumn("nbr_rank", F.row_number().over(w))
+        .filter(F.col("nbr_rank") <= 3)
+        .select("vec_id", F.col("nbr_rank").cast("int").alias("nbr_rank"),
+                "nbr_id", "sim")
+        .orderBy("vec_id", "nbr_rank")
+    )
+
+
+QUERIES["sim15_knn_graph"] = sim15_knn_graph
+
+ORACLES["sim15_knn_graph"] = f"""
+    WITH base AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings
+    ), qvv AS (
+        SELECT vec_id, embedding,
+               CASE WHEN mx > 0 THEN list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx)
+                                        + 0.5) AS BIGINT))
+                    ELSE list_transform(embedding,
+                        x -> CAST(0 AS BIGINT)) END AS q
+        FROM base
+    ), planes AS ({_planes_cte()}),
+    keyed AS (
+        SELECT vec_id, q, {_bucket_sql('embedding')} AS bucket
+        FROM qvv CROSS JOIN planes
+    ), pairs AS (
+        SELECT a.vec_id, b.vec_id AS nbr_id,
+               CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                   i -> a.q[i] * b.q[i])) AS BIGINT) AS sim
+        FROM keyed a JOIN keyed b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ), ranked AS (
+        SELECT vec_id, nbr_id, sim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, nbr_id) AS rk
+        FROM pairs
+    )
+    SELECT vec_id, CAST(rk AS INTEGER) AS nbr_rank, nbr_id, sim
+    FROM ranked WHERE rk <= 3
+    ORDER BY vec_id, nbr_rank
+"""
