@@ -1308,3 +1308,52 @@ ORACLES["w22_rolling_trend"] = """
                AS slope_cents
     FROM s ORDER BY event_id
 """
+
+
+def st5_stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join through the real engine, oracle-
+    checked: two availableNow file streams over the events table join
+    on user within an event-time band of ±30 minutes
+    (streaming.stream_stream_band_join). Both sides carry watermarks
+    and the band predicate is what lets Spark EVICT join state — the
+    property that makes stream-stream joins feasible on unbounded
+    input. Inner-join matches emit eagerly, so the availableNow run
+    produces exactly the batch band join, which the SQL oracle
+    replays."""
+    from ..streaming import stream_stream_band_join
+
+    path = _stream_dir(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+
+    def one() -> DataFrame:
+        return (
+            spark.readStream.schema(schema).parquet(path)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    out = stream_stream_band_join(
+        one(), one(), band="30 minutes", watermark="1 hour")
+    name = f"st5_sink_{next(_ST_SEQ)}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select("user_id", "l_event_id", "r_event_id", "delta_us")
+        .orderBy("l_event_id", "r_event_id")
+    )
+
+
+QUERIES["st5_stream_band_join"] = st5_stream_band_join
+
+ORACLES["st5_stream_band_join"] = """
+    WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    )
+    SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id,
+           epoch_us(r.ts) - epoch_us(l.ts) AS delta_us
+    FROM e l JOIN e r ON l.user_id = r.user_id
+      AND r.ts >= l.ts - INTERVAL 30 MINUTE
+      AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    ORDER BY l_event_id, r_event_id
+"""
