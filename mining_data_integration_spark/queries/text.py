@@ -675,3 +675,84 @@ ORACLES["tx17_vocab_stats"] = f"""
                AS type_token_milli
     FROM wc GROUP BY source ORDER BY source
 """
+
+
+def tx18_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-20 bigrams by lift
+    P(ab) / (P(a)P(b)) — the PMI-without-the-log association measure
+    (log is monotone, so the RANKING is PMI's, and skipping it keeps
+    every input to the final division an exact DECIMAL(38,0):
+    lift = cnt_ab * Nu^2 / (Nb * cnt_a * cnt_b), one IEEE division).
+    Scale shape: bigram and unigram counts are two combinable
+    groupBys; the two corpus totals broadcast; cnt_ab >= 5 prunes the
+    hapax tail before the join against unigram counts."""
+    from ..operators.dedup import gram_array
+    from ..operators.text import tokens
+
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(tokens(F.col("text")).alias("_t"))
+    uni = toks.select(F.explode("_t").alias("w")) \
+        .groupBy("w").agg(F.count("*").alias("cnt_w"))
+    bi = toks.select(
+        F.explode(gram_array(F.col("_t"), 2)).alias("bg")
+    ).groupBy("bg").agg(F.count("*").alias("cnt_ab"))
+    totals = uni.agg(
+        F.sum("cnt_w").cast("decimal(38,0)").alias("nu")).crossJoin(
+        bi.agg(F.sum("cnt_ab").cast("decimal(38,0)").alias("nb")))
+    parts = bi.filter(F.col("cnt_ab") >= 5).select(
+        F.col("bg"),
+        F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+        F.split(F.col("bg"), " ").getItem(1).alias("w2"),
+        "cnt_ab",
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("cnt_w").alias("cnt_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("cnt_w").alias("cnt_b"))
+    scored = (
+        parts.join(ua, "w1").join(ub, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", F.col("cnt_ab").cast("long").alias("cnt_ab"),
+            ((F.col("cnt_ab").cast("decimal(38,0)")
+              * F.col("nu") * F.col("nu")).cast("double")
+             / (F.col("nb") * F.col("cnt_a").cast("decimal(38,0)")
+                * F.col("cnt_b").cast("decimal(38,0)")).cast("double"))
+            .alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "w1", "w2").limit(20)
+
+
+QUERIES["tx18_collocations"] = tx18_collocations
+
+ORACLES["tx18_collocations"] = f"""
+    WITH toks AS (
+        SELECT {_TOKS} AS t FROM documents
+    ), uni AS (
+        SELECT w, count(*) AS cnt_w
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ), bi AS (
+        SELECT bg, count(*) AS cnt_ab
+        FROM (SELECT unnest(list_transform(
+                  range(1, greatest(len(t) - 1, 0) + 1),
+                  i -> t[i] || ' ' || t[i+1])) AS bg FROM toks)
+        GROUP BY bg
+    ), tot AS (
+        SELECT (SELECT CAST(sum(cnt_w) AS DECIMAL(38,0)) FROM uni) AS nu,
+               (SELECT CAST(sum(cnt_ab) AS DECIMAL(38,0)) FROM bi) AS nb
+    ), scored AS (
+        SELECT string_split(bg, ' ')[1] AS w1,
+               string_split(bg, ' ')[2] AS w2,
+               CAST(cnt_ab AS BIGINT) AS cnt_ab,
+               CAST(CAST(cnt_ab AS DECIMAL(38,0)) * nu * nu AS DOUBLE)
+                   / CAST(nb * CAST(a.cnt_w AS DECIMAL(38,0))
+                          * CAST(b.cnt_w AS DECIMAL(38,0)) AS DOUBLE)
+                   AS lift
+        FROM bi
+        JOIN uni a ON string_split(bg, ' ')[1] = a.w
+        JOIN uni b ON string_split(bg, ' ')[2] = b.w
+        CROSS JOIN tot
+        WHERE cnt_ab >= 5
+    )
+    SELECT w1, w2, cnt_ab, lift FROM scored
+    ORDER BY lift DESC, w1, w2 LIMIT 20
+"""

@@ -58,6 +58,8 @@ ALLOWED: dict[str, dict[str, str]] = {
                              "the exact and LSH probe sides)",
         "sim14_mmr_rerank": "3-row query-vector set broadcast (the "
                             "candidate-pool probe)",
+        "tx18_collocations": "1-row corpus-totals broadcast (Nu, Nb "
+                             "for the lift denominator)",
     },
     "ArrowEvalPython": {
         "j8_computed_key_join": "sha512/256 key: Arrow-batched codec in a "
@@ -130,6 +132,7 @@ ALLOWED: dict[str, dict[str, str]] = {
         "dp16_shard_writer_plan": "per-shard offset table (O(shards) "
                                   "rows) + O(langs) rebase table",
         "dp17_pipeline_funnel": "six single-row stage-count aggregates",
+        "tx18_collocations": "two single-row corpus-total aggregates",
     },
 }
 
