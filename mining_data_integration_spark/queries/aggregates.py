@@ -658,3 +658,109 @@ ORACLES["a23_exact_corr"] = """
                AS corr_qty_price
     FROM s ORDER BY flag
 """
+
+
+def a25_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch algebra, demonstrated and hash-checked: HLL
+    registers built independently per lang partition then MERGED by
+    per-bucket max must equal the registers built over the whole
+    corpus in one pass — the property that lets 1000 executors (or
+    1000 days of partitions) sketch independently and combine without
+    rescanning. Emits both harmonic sums, the merged estimate, and
+    merge_exact = 1 pinned by the value hash."""
+    from ..operators import sketches as SK
+
+    m = 1 << SK.HLL_M_LOG2
+    top = SK.HLL_RHO_MAX - 1
+    docs = t(spark, sf_dir, "documents")
+    h = F.md5(F.col("text"))
+    base = docs.select(
+        "lang",
+        (F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint") % m)
+        .alias("bucket"),
+        F.substring(h, 3, SK.HLL_RHO_HEX).alias("_rh"),
+    ).withColumn("rho", SK._rho("_rh"))
+
+    def harmonic(regs: DataFrame, out: str) -> DataFrame:
+        return regs.agg(
+            F.count("*").alias("_np"),
+            F.sum(F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), {top} - register)"))
+            .alias("_sp"),
+        ).select(
+            (F.col("_sp") + (F.lit(m) - F.col("_np"))
+             * F.lit(1 << top).cast("bigint")).alias(out))
+
+    per = base.groupBy("lang", "bucket").agg(F.max("rho").alias("reg"))
+    merged = per.groupBy("bucket").agg(F.max("reg").alias("register"))
+    glob = base.groupBy("bucket").agg(F.max("rho").alias("register"))
+    hm = harmonic(merged, "harmonic_merged")
+    hg = harmonic(glob, "harmonic_global")
+    numer = SK.hll_alpha_numerator()
+    return (
+        hm.crossJoin(F.broadcast(hg))
+        .select(
+            F.lit(m).cast("long").alias("m"),
+            "harmonic_merged", "harmonic_global",
+            (F.col("harmonic_merged") == F.col("harmonic_global"))
+            .cast("int").alias("merge_exact"),
+            (F.lit(numer) / F.col("harmonic_merged").cast("double"))
+            .alias("hll_estimate"),
+        )
+    )
+
+
+QUERIES["a25_hll_merge"] = a25_hll_merge
+
+
+def _hll_merge_oracle() -> str:
+    from ..operators.sketches import (
+        HLL_M_LOG2, HLL_RHO_HEX, HLL_RHO_MAX, hll_alpha_numerator)
+
+    m = 1 << HLL_M_LOG2
+    top = HLL_RHO_MAX - 1
+    d1 = "(strpos('0123456789abcdef', substring(hh, 1, 1)) - 1)"
+    d2 = "(strpos('0123456789abcdef', substring(hh, 2, 1)) - 1)"
+    return f"""
+    WITH h AS (
+        SELECT lang, md5(text) AS hh FROM documents
+    ), b AS (
+        SELECT lang, (({d1}) * 16 + ({d2})) % {m} AS bucket,
+               ltrim(substring(hh, 3, {HLL_RHO_HEX}), '0') AS lt
+        FROM h
+    ), r AS (
+        SELECT lang, bucket,
+               CASE WHEN lt = '' THEN {HLL_RHO_MAX}
+                    ELSE 4 * ({HLL_RHO_HEX} - length(lt))
+                         + CASE WHEN substring(lt, 1, 1) = '1' THEN 3
+                                WHEN substring(lt, 1, 1) IN ('2', '3') THEN 2
+                                WHEN substring(lt, 1, 1) IN ('4', '5', '6', '7') THEN 1
+                                ELSE 0 END + 1 END AS rho
+        FROM b
+    ), per AS (
+        SELECT lang, bucket, max(rho) AS reg FROM r GROUP BY lang, bucket
+    ), merged AS (
+        SELECT bucket, max(reg) AS register FROM per GROUP BY bucket
+    ), gall AS (
+        SELECT bucket, max(rho) AS register FROM r GROUP BY bucket
+    ), hm AS (
+        SELECT CAST(sum(CAST(1 AS BIGINT) << ({top} - register))
+                    + ({m} - count(*)) * (CAST(1 AS BIGINT) << {top})
+                    AS BIGINT) AS harmonic_merged
+        FROM merged
+    ), hg AS (
+        SELECT CAST(sum(CAST(1 AS BIGINT) << ({top} - register))
+                    + ({m} - count(*)) * (CAST(1 AS BIGINT) << {top})
+                    AS BIGINT) AS harmonic_global
+        FROM gall
+    )
+    SELECT CAST({m} AS BIGINT) AS m, harmonic_merged, harmonic_global,
+           CAST(CASE WHEN harmonic_merged = harmonic_global
+                     THEN 1 ELSE 0 END AS INTEGER) AS merge_exact,
+           {hll_alpha_numerator()!r} / CAST(harmonic_merged AS DOUBLE)
+               AS hll_estimate
+    FROM hm, hg
+"""
+
+
+ORACLES["a25_hll_merge"] = _hll_merge_oracle()

@@ -60,6 +60,8 @@ ALLOWED: dict[str, dict[str, str]] = {
                             "candidate-pool probe)",
         "tx18_collocations": "1-row corpus-totals broadcast (Nu, Nb "
                              "for the lift denominator)",
+        "a25_hll_merge": "1-row harmonic-sum broadcast (merged vs "
+                         "global register folds)",
     },
     "ArrowEvalPython": {
         "j8_computed_key_join": "sha512/256 key: Arrow-batched codec in a "
@@ -133,6 +135,8 @@ ALLOWED: dict[str, dict[str, str]] = {
                                   "rows) + O(langs) rebase table",
         "dp17_pipeline_funnel": "six single-row stage-count aggregates",
         "tx18_collocations": "two single-row corpus-total aggregates",
+        "a25_hll_merge": "two m=256-row register tables fold to one "
+                         "row each",
     },
 }
 
