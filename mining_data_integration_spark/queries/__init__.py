@@ -60,7 +60,8 @@ _REVERIFY_FIRST = (
     "st4_stream_stateful_stats", "u4_scd2_history",
     "dp16_shard_writer_plan", "mm7_wav_decode", "w22_rolling_trend",
     "dp17_pipeline_funnel", "sim15_knn_graph", "st5_stream_band_join",
-    "tx18_collocations", "a25_hll_merge",
+    "tx18_collocations", "a25_hll_merge", "dp18_exact_k_sample",
+    "dd11_novelty_scores",
     "mm5_ppm_decode", "w7_ranking", "sim11_int_ivf_topk",
     "dp8_global_shuffle", "o6_tail_slice", "o7_offset_pagination",
     "o8_range_slice", "w14_scalable_cumsum", "dp11_curriculum_epochs",

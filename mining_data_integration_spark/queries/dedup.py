@@ -396,3 +396,68 @@ ORACLES["dd10_containment_pairs"] = f"""
     WHERE c.common * 100 >= s.sz * 70
     ORDER BY contained_id, container_id
 """
+
+
+def dd11_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: 1000 - max milli-Jaccard against any
+    other document (capped inverted-index candidates, dd2 machinery)
+    — the duplication-aware quality signal a curation pipeline mixes
+    into sampling weights; documents with no candidate pair score a
+    full 1000. The milli-Jaccard is HALF_UP exact-integer (w12
+    pattern), so the scores hash-check."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.0,
+                                  max_doc_freq=256)
+    milli = F.expr(
+        "(2000 * common + (sz1 + sz2 - common)) "
+        "DIV (2 * (sz1 + sz2 - common))")
+    sym = (
+        pairs.select(F.col("id1").alias("doc_id"), milli.alias("mj"))
+        .unionByName(
+            pairs.select(F.col("id2").alias("doc_id"), milli.alias("mj")))
+    )
+    per = sym.groupBy("doc_id").agg(F.max("mj").alias("max_mj"))
+    return (
+        docs.select("doc_id").join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("max_mj", F.lit(0)).cast("long")
+            .alias("max_milli_jaccard"),
+            (1000 - F.coalesce("max_mj", F.lit(0))).cast("long")
+            .alias("novelty_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["dd11_novelty_scores"] = dd11_novelty_scores
+
+ORACLES["dd11_novelty_scores"] = f"""
+    WITH sh0 AS ({_duck_shingles(3)}),
+    freq AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle),
+    sh AS (SELECT sh0.id, sh0.shingle FROM sh0
+           JOIN freq ON sh0.shingle = freq.shingle WHERE df <= 256),
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    common AS (
+        SELECT a.id AS id1, b.id AS id2, count(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ), milli AS (
+        SELECT id1, id2,
+               (2000 * common + (s1.sz + s2.sz - common))
+                   // (2 * (s1.sz + s2.sz - common)) AS mj
+        FROM common
+        JOIN sizes s1 ON common.id1 = s1.id
+        JOIN sizes s2 ON common.id2 = s2.id
+    ), sym AS (
+        SELECT id1 AS doc_id, mj FROM milli
+        UNION ALL SELECT id2, mj FROM milli
+    ), per AS (
+        SELECT doc_id, max(mj) AS max_mj FROM sym GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.max_mj, 0) AS BIGINT) AS max_milli_jaccard,
+           CAST(1000 - coalesce(p.max_mj, 0) AS BIGINT) AS novelty_milli
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id
+"""

@@ -934,3 +934,31 @@ ORACLES["dp17_pipeline_funnel"] = f"""
     UNION ALL SELECT '6_near_dedup', count(*) FROM s6
     ORDER BY stage
 """
+
+
+def dp18_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform exactly-k sample, engine-portable: the md5-order top-k
+    is the distributed replacement for reservoir sampling — every
+    executor keeps its local top-k (TakeOrdered, O(k) memory per
+    partition), the driver merges partition winners, and the result
+    is a uniform k-subset that is IDENTICAL across reruns, engines
+    and partitionings (a reservoir's output depends on row visit
+    order). Seed change = new independent sample."""
+    docs = t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("sample-0:"),
+                         F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "lang", key.alias("sample_key"))
+        .orderBy("sample_key", "doc_id")
+        .limit(100)
+    )
+
+
+QUERIES["dp18_exact_k_sample"] = dp18_exact_k_sample
+
+ORACLES["dp18_exact_k_sample"] = """
+    SELECT doc_id, lang,
+           md5('sample-0:' || CAST(doc_id AS VARCHAR)) AS sample_key
+    FROM documents
+    ORDER BY sample_key, doc_id LIMIT 100
+"""
