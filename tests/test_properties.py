@@ -197,3 +197,48 @@ class TestEditDistanceNNProperties:
                     continue
                 best = min((lev(n, m), j) for j, m in others)
                 assert got[i] == (best[1], best[0]), (i, key)
+
+
+class TestMediaCodecProperties:
+    """Property tests for the real from-scratch codecs: arbitrary
+    rasters/sample-vectors must round-trip bit-exactly, and truncation
+    must raise (never silently mis-decode)."""
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.integers(0, 255),
+                    min_size=6 * 4 * 3, max_size=6 * 4 * 3),
+           st.integers(0, 4))
+    def test_png_roundtrip(self, raster, seed):
+        from mining_data_integration_spark.operators import multimodal as M
+        raw = bytes(raster)
+        png = M.png_encode(raw, M.PNG_W, M.PNG_H, filter_seed=seed)
+        assert M.png_decode(png) == (M.PNG_W, M.PNG_H, raw)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.integers(0, 255),
+                    min_size=6 * 4 * 3, max_size=6 * 4 * 3),
+           st.integers(1, 50))
+    def test_png_truncation_raises(self, raster, cut):
+        import pytest as _pytest
+        from mining_data_integration_spark.operators import multimodal as M
+        png = M.png_encode(bytes(raster), M.PNG_W, M.PNG_H)
+        with _pytest.raises(ValueError):
+            M.png_decode(png[:-cut])
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.integers(-32768, 32767), min_size=0, max_size=200),
+           st.sampled_from([8000, 16000, 44100]))
+    def test_wav_roundtrip(self, samples, sr):
+        from mining_data_integration_spark.operators import multimodal as M
+        wav = M.wav_encode(samples, sr)
+        assert M.wav_decode(wav) == (sr, samples)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=50),
+           st.integers(1, 20))
+    def test_wav_truncation_raises(self, samples, cut):
+        import pytest as _pytest
+        from mining_data_integration_spark.operators import multimodal as M
+        wav = M.wav_encode(samples, 8000)
+        with _pytest.raises(ValueError):
+            M.wav_decode(wav[:-cut])
