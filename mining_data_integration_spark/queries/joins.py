@@ -767,3 +767,50 @@ ORACLES["j18_salted_skew_join"] = """
     FROM lineitem l JOIN dim d ON l.l_returnflag = d.flag
     GROUP BY 1 ORDER BY flag
 """
+
+
+def j19_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join semantics (<=>): planted NULL keys on both
+    sides (every 50th customer's nation, every 7th nation id) must
+    MATCH each other under eqNullSafe — the semantic corner where a
+    plain equi-join silently drops rows (NULL = NULL is NULL). The
+    report counts matches per join flavor; at scale <=> keys hash
+    NULL to one partition, so a null-heavy key needs the j18 salt."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 50 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey")).cast("long").alias("nk"))
+    n = t(spark, sf_dir, "nation").select(
+        F.when(F.col("n_nationkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("n_nationkey")).cast("long").alias("nk2"),
+        "n_name")
+    plain = c.join(n, c.nk == n.nk2).agg(
+        F.count("*").cast("long").alias("n"))
+    safe = c.join(n, c.nk.eqNullSafe(n.nk2)).agg(
+        F.count("*").cast("long").alias("n"))
+    return (
+        plain.select(F.lit("plain_equi").alias("flavor"), "n")
+        .unionByName(safe.select(F.lit("null_safe").alias("flavor"), "n"))
+        .orderBy("flavor")
+    )
+
+
+QUERIES["j19_null_safe_join"] = j19_null_safe_join
+
+ORACLES["j19_null_safe_join"] = """
+    WITH c AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 50 = 0 THEN NULL
+                    ELSE c_nationkey END AS nk
+        FROM customer
+    ), n AS (
+        SELECT CASE WHEN n_nationkey % 7 = 0 THEN NULL
+                    ELSE n_nationkey END AS nk2, n_name
+        FROM nation
+    )
+    SELECT 'null_safe' AS flavor, CAST(count(*) AS BIGINT) AS n
+    FROM c JOIN n ON c.nk IS NOT DISTINCT FROM n.nk2
+    UNION ALL
+    SELECT 'plain_equi', count(*) FROM c JOIN n ON c.nk = n.nk2
+    ORDER BY flavor
+"""

@@ -1357,3 +1357,91 @@ ORACLES["st5_stream_band_join"] = """
       AND r.ts <= l.ts + INTERVAL 30 MINUTE
     ORDER BY l_event_id, r_event_id
 """
+
+
+CUSUM_K = 500    # drift allowance, cents
+CUSUM_H = 2000   # alarm threshold, cents
+_CU_S = 1 << 20  # packed-state field widths: s | max_s | alarms
+_CU_M = 1 << 40
+
+
+def w23_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per user — the sequential recurrence
+    S_i = max(0, S_{i-1} + x_i - k), alarm when S_i > h — which no
+    window frame expresses (each row depends on the clamped previous
+    state). Runs as ONE aggregate() fold over the user's time-ordered
+    value array with the three state fields (running S, max S, alarm
+    count) PACKED into a single int64 (20|20|24 bits — all fields
+    provably inside their lanes at this series length), so the fold
+    is pure integer arithmetic both engines replay bit-exactly.
+    Bounded-series form (per-user arrays); the unbounded-stream form
+    of the same recurrence is the st4 applyInPandasWithState path."""
+    ev = t(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    per = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("ts"), F.col("event_id"), cents.alias("c")))).alias("_a"))
+    fold = F.expr(f"""
+        aggregate(
+            transform(_a, r -> r.c),
+            CAST(0 AS BIGINT),
+            (acc, x) ->
+                greatest(CAST(0 AS BIGINT),
+                         acc % {_CU_S} + x - {CUSUM_K})
+                + greatest((acc DIV {_CU_S}) % {_CU_S},
+                           greatest(CAST(0 AS BIGINT),
+                                    acc % {_CU_S} + x - {CUSUM_K}))
+                  * {_CU_S}
+                + (acc DIV {_CU_M}
+                   + CASE WHEN greatest(CAST(0 AS BIGINT),
+                              acc % {_CU_S} + x - {CUSUM_K}) > {CUSUM_H}
+                          THEN 1 ELSE 0 END) * {_CU_M})
+    """)
+    return per.select(
+        "user_id",
+        F.size("_a").cast("long").alias("n_events"),
+        (fold % _CU_S).cast("long").alias("final_s"),
+        ((fold / _CU_S).cast("bigint") % _CU_S).cast("long")
+        .alias("max_s"),
+        (fold / _CU_M).cast("bigint").cast("long").alias("n_alarms"),
+    ).orderBy("user_id")
+
+
+QUERIES["w23_cusum_alarms"] = w23_cusum_alarms
+
+ORACLES["w23_cusum_alarms"] = f"""
+    WITH per AS (
+        SELECT user_id,
+               list_transform(
+                   list_sort(list(
+                       {{'ts': CAST(ts AS TIMESTAMP),
+                        'event_id': event_id,
+                        'c': CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                  AS BIGINT)}})),
+                   r -> r['c']) AS a
+        FROM events GROUP BY user_id
+    ), folded AS (
+        SELECT user_id, len(a) AS n_events,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(a, x -> CAST(x AS BIGINT))),
+                   (acc, x) ->
+                       greatest(CAST(0 AS BIGINT),
+                                acc % {_CU_S} + x - {CUSUM_K})
+                       + greatest((acc // {_CU_S}) % {_CU_S},
+                                  greatest(CAST(0 AS BIGINT),
+                                           acc % {_CU_S} + x - {CUSUM_K}))
+                         * {_CU_S}
+                       + (acc // {_CU_M}
+                          + CASE WHEN greatest(CAST(0 AS BIGINT),
+                                     acc % {_CU_S} + x - {CUSUM_K})
+                                     > {CUSUM_H}
+                                 THEN 1 ELSE 0 END) * {_CU_M}
+               ) AS st
+        FROM per
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           CAST(st % {_CU_S} AS BIGINT) AS final_s,
+           CAST((st // {_CU_S}) % {_CU_S} AS BIGINT) AS max_s,
+           CAST(st // {_CU_M} AS BIGINT) AS n_alarms
+    FROM folded ORDER BY user_id
+"""

@@ -1108,3 +1108,30 @@ class TestWavCodec:
                     + bytes(b[5:])):
             with _pytest.raises(ValueError):
                 M.wav_decode(mut(w))
+
+
+def test_cusum_alarms_hand_walked(spark):
+    """CUSUM with k=500, h=2000 on a planted drift series."""
+    from mining_data_integration_spark.queries.windows import (
+        w23_cusum_alarms)
+    import os
+    import tempfile
+
+    # values in dollars; cents = *100. Series: steady 5.00 (s stays 0),
+    # then a +15.00 burst driving s past h.
+    rows = []
+    vals = [5.0, 5.0, 15.0, 15.0, 15.0, 5.0]
+    # s after each (cents, k=500): 0,0,1000,2000 (=h, no strict
+    # alarm), 3000->alarm, 3000 (x-k=0)->alarm
+    import datetime
+    for i, v in enumerate(vals):
+        rows.append((i, datetime.datetime(2024, 1, 1, 0, i), 1, "c", v,
+                     "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r.user_id: r for r in w23_cusum_alarms(spark, d).collect()}
+    r = out[1]
+    assert (r.n_events, r.final_s, r.max_s, r.n_alarms) == (6, 3000, 3000, 2)

@@ -137,6 +137,7 @@ ALLOWED: dict[str, dict[str, str]] = {
         "tx18_collocations": "two single-row corpus-total aggregates",
         "a25_hll_merge": "two m=256-row register tables fold to one "
                          "row each",
+        "j19_null_safe_join": "two single-row match-count aggregates",
     },
 }
 
