@@ -962,3 +962,75 @@ ORACLES["dp18_exact_k_sample"] = """
     FROM documents
     ORDER BY sample_key, doc_id LIMIT 100
 """
+
+
+def dp19_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff audit: given the previous corpus snapshot
+    (simulated: every 11th doc absent, every 13th doc's text revised)
+    and the current one, report per-source added / removed / changed /
+    unchanged counts by key + content digest — the release-note table
+    a dataset versioning workflow publishes (Delta/LakeFS diff
+    semantics on plain tables). One full-outer join on the doc key
+    with digest compare; per-source rollup is combinable."""
+    from ..operators.dedup import normalize_text
+
+    docs = t(spark, sf_dir, "documents")
+    cur = docs.select(
+        "doc_id", "source",
+        F.md5(normalize_text(F.col("text"))).alias("dig"))
+    prev = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", "source",
+        F.md5(normalize_text(
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.concat(F.col("text"), F.lit(" [rev1]")))
+            .otherwise(F.col("text")))).alias("dig_prev"))
+    j = cur.join(prev.select("doc_id", "dig_prev"), "doc_id", "full")
+    status = (
+        F.when(F.col("dig_prev").isNull(), "added")
+        .when(F.col("dig").isNull(), "removed")
+        .when(F.col("dig") != F.col("dig_prev"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.withColumn("status", status)
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("status") == "added", 1).otherwise(0))
+            .cast("long").alias("n_added"),
+            F.sum(F.when(F.col("status") == "changed", 1).otherwise(0))
+            .cast("long").alias("n_changed"),
+            F.sum(F.when(F.col("status") == "unchanged", 1).otherwise(0))
+            .cast("long").alias("n_unchanged"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["dp19_dataset_diff"] = dp19_dataset_diff
+
+ORACLES["dp19_dataset_diff"] = f"""
+    WITH cur AS (
+        SELECT doc_id, source, md5({_NORM}) AS dig FROM documents
+    ), prev AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(
+                   CASE WHEN doc_id % 13 = 0 THEN text || ' [rev1]'
+                        ELSE text END), '\\s+', ' ', 'g')))
+                   AS dig_prev
+        FROM documents WHERE doc_id % 11 <> 0
+    ), j AS (
+        SELECT c.source,
+               CASE WHEN p.dig_prev IS NULL THEN 'added'
+                    WHEN c.dig <> p.dig_prev THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM cur c LEFT JOIN prev p ON c.doc_id = p.doc_id
+    )
+    SELECT source,
+           CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_added,
+           CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_changed,
+           CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unchanged
+    FROM j GROUP BY source ORDER BY source
+"""
