@@ -806,3 +806,75 @@ def mmr_rerank(emb: DataFrame, queries: DataFrame, pool: int = 10,
         # time grows super-linearly (measured 72 s -> ~15 s at k=5)
         sel = sel.unionByName(pick).localCheckpoint(eager=True)
     return sel
+
+
+def int_pq_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                m: int = 4, kc: int = 4, iters: int = 2, dim: int = 64,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                q_id_col: str = "q_id",
+                q_vec_col: str = "q_emb") -> DataFrame:
+    """Integer product quantization with ADC — the hash-checked
+    sibling of pq_topk (sim9), built the way sim11 fixed sim4: the
+    per-subspace codebooks come from integer Lloyd's k-means
+    (int_ivf_centroids on the sliced sub-vectors: exact int64 L2,
+    lowest-id seeds/ties, truncating-div updates), codes are exact-int
+    argmins, and the ADC score is a pure INTEGER dot — each query
+    precomputes dot(query_sub, codeword) per subspace (the lookup
+    table), and a candidate's score is the sum of m table lookups by
+    its stored codes. No float exists anywhere in the operator, so
+    the whole approximate index is value-hash checkable.
+
+    Scale shape: codebook training runs on m small sliced columns
+    (k x m x iters bounded driver rows, the sim11 pattern); encoding
+    is map-side codegen; queries broadcast; the scan reads m one-byte
+    codes per vector instead of the full vector — the 16x memory cut
+    that is PQ's reason to exist."""
+    from .dedup import materialize
+
+    sub = dim // m
+    emb_q = materialize(emb.select(
+        F.col(id_col), int8_quantize(F.col(vec_col)).alias("_qv")))
+    codebooks = []
+    for s in range(m):
+        sub_df = emb_q.select(
+            F.col(id_col), F.slice("_qv", s * sub + 1, sub).alias("_sv"))
+        codebooks.append(
+            int_ivf_centroids(sub_df, kc, iters, id_col, "_sv"))
+    data = emb_q
+    for s, cb in enumerate(codebooks):
+        data = (
+            int_assign_centroid(
+                data.withColumn("_sv", F.slice("_qv", s * sub + 1, sub)),
+                cb, "_sv")
+            .withColumnRenamed("_cid", f"_c{s}").drop("_sv")
+        )
+    qs = queries.select(
+        F.col(q_id_col), int8_quantize(F.col(q_vec_col)).alias("_qq"))
+    pairs = data.drop("_qv").crossJoin(F.broadcast(qs))
+
+    def lut_lookup(s: int, cb: list[list[int]]):
+        qsub = F.slice("_qq", s * sub + 1, sub)
+        dots = [
+            F.aggregate(
+                F.zip_with(
+                    qsub,
+                    F.array(*[F.lit(int(v)).cast("bigint")
+                              for v in cb[j]]),
+                    lambda a, b: a * b),
+                F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+            for j in range(kc)
+        ]
+        return F.element_at(F.array(*dots),
+                            F.col(f"_c{s}").cast("int") + 1)
+
+    adc = lut_lookup(0, codebooks[0])
+    for s in range(1, m):
+        adc = adc + lut_lookup(s, codebooks[s])
+    scored = pairs.withColumn("adc_dot", adc.cast("bigint"))
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.desc("adc_dot"), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(q_id_col, id_col, "adc_dot", "rk")
+    )

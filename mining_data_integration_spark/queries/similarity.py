@@ -233,7 +233,7 @@ def _int_ivf_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
         f"sqrt(CAST(list_sum(list_transform(range(1, {dim + 1}), "
         f"i -> {v}[i]*{v}[i])) AS DOUBLE))")
     parts = [f"""
-    WITH base AS (
+    WITH base AS MATERIALIZED (
         SELECT vec_id, embedding,
                list_max(list_transform(embedding,
                    x -> abs(CAST(x AS DOUBLE)))) AS mx
@@ -703,3 +703,114 @@ ORACLES["sim15_knn_graph"] = f"""
     FROM ranked WHERE rk <= 3
     ORDER BY vec_id, nbr_rank
 """
+
+
+def sim16_int_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked integer product quantization with ADC
+    (operators/similarity.int_pq_topk): 4 subspaces x 16 dims, 4
+    integer-k-means codewords each, approximate dot = sum of 4
+    exact-int LUT lookups — the fully-deterministic sibling of the
+    float-PQ sim9 (rows-only), the same move sim11 made for sim4."""
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    out = S.int_pq_topk(emb, _queries_df(spark, sf_dir),
+                        k=5, m=4, kc=4, iters=2, dim=_DIM)
+    return out.orderBy("q_id", "rk")
+
+
+QUERIES["sim16_int_pq_topk"] = sim16_int_pq_topk
+
+
+def _int_pq_sql(dim: int = 64, m: int = 4, kc: int = 4, iters: int = 2,
+                topk: int = 5, n_q: int = 3) -> str:
+    """DuckDB replay of int_pq_topk: per-subspace integer Lloyd's
+    (the _int_ivf_sql recipe on sliced lists), exact-int encoding,
+    and pure-integer ADC scoring."""
+    sub = dim // m
+
+    def d2(v: str, c: str) -> str:
+        return (f"list_sum(list_transform(range(1, {sub + 1}), "
+                f"i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])))")
+
+    parts = [f"""
+    WITH base AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings
+    ), qv AS MATERIALIZED (
+        SELECT vec_id,
+               CASE WHEN mx > 0 THEN list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx)
+                                        + 0.5) AS BIGINT))
+                    ELSE list_transform(embedding,
+                        x -> CAST(0 AS BIGINT)) END AS q
+        FROM base
+    )"""]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(f""", sub{s} AS MATERIALIZED (
+        SELECT vec_id, q[{lo}:{hi}] AS sv FROM qv
+    ), c{s}_0 AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+               sv AS cent
+        FROM sub{s} ORDER BY vec_id LIMIT {kc}
+    )""")
+        for it in range(1, iters + 1):
+            prev = f"c{s}_{it - 1}"
+            parts.append(f""", a{s}_{it} AS MATERIALIZED (
+        SELECT vec_id, sv, cid FROM (
+            SELECT v.vec_id, v.sv, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {d2('v.sv', 'c.cent')}, c.cid) AS rn
+            FROM sub{s} v CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    ), m{s}_{it} AS MATERIALIZED (
+        SELECT cid, pos, CAST(sum(sv[pos]) // count(*) AS BIGINT) AS mval
+        FROM a{s}_{it}, (SELECT unnest(range(1, {sub + 1})) AS pos) p
+        GROUP BY cid, pos
+    ), c{s}_{it} AS MATERIALIZED (
+        SELECT s.cid,
+               CASE WHEN count(mm.pos) = 0 THEN s.cent
+                    ELSE list(mm.mval ORDER BY mm.pos) END AS cent
+        FROM {prev} s LEFT JOIN m{s}_{it} mm ON s.cid = mm.cid
+        GROUP BY s.cid, s.cent
+    )""")
+        parts.append(f""", enc{s} AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {d2('v.sv', 'c.cent')}, c.cid) AS rn
+            FROM sub{s} v CROSS JOIN c{s}_{iters} c
+        ) WHERE rn = 1
+    ), lq{s} AS MATERIALIZED (
+        SELECT q.vec_id AS q_id, c.cid,
+               CAST(list_sum(list_transform(range(1, {sub + 1}),
+                   i -> q.sv[i]*c.cent[i])) AS BIGINT) AS dot
+        FROM sub{s} q CROSS JOIN c{s}_{iters} c
+        WHERE q.vec_id < {n_q}
+    )""")
+    enc_joins = " ".join(
+        f"JOIN enc{s} e{s} ON e0.vec_id = e{s}.vec_id" if s else ""
+        for s in range(m))
+    lut_joins = " ".join(
+        f"JOIN lq{s} l{s} ON l{s}.q_id = qq.q_id "
+        f"AND l{s}.cid = e{s}.cid" for s in range(m))
+    adc = " + ".join(f"l{s}.dot" for s in range(m))
+    parts.append(f""", qq AS (
+        SELECT vec_id AS q_id FROM qv WHERE vec_id < {n_q}
+    ), scored AS (
+        SELECT qq.q_id, e0.vec_id, CAST({adc} AS BIGINT) AS adc_dot
+        FROM enc0 e0 {enc_joins} CROSS JOIN qq {lut_joins}
+    ), ranked AS (
+        SELECT q_id, vec_id, adc_dot,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY adc_dot DESC, vec_id) AS rk
+        FROM scored
+    )
+    SELECT q_id, vec_id, adc_dot, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {topk}
+    ORDER BY q_id, rk""")
+    return "".join(parts)
+
+
+ORACLES["sim16_int_pq_topk"] = _int_pq_sql(_DIM, 4, 4, 2, 5, 3)

@@ -62,6 +62,8 @@ ALLOWED: dict[str, dict[str, str]] = {
                              "for the lift denominator)",
         "a25_hll_merge": "1-row harmonic-sum broadcast (merged vs "
                          "global register folds)",
+        "sim16_int_pq_topk": "3-row query-vector set broadcast (the "
+                             "ADC probe)",
     },
     "ArrowEvalPython": {
         "j8_computed_key_join": "sha512/256 key: Arrow-batched codec in a "
