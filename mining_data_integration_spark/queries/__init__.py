@@ -62,7 +62,7 @@ _REVERIFY_FIRST = (
     "dp17_pipeline_funnel", "sim15_knn_graph", "st5_stream_band_join",
     "tx18_collocations", "a25_hll_merge", "dp18_exact_k_sample",
     "dd11_novelty_scores", "j19_null_safe_join", "w23_cusum_alarms",
-    "dp19_dataset_diff", "sim16_int_pq_topk",
+    "dp19_dataset_diff", "sim16_int_pq_topk", "x16_try_cast_quarantine",
     "mm5_ppm_decode", "w7_ranking", "sim11_int_ivf_topk",
     "dp8_global_shuffle", "o6_tail_slice", "o7_offset_pagination",
     "o8_range_slice", "w14_scalable_cumsum", "dp11_curriculum_epochs",

@@ -293,3 +293,63 @@ ORACLES = {
         FROM keyed
     """,
 }
+
+
+def x16_try_cast_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-input ingestion semantics: numeric strings with planted
+    corruption (every 7th value suffixed, every 11th emptied) go
+    through try_cast — bad values become NULL and are COUNTED into a
+    quarantine tally instead of failing the job (ANSI mode would
+    throw; a silent cast would fabricate NULLs without audit). Spark
+    try_cast and DuckDB TRY_CAST share semantics, so the per-band
+    good/quarantined split hash-checks. Pure map-side projection +
+    one combinable aggregate."""
+    ev = t(spark, sf_dir, "events")
+    raw = (
+        F.when(F.col("event_id") % 11 == 0, F.lit(""))
+        .when(F.col("event_id") % 7 == 0,
+              F.concat(F.col("value").cast("string"), F.lit("x")))
+        .otherwise(F.col("value").cast("string"))
+    )
+    parsed = ev.select(
+        "event_type",
+        raw.alias("raw"),
+    ).select(
+        "event_type",
+        F.expr("try_cast(raw AS DOUBLE)").alias("v"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_quarantined"),
+            F.sum(F.coalesce(F.col("v"), F.lit(0.0))
+                  .cast("decimal(18,6)")).cast("double")
+            .alias("good_total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["x16_try_cast_quarantine"] = x16_try_cast_quarantine
+
+ORACLES["x16_try_cast_quarantine"] = """
+    WITH raw AS (
+        SELECT event_type,
+               CASE WHEN event_id % 11 = 0 THEN ''
+                    WHEN event_id % 7 = 0
+                        THEN CAST(value AS VARCHAR) || 'x'
+                    ELSE CAST(value AS VARCHAR) END AS r
+        FROM events
+    ), parsed AS (
+        SELECT event_type, TRY_CAST(r AS DOUBLE) AS v FROM raw
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quarantined,
+           CAST(sum(CAST(coalesce(v, 0.0) AS DECIMAL(18,6)))
+                AS DOUBLE) AS good_total
+    FROM parsed GROUP BY event_type ORDER BY event_type
+"""
