@@ -587,92 +587,6 @@ ORACLES["dp14_length_buckets"] = f"""
 
 
 # --- dp5 driver-red localization diagnostics (round 4, VERDICT.md #1) ---
-# dp5 has hash-mismatched in the driver (r2+r3) while passing locally.
-# The round-4 oracle fix CASTs dp5's HUGEINT-derived outputs to BIGINT
-# (the only un-cast window-sum//% columns in the inventory). These three
-# sub-queries decompose dp5 so that, if the cast alone doesn't cure it,
-# the r4 driver sample isolates which stage diverges:
-#   dp5a — tokenization only (doc_id, n_tokens)
-#   dp5b — + the two-phase range-sharded cumsum (cum_tokens)
-#   dp5c — the pack columns alone (pack_id, pack_offset)
-# Delete all three once dp5_sequence_pack is driver-green.
-
-def dp5a_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dp5 stage 1: whitespace token counts per doc (operators.text
-    tokens ↔ oracle regexp list), no window math."""
-    from ..operators.text import tokens
-
-    docs = t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
-    ).orderBy("doc_id")
-
-
-def dp5b_token_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dp5 stage 2: the global running token total via the two-phase
-    range-sharded cumsum (operators/scalable.global_cumsum) — the raw
-    cumulative value before any div/mod packing."""
-    from ..operators.scalable import global_cumsum
-    from ..operators.text import tokens
-
-    docs = t(spark, sf_dir, "documents")
-    with_nt = docs.withColumn(
-        "_nt", F.size(tokens(F.col("text"))).cast("long"))
-    cum = global_cumsum(with_nt, [F.col("doc_id")], F.col("_nt"),
-                        out_col="_cum")
-    return cum.select(
-        "doc_id",
-        F.col("_nt").alias("n_tokens"),
-        F.col("_cum").alias("cum_tokens"),
-    ).orderBy("doc_id")
-
-
-def dp5c_pack_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dp5 stage 3: only the div/mod pack assignment columns."""
-    return dp5_sequence_pack(spark, sf_dir) \
-        .select("doc_id", "pack_id", "pack_offset")
-
-
-QUERIES["dp5a_token_counts"] = dp5a_token_counts
-QUERIES["dp5b_token_cumsum"] = dp5b_token_cumsum
-QUERIES["dp5c_pack_columns"] = dp5c_pack_columns
-
-ORACLES["dp5a_token_counts"] = f"""
-    SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens
-    FROM documents ORDER BY doc_id
-"""
-
-ORACLES["dp5b_token_cumsum"] = f"""
-    WITH tok AS (
-        SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens
-        FROM documents
-    )
-    SELECT doc_id, n_tokens,
-           CAST(sum(n_tokens) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cum_tokens
-    FROM tok ORDER BY doc_id
-"""
-
-ORACLES["dp5c_pack_columns"] = f"""
-    WITH tok AS (
-        SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens
-        FROM documents
-    ), cum AS (
-        SELECT doc_id,
-               CAST(sum(n_tokens) OVER (ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   - n_tokens AS BIGINT) AS start
-        FROM tok
-    )
-    SELECT doc_id,
-           CAST(start // {PACK_BUDGET} AS BIGINT) AS pack_id,
-           CAST(start % {PACK_BUDGET} AS BIGINT) AS pack_offset
-    FROM cum ORDER BY doc_id
-"""
-
-
 MIX_NUM, MIX_DEN = 2, 5  # global budget = 40% of corpus tokens
 
 
@@ -966,25 +880,29 @@ ORACLES["dp18_exact_k_sample"] = """
 
 def dp19_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-version diff audit: given the previous corpus snapshot
-    (simulated: every 11th doc absent, every 13th doc's text revised)
-    and the current one, report per-source added / removed / changed /
-    unchanged counts by key + content digest — the release-note table
-    a dataset versioning workflow publishes (Delta/LakeFS diff
-    semantics on plain tables). One full-outer join on the doc key
-    with digest compare; per-source rollup is combinable."""
+    (simulated: every 11th doc not yet present, every 13th doc's text
+    since revised) and the current one (every 17th doc since deleted),
+    report per-source added / removed / changed / unchanged counts by
+    key + content digest — the release-note table a dataset versioning
+    workflow publishes (Delta/LakeFS diff semantics on plain tables).
+    A true FULL OUTER join on the doc key: removed rows exist only on
+    the prev side, so source comes from coalesce(cur, prev) and every
+    one of the four statuses is exercised and counted (ADVICE r4: the
+    old LEFT-shaped version defined 'removed' but could never count
+    it). Per-source rollup is combinable (map-side partial agg)."""
     from ..operators.dedup import normalize_text
 
     docs = t(spark, sf_dir, "documents")
-    cur = docs.select(
-        "doc_id", "source",
+    cur = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id", F.col("source").alias("src_cur"),
         F.md5(normalize_text(F.col("text"))).alias("dig"))
     prev = docs.filter(F.col("doc_id") % 11 != 0).select(
-        "doc_id", "source",
+        "doc_id", F.col("source").alias("src_prev"),
         F.md5(normalize_text(
             F.when(F.col("doc_id") % 13 == 0,
                    F.concat(F.col("text"), F.lit(" [rev1]")))
             .otherwise(F.col("text")))).alias("dig_prev"))
-    j = cur.join(prev.select("doc_id", "dig_prev"), "doc_id", "full")
+    j = cur.join(prev, "doc_id", "full")
     status = (
         F.when(F.col("dig_prev").isNull(), "added")
         .when(F.col("dig").isNull(), "removed")
@@ -992,11 +910,15 @@ def dp19_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
     )
     return (
-        j.withColumn("status", status)
+        j.select(
+            F.coalesce("src_cur", "src_prev").alias("source"),
+            status.alias("status"))
         .groupBy("source")
         .agg(
             F.sum(F.when(F.col("status") == "added", 1).otherwise(0))
             .cast("long").alias("n_added"),
+            F.sum(F.when(F.col("status") == "removed", 1).otherwise(0))
+            .cast("long").alias("n_removed"),
             F.sum(F.when(F.col("status") == "changed", 1).otherwise(0))
             .cast("long").alias("n_changed"),
             F.sum(F.when(F.col("status") == "unchanged", 1).otherwise(0))
@@ -1010,24 +932,28 @@ QUERIES["dp19_dataset_diff"] = dp19_dataset_diff
 
 ORACLES["dp19_dataset_diff"] = f"""
     WITH cur AS (
-        SELECT doc_id, source, md5({_NORM}) AS dig FROM documents
+        SELECT doc_id, source AS src_cur, md5({_NORM}) AS dig
+        FROM documents WHERE doc_id % 17 <> 0
     ), prev AS (
-        SELECT doc_id,
+        SELECT doc_id, source AS src_prev,
                md5(trim(regexp_replace(lower(
                    CASE WHEN doc_id % 13 = 0 THEN text || ' [rev1]'
                         ELSE text END), '\\s+', ' ', 'g')))
                    AS dig_prev
         FROM documents WHERE doc_id % 11 <> 0
     ), j AS (
-        SELECT c.source,
+        SELECT coalesce(c.src_cur, p.src_prev) AS source,
                CASE WHEN p.dig_prev IS NULL THEN 'added'
+                    WHEN c.dig IS NULL THEN 'removed'
                     WHEN c.dig <> p.dig_prev THEN 'changed'
                     ELSE 'unchanged' END AS status
-        FROM cur c LEFT JOIN prev p ON c.doc_id = p.doc_id
+        FROM cur c FULL JOIN prev p ON c.doc_id = p.doc_id
     )
     SELECT source,
            CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_added,
+           CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
            CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_changed,
            CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)

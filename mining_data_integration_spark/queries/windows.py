@@ -1000,8 +1000,18 @@ def _stream_dir(sf_dir: str, table: str) -> str:
     d = os.path.join(tempfile.gettempdir(), f"sg_stream_{safe}_{table}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, f"{table}.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+    target = os.path.join(sf_dir, f"{table}.parquet")
+    # lexists (not exists): a link whose target was deleted/recreated
+    # still occupies the name; and creation can race a concurrent test
+    # process, so treat FileExistsError as "re-point if stale".
+    if os.path.lexists(link) and os.path.realpath(link) != \
+            os.path.realpath(target):
+        os.unlink(link)
+    if not os.path.lexists(link):
+        try:
+            os.symlink(target, link)
+        except FileExistsError:
+            pass  # a concurrent process won the race with the same target
     return d
 
 
@@ -1371,39 +1381,57 @@ def w23_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     window frame expresses (each row depends on the clamped previous
     state). Runs as ONE aggregate() fold over the user's time-ordered
     value array with the three state fields (running S, max S, alarm
-    count) PACKED into a single int64 (20|20|24 bits — all fields
-    provably inside their lanes at this series length), so the fold
-    is pure integer arithmetic both engines replay bit-exactly.
-    Bounded-series form (per-user arrays); the unbounded-stream form
-    of the same recurrence is the st4 applyInPandasWithState path."""
+    count) PACKED into a single int64 (20|20|24 bits). The lanes are
+    GUARDED, not assumed: each step SATURATES the running S at the
+    lane max (least(., 2^20-1)), so a drift larger than the lane can
+    never bleed into the max_s field, and a separate exact fold
+    (sum of positive excesses — a provable upper bound on every
+    prefix S_i) emits `lane_safe`; when it is false the s/max_s
+    values are saturated lower bounds, flagged instead of silently
+    wrong. Unpacking uses integer DIV (never float `/`, which is
+    only exact below 2^53). Bounded-series form (per-user arrays);
+    the unbounded-stream form of the same recurrence is the st4
+    applyInPandasWithState path."""
     ev = t(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
     per = ev.groupBy("user_id").agg(
         F.sort_array(F.collect_list(F.struct(
             F.col("ts"), F.col("event_id"), cents.alias("c")))).alias("_a"))
+    # saturating next-S: clamped below at 0 (CUSUM reset) and above at
+    # the lane max (overflow guard). CUSUM_H << lane max, so alarm
+    # detection still fires on saturated values.
+    step = (f"least(greatest(CAST(0 AS BIGINT), "
+            f"acc % {_CU_S} + x - {CUSUM_K}), "
+            f"CAST({_CU_S - 1} AS BIGINT))")
     fold = F.expr(f"""
         aggregate(
             transform(_a, r -> r.c),
             CAST(0 AS BIGINT),
             (acc, x) ->
-                greatest(CAST(0 AS BIGINT),
-                         acc % {_CU_S} + x - {CUSUM_K})
-                + greatest((acc DIV {_CU_S}) % {_CU_S},
-                           greatest(CAST(0 AS BIGINT),
-                                    acc % {_CU_S} + x - {CUSUM_K}))
-                  * {_CU_S}
+                {step}
+                + greatest((acc DIV {_CU_S}) % {_CU_S}, {step}) * {_CU_S}
                 + (acc DIV {_CU_M}
-                   + CASE WHEN greatest(CAST(0 AS BIGINT),
-                              acc % {_CU_S} + x - {CUSUM_K}) > {CUSUM_H}
+                   + CASE WHEN {step} > {CUSUM_H}
                           THEN 1 ELSE 0 END) * {_CU_M})
+    """)
+    # exact lane-safety proof: S_i <= sum_j max(0, x_j - k) for all i,
+    # so this single un-packed bigint fold bounds every packed state.
+    worst = F.expr(f"""
+        aggregate(transform(_a, r -> r.c), CAST(0 AS BIGINT),
+                  (acc, x) -> acc + greatest(CAST(0 AS BIGINT),
+                                             x - {CUSUM_K}))
     """)
     return per.select(
         "user_id",
         F.size("_a").cast("long").alias("n_events"),
-        (fold % _CU_S).cast("long").alias("final_s"),
-        ((fold / _CU_S).cast("bigint") % _CU_S).cast("long")
-        .alias("max_s"),
-        (fold / _CU_M).cast("bigint").cast("long").alias("n_alarms"),
+        fold.alias("_st"),
+        (worst < F.lit(_CU_S)).alias("lane_safe"),
+    ).select(
+        "user_id", "n_events",
+        F.expr(f"_st % {_CU_S}").cast("long").alias("final_s"),
+        F.expr(f"(_st DIV {_CU_S}) % {_CU_S}").cast("long").alias("max_s"),
+        F.expr(f"_st DIV {_CU_M}").cast("long").alias("n_alarms"),
+        "lane_safe",
     ).orderBy("user_id")
 
 
@@ -1425,23 +1453,32 @@ ORACLES["w23_cusum_alarms"] = f"""
                list_reduce(list_prepend(CAST(0 AS BIGINT),
                    list_transform(a, x -> CAST(x AS BIGINT))),
                    (acc, x) ->
-                       greatest(CAST(0 AS BIGINT),
-                                acc % {_CU_S} + x - {CUSUM_K})
+                       least(greatest(CAST(0 AS BIGINT),
+                                      acc % {_CU_S} + x - {CUSUM_K}),
+                             CAST({_CU_S - 1} AS BIGINT))
                        + greatest((acc // {_CU_S}) % {_CU_S},
-                                  greatest(CAST(0 AS BIGINT),
-                                           acc % {_CU_S} + x - {CUSUM_K}))
+                                  least(greatest(CAST(0 AS BIGINT),
+                                            acc % {_CU_S} + x - {CUSUM_K}),
+                                        CAST({_CU_S - 1} AS BIGINT)))
                          * {_CU_S}
                        + (acc // {_CU_M}
-                          + CASE WHEN greatest(CAST(0 AS BIGINT),
-                                     acc % {_CU_S} + x - {CUSUM_K})
+                          + CASE WHEN least(greatest(CAST(0 AS BIGINT),
+                                         acc % {_CU_S} + x - {CUSUM_K}),
+                                         CAST({_CU_S - 1} AS BIGINT))
                                      > {CUSUM_H}
                                  THEN 1 ELSE 0 END) * {_CU_M}
-               ) AS st
+               ) AS st,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(a, x -> CAST(x AS BIGINT))),
+                   (acc, x) -> acc + greatest(CAST(0 AS BIGINT),
+                                              x - {CUSUM_K})
+               ) AS worst
         FROM per
     )
     SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
            CAST(st % {_CU_S} AS BIGINT) AS final_s,
            CAST((st // {_CU_S}) % {_CU_S} AS BIGINT) AS max_s,
-           CAST(st // {_CU_M} AS BIGINT) AS n_alarms
+           CAST(st // {_CU_M} AS BIGINT) AS n_alarms,
+           worst < {_CU_S} AS lane_safe
     FROM folded ORDER BY user_id
 """

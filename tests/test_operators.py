@@ -1135,3 +1135,41 @@ def test_cusum_alarms_hand_walked(spark):
     out = {r.user_id: r for r in w23_cusum_alarms(spark, d).collect()}
     r = out[1]
     assert (r.n_events, r.final_s, r.max_s, r.n_alarms) == (6, 3000, 3000, 2)
+    assert r.lane_safe is True
+
+
+def test_cusum_lane_overflow_saturates_and_flags(spark):
+    """ADVICE r4 (medium): drift past the 2^20-cent lane must not bleed
+    into the max_s lane. The fold now SATURATES s at 2^20-1 and the
+    exact positive-excess bound flags the user as lane_safe=false."""
+    from mining_data_integration_spark.queries.windows import (
+        _CU_S, w23_cusum_alarms)
+    import datetime
+    import os
+    import tempfile
+
+    rows = []
+    # user 1: two events of $20,000 = 2,000,000 cents each; after k=500
+    # each contributes 1,999,500 — the true S (3,999,000) is ~4x the
+    # 1,048,576-cent lane. Pre-fix this silently corrupted max_s.
+    for i in range(2):
+        rows.append((i, datetime.datetime(2024, 1, 1, 0, i), 1, "c",
+                     20000.0, "{}"))
+    # user 2: well inside the lane — must stay exact and lane_safe.
+    rows.append((10, datetime.datetime(2024, 1, 1, 1, 0), 2, "c",
+                 8.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r.user_id: r for r in w23_cusum_alarms(spark, d).collect()}
+    r1 = out[1]
+    # saturated at the lane max, never corrupting the neighbor lane
+    assert r1.final_s == _CU_S - 1
+    assert r1.max_s == _CU_S - 1
+    assert r1.n_alarms == 2          # both steps exceed h=2000
+    assert r1.lane_safe is False     # flagged, not silently wrong
+    r2 = out[2]
+    assert (r2.final_s, r2.max_s, r2.n_alarms) == (300, 300, 0)
+    assert r2.lane_safe is True

@@ -105,8 +105,6 @@ ALLOWED: dict[str, dict[str, str]] = {
         "o7_offset_pagination": "per-shard offset table (O(shards) rows)",
         "o8_range_slice": "per-shard offset table (O(shards) rows)",
         "dp5_sequence_pack": "per-shard token-cumsum offsets (O(shards))",
-        "dp5b_token_cumsum": "per-shard token-cumsum offsets (O(shards))",
-        "dp5c_pack_columns": "per-shard token-cumsum offsets (O(shards))",
         "dp8_global_shuffle": "per-shard offset table (O(shards) rows)",
         "dp11_curriculum_epochs": "per-shard offset table (O(shards) rows)",
         "w7_ranking": "per-shard offset table (O(shards) rows; the "
