@@ -660,3 +660,43 @@ def decode_wav_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "peak": pd.Series(out["peak"], dtype="Int32"),
             "ok": pd.Series(out["ok"], dtype="bool"),
         })
+
+
+DHASH_SCHEMA = "media_id bigint, dhash bigint, ok boolean"
+
+
+def decode_ppm_dhash(batches: "Iterator[pd.DataFrame]") \
+        -> "Iterator[pd.DataFrame]":
+    """mapInPandas kernel: real PPM decode -> perceptual difference
+    hash (dHash). Grayscale each pixel with the exact integer mean
+    (r+g+b)//3, then one bit per horizontally adjacent pair —
+    1 iff left > right — packed row-major, MSB first. On the 4x2
+    raster that is (W-1)*H = 6 bits; a production raster resizes to
+    9x8 for the canonical 64-bit dHash, but the pipeline shape
+    (decode -> integer gray -> neighbor compare -> pack) is identical
+    and every step here is oracle-recomputable from the pixel
+    generator formula. Malformed payloads -> ok=false, null hash."""
+    for pdf in batches:
+        ids, hashes, oks = [], [], []
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            ids.append(mid)
+            try:
+                w, h, pix = decode_ppm(bytes(payload))
+                gray = [(pix[3 * p] + pix[3 * p + 1] + pix[3 * p + 2]) // 3
+                        for p in range(w * h)]
+                bits = 0
+                for y in range(h):
+                    for x in range(w - 1):
+                        bits = (bits << 1) | (
+                            1 if gray[y * w + x] > gray[y * w + x + 1]
+                            else 0)
+                hashes.append(bits)
+                oks.append(True)
+            except ValueError:
+                hashes.append(None)
+                oks.append(False)
+        yield pd.DataFrame({
+            "media_id": pd.Series(ids, dtype="int64"),
+            "dhash": pd.Series(hashes, dtype="Int64"),
+            "ok": pd.Series(oks, dtype="bool"),
+        })

@@ -30,21 +30,25 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import aggregates, joins, scans, scalars, windows
-from . import dedup, multimodal, pipeline_q, similarity, text
+from . import dedup, graph, multimodal, pipeline_q, similarity, text
 
 # stable, neutral ordering: alphabetical by module name
-_MODULES = (aggregates, dedup, joins, multimodal, pipeline_q, scalars,
-            scans, similarity, text, windows)
+_MODULES = (aggregates, dedup, graph, joins, multimodal, pipeline_q,
+            scalars, scans, similarity, text, windows)
 
 # Queries that must be (re-)verified before anything else (trimmed each
 # round to: output changed since last verdict, or never driver-checked).
 # After r4 the r1–r4 CORRECTNESS union covers ALL registered queries, so
-# this list holds only round-5 output changes (ADVICE r4 fixes) and any
+# this list holds only round-5 output changes (ADVICE r4 fixes) and
 # round-5 additions:
 #  * w23 — saturating lanes + new lane_safe column + integer-DIV unpack;
-#  * dp19 — true FULL OUTER diff with an exercised n_removed column.
+#  * dp19 — true FULL OUTER diff with an exercised n_removed column;
+#  * the rest are new in round 5 (never driver-checked).
 _REVERIFY_FIRST = (
     "w23_cusum_alarms", "dp19_dataset_diff",
+    "w25_interval_coverage", "dp20_pack_fill_report",
+    "x18_json_shred_stats", "g1_pagerank", "mm8_dhash_clusters",
+    "st6_stream_sessionize",
 )
 
 

@@ -306,3 +306,64 @@ def _wav_oracle() -> str:
 
 
 ORACLES["mm7_wav_decode"] = _wav_oracle()
+
+
+def mm8_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate clustering by perceptual hash — the
+    multimodal analogue of dd1's exact text dedup: every doc becomes a
+    real binary PPM, the Arrow kernel DECODES it and computes the
+    dHash (integer grayscale, neighbor-compare bits), and images
+    collapse into clusters by hash equality. Output is the cluster
+    report (hash, size, min-id exemplar) a corpus pipeline uses to
+    keep one image per perceptual bucket. Scale: hashing is map-side
+    mapInPandas; clustering is ONE combinable groupBy on the 64-value
+    hash space (a 9x8 production raster widens that to 2^64 — same
+    plan). The oracle recomputes every gray level and comparison bit
+    from the pixel generator formula, so a decode or bit-pack error
+    anywhere hash-mismatches."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    media = M.make_ppm_media(docs.select("doc_id"), id_col="doc_id")
+    hashed = media.mapInPandas(M.decode_ppm_dhash, M.DHASH_SCHEMA)
+    return (
+        hashed.filter(F.col("ok"))
+        .groupBy("dhash")
+        .agg(F.count("*").cast("long").alias("n_images"),
+             F.min("media_id").cast("long").alias("exemplar"))
+        .orderBy("dhash")
+    )
+
+
+QUERIES["mm8_dhash_clusters"] = mm8_dhash_clusters
+
+
+def _ppm_gray(p: int) -> str:
+    """Exact integer grayscale of pixel p from the generator formula:
+    byte j of the raster is (doc_id*(j+1)) % 256, channel c of pixel p
+    is byte 3p+c."""
+    chans = " + ".join(f"(doc_id * {3 * p + c + 1}) % 256"
+                       for c in range(3))
+    return f"(({chans}) // 3)"
+
+
+def _dhash_expr() -> str:
+    bits = []
+    k = (M.PPM_W - 1) * M.PPM_H
+    for y in range(M.PPM_H):
+        for x in range(M.PPM_W - 1):
+            k -= 1
+            pa, pb = y * M.PPM_W + x, y * M.PPM_W + x + 1
+            bits.append(
+                f"(CASE WHEN {_ppm_gray(pa)} > {_ppm_gray(pb)} "
+                f"THEN {1 << k} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+ORACLES["mm8_dhash_clusters"] = f"""
+    WITH h AS (
+        SELECT doc_id, CAST({_dhash_expr()} AS BIGINT) AS dhash
+        FROM documents
+    )
+    SELECT dhash, CAST(count(*) AS BIGINT) AS n_images,
+           CAST(min(doc_id) AS BIGINT) AS exemplar
+    FROM h GROUP BY dhash ORDER BY dhash
+"""

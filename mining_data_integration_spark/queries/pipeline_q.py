@@ -960,3 +960,58 @@ ORACLES["dp19_dataset_diff"] = f"""
                 AS BIGINT) AS n_unchanged
     FROM j GROUP BY source ORDER BY source
 """
+
+
+def dp20_pack_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing efficiency audit over dp5's assignment: per
+    512-token pack, how many documents start in it, how many tokens
+    they carry, and how far the last document spills past the pack
+    boundary (offset-based packing lets a document straddle packs; the
+    spill is exactly what a downstream loader truncates or carries
+    over). The report a training-data team reads before burning GPU
+    hours on a badly packed corpus. Derived entirely from dp5's
+    columns, so it inherits the two-phase scalable cumsum — the rollup
+    itself is one combinable groupBy(pack_id)."""
+    packed = dp5_sequence_pack(spark, sf_dir)
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.max(F.col("pack_offset") + F.col("n_tokens"))
+                - F.lit(PACK_BUDGET),
+            ).cast("long").alias("spill_tokens"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+QUERIES["dp20_pack_fill_report"] = dp20_pack_fill_report
+
+ORACLES["dp20_pack_fill_report"] = f"""
+    WITH tok AS (
+        SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS BIGINT) AS start
+        FROM tok
+    ), packed AS (
+        SELECT doc_id, n_tokens,
+               CAST(start // {PACK_BUDGET} AS BIGINT) AS pack_id,
+               CAST(start % {PACK_BUDGET} AS BIGINT) AS pack_offset
+        FROM cum
+    )
+    SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(greatest(CAST(0 AS BIGINT),
+                max(pack_offset + n_tokens) - {PACK_BUDGET})
+                AS BIGINT) AS spill_tokens
+    FROM packed GROUP BY pack_id ORDER BY pack_id
+"""

@@ -353,3 +353,77 @@ ORACLES["x16_try_cast_quarantine"] = """
                 AS DOUBLE) AS good_total
     FROM parsed GROUP BY event_type ORDER BY event_type
 """
+
+
+def x18_json_shred_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shredding audit: parse the events.props JSON
+    into a key->value map, explode to (key, value) pairs, and roll up
+    per-key row counts + integer value stats — the schema-inference
+    report run before promoting a JSON blob column to typed columns.
+    Malformed payloads (simulated: every 11th event's JSON truncated
+    mid-object) are NOT dropped: from_json's PERMISSIVE null flags
+    them and they surface as a '_malformed' audit row, mirroring the
+    x16 quarantine discipline. Map-side only — parse, explode and
+    partial-agg all happen before the single combinable shuffle."""
+    ev = t(spark, sf_dir, "events")
+    raw = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 11 == 0, F.lit('{"k": '))
+        .otherwise(F.col("props")).alias("r"),
+    )
+    parsed = raw.select(
+        "event_id", F.from_json("r", "map<string,string>").alias("m"))
+    kv = (
+        parsed.filter(F.col("m").isNotNull())
+        .select(F.explode("m").alias("key", "val"))
+        .withColumn("v", F.col("val").try_cast("long"))
+    )
+    stats = kv.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("v").cast("long").alias("sum_val"),
+        F.min("v").cast("long").alias("min_val"),
+        F.max("v").cast("long").alias("max_val"),
+    )
+    bad = parsed.filter(F.col("m").isNull()).agg(
+        F.count("*").cast("long").alias("n_rows")).select(
+        F.lit("_malformed").alias("key"), "n_rows",
+        F.lit(None).cast("long").alias("sum_val"),
+        F.lit(None).cast("long").alias("min_val"),
+        F.lit(None).cast("long").alias("max_val"),
+    )
+    return stats.unionByName(bad).orderBy("key")
+
+
+QUERIES["x18_json_shred_stats"] = x18_json_shred_stats
+
+ORACLES["x18_json_shred_stats"] = """
+    WITH raw AS (
+        SELECT event_id,
+               CASE WHEN event_id % 11 = 0 THEN '{"k": '
+                    ELSE props END AS r
+        FROM events
+    ), kv AS (
+        -- this DuckDB build ships json_keys but not the json_each
+        -- table function; unnest(json_keys()) is the portable spelling
+        -- guard INSIDE the expression: json_keys raises on malformed
+        -- input even under a WHERE json_valid() (the lateral unnest
+        -- evaluates first), so invalid rows degrade to '{}' = no keys
+        SELECT k AS key,
+               TRY_CAST(json_extract_string(raw.r, '$.' || k) AS BIGINT)
+                   AS v
+        FROM raw, unnest(json_keys(
+            CASE WHEN json_valid(raw.r) THEN raw.r ELSE '{}' END)) AS u(k)
+    ), stats AS (
+        SELECT key, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(v) AS BIGINT) AS sum_val,
+               CAST(min(v) AS BIGINT) AS min_val,
+               CAST(max(v) AS BIGINT) AS max_val
+        FROM kv GROUP BY key
+        UNION ALL
+        SELECT '_malformed', CAST(count(*) AS BIGINT),
+               NULL, NULL, NULL
+        FROM raw WHERE NOT json_valid(r)
+    )
+    SELECT key, n_rows, sum_val, min_val, max_val
+    FROM stats ORDER BY key
+"""

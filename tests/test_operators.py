@@ -1173,3 +1173,20 @@ def test_cusum_lane_overflow_saturates_and_flags(spark):
     r2 = out[2]
     assert (r2.final_s, r2.max_s, r2.n_alarms) == (300, 300, 0)
     assert r2.lane_safe is True
+
+
+def test_pagerank_fixedpoint_hand_walked(spark):
+    """3-node graph walked by hand, 1 iteration, scale=1000, damp 17/20.
+    A->B(w1), A->C(w1), B->C(w2). r0 = 333 each.
+    teleport = (1000*3)//20//3 = 50.
+    A: no in-edges -> 50.
+    B: from A: ((333*17)//20 * 1)//2 = (283*1)//2 = 141 -> 191.
+    C: from A 141, from B ((333*17)//20 * 2)//2 = 283 -> 474."""
+    from mining_data_integration_spark.operators.graph import (
+        pagerank_fixedpoint)
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (1, 3, 1), (2, 3, 2)], "src long, dst long, w long")
+    out = {r.n: r.r for r in
+           pagerank_fixedpoint(edges, iterations=1, scale=1000).collect()}
+    assert out == {1: 50, 2: 191, 3: 474}

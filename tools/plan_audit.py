@@ -86,6 +86,8 @@ ALLOWED: dict[str, dict[str, str]] = {
                           "ARE the operator (two Arrow stages)",
         "mm7_wav_decode": "real WAV encode + RIFF-walk decode ARE the "
                           "operator (two Arrow stages)",
+        "mm8_dhash_clusters": "real PPM decode -> perceptual dHash IS "
+                              "the operator",
     },
     "Exchange SinglePartition": {
         # bounded-row global sorts/windows: the rows reaching the
@@ -138,6 +140,10 @@ ALLOWED: dict[str, dict[str, str]] = {
         "a25_hll_merge": "two m=256-row register tables fold to one "
                          "row each",
         "j19_null_safe_join": "two single-row match-count aggregates",
+        "dp20_pack_fill_report": "per-shard token-cumsum offsets "
+                                 "(O(shards)) — inherited from dp5",
+        "x18_json_shred_stats": "single-row malformed-count audit "
+                                "aggregate",
     },
 }
 
