@@ -48,7 +48,8 @@ _REVERIFY_FIRST = (
     "w23_cusum_alarms", "dp19_dataset_diff",
     "w25_interval_coverage", "dp20_pack_fill_report",
     "x18_json_shred_stats", "g1_pagerank", "mm8_dhash_clusters",
-    "st6_stream_sessionize",
+    "st6_stream_sessionize", "dd12_incremental_dedup",
+    "a26_mergeable_moments", "st7_stream_static_enrich",
 )
 
 

@@ -764,3 +764,74 @@ def _hll_merge_oracle() -> str:
 
 
 ORACLES["a25_hll_merge"] = _hll_merge_oracle()
+
+
+def a26_mergeable_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable moments sketch with an in-query merge proof (the a25
+    pattern applied to variance): per event_type, the (n, Σx, Σx²)
+    statistic is computed TWICE — once globally, once as two partial
+    sketches (event_id parity halves, standing in for two ingest
+    shards) merged by component-wise addition — and the output pins
+    both the moment values and merge_ok, the claim that makes
+    distributed/incremental variance sound: moments form a commutative
+    monoid, so partial aggregation over any sharding is exact. All in
+    integer cents (var numerator n·Σx² − (Σx)² stays well inside
+    int64 at this value range; the DECIMAL upgrade path is w20's)."""
+    ev = t(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    base = ev.select("event_type", (F.col("event_id") % 2).alias("half"),
+                     cents.alias("c"))
+    parts = base.groupBy("event_type", "half").agg(
+        F.count("*").alias("pn"), F.sum("c").alias("ps1"),
+        F.sum(F.col("c") * F.col("c")).alias("ps2"))
+    merged = parts.groupBy("event_type").agg(
+        F.sum("pn").alias("mn"), F.sum("ps1").alias("ms1"),
+        F.sum("ps2").alias("ms2"))
+    direct = base.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sum_cents"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq_cents"))
+    return (
+        direct.join(merged, "event_type")
+        .select(
+            "event_type", "n", "sum_cents", "sum_sq_cents",
+            (F.col("n") * F.col("sum_sq_cents")
+             - F.col("sum_cents") * F.col("sum_cents"))
+            .cast("long").alias("var_num"),
+            ((F.col("mn") == F.col("n"))
+             & (F.col("ms1") == F.col("sum_cents"))
+             & (F.col("ms2") == F.col("sum_sq_cents"))).alias("merge_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["a26_mergeable_moments"] = a26_mergeable_moments
+
+ORACLES["a26_mergeable_moments"] = """
+    WITH base AS (
+        SELECT event_type, event_id % 2 AS half,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM events
+    ), parts AS (
+        SELECT event_type, half, count(*) AS pn, sum(c) AS ps1,
+               sum(c * c) AS ps2
+        FROM base GROUP BY event_type, half
+    ), merged AS (
+        SELECT event_type, sum(pn) AS mn, sum(ps1) AS ms1,
+               sum(ps2) AS ms2
+        FROM parts GROUP BY event_type
+    ), direct AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS sum_cents,
+               CAST(sum(c * c) AS BIGINT) AS sum_sq_cents
+        FROM base GROUP BY event_type
+    )
+    SELECT d.event_type, d.n, d.sum_cents, d.sum_sq_cents,
+           CAST(d.n * d.sum_sq_cents - d.sum_cents * d.sum_cents
+                AS BIGINT) AS var_num,
+           (m.mn = d.n AND m.ms1 = d.sum_cents
+            AND m.ms2 = d.sum_sq_cents) AS merge_ok
+    FROM direct d JOIN merged m ON d.event_type = m.event_type
+    ORDER BY d.event_type
+"""

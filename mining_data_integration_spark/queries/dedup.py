@@ -461,3 +461,70 @@ ORACLES["dd11_novelty_scores"] = f"""
     FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
     ORDER BY d.doc_id
 """
+
+
+def dd12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the growing-corpus pattern: a new
+    batch (every 10th doc, simulating an arriving crawl shard) is
+    deduplicated (a) against the EXISTING corpus and (b) within
+    itself, WITHOUT re-deduplicating the corpus internally. That
+    asymmetry is what makes daily ingest O(batch) instead of
+    O(corpus): the corpus side reduces to its distinct digest set
+    (combinable pre-aggregation before the join), the batch
+    left-anti-joins it on the digest, then collapses its own
+    duplicates keeping the lowest id. Batch cross-corpus duplicates
+    are planted: every 30th doc shares a digest with a corpus doc by
+    construction of the %10/%3 overlap below."""
+    from ..operators.dedup import normalize_text
+
+    docs = t(spark, sf_dir, "documents")
+    # planted overlap: batch docs (%10 == 0) whose id is also %3 == 0
+    # reuse the TEXT of corpus doc (id+1), so their digests collide
+    # with the corpus — exercising the cross-corpus anti-join for
+    # real. The neighbor text comes from an equi self-join on id+1
+    # (NOT an unpartitioned lead() window — that would be a global
+    # single-partition sort just to build the fixture).
+    nxt = docs.select((F.col("doc_id") - 1).alias("doc_id"),
+                      F.col("text").alias("_nxt"))
+    txt = F.when(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 3 == 0),
+        F.coalesce(F.col("_nxt"), F.col("text"))
+    ).otherwise(F.col("text"))
+    staged = docs.join(nxt, "doc_id", "left") \
+        .select("doc_id", txt.alias("text"))
+    dig = F.md5(normalize_text(F.col("text")))
+    batch = staged.filter(F.col("doc_id") % 10 == 0) \
+        .select("doc_id", dig.alias("dig"))
+    corpus_digs = staged.filter(F.col("doc_id") % 10 != 0) \
+        .select(dig.alias("dig")).distinct()
+    fresh = batch.join(corpus_digs, "dig", "left_anti")
+    kept = (fresh.groupBy("dig")
+            .agg(F.min("doc_id").cast("long").alias("keep_id"),
+                 F.count("*").cast("long").alias("n_batch_dups")))
+    return kept.select("keep_id", "n_batch_dups").orderBy("keep_id")
+
+
+QUERIES["dd12_incremental_dedup"] = dd12_incremental_dedup
+
+ORACLES["dd12_incremental_dedup"] = f"""
+    WITH staged AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 10 = 0 AND d.doc_id % 3 = 0
+                    THEN coalesce(nx.text, d.text)
+                    ELSE d.text END AS text
+        FROM documents d
+        LEFT JOIN documents nx ON nx.doc_id = d.doc_id + 1
+    ), digs AS (
+        SELECT doc_id, md5({_NORM}) AS dig FROM staged
+    ), batch AS (
+        SELECT doc_id, dig FROM digs WHERE doc_id % 10 = 0
+    ), corpus AS (
+        SELECT DISTINCT dig FROM digs WHERE doc_id % 10 <> 0
+    ), fresh AS (
+        SELECT b.doc_id, b.dig FROM batch b
+        LEFT JOIN corpus c ON b.dig = c.dig WHERE c.dig IS NULL
+    )
+    SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_batch_dups
+    FROM fresh GROUP BY dig ORDER BY keep_id
+"""

@@ -1611,3 +1611,45 @@ ORACLES["st6_stream_sessionize"] = """
     FROM sess GROUP BY user_id, sid
     ORDER BY user_id, session_start_us
 """
+
+
+def st7_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join through the real engine — the remaining
+    streaming join mode after st5's stream-stream band join: each
+    streamed event is enriched with its user's first-seen cohort date,
+    computed batch-side from the same table (the dimension-enrichment
+    shape every streaming pipeline has: fact stream x slowly-changing
+    dim). The static side is broadcast — at 100 TB the stream never
+    shuffles for the join; only the bounded dim table moves. Inner
+    join, append mode, availableNow: the run emits exactly the batch
+    join, which the SQL oracle replays."""
+    path = _stream_dir(sf_dir, "events")
+    batch = spark.read.parquet(path)
+    static = (batch.groupBy("user_id")
+              .agg(F.date_format(F.min("ts"), "yyyy-MM-dd")
+                   .alias("cohort_day")))
+    schema = batch.schema
+    src = spark.readStream.schema(schema).parquet(path)
+    joined = src.join(F.broadcast(static), "user_id").select(
+        "event_id", "user_id", "event_type", "cohort_day")
+    name = f"st7_sink_{next(_ST_SEQ)}"
+    q = (joined.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .orderBy("event_id"))
+
+
+QUERIES["st7_stream_static_enrich"] = st7_stream_static_enrich
+
+ORACLES["st7_stream_static_enrich"] = """
+    WITH dim AS (
+        SELECT user_id,
+               strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d')
+                   AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type, d.cohort_day
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    ORDER BY e.event_id
+"""
