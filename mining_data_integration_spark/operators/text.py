@@ -443,6 +443,16 @@ def bpe_merges(df: DataFrame, n_merges: int, text_col: str = "text"):
     seeds). Each iteration nests one more fold into the segmentation
     expression — for large n_merges, localCheckpoint() the word table
     every ~16 iterations to cap plan depth."""
+    out, _ = bpe_learn(df, n_merges, text_col)
+    return out
+
+
+def bpe_learn(df: DataFrame, n_merges: int, text_col: str = "text"):
+    """bpe_merges plus the trained tokenizer itself: returns
+    (merge_rows, words) where `words` is the distinct-word table with
+    the FINAL segmentation after all merges — the artifact tx19's
+    encode step joins against (vocab-keyed, so encoding a corpus is
+    one explode + one unique-keyed join, never per-doc merge loops)."""
     toks = df.select(F.explode(tokens(F.col(text_col))).alias("word"))
     words = (
         toks.groupBy("word").agg(F.count("*").alias("freq"))
@@ -461,7 +471,7 @@ def bpe_merges(df: DataFrame, n_merges: int, text_col: str = "text"):
         l, r, pf = best[0].l, best[0].r, int(best[0].pf)
         out.append((it, l, r, pf))
         words = words.withColumn("seg", _bpe_apply(F.col("seg"), l, r))
-    return out
+    return out, words
 
 
 def surprisal_score(df: DataFrame, text_col: str = "text",

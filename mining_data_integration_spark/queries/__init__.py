@@ -50,6 +50,7 @@ _REVERIFY_FIRST = (
     "x18_json_shred_stats", "g1_pagerank", "mm8_dhash_clusters",
     "st6_stream_sessionize", "dd12_incremental_dedup",
     "a26_mergeable_moments", "st7_stream_static_enrich",
+    "w26_linear_interpolation", "tx19_bpe_encode",
 )
 
 

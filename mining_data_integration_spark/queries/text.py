@@ -756,3 +756,82 @@ ORACLES["tx18_collocations"] = f"""
     SELECT w1, w2, cnt_ab, lift FROM scored
     ORDER BY lift DESC, w1, w2 LIMIT 20
 """
+
+
+def tx19_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — tx14's learned merges put to work:
+    the corpus is re-encoded with the trained segmentation and each
+    doc reports its word/char/symbol counts (chars-per-symbol is the
+    tokenizer's compression ratio, the number a tokenizer-training
+    run is judged by). Scale shape: the trained vocab table carries
+    the final segmentation, so encoding is one token explode + one
+    UNIQUE-KEYED vocab join + a combinable doc rollup — per-doc merge
+    loops never happen; the k merge argmaxes during training are the
+    only driver rows (1 each). The oracle replays all k training
+    iterations AND the encode join as generated CTEs."""
+    from ..operators.text import BPE_SEP, bpe_learn
+
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    _, words = bpe_learn(docs, BPE_K)
+    enc = words.select(
+        "word", F.size(F.split("seg", BPE_SEP)).alias("n_syms"))
+    terms = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("word"))
+    return (
+        terms.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum("n_syms").cast("long").alias("n_symbols"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["tx19_bpe_encode"] = tx19_bpe_encode
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    sep = "\x1f"
+    ctes = [
+        f"toks AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) "
+        f"AS word FROM documents)",
+        "words AS (SELECT word, count(*) AS freq FROM toks GROUP BY word)",
+        f"seg1 AS (SELECT word, freq, list_aggregate(string_split(word, ''),"
+        f" 'string_agg', '{sep}') AS seg FROM words)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"p{i} AS (SELECT freq, string_split(seg, '{sep}') AS syms, "
+            f"unnest(generate_series(1, len(string_split(seg, '{sep}')) - 1))"
+            f" AS i FROM seg{i})")
+        ctes.append(
+            f"pairs{i} AS (SELECT syms[i] AS l, syms[i+1] AS r, "
+            f"CAST(sum(freq) AS BIGINT) AS pf FROM p{i} "
+            f"GROUP BY syms[i], syms[i+1])")
+        ctes.append(
+            f"best{i} AS (SELECT l, r, pf FROM pairs{i} "
+            f"ORDER BY pf DESC, l, r LIMIT 1)")
+        # unlike tx14 (which only reports the rules), the encode path
+        # applies EVERY learned merge, including the k-th
+        ctes.append(
+            f"seg{i + 1} AS (SELECT word, freq, "
+            f"list_reduce(string_split(seg, '{sep}'), (acc, x) -> "
+            f"CASE WHEN (acc = b.l OR ends_with(acc, '{sep}' || b.l)) "
+            f"AND x = b.r THEN acc || x "
+            f"ELSE acc || '{sep}' || x END) AS seg "
+            f"FROM seg{i}, best{i} b)")
+    ctes.append(
+        f"enc AS (SELECT word, len(string_split(seg, '{sep}')) AS n_syms "
+        f"FROM seg{k + 1})")
+    return ("WITH " + ",\n    ".join(ctes) + f"""
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(t.word)) AS BIGINT) AS n_chars,
+           CAST(sum(e.n_syms) AS BIGINT) AS n_symbols
+    FROM toks t JOIN enc e ON t.word = e.word
+    GROUP BY t.doc_id ORDER BY t.doc_id
+""")
+
+
+ORACLES["tx19_bpe_encode"] = _bpe_encode_oracle(BPE_K)

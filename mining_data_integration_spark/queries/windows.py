@@ -1653,3 +1653,95 @@ ORACLES["st7_stream_static_enrich"] = """
     FROM events e JOIN dim d ON e.user_id = d.user_id
     ORDER BY e.event_id
 """
+
+
+def w26_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill by LINEAR interpolation — the resampling
+    companion to w4's forward fill: per user, a dense daily spine
+    between the user's first and last active day; days with events
+    carry the exact daily total, gap days get
+    prev + (next-prev)*(day-prev_day)/gap. Endpoints are exact integer
+    cents; the interpolated value is ONE float division + one add
+    (the dp9/w18 single-op rule — both engines IEEE-round identically,
+    no compounding). Spine = sequence()+explode, prev/next via
+    last/first IGNORE NULLS windows partitioned by user — no
+    driver-side loops, no global sort; state per key is two bigints
+    each direction."""
+    ev = t(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (ev.select("user_id", F.to_date("ts").alias("day"),
+                       cents.alias("c"))
+             .groupBy("user_id", "day").agg(F.sum("c").alias("val")))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day"))
+    j = spine.join(daily, ["user_id", "day"], "left")
+    wp = (Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wn = (Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(0, Window.unboundedFollowing))
+    known_day = F.when(F.col("val").isNotNull(), F.col("day"))
+    pv = F.last("val", ignorenulls=True).over(wp)
+    pd_ = F.last(known_day, ignorenulls=True).over(wp)
+    nv = F.first("val", ignorenulls=True).over(wn)
+    nd = F.first(known_day, ignorenulls=True).over(wn)
+    interp = F.when(
+        F.col("val").isNotNull(), F.col("val").cast("double")
+    ).otherwise(
+        pv.cast("double")
+        + ((nv - pv) * F.datediff(F.col("day"), pd_)).cast("double")
+        / F.datediff(nd, pd_).cast("double")
+    )
+    return (
+        j.select(
+            "user_id", "day",
+            F.col("val").isNotNull().alias("is_known"),
+            interp.alias("value_cents"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+QUERIES["w26_linear_interpolation"] = w26_linear_interpolation
+
+ORACLES["w26_linear_interpolation"] = """
+    WITH daily AS (
+        SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS val
+        FROM events GROUP BY user_id, day
+    ), span AS (
+        SELECT user_id, min(day) AS d0, max(day) AS d1
+        FROM daily GROUP BY user_id
+    ), spine AS (
+        SELECT user_id, unnest(generate_series(d0, d1,
+               INTERVAL 1 DAY))::DATE AS day
+        FROM span
+    ), j AS (
+        SELECT s.user_id, s.day, d.val FROM spine s
+        LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    ), filled AS (
+        SELECT user_id, day, val,
+            last_value(val IGNORE NULLS) OVER wp AS pv,
+            last_value(CASE WHEN val IS NOT NULL THEN day END
+                IGNORE NULLS) OVER wp AS pd,
+            first_value(val IGNORE NULLS) OVER wn AS nv,
+            first_value(CASE WHEN val IS NOT NULL THEN day END
+                IGNORE NULLS) OVER wn AS nd
+        FROM j
+        WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day, val IS NOT NULL AS is_known,
+           CASE WHEN val IS NOT NULL THEN CAST(val AS DOUBLE)
+                ELSE CAST(pv AS DOUBLE)
+                     + CAST((nv - pv) * date_diff('day', pd, day)
+                            AS DOUBLE)
+                       / CAST(date_diff('day', pd, nd) AS DOUBLE)
+           END AS value_cents
+    FROM filled ORDER BY user_id, day
+"""
