@@ -51,6 +51,7 @@ _REVERIFY_FIRST = (
     "st6_stream_sessionize", "dd12_incremental_dedup",
     "a26_mergeable_moments", "st7_stream_static_enrich",
     "w26_linear_interpolation", "tx19_bpe_encode",
+    "dd13_lsh_calibration", "a27_gini_concentration",
 )
 
 

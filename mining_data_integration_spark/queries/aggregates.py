@@ -835,3 +835,57 @@ ORACLES["a26_mergeable_moments"] = """
     FROM direct d JOIN merged m ON d.event_type = m.event_type
     ORDER BY d.event_type
 """
+
+
+def a27_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration report: the Gini coefficient of token mass
+    across sources — the one-number answer to "is this dataset
+    dominated by a few sources?" that a mixture-design review reads
+    next to dp9's composition table. Exact integer Gini: with masses
+    x_1<=...<=x_n (rank window over the O(sources) rollup — bounded,
+    never data-sized), G = (2*Σi·x_i − (n+1)*Σx) / (n*Σx); numerator
+    and denominator surface as exact int64 and the ratio is ONE float
+    division (dp9/w18 single-op rule)."""
+    from ..operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    mass = (docs
+            .select("source", F.size(tokens(F.col("text"))).alias("nt"))
+            .groupBy("source").agg(F.sum("nt").cast("bigint").alias("m")))
+    w = Window.orderBy("m", "source")
+    ranked = mass.withColumn("i", F.row_number().over(w).cast("bigint"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.sum("m").cast("long").alias("total_tokens"),
+        (F.sum(F.col("i") * F.col("m") * 2)
+         - (F.count("*") + 1) * F.sum("m")).cast("long").alias("gini_num"),
+        (F.count("*") * F.sum("m")).cast("long").alias("gini_den"),
+        ((F.sum(F.col("i") * F.col("m") * 2)
+          - (F.count("*") + 1) * F.sum("m")).cast("double")
+         / (F.count("*") * F.sum("m")).cast("double")).alias("gini"),
+    )
+
+
+QUERIES["a27_gini_concentration"] = a27_gini_concentration
+
+ORACLES["a27_gini_concentration"] = """
+    WITH mass AS (
+        SELECT source,
+               CAST(sum(len(string_split(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   ' '))) AS BIGINT) AS m
+        FROM documents GROUP BY source
+    ), ranked AS (
+        SELECT m, CAST(row_number() OVER (ORDER BY m, source)
+                       AS BIGINT) AS i
+        FROM mass
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(sum(m) AS BIGINT) AS total_tokens,
+           CAST(sum(i * m * 2) - (count(*) + 1) * sum(m)
+                AS BIGINT) AS gini_num,
+           CAST(count(*) * sum(m) AS BIGINT) AS gini_den,
+           CAST(sum(i * m * 2) - (count(*) + 1) * sum(m) AS DOUBLE)
+               / CAST(count(*) * sum(m) AS DOUBLE) AS gini
+    FROM ranked
+"""

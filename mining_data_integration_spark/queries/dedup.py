@@ -528,3 +528,130 @@ ORACLES["dd12_incremental_dedup"] = f"""
            CAST(count(*) AS BIGINT) AS n_batch_dups
     FROM fresh GROUP BY dig ORDER BY keep_id
 """
+
+
+def dd13_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH calibration audit — the tuning harness for the dd3 family
+    (sim13's recall-eval idea applied to MinHash): for every LSH
+    candidate pair, the signature-agreement Jaccard ESTIMATE
+    (1000·agree/16, the unbiased MinHash estimator) next to the EXACT
+    shingle Jaccard, plus the absolute error. This is the table that
+    justifies a banding config before a 100 TB dedup run: if est
+    tracks exact, the S-curve math holds. Scale: signatures are
+    materialized once (the dd3 plan); exact Jaccard is computed ONLY
+    for candidate docs — shingles are semi-joined to the candidate id
+    set first, so the shingle self-join is O(candidates' shingles),
+    never corpus-wide. Pure integer milli-units throughout."""
+    from ..operators.dedup import (materialize, minhash_lsh_candidates,
+                                   minhash_signatures, shingles)
+
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    cands = materialize(minhash_lsh_candidates(docs))
+    sigs = minhash_signatures(shingles(docs), 16)
+    s1 = sigs.select(F.col("id").alias("id1"),
+                     *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)])
+    s2 = sigs.select(F.col("id").alias("id2"),
+                     *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)])
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(16))
+    est = cands.join(s1, "id1").join(s2, "id2") \
+        .select("id1", "id2", agree.alias("agree"))
+    ids = (cands.select(F.col("id1").alias("id"))
+           .union(cands.select(F.col("id2").alias("id"))).distinct())
+    sh = shingles(docs).join(ids, "id")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    common = (
+        sh.alias("x").join(sh.alias("y"),
+                           (F.col("x.shingle") == F.col("y.shingle"))
+                           & (F.col("x.id") < F.col("y.id")))
+        .groupBy(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
+        .agg(F.count("*").alias("common"))
+    )
+    exact = (
+        cands.join(common, ["id1", "id2"], "left")
+        .join(sizes.select(F.col("id").alias("id1"),
+                           F.col("sz").alias("sz1")), "id1")
+        .join(sizes.select(F.col("id").alias("id2"),
+                           F.col("sz").alias("sz2")), "id2")
+        .select("id1", "id2",
+                F.expr("1000 * coalesce(common, 0) div "
+                       "(sz1 + sz2 - coalesce(common, 0))")
+                .alias("exact_milli"))
+    )
+    return (
+        est.join(exact, ["id1", "id2"])
+        .select(
+            "id1", "id2",
+            F.col("agree").cast("long").alias("agree"),
+            F.expr("1000 * agree div 16").cast("long").alias("est_milli"),
+            F.col("exact_milli").cast("long").alias("exact_milli"),
+            F.abs(F.expr("1000 * agree div 16") - F.col("exact_milli"))
+            .cast("long").alias("err_milli"),
+        )
+        .orderBy("id1", "id2")
+    )
+
+
+QUERIES["dd13_lsh_calibration"] = dd13_lsh_calibration
+
+
+def _lsh_calibration_oracle() -> str:
+    from ..operators.dedup import MERSENNE31 as P, uh_params
+
+    pairs = _minhash_band_sql(3, 16, 4).replace("ORDER BY id1, id2", "")
+    agree = " + ".join(
+        f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END"
+        for i in range(16))
+    digit = (
+        "(strpos('0123456789abcdef', substring(md5(shingle), {pos}, 1)) - 1)"
+    )
+
+    def seg_val(seg: int) -> str:
+        return " + ".join(
+            digit.format(pos=1 + 8 * seg + j) + f" * {16 ** (7 - j)}"
+            for j in range(8)
+        )
+
+    segs = ", ".join(
+        f"CAST({seg_val(s)} AS BIGINT) % {P} AS h{s}" for s in range(4))
+    mins = ", ".join(
+        f"min((h{i % 4} * {a} + {b}) % {P}) AS mh{i}"
+        for i, (a, b) in enumerate(uh_params(16))
+    )
+    return f"""
+    WITH cands AS ({pairs}),
+    sh0 AS ({_duck_shingles(3)}),
+    csh AS (
+        SELECT id, shingle FROM sh0
+        WHERE id IN (SELECT id1 FROM cands UNION SELECT id2 FROM cands)
+    ),
+    hv AS (SELECT id, shingle, {segs} FROM sh0),
+    sigs AS (SELECT id, {mins} FROM hv GROUP BY id),
+    sizes AS (SELECT id, count(*) AS sz FROM csh GROUP BY id),
+    common AS (
+        SELECT x.id AS id1, y.id AS id2, count(*) AS common
+        FROM csh x JOIN csh y ON x.shingle = y.shingle AND x.id < y.id
+        GROUP BY x.id, y.id
+    )
+    SELECT c.id1, c.id2,
+           CAST({agree} AS BIGINT) AS agree,
+           CAST(1000 * ({agree}) // 16 AS BIGINT) AS est_milli,
+           CAST(1000 * coalesce(m.common, 0)
+                // (z1.sz + z2.sz - coalesce(m.common, 0))
+                AS BIGINT) AS exact_milli,
+           CAST(abs(1000 * ({agree}) // 16
+                - 1000 * coalesce(m.common, 0)
+                  // (z1.sz + z2.sz - coalesce(m.common, 0)))
+                AS BIGINT) AS err_milli
+    FROM cands c
+    JOIN sigs s1 ON c.id1 = s1.id
+    JOIN sigs s2 ON c.id2 = s2.id
+    LEFT JOIN common m ON c.id1 = m.id1 AND c.id2 = m.id2
+    JOIN sizes z1 ON c.id1 = z1.id
+    JOIN sizes z2 ON c.id2 = z2.id
+    ORDER BY c.id1, c.id2
+"""
+
+
+ORACLES["dd13_lsh_calibration"] = _lsh_calibration_oracle()

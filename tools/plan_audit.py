@@ -142,6 +142,9 @@ ALLOWED: dict[str, dict[str, str]] = {
         "j19_null_safe_join": "two single-row match-count aggregates",
         "dp20_pack_fill_report": "per-shard token-cumsum offsets "
                                  "(O(shards)) — inherited from dp5",
+        "a27_gini_concentration": "rank window over the O(sources) "
+                                  "mass rollup, then a single-row "
+                                  "summary aggregate",
         "x18_json_shred_stats": "single-row malformed-count audit "
                                 "aggregate",
     },
