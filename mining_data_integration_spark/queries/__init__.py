@@ -52,6 +52,7 @@ _REVERIFY_FIRST = (
     "a26_mergeable_moments", "st7_stream_static_enrich",
     "w26_linear_interpolation", "tx19_bpe_encode",
     "dd13_lsh_calibration", "a27_gini_concentration",
+    "w27_mad_outliers", "u5_changelog_apply",
 )
 
 

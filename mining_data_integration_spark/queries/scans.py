@@ -458,3 +458,97 @@ ORACLES["u4_scd2_history"] = """
     FROM c WHERE changed
     ORDER BY c_custkey, version
 """
+
+
+def u5_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply — MERGE INTO semantics on plain tables (the
+    u4 SCD2 companion: u4 keeps history, u5 produces the current
+    snapshot): a base table + an ordered changelog of upserts/deletes
+    collapse to latest-op-per-key (max_by on the sequence number —
+    one combinable aggregate, no per-key sort), then one full outer
+    join applies it: delete drops the row, upsert wins over base,
+    untouched base rows pass through. The changelog is simulated from
+    the documents table with MULTIPLE ops per key (seq 1 then seq 2)
+    so latest-wins is actually exercised: %7 docs get two successive
+    text revisions, %13 docs a delete, and %11 keys arrive as brand
+    new inserts. Output is doc-level digests, pinning the exact merge
+    result, plus the op provenance."""
+    from ..operators.dedup import normalize_text
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select("doc_id",
+                       F.md5(normalize_text(F.col("text"))).alias("dig"))
+    rev1 = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.lit(1).alias("seq"), F.lit("U").alias("op"),
+        F.md5(normalize_text(F.concat(F.col("text"), F.lit(" v2"))))
+        .alias("new_dig"))
+    rev2 = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.lit(2).alias("seq"), F.lit("U").alias("op"),
+        F.md5(normalize_text(F.concat(F.col("text"), F.lit(" v3"))))
+        .alias("new_dig"))
+    dels = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", F.lit(3).alias("seq"), F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("new_dig"))
+    ins = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit(1).alias("seq"), F.lit("U").alias("op"),
+        F.md5(normalize_text(F.concat(F.lit("new "), F.col("text"))))
+        .alias("new_dig"))
+    log = rev1.unionByName(rev2).unionByName(dels).unionByName(ins)
+    latest = log.groupBy("doc_id").agg(
+        F.max(F.struct("seq", "op", "new_dig")).alias("_m")
+    ).select("doc_id", F.col("_m.op").alias("op"),
+             F.col("_m.new_dig").alias("new_dig"))
+    merged = base.join(latest, "doc_id", "full")
+    return (
+        merged.filter(F.coalesce(F.col("op"), F.lit("")) != "D")
+        .select(
+            "doc_id",
+            F.coalesce("new_dig", "dig").alias("dig"),
+            F.when(F.col("dig").isNull(), "inserted")
+            .when(F.col("op") == "U", "updated")
+            .otherwise("kept").alias("status"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["u5_changelog_apply"] = u5_changelog_apply
+
+ORACLES["u5_changelog_apply"] = """
+    WITH nrm AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM documents
+    ), base AS (
+        SELECT doc_id, md5(nt) AS dig FROM nrm
+    ), log AS (
+        SELECT doc_id, 1 AS seq, 'U' AS op, md5(nt || ' v2') AS new_dig
+        FROM nrm WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id, 2, 'U', md5(nt || ' v3')
+        FROM nrm WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id, 3, 'D', NULL FROM nrm WHERE doc_id % 13 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, 1, 'U', md5('new ' || nt)
+        FROM nrm WHERE doc_id % 11 = 0
+    ), latest AS (
+        SELECT doc_id,
+               max({'seq': seq, 'op': op, 'new_dig': new_dig}) AS m
+        FROM log GROUP BY doc_id
+    ), lat AS (
+        SELECT doc_id, m.op AS op, m.new_dig AS new_dig FROM latest
+    ), merged AS (
+        SELECT coalesce(b.doc_id, l.doc_id) AS doc_id,
+               b.dig AS dig, l.op AS op, l.new_dig AS new_dig
+        FROM base b FULL JOIN lat l ON b.doc_id = l.doc_id
+    )
+    SELECT doc_id,
+           coalesce(new_dig, dig) AS dig,
+           CASE WHEN dig IS NULL THEN 'inserted'
+                WHEN op = 'U' THEN 'updated'
+                ELSE 'kept' END AS status
+    FROM merged WHERE coalesce(op, '') <> 'D'
+    ORDER BY doc_id
+"""

@@ -1745,3 +1745,103 @@ ORACLES["w26_linear_interpolation"] = """
            END AS value_cents
     FROM filled ORDER BY user_id, day
 """
+
+
+def w27_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by Median Absolute Deviation — the
+    breakdown-resistant companion to w20's z-score (one wild value
+    shifts a mean/stddev fence, but not a median/MAD fence). Exact
+    rank statistics, no interpolation: per event_type the lower
+    median of value cents, then the median of |x − med| by the SAME
+    value-histogram rank trick (a20's scale path — cumulative windows
+    run over DISTINCT |deviation| values, O(value domain) per group,
+    never O(rows)), then the outlier count at |x − med| > 3·MAD in
+    pure integer compares."""
+    ev = t(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    base = ev.select("event_type", cents.alias("c"))
+
+    def _rank_median(df: DataFrame, col: str) -> DataFrame:
+        counts = df.groupBy("event_type", col).agg(F.count("*").alias("cnt"))
+        w = (Window.partitionBy("event_type").orderBy(col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        cum = counts.withColumn("cum", F.sum("cnt").over(w))
+        tot = counts.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+        return (cum.join(F.broadcast(tot), "event_type")
+                .filter(F.expr("cum >= (n + 1) div 2"))
+                .groupBy("event_type")
+                .agg(F.min(col).alias(f"med_{col}")))
+
+    med = _rank_median(base, "c")
+    dev = (base.join(F.broadcast(med), "event_type")
+           .select("event_type", F.abs(F.col("c") - F.col("med_c"))
+                   .alias("d")))
+    mad = _rank_median(dev, "d")
+    out = (dev.join(F.broadcast(mad), "event_type")
+           .groupBy("event_type")
+           .agg(F.count("*").cast("long").alias("n_events"),
+                F.sum(F.when(F.col("d") > 3 * F.col("med_d"), 1)
+                      .otherwise(0)).cast("long").alias("n_outliers")))
+    return (out.join(med, "event_type").join(mad, "event_type")
+            .select("event_type", "n_events",
+                    F.col("med_c").cast("long").alias("median_cents"),
+                    F.col("med_d").cast("long").alias("mad_cents"),
+                    "n_outliers")
+            .orderBy("event_type"))
+
+
+QUERIES["w27_mad_outliers"] = w27_mad_outliers
+
+ORACLES["w27_mad_outliers"] = """
+    WITH base AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM events
+    ), c1 AS (
+        SELECT event_type, c, count(*) AS cnt
+        FROM base GROUP BY event_type, c
+    ), cum1 AS (
+        SELECT event_type, c, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM c1
+    ), tot1 AS (
+        SELECT event_type, sum(cnt) AS n FROM c1 GROUP BY event_type
+    ), med AS (
+        SELECT cum1.event_type, min(c) AS med_c
+        FROM cum1 JOIN tot1 ON cum1.event_type = tot1.event_type
+        WHERE cum >= (n + 1) // 2 GROUP BY cum1.event_type
+    ), dev AS (
+        SELECT b.event_type, abs(b.c - m.med_c) AS d
+        FROM base b JOIN med m ON b.event_type = m.event_type
+    ), c2 AS (
+        SELECT event_type, d, count(*) AS cnt
+        FROM dev GROUP BY event_type, d
+    ), cum2 AS (
+        SELECT event_type, d, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY d
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM c2
+    ), tot2 AS (
+        SELECT event_type, sum(cnt) AS n FROM c2 GROUP BY event_type
+    ), mad AS (
+        SELECT cum2.event_type, min(d) AS med_d
+        FROM cum2 JOIN tot2 ON cum2.event_type = tot2.event_type
+        WHERE cum >= (n + 1) // 2 GROUP BY cum2.event_type
+    ), outc AS (
+        SELECT v.event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN v.d > 3 * a.med_d THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM dev v JOIN mad a ON v.event_type = a.event_type
+        GROUP BY v.event_type
+    )
+    SELECT o.event_type, o.n_events,
+           CAST(m.med_c AS BIGINT) AS median_cents,
+           CAST(a.med_d AS BIGINT) AS mad_cents,
+           o.n_outliers
+    FROM outc o
+    JOIN med m ON o.event_type = m.event_type
+    JOIN mad a ON o.event_type = a.event_type
+    ORDER BY o.event_type
+"""
