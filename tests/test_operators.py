@@ -1190,3 +1190,57 @@ def test_pagerank_fixedpoint_hand_walked(spark):
     out = {r.n: r.r for r in
            pagerank_fixedpoint(edges, iterations=1, scale=1000).collect()}
     assert out == {1: 50, 2: 191, 3: 474}
+
+
+def test_mad_outliers_hand_walked(spark):
+    """cents {100,200,300,400,10000}: median=300 (rank 3), deviations
+    {200,100,0,100,9700} -> MAD=100 (sorted 0,100,100,200,9700, rank
+    3), fence 3*100=300 -> only the 9700 deviation is an outlier. The
+    mean/stddev fence would be dragged by the 10000 value; MAD is not."""
+    import datetime
+    import os
+    import tempfile
+
+    from mining_data_integration_spark.queries.windows import (
+        w27_mad_outliers)
+
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+    rows = [(i, datetime.datetime(2024, 1, 1, 0, i), 1, "t", v, "{}")
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    r = w27_mad_outliers(spark, d).collect()[0]
+    assert (r.n_events, r.median_cents, r.mad_cents, r.n_outliers) == (
+        5, 300, 100, 1)
+
+
+def test_changelog_apply_latest_wins(spark):
+    """u5 semantics on the planted ops: a %7 doc must carry the seq-2
+    'v3' digest (not v2), %13 docs (not also %7*13-overlap handling:
+    91 is both -> delete seq 3 wins) vanish, %11 inserts appear."""
+    import hashlib
+
+    from mining_data_integration_spark.queries.scans import (
+        u5_changelog_apply)
+
+    out = {r.doc_id: r for r in
+           u5_changelog_apply(spark, "/root/testdata/sf0.001").collect()}
+    docs = {r.doc_id: r.text for r in spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").collect()}
+
+    def dig(s):
+        import re
+        n = re.sub(r"\s+", " ", s.lower()).strip()
+        return hashlib.md5(n.encode()).hexdigest()
+
+    assert out[7].status == "updated"
+    assert out[7].dig == dig(docs[7] + " v3")      # seq 2 beat seq 1
+    assert 13 not in out                            # deleted
+    assert 91 not in out                            # delete (seq 3) wins
+    assert out[1000000].status == "inserted"
+    assert out[1000000].dig == dig("new " + docs[0])
+    assert out[1].status == "kept"
+    assert out[1].dig == dig(docs[1])
