@@ -36,6 +36,19 @@ HEADLINE = [
 ]
 
 
+# round-5 additions, timed separately so the HEADLINE series stays
+# comparable round-over-round (frozen at the same 15 queries since
+# round 1). One warm + one timed run each — indicative, not median.
+EXTENDED = [
+    "g1_pagerank",             # iterative graph analytics
+    "w25_interval_coverage",   # sweep-line interval union
+    "dd12_incremental_dedup",  # ingest-batch dedup vs corpus
+    "w27_mad_outliers",        # exact rank medians x2
+    "mm8_dhash_clusters",      # real decode -> perceptual hash
+    "st6_stream_sessionize",   # genuine streaming session windows
+]
+
+
 def e1_refresh_bench(spark, n_blocks: int, cpb: int = 10) -> dict:
     """Operational-parity number (BASELINE.md: the reference recomputes
     its whole dashboard every 120 s, server.js:444-446): time one full
@@ -134,6 +147,17 @@ def main() -> None:
         "single_partition_exchanges": sp_exchanges,
         "sf": sf,
     }
+
+    # round-5 extension ops (skippable: SPARK_GRAFT_EXTENDED=0)
+    if os.environ.get("SPARK_GRAFT_EXTENDED", "1") != "0":
+        ext: dict[str, float] = {}
+        for name in EXTENDED:
+            fn = queries[name]
+            fn(spark, sf_dir).count()  # warm
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            ext[name] = round(time.perf_counter() - t0, 3)
+        out["extended_queries"] = ext
 
     # mining-domain operational parity (skippable: SPARK_GRAFT_E1_BLOCKS=0)
     e1_blocks = int(os.environ.get("SPARK_GRAFT_E1_BLOCKS", "50000"))
