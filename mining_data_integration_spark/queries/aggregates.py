@@ -774,33 +774,51 @@ def a26_mergeable_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards) merged by component-wise addition — and the output pins
     both the moment values and merge_ok, the claim that makes
     distributed/incremental variance sound: moments form a commutative
-    monoid, so partial aggregation over any sharding is exact. All in
-    integer cents (var numerator n·Σx² − (Σx)² stays well inside
-    int64 at this value range; the DECIMAL upgrade path is w20's)."""
+    monoid, so partial aggregation over any sharding is exact. All
+    sums accumulate in DECIMAL(38,0) (Spark) / HUGEINT (the oracle)
+    — never int64, which would silently wrap — and `moments_safe`
+    pins, exactly, that |Σx|, Σx² and n all fit int64 (which also
+    proves the decimal(38,0) products below never exceed 38 digits:
+    each factor < 2^63 ≈ 9.3e18, so products < 8.6e37 and the
+    subtraction of two non-negatives stays within ±8.6e37). When the
+    bound fails the int64-cast output columns are NULL on BOTH
+    engines, flagged instead of silently wrong (the w23 lane_safe
+    discipline applied to moments)."""
     ev = t(spark, sf_dir, "events")
+    i64max = F.lit(9223372036854775807).cast("decimal(38,0)")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
     base = ev.select("event_type", (F.col("event_id") % 2).alias("half"),
-                     cents.alias("c"))
+                     cents.alias("c"),
+                     cents.cast("decimal(19,0)").alias("cd"))
     parts = base.groupBy("event_type", "half").agg(
-        F.count("*").alias("pn"), F.sum("c").alias("ps1"),
-        F.sum(F.col("c") * F.col("c")).alias("ps2"))
+        F.count("*").alias("pn"), F.sum("cd").alias("ps1"),
+        F.sum((F.col("cd") * F.col("cd")).cast("decimal(38,0)"))
+        .alias("ps2"))
     merged = parts.groupBy("event_type").agg(
-        F.sum("pn").alias("mn"), F.sum("ps1").alias("ms1"),
+        F.sum("pn").alias("mn"),
+        F.sum(F.col("ps1").cast("decimal(38,0)")).alias("ms1"),
         F.sum("ps2").alias("ms2"))
     direct = base.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("c").cast("long").alias("sum_cents"),
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq_cents"))
+        F.count("*").cast("decimal(38,0)").alias("dn"),
+        F.sum("cd").cast("decimal(38,0)").alias("ds1"),
+        F.sum((F.col("cd") * F.col("cd")).cast("decimal(38,0)"))
+        .alias("ds2"))
+    safe = ((F.abs(F.col("ds1")) <= i64max)
+            & (F.col("ds2") <= i64max) & (F.col("dn") <= i64max))
+    var_dec = (F.col("dn") * F.col("ds2")
+               - F.col("ds1") * F.col("ds1")).cast("decimal(38,0)")
     return (
         direct.join(merged, "event_type")
         .select(
-            "event_type", "n", "sum_cents", "sum_sq_cents",
-            (F.col("n") * F.col("sum_sq_cents")
-             - F.col("sum_cents") * F.col("sum_cents"))
-            .cast("long").alias("var_num"),
-            ((F.col("mn") == F.col("n"))
-             & (F.col("ms1") == F.col("sum_cents"))
-             & (F.col("ms2") == F.col("sum_sq_cents"))).alias("merge_ok"),
+            "event_type",
+            F.col("dn").cast("long").alias("n"),
+            F.when(safe, F.col("ds1").cast("long")).alias("sum_cents"),
+            F.when(safe, F.col("ds2").cast("long")).alias("sum_sq_cents"),
+            F.when(safe, var_dec.cast("long")).alias("var_num"),
+            ((F.col("mn").cast("decimal(38,0)") == F.col("dn"))
+             & (F.col("ms1").cast("decimal(38,0)") == F.col("ds1"))
+             & (F.col("ms2") == F.col("ds2"))).alias("merge_ok"),
+            safe.alias("moments_safe"),
         )
         .orderBy("event_type")
     )
@@ -814,25 +832,33 @@ ORACLES["a26_mergeable_moments"] = """
                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
         FROM events
     ), parts AS (
-        SELECT event_type, half, count(*) AS pn, sum(c) AS ps1,
-               sum(c * c) AS ps2
+        SELECT event_type, half, count(*) AS pn,
+               sum(CAST(c AS HUGEINT)) AS ps1,
+               sum(CAST(c AS HUGEINT) * c) AS ps2
         FROM base GROUP BY event_type, half
     ), merged AS (
         SELECT event_type, sum(pn) AS mn, sum(ps1) AS ms1,
                sum(ps2) AS ms2
         FROM parts GROUP BY event_type
     ), direct AS (
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(c) AS BIGINT) AS sum_cents,
-               CAST(sum(c * c) AS BIGINT) AS sum_sq_cents
+        SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+               sum(CAST(c AS HUGEINT)) AS s1,
+               sum(CAST(c AS HUGEINT) * c) AS s2
         FROM base GROUP BY event_type
+    ), guarded AS (
+        SELECT *, (abs(s1) <= 9223372036854775807
+                   AND s2 <= 9223372036854775807
+                   AND n <= 9223372036854775807) AS ok
+        FROM direct
     )
-    SELECT d.event_type, d.n, d.sum_cents, d.sum_sq_cents,
-           CAST(d.n * d.sum_sq_cents - d.sum_cents * d.sum_cents
-                AS BIGINT) AS var_num,
-           (m.mn = d.n AND m.ms1 = d.sum_cents
-            AND m.ms2 = d.sum_sq_cents) AS merge_ok
-    FROM direct d JOIN merged m ON d.event_type = m.event_type
+    SELECT d.event_type, CAST(d.n AS BIGINT) AS n,
+           CASE WHEN ok THEN CAST(d.s1 AS BIGINT) END AS sum_cents,
+           CASE WHEN ok THEN CAST(d.s2 AS BIGINT) END AS sum_sq_cents,
+           CASE WHEN ok THEN CAST(d.n * d.s2 - d.s1 * d.s1 AS BIGINT)
+                END AS var_num,
+           (m.mn = d.n AND m.ms1 = d.s1 AND m.ms2 = d.s2) AS merge_ok,
+           ok AS moments_safe
+    FROM guarded d JOIN merged m ON d.event_type = m.event_type
     ORDER BY d.event_type
 """
 

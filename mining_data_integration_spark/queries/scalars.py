@@ -412,7 +412,8 @@ ORACLES["x18_json_shred_stats"] = """
                TRY_CAST(json_extract_string(raw.r, '$.' || k) AS BIGINT)
                    AS v
         FROM raw, unnest(json_keys(
-            CASE WHEN json_valid(raw.r) THEN raw.r ELSE '{}' END)) AS u(k)
+            CASE WHEN json_valid(raw.r) AND json_type(raw.r) = 'OBJECT'
+                 THEN raw.r ELSE '{}' END)) AS u(k)
     ), stats AS (
         SELECT key, CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(v) AS BIGINT) AS sum_val,
@@ -420,9 +421,12 @@ ORACLES["x18_json_shred_stats"] = """
                CAST(max(v) AS BIGINT) AS max_val
         FROM kv GROUP BY key
         UNION ALL
+        -- malformed == what Spark's from_json(map) nulls out: invalid
+        -- JSON *or* valid non-object payloads ('null', '123', '[1]')
         SELECT '_malformed', CAST(count(*) AS BIGINT),
                NULL, NULL, NULL
-        FROM raw WHERE NOT json_valid(r)
+        FROM raw WHERE CASE WHEN NOT json_valid(r) THEN TRUE
+                            ELSE json_type(r) <> 'OBJECT' END
     )
     SELECT key, n_rows, sum_val, min_val, max_val
     FROM stats ORDER BY key

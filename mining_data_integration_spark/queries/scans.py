@@ -489,8 +489,11 @@ def u5_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     dels = docs.filter(F.col("doc_id") % 13 == 0).select(
         "doc_id", F.lit(3).alias("seq"), F.lit("D").alias("op"),
         F.lit(None).cast("string").alias("new_dig"))
+    # insert keys live on the NEGATIVE axis (-id - 1): disjoint from
+    # the real doc_id domain (>= 0) at every corpus size, unlike an
+    # additive offset which collides once the corpus outgrows it
     ins = docs.filter(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.lit(1).alias("seq"), F.lit("U").alias("op"),
         F.md5(normalize_text(F.concat(F.lit("new "), F.col("text"))))
         .alias("new_dig"))
@@ -531,7 +534,7 @@ ORACLES["u5_changelog_apply"] = """
         UNION ALL
         SELECT doc_id, 3, 'D', NULL FROM nrm WHERE doc_id % 13 = 0
         UNION ALL
-        SELECT doc_id + 1000000, 1, 'U', md5('new ' || nt)
+        SELECT -doc_id - 1, 1, 'U', md5('new ' || nt)
         FROM nrm WHERE doc_id % 11 = 0
     ), latest AS (
         SELECT doc_id,

@@ -1006,7 +1006,10 @@ def _stream_dir(sf_dir: str, table: str) -> str:
     # process, so treat FileExistsError as "re-point if stale".
     if os.path.lexists(link) and os.path.realpath(link) != \
             os.path.realpath(target):
-        os.unlink(link)
+        try:
+            os.unlink(link)
+        except FileNotFoundError:
+            pass  # a concurrent process removed the stale link first
     if not os.path.lexists(link):
         try:
             os.symlink(target, link)
@@ -1386,9 +1389,10 @@ def w23_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     lane max (least(., 2^20-1)), so a drift larger than the lane can
     never bleed into the max_s field, and a separate exact fold
     (sum of positive excesses — a provable upper bound on every
-    prefix S_i) emits `lane_safe`; when it is false the s/max_s
-    values are saturated lower bounds, flagged instead of silently
-    wrong. Unpacking uses integer DIV (never float `/`, which is
+    prefix S_i) combined with n_events < 2^24 (n_alarms <= n_events,
+    so this bounds the 24-bit alarm lane exactly) emits `lane_safe`;
+    when it is false the s/max_s/n_alarms values are saturated lower
+    bounds, flagged instead of silently wrong. Unpacking uses integer DIV (never float `/`, which is
     only exact below 2^53). Bounded-series form (per-user arrays);
     the unbounded-stream form of the same recurrence is the st4
     applyInPandasWithState path."""
@@ -1425,7 +1429,11 @@ def w23_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size("_a").cast("long").alias("n_events"),
         fold.alias("_st"),
-        (worst < F.lit(_CU_S)).alias("lane_safe"),
+        # lane_safe covers ALL THREE lanes: worst bounds every prefix
+        # S_i (the s and max_s 20-bit lanes), and n_alarms <= n_events,
+        # so n_events < 2^24 bounds the 24-bit alarm lane exactly.
+        ((worst < F.lit(_CU_S))
+         & (F.size("_a") < F.lit(1 << 24))).alias("lane_safe"),
     ).select(
         "user_id", "n_events",
         F.expr(f"_st % {_CU_S}").cast("long").alias("final_s"),
@@ -1479,7 +1487,7 @@ ORACLES["w23_cusum_alarms"] = f"""
            CAST(st % {_CU_S} AS BIGINT) AS final_s,
            CAST((st // {_CU_S}) % {_CU_S} AS BIGINT) AS max_s,
            CAST(st // {_CU_M} AS BIGINT) AS n_alarms,
-           worst < {_CU_S} AS lane_safe
+           (worst < {_CU_S} AND n_events < {1 << 24}) AS lane_safe
     FROM folded ORDER BY user_id
 """
 

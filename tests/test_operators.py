@@ -1240,7 +1240,8 @@ def test_changelog_apply_latest_wins(spark):
     assert out[7].dig == dig(docs[7] + " v3")      # seq 2 beat seq 1
     assert 13 not in out                            # deleted
     assert 91 not in out                            # delete (seq 3) wins
-    assert out[1000000].status == "inserted"
-    assert out[1000000].dig == dig("new " + docs[0])
+    # insert keys live at -id - 1: doc 0's insert lands on key -1
+    assert out[-1].status == "inserted"
+    assert out[-1].dig == dig("new " + docs[0])
     assert out[1].status == "kept"
     assert out[1].dig == dig(docs[1])
