@@ -252,6 +252,43 @@ def chain_members_rcte(edges: DataFrame, tip_id: str,
     """)
 
 
+def _spark_major(spark) -> int:
+    try:
+        return int(spark.version.split(".")[0])
+    except (ValueError, IndexError, AttributeError):
+        return 0
+
+
+def chain_members_auto(edges: DataFrame, tip_id: str,
+                       id_col: str, parent_col: str,
+                       height_col: str | None = None) -> DataFrame:
+    """Engine-selecting front door for the ancestors-of-tip walk.
+
+    Selection rule (one probe, no caller knobs):
+    1. a monotone height column is available -> segmented walk
+       (O(1) shuffles — the E1 hot-path choice at any chain length);
+    2. else on Spark 4+ -> `WITH RECURSIVE` (declarative, Catalyst
+       owns the iteration; depth-n materialization, right for the
+       moderate depths a height-less walk implies);
+    3. else -> pointer doubling (O(log n) shuffle rounds, fully
+       general — the only engine with no version or schema demands).
+
+    The three engines are result-identical (pinned against each other
+    in tests/test_core_golden.py and the j9/j16 oracles); callers that
+    know better can still invoke a specific engine directly.
+    """
+    if height_col is not None and height_col in edges.columns:
+        return chain_members_segmented(
+            edges, tip_id, id_col=id_col, parent_col=parent_col,
+            height_col=height_col)
+    if _spark_major(edges.sparkSession) >= 4:
+        return chain_members_rcte(
+            edges, tip_id, id_col=id_col, parent_col=parent_col)
+    tips = edges.sparkSession.createDataFrame(
+        [(tip_id,)], f"{id_col} string")
+    return chain_members(edges, tips, id_col, parent_col)
+
+
 def deepest_tip(headers: DataFrame, id_col: str = "block_hash",
                 parent_col: str = "parent_block",
                 height_col: str = "block_height") -> DataFrame:
@@ -293,7 +330,7 @@ def canonical_snapshots(snapshots: DataFrame) -> DataFrame:
     )
     if not tip:
         return valid
-    members = chain_members_segmented(
+    members = chain_members_auto(
         valid, tip[0].burn_header_hash,
         id_col="burn_header_hash", parent_col="parent_burn_header_hash",
         height_col="block_height",
@@ -307,7 +344,7 @@ def canonical_stacks_chain(headers: DataFrame) -> DataFrame:
     tip = deepest_tip(headers).collect()
     if not tip:
         return headers
-    members = chain_members_segmented(
+    members = chain_members_auto(
         headers, tip[0].block_hash,
         id_col="block_hash", parent_col="parent_block",
         height_col="block_height",

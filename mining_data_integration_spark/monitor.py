@@ -17,13 +17,13 @@ from pyspark.sql import functions as F
 
 
 def trailing(df: DataFrame, n: int, height_col: str) -> DataFrame:
-    """W1: the last n rows by height (mining_monitor_rpc.js:3, 25, 48)."""
-    w = Window.orderBy(F.desc(height_col))
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n)
-        .drop("_rn")
-    )
+    """W1: the last n rows by height (mining_monitor_rpc.js:3, 25, 48).
+
+    Distributed top-K (TakeOrderedAndProject — per-partition heads
+    merged on the driver, n*P rows moved), not a global row_number
+    window (which would single-partition-sort the whole table).
+    Heights are unique per gold-table row, so the row set is identical."""
+    return df.orderBy(F.desc(height_col)).limit(n)
 
 
 def current_status(block_info: DataFrame, n: int = 20) -> DataFrame:
@@ -145,7 +145,6 @@ def monitor_integrate(golds: dict[str, DataFrame],
 def winner_pie(miner_info: DataFrame) -> DataFrame:
     """F14 (mining_monitor_rpc.js:115-140): pie payload
     {address, number, RR} from a miner_info table (all / r1000 / r100)."""
-    cols = ["stx_address"]
     rr = F.col("RR") if "RR" in miner_info.columns else F.lit(None).cast("double")
     return miner_info.select(
         F.col("stx_address").alias("address"),

@@ -71,14 +71,40 @@ def lsh_bucket(emb: Column, planes: list[list[float]]) -> Column:
     return bucket.cast("bigint")
 
 
+BRUTE_BROADCAST_MAX_Q = 10_000
+
+
 def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     q_id_col: str = "q_id", q_vec_col: str = "q_emb") -> DataFrame:
-    """Exact cosine top-k per query vector. Queries broadcast; ties
-    broken by candidate id for determinism."""
+                     q_id_col: str = "q_id", q_vec_col: str = "q_emb",
+                     max_broadcast_q: int = BRUTE_BROADCAST_MAX_Q) -> DataFrame:
+    """Exact cosine top-k per query vector; ties broken by candidate
+    id for determinism.
+
+    The query side is broadcast ONLY while it is provably small (a
+    bounded limit-probe, never a full count): broadcasting an
+    unbounded Q ships |Q|·dim floats to every executor and OOMs the
+    fleet before the first dot product. Above the threshold the same
+    exact pair set is built by SHARD REPLICATION: each emb row is
+    exploded across S shards, each query hash-lands in exactly one
+    shard, and a shuffle-hash equi-join on the shard id meets every
+    (emb, query) pair exactly once with per-task query state bounded
+    by ~|Q|/S. Results are identical either way (same pairs, same
+    window), so both routes share one SQL oracle."""
     emb_n = emb.withColumn("_vnorm", norm(F.col(vec_col)))
     q_n = queries.withColumn("_qnorm", norm(F.col(q_vec_col)))
-    pairs = emb_n.crossJoin(F.broadcast(q_n)).select(
+    small_q = (queries.select(q_id_col).limit(max_broadcast_q + 1).count()
+               <= max_broadcast_q)
+    if small_q:
+        joined = emb_n.crossJoin(F.broadcast(q_n))
+    else:
+        n_shards = max(emb.sparkSession.sparkContext.defaultParallelism, 8)
+        shards = F.array(*[F.lit(i) for i in range(n_shards)])
+        emb_r = emb_n.withColumn("_shard", F.explode(shards))
+        q_s = q_n.withColumn(
+            "_shard", F.pmod(F.hash(F.col(q_id_col)), F.lit(n_shards)))
+        joined = emb_r.join(q_s.hint("shuffle_hash"), "_shard")
+    pairs = joined.select(
         F.col(q_id_col),
         F.col(id_col),
         _cos(dot(F.col(q_vec_col), F.col(vec_col)),

@@ -242,24 +242,50 @@ def a16_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile when the exact forms are too shuffle-heavy):
     HyperLogLog++ distinct counts and approx_percentile per group.
 
-    Deliberately NOT oracle-gated (rows-only check): sketch values are
-    engine-specific — DuckDB's approx_distinct uses a different HLL
-    implementation, so value equality is undefined. Error bounds vs
-    the exact aggregates are pinned in tests/test_properties.py."""
+    Raw sketch values are engine-specific (DuckDB's approx_distinct is
+    a different HLL), so the CHECKABLE surface is (a) exact companion
+    aggregates and (b) bounds verdicts computed Spark-side as exact
+    integer comparisons: distinct_ok pins |HLL − exact| <= 5% (the
+    rsd=0.02 sketch at 2.5 sigma), and p50/p99_rank_ok pin that the
+    approximate percentile's exact RANK lands within +-5%/- +-0.5% of
+    the target quantile (count of rows at-or-below / strictly-below
+    the sketch value — rank is the engine-neutral way to judge a
+    percentile). The DuckDB oracle replays the exact columns and the
+    expected TRUE verdicts, so a sketch drifting out of bounds turns
+    this row red. Two scans: one agg pass, then a broadcast of the
+    O(groups) bounds back over orders for the exact rank counts."""
     o = t(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderstatus")
+    g = o.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("long").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_ad"),
+        F.expr("approx_percentile(o_totalprice, array(0.5, 0.99))")
+        .alias("_pp"),
+    )
+    bounds = g.select("o_orderstatus", F.col("_pp")[0].alias("_p50"),
+                      F.col("_pp")[1].alias("_p99"))
+    pr = F.col("o_totalprice")
+    ranks = (
+        o.join(F.broadcast(bounds), "o_orderstatus")
+        .groupBy("o_orderstatus")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02)
-            .alias("approx_customers"),
-            F.expr("approx_percentile(o_totalprice, array(0.5, 0.99))")
-            .alias("_pp"),
-            F.count("*").alias("n_orders"),
+            F.sum((pr <= F.col("_p50")).cast("long")).alias("le50"),
+            F.sum((pr < F.col("_p50")).cast("long")).alias("lt50"),
+            F.sum((pr <= F.col("_p99")).cast("long")).alias("le99"),
+            F.sum((pr < F.col("_p99")).cast("long")).alias("lt99"),
         )
+    )
+    n = F.col("n_orders")
+    return (
+        g.join(ranks, "o_orderstatus")
         .select(
-            "o_orderstatus", "n_orders", "approx_customers",
-            F.round(F.col("_pp")[0], 2).alias("approx_p50"),
-            F.round(F.col("_pp")[1], 2).alias("approx_p99"),
+            "o_orderstatus", "n_orders", "exact_customers",
+            (F.abs(F.col("_ad") - F.col("exact_customers")) * 100
+             <= F.col("exact_customers") * 5).alias("distinct_ok"),
+            ((F.col("le50") * 100 >= n * 45)
+             & (F.col("lt50") * 100 <= n * 55)).alias("p50_rank_ok"),
+            ((F.col("le99") * 1000 >= n * 985)
+             & (F.col("lt99") * 1000 <= n * 995)).alias("p99_rank_ok"),
         )
         .orderBy("o_orderstatus")
     )
@@ -309,6 +335,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    # a16: the sketch values themselves are engine-specific, so the
+    # oracle replays the exact companions and the EXPECTED verdicts —
+    # a Spark sketch drifting out of its published bound flips a
+    # boolean and the hash goes red.
+    "a16_approx_stats": """
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(DISTINCT o_custkey) AS BIGINT)
+                   AS exact_customers,
+               TRUE AS distinct_ok,
+               TRUE AS p50_rank_ok,
+               TRUE AS p99_rank_ok
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     "a19_histogram": f"""
         SELECT CAST(least(floor(o_totalprice / {_HIST_STEP}), {_HIST_TOP})
                     AS BIGINT) AS bucket,
@@ -495,7 +535,8 @@ def a21_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/sketches.py): every register derives from md5, so the
     harmonic sum is an exact int64 and the estimate a single IEEE
     division — the whole *approximate* sketch is value-hash checkable
-    against DuckDB, unlike approx_count_distinct (a16, rows-only).
+    against DuckDB, unlike approx_count_distinct (a16, whose gate
+    checks exact companions + bounds verdicts instead).
 
     Scale: one map-side pass, a 256-key shuffle, one broadcast — the
     distinct-count plan for a 10^12-row key column with no

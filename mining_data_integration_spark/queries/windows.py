@@ -18,10 +18,13 @@ from ._util import dec_sum, money, t
 
 def w1_trailing_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1+A9 (mining_monitor_rpc.js:1-21): mean over the last-20 rows of
-    the series (trailing slice as a window)."""
+    the series — a trailing slice, which at scale is distributed top-K
+    (orderBy+limit -> TakeOrderedAndProject: each partition keeps its
+    own top 20, the driver merges 20*P rows), NOT a global row_number
+    window, which would sort the whole table on one partition."""
     o = t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
-    last20 = o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
+    last20 = (o.orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+              .limit(20))
     return last20.agg(
         money(dec_sum("o_totalprice") / F.lit(20), 4).alias("avg_total"),
         F.count("*").alias("n_rows"),

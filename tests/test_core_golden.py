@@ -107,6 +107,61 @@ class TestChainWalk:
                {f"n{i:02d}" for i in range(11)}
         assert got == want
 
+    def test_auto_selects_segmented_with_height(self, spark, monkeypatch):
+        """chain_members_auto branch 1: a height column routes to the
+        segmented engine (pinned by poisoning the other two)."""
+        from mining_data_integration_spark import chain as C
+
+        def boom(*a, **k):
+            raise AssertionError("wrong engine selected")
+
+        monkeypatch.setattr(C, "chain_members_rcte", boom)
+        monkeypatch.setattr(C, "chain_members", boom)
+        Z = "0" * 64
+        rows = [(f"n{i:02d}", f"n{i-1:02d}" if i else Z, i)
+                for i in range(20)]
+        edges = spark.createDataFrame(
+            rows, "id string, parent string, h long")
+        got = {r.id for r in C.chain_members_auto(
+            edges, "n19", "id", "parent", height_col="h").collect()}
+        assert got == {f"n{i:02d}" for i in range(20)}
+
+    def test_auto_selects_rcte_on_spark4_without_height(
+            self, spark, monkeypatch):
+        """Branch 2: no height column + Spark 4 -> WITH RECURSIVE."""
+        from mining_data_integration_spark import chain as C
+
+        def boom(*a, **k):
+            raise AssertionError("wrong engine selected")
+
+        monkeypatch.setattr(C, "chain_members_segmented", boom)
+        monkeypatch.setattr(C, "chain_members", boom)
+        assert C._spark_major(spark) >= 4  # env invariant this pin rides on
+        Z = "0" * 64
+        rows = [(f"n{i:02d}", f"n{i-1:02d}" if i else Z) for i in range(20)]
+        edges = spark.createDataFrame(rows, "id string, parent string")
+        got = {r.id for r in C.chain_members_auto(
+            edges, "n19", "id", "parent").collect()}
+        assert got == {f"n{i:02d}" for i in range(20)}
+
+    def test_auto_falls_back_to_doubling_pre_spark4(
+            self, spark, monkeypatch):
+        """Branch 3: no height column + pre-4 Spark -> pointer doubling."""
+        from mining_data_integration_spark import chain as C
+
+        def boom(*a, **k):
+            raise AssertionError("wrong engine selected")
+
+        monkeypatch.setattr(C, "chain_members_segmented", boom)
+        monkeypatch.setattr(C, "chain_members_rcte", boom)
+        monkeypatch.setattr(C, "_spark_major", lambda s: 3)
+        Z = "0" * 64
+        rows = [(f"n{i:02d}", f"n{i-1:02d}" if i else Z) for i in range(20)]
+        edges = spark.createDataFrame(rows, "id string, parent string")
+        got = {r.id for r in C.chain_members_auto(
+            edges, "n19", "id", "parent").collect()}
+        assert got == {f"n{i:02d}" for i in range(20)}
+
     def test_chain_members_long_chain(self, spark):
         # 300-link chain + 50-node dead branch: pointer doubling must
         # cover length ≫ 2^#rounds-naive and exclude the branch

@@ -131,6 +131,24 @@ def test_brute_force_topk_self_is_best(spark):
     assert abs(top[0].cos_sim - 1.0) < 1e-12
 
 
+def test_brute_force_large_q_routes_off_broadcast(spark):
+    """A query set above the broadcast threshold must take the
+    shard-replicated shuffle join (no BroadcastExchange anywhere in
+    the plan) and return bit-identical rows to the broadcast route."""
+    from mining_data_integration_spark import plans
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    q = emb.limit(20).select(F.col("vec_id").alias("q_id"),
+                             F.col("embedding").alias("q_emb"))
+    sharded = S.brute_force_topk(emb, q, k=3, max_broadcast_q=5)
+    assert "BroadcastExchange" not in plans.formatted_plan(sharded)
+    bcast = S.brute_force_topk(emb, q, k=3)
+    key = ["q_id", "vec_id", "rk"]
+    assert sorted(map(tuple, sharded.select(*key).collect())) == \
+        sorted(map(tuple, bcast.select(*key).collect()))
+
+
 def test_ann_lsh_query_bucket_contains_self(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.filter(F.col("vec_id") == 3).select(

@@ -39,6 +39,24 @@ class TestPlanProperties:
         assert plans.count_operator(df, "Join") >= 1
         assert plans.pushed_filters(df)   # IsNotNull on join keys
 
+    def test_trailing_n_is_distributed_topk(self, spark, queries):
+        """w1 and monitor.trailing are trailing-N slices: they must
+        plan as TakeOrderedAndProject (per-partition top-K merged on
+        the driver), never as a global row_number window that drags
+        the whole table onto one partition."""
+        from mining_data_integration_spark.monitor import trailing
+
+        df = queries["w1_trailing_mean"](spark, SF)
+        plan = plans.formatted_plan(df)
+        assert "TakeOrderedAndProject" in plan
+        assert plans.count_operator(df, "Window") == 0
+
+        base = spark.range(1000).withColumnRenamed("id", "h")
+        tdf = trailing(base, 20, "h")
+        tplan = plans.formatted_plan(tdf)
+        assert "TakeOrderedAndProject" in tplan
+        assert plans.count_operator(tdf, "Window") == 0
+
     def test_dedup_stays_jvm_side(self, spark, queries):
         # dd1's digest/groupBy path must not contain a Python UDF eval
         df = queries["dd1_exact_dedup"](spark, SF)

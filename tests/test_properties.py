@@ -82,10 +82,11 @@ class TestSkewUtilities:
 
 
 class TestApproxAggregates:
-    """a16's sketches are engine-specific (rows-only at the oracle
-    gate), so the accuracy contract is pinned here instead: HLL++
-    distinct within its configured rsd, approx_percentile within the
-    p1-p100 band around the exact percentile."""
+    """a16's raw sketches are engine-specific (its oracle gate checks
+    exact companions + bounds verdicts), so the underlying accuracy
+    contract is pinned here too: HLL++ distinct within its configured
+    rsd, approx_percentile within the p1-p100 band around the exact
+    percentile."""
 
     def test_approx_distinct_error_bound(self, spark):
         import pyspark.sql.functions as F
