@@ -115,75 +115,154 @@ def _windowed_prepare(spark: SparkSession, tables: dict[str, DataFrame],
     except Exception:
         return None
 
+    # scalar probes are BATCHED: each 1-row collect is its own Spark
+    # job, and on a small tick those fixed job floors — not data —
+    # dominate the latency. Independent probes union into one job
+    # (three probe jobs per tick: tips, floors, boundary anchors).
     valid = tables["snapshots"].filter(F.col("pox_valid") != 0)
-    tip_row = valid.orderBy(
-        F.desc("block_height"), F.col("burn_header_hash")).limit(1).collect()
-    if not tip_row:
+    headers = tables["block_headers"]
+    tip_probe = (
+        valid.orderBy(F.desc("block_height"), F.col("burn_header_hash"))
+        .limit(1)
+        .select(F.lit("burn").alias("side"),
+                F.col("burn_header_hash").alias("id"),
+                F.col("stacks_block_height"))
+        .unionByName(
+            headers.orderBy(F.desc("block_height"), F.col("block_hash"))
+            .limit(1)
+            .select(F.lit("stacks").alias("side"),
+                    F.col("block_hash").alias("id"),
+                    F.lit(None).cast("long").alias("stacks_block_height")))
+    ).collect()
+    tips = {r.side: r for r in tip_probe}
+    if "burn" not in tips or "stacks" not in tips:
         return None
     # bucket-ALIGNED window on the stacks-height axis: dynamic
     # overwrite rewrites whole hbucket partitions, so the window must
     # fully cover every bucket it touches — a mid-bucket floor would
     # drop the bucket's below-window rows on rewrite
-    tip_stacks = tip_row[0].stacks_block_height or 0
+    tip_stacks = tips["burn"].stacks_block_height or 0
     aligned_floor = (max(0, tip_stacks - reorg_depth)
                      // HEIGHTS_PER_BUCKET) * HEIGHTS_PER_BUCKET
     window = valid.filter(F.col("stacks_block_height") >= aligned_floor)
 
-    members = chain_members_segmented(
-        window, tip_row[0].burn_header_hash,
-        id_col="burn_header_hash", parent_col="parent_burn_header_hash",
-        height_col="block_height")
-    # checkpoint the (small) windowed chain: floor probe, lag-delta,
-    # enrichment and the state write all consume it — without this the
-    # segmented walk re-executes once per downstream action
-    wchain = window.join(members, "burn_header_hash") \
-        .localCheckpoint(eager=True)
+    # stacks side windows on the same aligned floor (its height IS the
+    # mining_info bucket axis; a burn row's stacks_block_height is >=
+    # its anchored header's height, so enriched covers these wins)
+    wheaders = headers.filter(F.col("block_height") >= aligned_floor)
 
-    # boundary verify: the window floor's parent must be the stored
-    # canonical row one height below — otherwise the reorg is deeper
-    # than the window and the tick must go full
-    floor = wchain.orderBy("block_height").limit(1).collect()
-    if not floor:
-        return None
-    prev = stored_chain.filter(
-        F.col("block_height") == floor[0].block_height - 1).collect()
-    if floor[0].parent_burn_header_hash != ZERO64:
-        if not prev or prev[0].burn_header_hash != \
-                floor[0].parent_burn_header_hash:
+    # chain walks: the window holds O(reorg_depth) rows — a
+    # CONFIG-bounded driver artifact, same class as the k-centroid and
+    # shard-summary collects — so BOTH walks run driver-side off ONE
+    # collect job (the distributed segmented walk costs 2-3 jobs per
+    # chain, pure fixed overhead at window size). The cap enforces the
+    # bound; a window above it (misconfigured reorg_depth) falls back
+    # to the distributed engine, result-identical.
+    cap = min(4 * reorg_depth + 20_000, 1_000_000)
+    edge_rows = (
+        window.select(F.lit("burn").alias("side"),
+                      F.col("burn_header_hash").alias("id"),
+                      F.col("parent_burn_header_hash").alias("parent"),
+                      F.col("block_height").alias("h"))
+        .unionByName(
+            wheaders.select(F.lit("stacks").alias("side"),
+                            F.col("block_hash").alias("id"),
+                            F.col("parent_block").alias("parent"),
+                            F.col("block_height").alias("h")))
+        .limit(cap + 1)
+    ).collect()
+
+    floors = {}
+    if len(edge_rows) <= cap:
+        from types import SimpleNamespace
+
+        # driver walk: follow parent pointers from each tip; the walk
+        # leaves the window exactly where the parent id is absent
+        member_dfs = {}
+        id_field = {"burn": "burn_header_hash", "stacks": "block_hash"}
+        for side in ("burn", "stacks"):
+            by_id = {r.id: r for r in edge_rows if r.side == side}
+            mem, cur, seen = [], tips[side].id, set()
+            while cur in by_id and cur not in seen:
+                seen.add(cur)
+                mem.append(by_id[cur])
+                cur = by_id[cur].parent
+            if not mem:
+                return None
+            floor_row = mem[-1]           # deepest = lowest height
+            floors[side] = SimpleNamespace(
+                parent=floor_row.parent, block_height=floor_row.h)
+            member_dfs[side] = F.broadcast(spark.createDataFrame(
+                [(r.id,) for r in mem], f"{id_field[side]} string"))
+        members, smembers = member_dfs["burn"], member_dfs["stacks"]
+    else:
+        members = chain_members_segmented(
+            window, tips["burn"].id,
+            id_col="burn_header_hash",
+            parent_col="parent_burn_header_hash",
+            height_col="block_height")
+        smembers = chain_members_segmented(
+            wheaders, tips["stacks"].id,
+            id_col="block_hash", parent_col="parent_block",
+            height_col="block_height")
+
+    # checkpoint the (small) windowed chains: lag-delta, enrichment
+    # and the state write all consume them — without this the walk
+    # join re-executes once per downstream action. LAZY: the first
+    # consumer materializes it inside its own job (no extra barrier).
+    wchain = window.join(members, "burn_header_hash") \
+        .localCheckpoint(eager=False)
+    wstacks = wheaders.join(smembers, "block_hash") \
+        .localCheckpoint(eager=False)
+
+    if not floors:
+        # distributed-walk fallback: probe both window floors, one job
+        floor_probe = (
+            wchain.orderBy("block_height").limit(1)
+            .select(F.lit("burn").alias("side"),
+                    F.col("parent_burn_header_hash").alias("parent"),
+                    F.col("block_height"))
+            .unionByName(
+                wstacks.orderBy("block_height").limit(1)
+                .select(F.lit("stacks").alias("side"),
+                        F.col("parent_block").alias("parent"),
+                        F.col("block_height")))
+        ).collect()
+        floors = {r.side: r for r in floor_probe}
+        if "burn" not in floors or "stacks" not in floors:
             return None
-    prev_total = prev[0].total_burn if prev else 0
+
+    # boundary verify, both chains in one job: each window floor's
+    # parent must be the stored canonical row one height below —
+    # otherwise the reorg is deeper than the window -> full recompute
+    prev_probe = (
+        stored_chain.filter(
+            F.col("block_height") == floors["burn"].block_height - 1)
+        .select(F.lit("burn").alias("side"),
+                F.col("burn_header_hash").alias("id"),
+                F.col("total_burn"))
+        .unionByName(
+            stored_stacks.filter(
+                F.col("block_height") == floors["stacks"].block_height - 1)
+            .select(F.lit("stacks").alias("side"),
+                    F.col("block_hash").alias("id"),
+                    F.lit(None).cast("long").alias("total_burn")))
+    ).collect()
+    prevs = {r.side: r for r in prev_probe}
+    if floors["burn"].parent != ZERO64:
+        if "burn" not in prevs or prevs["burn"].id != floors["burn"].parent:
+            return None
+    prev_total = prevs["burn"].total_burn if "burn" in prevs else 0
+    if floors["stacks"].parent != ZERO64:
+        if "stacks" not in prevs or \
+                prevs["stacks"].id != floors["stacks"].parent:
+            return None
 
     w = Window.orderBy("block_height")
     snap = wchain.withColumn(
         "actual_burn",
         F.col("total_burn") - F.lag("total_burn", 1, prev_total).over(w),
     ).localCheckpoint(eager=True)
-
-    # stacks side: window the headers the same way, anchor on stored
-    # canonical stacks state below the floor
-    # headers window on the same aligned floor (its height IS the
-    # mining_info bucket axis; a burn row's stacks_block_height is >=
-    # its anchored header's height, so enriched covers these wins)
-    headers = tables["block_headers"]
-    stip = headers.orderBy(
-        F.desc("block_height"), F.col("block_hash")).limit(1).collect()
-    if not stip:
-        return None
-    wheaders = headers.filter(F.col("block_height") >= aligned_floor)
-    smembers = chain_members_segmented(
-        wheaders, stip[0].block_hash,
-        id_col="block_hash", parent_col="parent_block",
-        height_col="block_height")
-    wstacks = wheaders.join(smembers, "block_hash") \
-        .localCheckpoint(eager=True)
-    sfloor = wstacks.orderBy("block_height").limit(1).collect()
-    if not sfloor:
-        return None
-    if sfloor[0].parent_block != ZERO64:
-        sprev = stored_stacks.filter(
-            F.col("block_height") == sfloor[0].block_height - 1).collect()
-        if not sprev or sprev[0].block_hash != sfloor[0].parent_block:
-            return None
 
     commits = tables["block_commits"]
     if "hbucket" in commits.columns:
@@ -192,7 +271,7 @@ def _windowed_prepare(spark: SparkSession, tables: dict[str, DataFrame],
         # scan — the windowed tick's last O(history) input goes away
         commits = commits.filter(
             F.col("hbucket")
-            >= floor[0].block_height // HEIGHTS_PER_BUCKET)
+            >= floors["burn"].block_height // HEIGHTS_PER_BUCKET)
     enriched = core.commits_enriched(
         snap, commits.drop("hbucket"), tables["leader_keys"]).cache()
     chain_cols = wstacks.select(
@@ -204,7 +283,7 @@ def _windowed_prepare(spark: SparkSession, tables: dict[str, DataFrame],
     )
     return {"snap": snap, "enriched": enriched, "winners": winners,
             "wchain": wchain, "wstacks": wstacks,
-            "aligned_floor": aligned_floor}
+            "aligned_floor": aligned_floor, "tip_stacks": tip_stacks}
 
 
 def _write_state(wchain: DataFrame, wstacks: DataFrame,
@@ -242,8 +321,12 @@ def incremental_refresh(spark: SparkSession, tables: dict[str, DataFrame],
         prepared["wstacks"] = canonical_stacks_chain(tables["block_headers"])
 
     try:
-        tip = prepared["snap"].agg(
-            F.max("stacks_block_height").alias("t")).collect()[0].t
+        # the windowed tick already knows its tip from the probe batch;
+        # only the full path pays the extra 1-row aggregate job
+        tip = prepared.get("tip_stacks")
+        if tip is None:
+            tip = prepared["snap"].agg(
+                F.max("stacks_block_height").alias("t")).collect()[0].t
         lo = prepared.get("aligned_floor", 0) if mode == "windowed" else 0
         lo_bucket = lo // HEIGHTS_PER_BUCKET
         affected = F.col("hbucket") >= lo_bucket

@@ -128,17 +128,56 @@ def sample_frames(media: DataFrame, frame_size: int = 32,
         make_frame_sampler(frame_size, stride), schema=FRAME_SCHEMA)
 
 
-def decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """The compressed-codec slot (JPEG/PNG/opus). Kept as an explicit
-    NotImplementedError: the container ships no codec libraries
-    (PIL/opencv/librosa). For UNcompressed formats the engine decodes
-    for real — see decode_ppm / decode_ppm_stats below, a from-scratch
-    binary-PPM parser that runs end-to-end in the same Arrow slot."""
-    raise NotImplementedError(
-        "compressed image/audio decode requires codec libraries not "
-        "present in this environment; decode_ppm_stats is the real "
-        "(pure-Python) decode path, decode_image_stub the plumbing stub"
-    )
+REAL_STATS_SCHEMA = (
+    "media_id bigint, width int, height int, sum_px bigint, ok boolean"
+)
+
+
+def decode_real(decoder=None):
+    """The compressed-codec slot, INJECTABLE (the sources/rest.py
+    transport pattern applied to codecs): pass any
+    ``bytes -> (width, height, pixel_bytes)`` callable — a PIL/opencv
+    adapter in a codec-equipped deployment, or the from-scratch
+    decoders shipped here (jpeg_decode_gray below; png_decode /
+    decode_ppm / wav_decode for their formats) — and get back a
+    mapInPandas kernel producing REAL_STATS_SCHEMA rows; a decoder
+    ValueError becomes an ok=false row, never a dead task. Raises
+    ONLY when no decoder is injected: the engine itself never fakes a
+    codec it does not have."""
+    if decoder is None:
+        raise NotImplementedError(
+            "no decoder injected: pass decode_real(decoder=...) a "
+            "bytes -> (width, height, pixels) callable — e.g. "
+            "jpeg_decode_gray (baseline JPEG, from scratch), "
+            "png_decode, decode_ppm, or a PIL/opencv adapter in a "
+            "codec-equipped deployment"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, sums, oks = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                try:
+                    w, h, pix = decoder(bytes(payload))
+                    ws.append(w)
+                    hs.append(h)
+                    sums.append(sum(pix))
+                    oks.append(True)
+                except ValueError:
+                    ws.append(None)
+                    hs.append(None)
+                    sums.append(None)
+                    oks.append(False)
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="Int32"),
+                "height": pd.Series(hs, dtype="Int32"),
+                "sum_px": pd.Series(sums, dtype="Int64"),
+                "ok": pd.Series(oks, dtype="bool"),
+            })
+
+    return kernel
 
 
 # --- real image decode: binary PPM (P6), from scratch ------------------
@@ -699,4 +738,410 @@ def decode_ppm_dhash(batches: "Iterator[pd.DataFrame]") \
             "media_id": pd.Series(ids, dtype="int64"),
             "dhash": pd.Series(hashes, dtype="Int64"),
             "ok": pd.Series(oks, dtype="bool"),
+        })
+
+
+# --- real compressed decode #2: baseline JPEG (grayscale, from scratch) ---
+# Sequential-DCT baseline JPEG per ITU-T T.81: Annex K.1 luminance
+# quantization, K.3 standard Huffman tables, one 8-bit component (no
+# chroma, hence no subsampling ambiguity and no YCbCr rounding).
+# The encoder exists to build REAL fixtures; the decoder is the
+# production-shaped artifact (full marker walk, entropy decode with
+# byte-stuffing, DC prediction, dequantize, IDCT).
+
+JPEG_W, JPEG_H = 16, 16           # 2x2 MCUs of 8x8
+JPEG_POISON_EVERY = 101
+
+_JPEG_QT = [                       # Annex K.1 luminance, row-major
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _jpeg_zigzag() -> list[int]:
+    """Zigzag position -> row-major index (generated, not transcribed:
+    diagonal s runs (0,s)..(s,0), direction alternating by parity)."""
+    order = []
+    for s in range(15):
+        ij = [(i, s - i) for i in range(s + 1)]
+        if s % 2 == 0:
+            ij.reverse()          # even diagonals walk up-right
+        order += [i * 8 + j for i, j in ij if i < 8 and j < 8]
+    return order
+
+
+_ZZ = _jpeg_zigzag()
+
+
+def _dct_mat():
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for u in range(8):
+        for x in range(8):
+            a = (1 / 2 ** 0.5) if u == 0 else 1.0
+            c[u, x] = 0.5 * a * np.cos((2 * x + 1) * u * np.pi / 16)
+    return c
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: symbol -> (code, length)."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)    # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value -> (category size, appended bits)."""
+    if v == 0:
+        return 0, 0
+    size = abs(v).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def jpeg_encode_gray(raw: bytes, width: int, height: int) -> bytes:
+    """Baseline sequential-DCT JPEG encoder, single 8-bit grayscale
+    component (fixture builder for the decoder below). Dimensions must
+    be multiples of 8 (no edge-replication logic to keep the fixture
+    exactly analyzable)."""
+    import numpy as np
+
+    if width % 8 or height % 8 or len(raw) != width * height:
+        raise ValueError("gray raster with 8-aligned dims required")
+    C = _dct_mat()
+    q = np.array(_JPEG_QT, dtype=float).reshape(8, 8)
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    img = np.frombuffer(raw, dtype=np.uint8).reshape(height, width)
+
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            block = img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8].astype(float)
+            coef = C @ (block - 128.0) @ C.T
+            qc = np.rint(coef / q).astype(int)
+            zz = [int(qc.flat[_ZZ[k]]) for k in range(64)]
+            size, bits = _mag_bits(zz[0] - prev_dc)
+            prev_dc = zz[0]
+            code, length = dc_codes[size]
+            w.write(code, length)
+            if size:
+                w.write(bits, size)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zc, zl = ac_codes[0xF0]   # ZRL
+                    w.write(zc, zl)
+                    run -= 16
+                size, bits = _mag_bits(zz[k])
+                code, length = ac_codes[(run << 4) | size]
+                w.write(code, length)
+                w.write(bits, size)
+                run = 0
+            if last_nz < 63:
+                ec, el = ac_codes[0x00]       # EOB
+                w.write(ec, el)
+    w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(_JPEG_QT[_ZZ[k]] for k in range(64)))
+    sof = seg(0xC0, bytes([8]) + height.to_bytes(2, "big")
+              + width.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+              + bytes(_JPEG_DC_VALS)) \
+        + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS)
+              + bytes(_JPEG_AC_VALS))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht + sos + bytes(w.out)
+            + b"\xff\xd9")
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy stream")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated entropy stream")
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2              # stuffed 0xFF data byte
+            else:
+                raise ValueError("marker inside entropy stream")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_tables(bits: list[int], vals: list[int]) \
+        -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if size == 0 or v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def jpeg_decode_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Baseline JPEG decoder, from scratch: full marker walk (skips
+    APPn/COM, rejects progressive/multi-component), DQT/DHT table
+    registry, entropy decode with byte-stuffing and DC prediction,
+    dequantize, inverse zigzag, float IDCT, level shift + clamp.
+    Raises ValueError on malformed/truncated/unsupported payloads —
+    the decode_real kernel maps that to ok=false rows."""
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("missing SOI")
+    pos = 2
+    qts: dict[int, list[int]] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    width = height = None
+    comp = None
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated marker stream")
+        if data[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            raise ValueError("EOI before scan data")
+        seglen = int.from_bytes(data[pos + 2:pos + 4], "big")
+        body = data[pos + 4:pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated segment")
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                if b + 65 > len(body):
+                    raise ValueError("short DQT")
+                zz = list(body[b + 1:b + 65])
+                tab = [0] * 64
+                for k in range(64):
+                    tab[_ZZ[k]] = zz[k]
+                qts[tq] = tab
+                b += 65
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1:b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17:b + 17 + n])
+                if len(bits) != 16 or len(vals) != n:
+                    raise ValueError("short DHT")
+                tab = _huff_decode_tables(bits, vals)
+                (dc_tabs if tc == 0 else ac_tabs)[th] = tab
+                b += 17 + n
+        elif marker == 0xC0:
+            if body[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+            if body[5] != 1:
+                raise ValueError("only single-component (gray) supported")
+            if body[7] != 0x11:
+                raise ValueError("subsampled gray is invalid")
+            comp = {"id": body[6], "tq": body[8]}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline SOF unsupported")
+        elif marker == 0xDA:
+            if comp is None or width is None:
+                raise ValueError("SOS before SOF")
+            if body[0] != 1:
+                raise ValueError("scan component count mismatch")
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            if td not in dc_tabs or ta not in ac_tabs \
+                    or comp["tq"] not in qts:
+                raise ValueError("scan references missing table")
+            pos = pos + 2 + seglen
+            break
+        # APPn / COM / DRI etc.: skip (DRI without RSTn use is inert)
+        pos = pos + 2 + seglen
+
+    C = _dct_mat()
+    q = np.array(qts[comp["tq"]], dtype=float).reshape(8, 8)
+    dc_t, ac_t = dc_tabs[td], ac_tabs[ta]
+    if width % 8 or height % 8:
+        raise ValueError("non-8-aligned dims unsupported (no edge pad)")
+    r = _BitReader(data, pos)
+    img = np.zeros((height, width), dtype=np.uint8)
+    prev_dc = 0
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            zz = [0] * 64
+            size = _read_symbol(r, dc_t)
+            diff = _extend(r.bits(size), size) if size else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = _read_symbol(r, ac_t)
+                if sym == 0x00:          # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("invalid AC symbol")
+                    k += 16              # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[k] = _extend(r.bits(size), size)
+                k += 1
+            coef = np.zeros(64)
+            for k in range(64):
+                coef[_ZZ[k]] = zz[k]
+            block = C.T @ (coef.reshape(8, 8) * q) @ C
+            px = np.clip(np.rint(block) + 128, 0, 255).astype(np.uint8)
+            img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = px
+    return width, height, bytes(img.tobytes())
+
+
+def jpeg_block_value(media_id: int, bx: int, by: int) -> int:
+    """The fixture generator: 8x8 block (bx, by) of media row
+    `media_id` is the constant EVEN value below. Even matters: the
+    block's only nonzero DCT coefficient is DC = 8*(v-128), the DC
+    quantizer is 16, and (v-128) even makes quantization EXACT — so
+    the lossy codec round-trips these rasters bit-perfectly and the
+    SQL oracle can recompute pixel sums in closed form."""
+    return 2 * ((media_id * 7 + bx + 3 * by) % 128)
+
+
+def make_jpeg_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: media_id -> REAL baseline-JPEG payload
+    (flat 8x8 blocks from jpeg_block_value). Every JPEG_POISON_EVERY-th
+    id ships only the first half of its payload — a mid-scan
+    truncation the decoder must survive as ok=false."""
+    for pdf in batches:
+        ids, payloads = [], []
+        for mid in pdf["media_id"]:
+            raw = bytearray(JPEG_W * JPEG_H)
+            for by in range(JPEG_H // 8):
+                for bx in range(JPEG_W // 8):
+                    v = jpeg_block_value(int(mid), bx, by)
+                    for y in range(8):
+                        row = (by * 8 + y) * JPEG_W + bx * 8
+                        raw[row:row + 8] = bytes([v] * 8)
+            enc = jpeg_encode_gray(bytes(raw), JPEG_W, JPEG_H)
+            if mid % JPEG_POISON_EVERY == 0:
+                enc = enc[:len(enc) // 2]
+            ids.append(mid)
+            payloads.append(enc)
+        yield pd.DataFrame({
+            "media_id": pd.Series(ids, dtype="int64"),
+            "payload": pd.Series(payloads, dtype="object"),
         })

@@ -30,10 +30,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import aggregates, joins, scans, scalars, windows
-from . import dedup, graph, multimodal, pipeline_q, similarity, text
+from . import dedup, e1, graph, multimodal, pipeline_q, similarity, text
 
 # stable, neutral ordering: alphabetical by module name
-_MODULES = (aggregates, dedup, graph, joins, multimodal, pipeline_q,
+_MODULES = (aggregates, dedup, e1, graph, joins, multimodal, pipeline_q,
             scalars, scans, similarity, text, windows)
 
 # Queries that must be (re-)verified before anything else (trimmed each

@@ -119,6 +119,25 @@ def mm6_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.decode_png_stats, M.PNG_STATS_SCHEMA).orderBy("media_id")
 
 
+def mm9_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode of a LOSSY compressed format through the INJECTABLE
+    codec slot: every doc_id becomes a genuine baseline JPEG (Arrow
+    encoder kernel — FDCT, Annex-K quantization, canonical Huffman,
+    byte stuffing), and decode is operators/multimodal.decode_real
+    with the from-scratch jpeg_decode_gray injected — the same slot a
+    codec-equipped deployment fills with a PIL adapter. Fixture
+    rasters are flat even-valued 8x8 blocks, so the lossy codec
+    round-trips them BIT-EXACTLY (jpeg_block_value docstring has the
+    proof) and the oracle recomputes pixel sums in closed form; every
+    101st payload is truncated mid-scan -> ok=false poison rows."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    media = docs.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        M.make_jpeg_media, "media_id bigint, payload binary")
+    return media.mapInPandas(
+        M.decode_real(M.jpeg_decode_gray), M.REAL_STATS_SCHEMA
+    ).orderBy("media_id")
+
+
 QUERIES = {
     "mm4_audio_windows": mm4_audio_windows,
     "mm1_feature_extract": mm1_feature_extract,
@@ -126,6 +145,7 @@ QUERIES = {
     "mm3_resize_plan": mm3_resize_plan,
     "mm5_ppm_decode": mm5_ppm_decode,
     "mm6_png_decode": mm6_png_decode,
+    "mm9_jpeg_decode": mm9_jpeg_decode,
 }
 
 
@@ -145,7 +165,27 @@ def _png_chan_sum(offset: int) -> str:
             f"ELSE CAST({terms} AS BIGINT) END")
 
 
+def _jpeg_sum_px() -> str:
+    """Closed-form pixel sum from the flat-block generator:
+    each of the four 8x8 blocks contributes 64 * jpeg_block_value."""
+    terms = " + ".join(
+        f"64 * (2 * ((doc_id * 7 + {bx} + 3 * {by}) % 128))"
+        for by in range(M.JPEG_H // 8) for bx in range(M.JPEG_W // 8))
+    return (f"CASE WHEN doc_id % {M.JPEG_POISON_EVERY} = 0 THEN NULL "
+            f"ELSE CAST({terms} AS BIGINT) END")
+
+
 ORACLES = {
+    "mm9_jpeg_decode": f"""
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % {M.JPEG_POISON_EVERY} = 0 THEN NULL
+                    ELSE CAST({M.JPEG_W} AS INTEGER) END AS width,
+               CASE WHEN doc_id % {M.JPEG_POISON_EVERY} = 0 THEN NULL
+                    ELSE CAST({M.JPEG_H} AS INTEGER) END AS height,
+               {_jpeg_sum_px()} AS sum_px,
+               doc_id % {M.JPEG_POISON_EVERY} <> 0 AS ok
+        FROM documents ORDER BY media_id
+    """,
     "mm6_png_decode": f"""
         SELECT doc_id AS media_id,
                CASE WHEN doc_id % {M.PNG_POISON_EVERY} = 0 THEN NULL

@@ -226,6 +226,58 @@ class TestMediaCodecProperties:
         with _pytest.raises(ValueError):
             M.png_decode(png[:-cut])
 
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(0, 2 ** 40), st.integers(0, 127))
+    def test_jpeg_flat_even_blocks_roundtrip_exactly(self, mid, shift):
+        """The mm9 fixture guarantee: flat 8x8 blocks with EVEN values
+        survive the lossy codec bit-perfectly (DC quantizer 16 divides
+        8*(v-128) exactly; all AC are zero)."""
+        from mining_data_integration_spark.operators import multimodal as M
+        W, H = M.JPEG_W, M.JPEG_H
+        raw = bytearray(W * H)
+        for by in range(H // 8):
+            for bx in range(W // 8):
+                v = 2 * ((M.jpeg_block_value(mid, bx, by) // 2 + shift)
+                         % 128)
+                for y in range(8):
+                    row = (by * 8 + y) * W + bx * 8
+                    raw[row:row + 8] = bytes([v] * 8)
+        enc = M.jpeg_encode_gray(bytes(raw), W, H)
+        assert M.jpeg_decode_gray(enc) == (W, H, bytes(raw))
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(st.integers(0, 255), min_size=256, max_size=256),
+           st.floats(0.2, 0.8))
+    def test_jpeg_truncation_raises(self, raster, frac):
+        """Cutting into the entropy stream (not just the EOI tail)
+        must raise, never silently mis-decode."""
+        import pytest as _pytest
+        from mining_data_integration_spark.operators import multimodal as M
+        enc = M.jpeg_encode_gray(bytes(raster), 16, 16)
+        with _pytest.raises(ValueError):
+            M.jpeg_decode_gray(enc[:int(len(enc) * frac)])
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.integers(0, 255), min_size=256, max_size=256))
+    def test_jpeg_lossy_error_bounded(self, raster):
+        """Arbitrary rasters can't round-trip exactly (the codec is
+        lossy by design) but dimensions must survive and per-pixel
+        error stays within the coarse Annex-K quantization budget."""
+        from mining_data_integration_spark.operators import multimodal as M
+        raw = bytes(raster)
+        w, h, pix = M.jpeg_decode_gray(M.jpeg_encode_gray(raw, 16, 16))
+        assert (w, h) == (16, 16)
+        mae = sum(abs(a - b) for a, b in zip(raw, pix)) / len(raw)
+        assert mae < 40
+
+    def test_decode_real_requires_injection(self):
+        import pytest as _pytest
+        from mining_data_integration_spark.operators import multimodal as M
+        with _pytest.raises(NotImplementedError):
+            M.decode_real()
+        kernel = M.decode_real(M.jpeg_decode_gray)
+        assert callable(kernel)
+
     @settings(max_examples=30, deadline=None)
     @given(st.lists(st.integers(-32768, 32767), min_size=0, max_size=200),
            st.sampled_from([8000, 16000, 44100]))
