@@ -36,7 +36,7 @@ HEADLINE = [
 ]
 
 
-# round-5 additions, timed separately so the HEADLINE series stays
+# round-5/6 additions, timed separately so the HEADLINE series stays
 # comparable round-over-round (frozen at the same 15 queries since
 # round 1). One warm + one timed run each — indicative, not median.
 EXTENDED = [
@@ -46,6 +46,8 @@ EXTENDED = [
     "w27_mad_outliers",        # exact rank medians x2
     "mm8_dhash_clusters",      # real decode -> perceptual hash
     "st6_stream_sessionize",   # genuine streaming session windows
+    "mm9_jpeg_decode",         # r6: real baseline-JPEG encode+decode
+    "e1_mining_info",          # r6: full E1 DAG on the synth world
 ]
 
 

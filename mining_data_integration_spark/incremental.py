@@ -351,7 +351,10 @@ def incremental_refresh(spark: SparkSession, tables: dict[str, DataFrame],
 
         merged = merge_miner_partials(
             spark.read.parquet(f"{gold_dir}/miner_partials"))
-        merged.write.mode("overwrite").parquet(f"{gold_dir}/miner_info")
+        # O(miners) rows: one output file, not one per shuffle task —
+        # the gold is re-read whole every serving call
+        merged.coalesce(1).write.mode("overwrite") \
+            .parquet(f"{gold_dir}/miner_info")
         return {"tip": tip, "lo_height": lo, "buckets_from": lo_bucket,
                 "mode": mode}
     finally:

@@ -37,22 +37,30 @@ _MODULES = (aggregates, dedup, e1, graph, joins, multimodal, pipeline_q,
             scalars, scans, similarity, text, windows)
 
 # Queries that must be (re-)verified before anything else (trimmed each
-# round to: output changed since last verdict, or never driver-checked).
-# After r4 the r1–r4 CORRECTNESS union covers ALL registered queries, so
-# this list holds only round-5 output changes (ADVICE r4 fixes) and
-# round-5 additions:
-#  * w23 — saturating lanes + new lane_safe column + integer-DIV unpack;
-#  * dp19 — true FULL OUTER diff with an exercised n_removed column;
-#  * the rest are new in round 5 (never driver-checked).
+# round to: output changed since last verdict, or never driver-checked,
+# then the longest-unverified tail). Round-6 head:
+#  * new: e1_miner_info / e1_mining_info (E1 DAG through the oracle for
+#    the first time), mm9 (baseline-JPEG decode);
+#  * restructured outputs: a16 / sim4 / sim9 (exact companions + bounds
+#    verdicts — previously permanent no_oracle rows), a26 (decimal sums
+#    + moments_safe), u5 (negative insert-key domain), w23 (alarm-lane
+#    guard in lane_safe), x18 (non-object malformed alignment);
+#  * plan-changed (output identical, re-pin anyway): w1.
+# The remainder is the r1-verified tail — green status least recently
+# re-established (driver samples 50/round; the rest of the sample
+# window falls through to registry order).
 _REVERIFY_FIRST = (
-    "w23_cusum_alarms", "dp19_dataset_diff",
-    "w25_interval_coverage", "dp20_pack_fill_report",
-    "x18_json_shred_stats", "g1_pagerank", "mm8_dhash_clusters",
-    "st6_stream_sessionize", "dd12_incremental_dedup",
-    "a26_mergeable_moments", "st7_stream_static_enrich",
-    "w26_linear_interpolation", "tx19_bpe_encode",
-    "dd13_lsh_calibration", "a27_gini_concentration",
-    "w27_mad_outliers", "u5_changelog_apply",
+    "e1_miner_info", "e1_mining_info", "mm9_jpeg_decode",
+    "a16_approx_stats", "sim4_ivf_topk", "sim9_pq_topk",
+    "a26_mergeable_moments", "u5_changelog_apply",
+    "w23_cusum_alarms", "x18_json_shred_stats", "w1_trailing_mean",
+    "e2_burn_fee_area", "f3_range_filter", "f8_prefix_until_sentinel",
+    "j10_scalar_enrichment", "j11_semi_join", "j12_anti_join",
+    "j13_left_outer_count", "j16_recursive_cte_walk",
+    "j8_computed_key_join", "o3_argmax", "s11_filtered_scan",
+    "s12_filtered_top1", "u1_set_ops", "u2_unpivot", "u3_upsert",
+    "w15_range_frame", "w2_cumulative_sum", "w3_keep_last",
+    "w4_forward_fill", "w6_lag_delta", "w9_topk_per_group",
 )
 
 

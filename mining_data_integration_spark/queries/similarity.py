@@ -148,13 +148,41 @@ def sim5_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sim4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 (deterministic k-means coarse cells,
-    2-probe). No SQL oracle — the Lloyd iterations are not reasonably
-    SQL-expressible — so the driver records a rows-only check; the
-    recall floor vs exact search is pinned in tests/test_operators
-    (TestIvf)."""
+    2-probe), ORACLE-GATED VIA VERDICT COLUMNS (the a16 pattern): the
+    float Lloyd iterations are not SQL-expressible and their exact
+    hit sets drift with float summation order, so the checkable
+    surface is (a) exact companions — every query returns exactly k
+    results — and (b) bounds verdicts computed Spark-side as exact
+    set comparisons against the deterministic brute-force top-5:
+    self_hit_ok (a query's own vector MUST rank first: cos=1 lands in
+    its own probe cell by construction) and recall_ok (aggregate
+    recall >= 0.6; measured 0.93-1.0 across sf0.001/0.01/0.1, so the
+    floor has >1.5x margin against float-order flips). The DuckDB
+    oracle replays the query ids, k, and the expected TRUE verdicts —
+    an IVF regression (lost cell routing, broken probe union) flips a
+    boolean and the row goes red."""
     emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
-    return S.ivf_topk(emb, _queries_df(spark, sf_dir), k=5,
-                      n_centroids=8, n_probe=2).orderBy("q_id", "rk")
+    q = _queries_df(spark, sf_dir)
+    approx = S.ivf_topk(emb, q, k=5, n_centroids=8, n_probe=2)
+    exact = S.brute_force_topk(emb, q, k=5)
+    hits = (approx.select("q_id", "vec_id")
+            .join(exact.select("q_id", "vec_id"), ["q_id", "vec_id"])
+            .agg(F.count("*").alias("n_hits")))
+    per_q = approx.groupBy("q_id").agg(
+        F.count("*").cast("long").alias("n_results"),
+        F.max(F.when(F.col("rk") == 1,
+                     F.col("vec_id") == F.col("q_id"))).alias("self_hit_ok"),
+    )
+    total = per_q.agg(F.sum("n_results").alias("n_total"))
+    return (
+        per_q.crossJoin(F.broadcast(hits)).crossJoin(F.broadcast(total))
+        .select(
+            "q_id", "n_results", "self_hit_ok",
+            (F.col("n_hits") * 10 >= F.col("n_total") * 6)
+            .alias("recall_ok"),
+        )
+        .orderBy("q_id")
+    )
 
 
 def sim11_int_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,14 +201,35 @@ def sim11_int_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim9_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization approximate top-5 (m=8 subspaces, 16 codes
     each, deterministic per-subspace Lloyd; asymmetric-distance
-    scoring). No SQL oracle — the k-means training iterations are not
-    reasonably SQL-expressible (same rows-only class as sim4); code
-    validity, determinism, ADC exactness on centroid-aligned corpora,
-    and a recall floor on clustered data are pinned in
-    tests/test_operators (TestPQ)."""
+    scoring), ORACLE-GATED VIA VERDICT COLUMNS (the a16/sim4 pattern —
+    float k-means is not SQL-expressible): exact companions (every
+    query returns exactly k results) plus recall_ok, the aggregate
+    recall-vs-brute-force floor at 0.15. PQ with 16 codes over
+    near-orthogonal synthetic vectors is a coarse quantizer — measured
+    recall is 0.27/0.53/0.47 at sf0.001/0.01/0.1 — so the floor pins
+    'the index returns genuinely related vectors, not noise' with
+    >=1.7x margin everywhere while staying robust to float-order rank
+    flips. ADC-vs-reconstruction exactness and determinism stay pinned
+    in tests/test_operators (TestPQ)."""
     emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
-    return S.pq_topk(emb, _queries_df(spark, sf_dir), k=5,
-                     m=8, n_codes=16).orderBy("q_id", "rk")
+    q = _queries_df(spark, sf_dir)
+    approx = S.pq_topk(emb, q, k=5, m=8, n_codes=16)
+    exact = S.brute_force_topk(emb, q, k=5)
+    hits = (approx.select("q_id", "vec_id")
+            .join(exact.select("q_id", "vec_id"), ["q_id", "vec_id"])
+            .agg(F.count("*").alias("n_hits")))
+    per_q = approx.groupBy("q_id").agg(
+        F.count("*").cast("long").alias("n_results"))
+    total = per_q.agg(F.sum("n_results").alias("n_total"))
+    return (
+        per_q.crossJoin(F.broadcast(hits)).crossJoin(F.broadcast(total))
+        .select(
+            "q_id", "n_results",
+            (F.col("n_hits") * 100 >= F.col("n_total") * 15)
+            .alias("recall_ok"),
+        )
+        .orderBy("q_id")
+    )
 
 
 def sim7_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -814,3 +863,18 @@ def _int_pq_sql(dim: int = 64, m: int = 4, kc: int = 4, iters: int = 2,
 
 
 ORACLES["sim16_int_pq_topk"] = _int_pq_sql(_DIM, 4, 4, 2, 5, 3)
+
+# sim4/sim9 verdict-gate oracles (r6): the float-k-means indexes are
+# checked through exact companions + expected-TRUE bounds verdicts —
+# see the query docstrings for the measured margins.
+ORACLES["sim4_ivf_topk"] = """
+    SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_results,
+           TRUE AS self_hit_ok, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 3 ORDER BY q_id
+"""
+
+ORACLES["sim9_pq_topk"] = """
+    SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_results,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 3 ORDER BY q_id
+"""

@@ -31,8 +31,9 @@ class TestIvf:
     def test_int_ivf_recall_and_determinism(self, spark):
         """sim11's integer-k-means IVF: recall floor vs brute force,
         own-vector-is-top-hit, and bit-identical reruns under a
-        different partitioning (the property that makes it
-        hash-checkable where float-k-means sim4 is rows-only)."""
+        different partitioning (the property that makes its raw top-k
+        hash-checkable where float-k-means sim4 is gated through
+        verdict columns instead)."""
         from pyspark.sql import functions as F
         from mining_data_integration_spark.io import read_table
         from mining_data_integration_spark.operators import similarity as S

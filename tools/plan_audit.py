@@ -44,6 +44,9 @@ ALLOWED: dict[str, dict[str, str]] = {
         "sim6_scalable_topk": "3-row query-vector set broadcast",
         "sim7_quantized_topk": "3-row query-vector set broadcast",
         "sim9_pq_topk": "3-row query LUT broadcast (ADC probe pattern)",
+        "sim4_ivf_topk": "3-row query-vector set broadcast (IVF probe "
+                         "+ brute-force verdict companion) and 1-row "
+                         "verdict aggregates",
         "sim10_centroid_classify": "n_labels-row centroid table broadcast",
         "dp9_source_mix": "1-row corpus token total broadcast",
         "a21_hll_distinct": "1-row register fold x 1-row exact-distinct "
@@ -88,10 +91,17 @@ ALLOWED: dict[str, dict[str, str]] = {
                           "operator (two Arrow stages)",
         "mm8_dhash_clusters": "real PPM decode -> perceptual dHash IS "
                               "the operator",
+        "mm9_jpeg_decode": "real baseline-JPEG encode + entropy/IDCT "
+                           "decode ARE the operator (two Arrow stages "
+                           "through the injectable codec slot)",
     },
     "Exchange SinglePartition": {
         # bounded-row global sorts/windows: the rows reaching the
         # single partition are O(k), O(groups) or O(shards), never O(n)
+        "sim4_ivf_topk": "1-row recall/total verdict aggregates "
+                         "(broadcast back over O(queries) rows)",
+        "sim9_pq_topk": "1-row recall/total verdict aggregates "
+                        "(broadcast back over O(queries) rows)",
         "o3_argmax": "single max row",
         "s12_filtered_top1": "top-1",
         "f8_prefix_until_sentinel": "top-10 prefix scan",
