@@ -860,12 +860,8 @@ def int_pq_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     sub = dim // m
     emb_q = materialize(emb.select(
         F.col(id_col), int8_quantize(F.col(vec_col)).alias("_qv")))
-    codebooks = []
-    for s in range(m):
-        sub_df = emb_q.select(
-            F.col(id_col), F.slice("_qv", s * sub + 1, sub).alias("_sv"))
-        codebooks.append(
-            int_ivf_centroids(sub_df, kc, iters, id_col, "_sv"))
+    codebooks = int_pq_codebooks(emb_q, m, sub, kc, iters,
+                                 id_col, "_qv")
     data = emb_q
     for s, cb in enumerate(codebooks):
         data = (
@@ -904,3 +900,164 @@ def int_pq_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rk") <= k)
         .select(q_id_col, id_col, "adc_dot", "rk")
     )
+
+
+def int_ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                   n_cells: int = 4, n_probe: int = 2, m: int = 4,
+                   kc: int = 4, iters: int = 2, dim: int = 64,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   q_id_col: str = "q_id",
+                   q_vec_col: str = "q_emb") -> DataFrame:
+    """IVF-PQ — the production ANN composition (coarse inverted lists
+    + product-quantized residuals, the FAISS IndexIVFPQ shape) built
+    ENTIRELY from the integer engines so the whole index is
+    value-hash checkable: int8 quantization (sim7), integer Lloyd's
+    coarse cells (sim11), per-subspace integer Lloyd's codebooks
+    trained on the CELL RESIDUALS q - centroid[cell] (what PQ
+    compresses in a real IVF-PQ — residual energy, not raw vectors),
+    and pure-integer ADC scoring by inner product:
+
+        dot(q, cell_centroid + residual_code)
+          = dot(q, centroid)            [exact, per probed cell]
+          + sum_s LUT_s[code_s]         [LUT = dot(q_sub, codeword)]
+
+    Scale shape: the index side stores one cell id + m one-byte codes
+    per vector (the 16-32x memory cut); queries broadcast with their
+    n_probe cell ids and O(kc*m) LUT entries; candidates are pruned
+    to the probed cells BEFORE any scoring. Training collects are
+    k-bounded driver artifacts (the sim11/sim16 pattern)."""
+    from .dedup import materialize
+
+    sub = dim // m
+    emb_q = materialize(emb.select(
+        F.col(id_col), int8_quantize(F.col(vec_col)).alias("_qv")))
+    cells = int_ivf_centroids(emb_q, n_cells, iters, id_col, "_qv")
+    cent_table = F.array(*[
+        F.array(*[F.lit(int(v)).cast("bigint") for v in c])
+        for c in cells])
+    data = materialize(
+        int_assign_centroid(emb_q, cells, "_qv")
+        .withColumnRenamed("_cid", "_cell")
+        .withColumn("_res", F.zip_with(
+            F.col("_qv"), F.element_at(cent_table, F.col("_cell") + 1),
+            lambda a, b: a - b)))
+    codebooks = int_pq_codebooks(data, m, sub, kc, iters,
+                                 id_col, "_res")
+    for s, cb in enumerate(codebooks):
+        data = (
+            int_assign_centroid(
+                data.withColumn("_sv",
+                                F.slice("_res", s * sub + 1, sub)),
+                cb, "_sv")
+            .withColumnRenamed("_cid", f"_c{s}").drop("_sv")
+        )
+    qs = queries.select(
+        F.col(q_id_col), int8_quantize(F.col(q_vec_col)).alias("_qq"))
+    probe_structs = []
+    for i, c in enumerate(cells):
+        carr = F.array(*[F.lit(int(v)).cast("bigint") for v in c])
+        diff = F.zip_with(F.col("_qq"), carr,
+                          lambda a, b: (a - b) * (a - b))
+        probe_structs.append(F.struct(
+            F.aggregate(diff, F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x).alias("d"),
+            F.lit(i).alias("i"),
+            idot(F.col("_qq"), carr).alias("qc")))
+    probes = F.slice(F.array_sort(F.array(*probe_structs)), 1, n_probe)
+    q_probed = (
+        qs.withColumn("_p", F.explode(probes))
+        .select(F.col(q_id_col), F.col("_qq"),
+                F.col("_p.i").alias("_cell"),
+                F.col("_p.qc").alias("_qc"))
+    )
+    pairs = data.drop("_qv", "_res").join(F.broadcast(q_probed), "_cell")
+
+    def lut(s: int, cb: list[list[int]]):
+        qsub = F.slice("_qq", s * sub + 1, sub)
+        dots = [
+            F.aggregate(
+                F.zip_with(
+                    qsub,
+                    F.array(*[F.lit(int(v)).cast("bigint")
+                              for v in cb[j]]),
+                    lambda a, b: a * b),
+                F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+            for j in range(kc)
+        ]
+        return F.element_at(F.array(*dots),
+                            F.col(f"_c{s}").cast("int") + 1)
+
+    score = F.col("_qc")
+    for s in range(m):
+        score = score + lut(s, codebooks[s])
+    scored = pairs.withColumn("ip_q8", score.cast("bigint"))
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.desc("ip_q8"), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(q_id_col, id_col, "ip_q8", "rk")
+    )
+
+
+def int_pq_codebooks(data: DataFrame, m: int, sub: int, kc: int = 4,
+                     iters: int = 2, id_col: str = "vec_id",
+                     vec_col: str = "_res") -> list[list[list[int]]]:
+    """Train ALL m per-subspace integer codebooks in one pass per
+    Lloyd iteration — bit-identical to m separate int_ivf_centroids
+    runs (same lowest-id seeds, same exact-int L2 argmin with
+    lowest-cid ties, same truncating-div update, same keep-on-empty
+    rule) but 1 job per phase instead of m: sub-vectors explode to
+    (vec, s) rows once, centroids live in a small joined table (m*kc
+    rows) instead of m*kc inline literal expressions, and the
+    per-(s,cid,pos) means collect m*kc*sub bounded rows. This is what
+    keeps IVF-PQ training latency flat as m grows."""
+    spark = data.sparkSession
+    slices = F.array(*[
+        F.struct(F.lit(s).alias("s"),
+                 F.slice(F.col(vec_col), s * sub + 1, sub).alias("sv"))
+        for s in range(m)])
+    sliced = (data.select(F.col(id_col), F.explode(slices).alias("_x"))
+              .select(F.col(id_col), F.col("_x.s").alias("s"),
+                      F.col("_x.sv").alias("sv"))
+              .localCheckpoint(eager=False))
+
+    sw = Window.partitionBy("s").orderBy(id_col)
+    seed_rows = (sliced.withColumn("_rn", F.row_number().over(sw))
+                 .filter(F.col("_rn") <= kc)
+                 .select("s", (F.col("_rn") - 1).alias("cid"), "sv")
+                 .collect())
+    books: list[list[list[int]]] = [[None] * kc for _ in range(m)]
+    for r in seed_rows:
+        books[r.s][r.cid] = [int(x) for x in r.sv]
+
+    def cent_df(bks):
+        rows = [(s, j, bks[s][j]) for s in range(m) for j in range(kc)]
+        return F.broadcast(spark.createDataFrame(
+            rows, "s int, cid int, cent array<bigint>"))
+
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cent"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    aw = Window.partitionBy(id_col, "s").orderBy("_d2", "cid")
+    for _ in range(iters):
+        assigned = (
+            sliced.join(cent_df(books), "s")
+            .withColumn("_d2", d2)
+            .withColumn("_rn", F.row_number().over(aw))
+            .filter(F.col("_rn") == 1)
+        )
+        rows = (
+            assigned.select("s", "cid",
+                            F.posexplode("sv").alias("pos", "val"))
+            .groupBy("s", "cid", "pos")
+            .agg(F.expr("sum(val) div count(*)").alias("mval"))
+            .collect()
+        )
+        upd: dict[tuple[int, int], dict[int, int]] = {}
+        for r in rows:
+            upd.setdefault((r.s, r.cid), {})[r.pos] = int(r.mval)
+        for (s, cid), means in upd.items():
+            books[s][cid] = [means[p] for p in sorted(means)]
+    return books

@@ -878,3 +878,165 @@ ORACLES["sim9_pq_topk"] = """
            TRUE AS recall_ok
     FROM embeddings WHERE vec_id < 3 ORDER BY q_id
 """
+
+
+def sim17_int_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 — the production ANN composition (coarse inverted
+    cells + product-quantized RESIDUALS + integer ADC by inner
+    product), every arithmetic step engine-exact (sim11's integer
+    Lloyd's for both quantizers, sim16's LUT scoring, plus the exact
+    per-cell dot(q, centroid) term), so the full composed index is
+    hash-checked against a DuckDB oracle that replays coarse k-means,
+    residual extraction, per-subspace residual k-means, probing and
+    ADC — the deepest oracle in the registry."""
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    return S.int_ivfpq_topk(
+        emb, _queries_df(spark, sf_dir), k=5, n_cells=4, n_probe=2,
+        m=4, kc=4, iters=2).orderBy("q_id", "rk")
+
+
+QUERIES["sim17_int_ivfpq_topk"] = sim17_int_ivfpq_topk
+
+
+def _int_ivfpq_sql(dim: int = 64, k_cells: int = 4, n_probe: int = 2,
+                   m: int = 4, kc: int = 4, iters: int = 2,
+                   topk: int = 5, n_q: int = 3) -> str:
+    """DuckDB replay of int_ivfpq_topk: the _int_ivf_sql coarse chain,
+    residual extraction (q - centroid[cell]), the _int_pq_sql
+    per-subspace chains over residual slices, then probe (with the
+    exact dot(q, centroid) term) + integer ADC scoring."""
+    sub = dim // m
+
+    def d2(v: str, c: str, n: int) -> str:
+        return (f"list_sum(list_transform(range(1, {n + 1}), "
+                f"i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])))")
+
+    parts = [f"""
+    WITH base AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings
+    ), qv AS MATERIALIZED (
+        SELECT vec_id,
+               CASE WHEN mx > 0 THEN list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx)
+                                        + 0.5) AS BIGINT))
+                    ELSE list_transform(embedding,
+                        x -> CAST(0 AS BIGINT)) END AS q
+        FROM base
+    ), g0 AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cent
+        FROM qv ORDER BY vec_id LIMIT {k_cells}
+    )"""]
+    for it in range(1, iters + 1):
+        prev = f"g{it - 1}"
+        parts.append(f""", ga{it} AS MATERIALIZED (
+        SELECT vec_id, q, cid FROM (
+            SELECT v.vec_id, v.q, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {d2('v.q', 'c.cent', dim)}, c.cid) AS rn
+            FROM qv v CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    ), gm{it} AS MATERIALIZED (
+        SELECT cid, pos, CAST(sum(q[pos]) // count(*) AS BIGINT) AS mval
+        FROM ga{it}, (SELECT unnest(range(1, {dim + 1})) AS pos) p
+        GROUP BY cid, pos
+    ), g{it} AS MATERIALIZED (
+        SELECT s.cid,
+               CASE WHEN count(mm.pos) = 0 THEN s.cent
+                    ELSE list(mm.mval ORDER BY mm.pos) END AS cent
+        FROM {prev} s LEFT JOIN gm{it} mm ON s.cid = mm.cid
+        GROUP BY s.cid, s.cent
+    )""")
+    gl = f"g{iters}"
+    parts.append(f""", gaf AS MATERIALIZED (
+        SELECT vec_id, q, cid AS cell FROM (
+            SELECT v.vec_id, v.q, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {d2('v.q', 'c.cent', dim)}, c.cid) AS rn
+            FROM qv v CROSS JOIN {gl} c
+        ) WHERE rn = 1
+    ), res AS MATERIALIZED (
+        SELECT a.vec_id, a.cell,
+               list_transform(range(1, {dim + 1}),
+                   i -> a.q[i] - c.cent[i]) AS r
+        FROM gaf a JOIN {gl} c ON a.cell = c.cid
+    )""")
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(f""", rsub{s} AS MATERIALIZED (
+        SELECT vec_id, r[{lo}:{hi}] AS sv FROM res
+    ), p{s}_0 AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+               sv AS cent
+        FROM rsub{s} ORDER BY vec_id LIMIT {kc}
+    )""")
+        for it in range(1, iters + 1):
+            prev = f"p{s}_{it - 1}"
+            parts.append(f""", pa{s}_{it} AS MATERIALIZED (
+        SELECT vec_id, sv, cid FROM (
+            SELECT v.vec_id, v.sv, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {d2('v.sv', 'c.cent', sub)}, c.cid) AS rn
+            FROM rsub{s} v CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    ), pm{s}_{it} AS MATERIALIZED (
+        SELECT cid, pos, CAST(sum(sv[pos]) // count(*) AS BIGINT) AS mval
+        FROM pa{s}_{it}, (SELECT unnest(range(1, {sub + 1})) AS pos) p
+        GROUP BY cid, pos
+    ), p{s}_{it} AS MATERIALIZED (
+        SELECT s.cid,
+               CASE WHEN count(mm.pos) = 0 THEN s.cent
+                    ELSE list(mm.mval ORDER BY mm.pos) END AS cent
+        FROM {prev} s LEFT JOIN pm{s}_{it} mm ON s.cid = mm.cid
+        GROUP BY s.cid, s.cent
+    )""")
+        parts.append(f""", enc{s} AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {d2('v.sv', 'c.cent', sub)}, c.cid) AS rn
+            FROM rsub{s} v CROSS JOIN p{s}_{iters} c
+        ) WHERE rn = 1
+    ), lq{s} AS MATERIALIZED (
+        SELECT q.vec_id AS q_id, c.cid,
+               CAST(list_sum(list_transform(range(1, {sub + 1}),
+                   i -> q.q[{lo - 1} + i]*c.cent[i])) AS BIGINT) AS dot
+        FROM qv q CROSS JOIN p{s}_{iters} c
+        WHERE q.vec_id < {n_q}
+    )""")
+    enc_joins = " ".join(
+        f"JOIN enc{s} e{s} ON rr.vec_id = e{s}.vec_id" for s in range(m))
+    lut_joins = " ".join(
+        f"JOIN lq{s} l{s} ON l{s}.q_id = pr.q_id "
+        f"AND l{s}.cid = e{s}.cid" for s in range(m))
+    adc = " + ".join(f"l{s}.dot" for s in range(m))
+    parts.append(f""", probe AS (
+        SELECT q_id, cid, qc FROM (
+            SELECT q.vec_id AS q_id, c.cid,
+                   CAST(list_sum(list_transform(range(1, {dim + 1}),
+                       i -> q.q[i]*c.cent[i])) AS BIGINT) AS qc,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {d2('q.q', 'c.cent', dim)}, c.cid) AS rn
+            FROM qv q CROSS JOIN {gl} c
+            WHERE q.vec_id < {n_q}
+        ) WHERE rn <= {n_probe}
+    ), scored AS (
+        SELECT pr.q_id, rr.vec_id,
+               CAST(pr.qc + {adc} AS BIGINT) AS ip_q8
+        FROM res rr {enc_joins}
+        JOIN probe pr ON pr.cid = rr.cell
+        {lut_joins}
+    ), ranked AS (
+        SELECT q_id, vec_id, ip_q8,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY ip_q8 DESC, vec_id) AS rk
+        FROM scored
+    )
+    SELECT q_id, vec_id, ip_q8, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {topk} ORDER BY q_id, rk""")
+    return "".join(parts)
+
+
+ORACLES["sim17_int_ivfpq_topk"] = _int_ivfpq_sql(_DIM, 4, 2, 4, 4, 2, 5, 3)
