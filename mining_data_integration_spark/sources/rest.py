@@ -64,16 +64,56 @@ def peer_stage_height(spark: SparkSession, peer_url: str,
     return spark.createDataFrame([(height,)], "remote_height long")
 
 
+def jsonrpc_transport(url: str, user: str | None = None,
+                      password: str | None = None,
+                      timeout: float = 10.0) -> Callable[[str, dict], dict]:
+    """RUNNABLE default transport for Bitcoin-Core-style JSON-RPC
+    (stdlib only): HTTP POST of a JSON-RPC 1.0 envelope with optional
+    basic auth — exactly what the reference's client sends
+    (rpc.js:558-580). Returns the `result` member; raises ValueError
+    on an RPC-level error object. Bind it to a node URL and pass it
+    as `transport=`:
+
+        rpc = bitcoin_core_rpc("getblockchaininfo",
+                               transport=jsonrpc_transport(
+                                   "http://127.0.0.1:8332", u, p))
+    """
+    import base64
+    from urllib.request import Request, urlopen
+
+    def transport(method: str, opts: dict) -> dict:
+        body = json.dumps({
+            "jsonrpc": "1.0", "id": "mining-spark",
+            "method": method, "params": opts.get("params", []),
+        }).encode()
+        req = Request(url, data=body,
+                      headers={"Content-Type": "application/json"})
+        if user is not None:
+            tok = base64.b64encode(
+                f"{user}:{password or ''}".encode()).decode()
+            req.add_header("Authorization", f"Basic {tok}")
+        with urlopen(req, timeout=timeout) as resp:  # noqa: S310
+            payload = json.loads(resp.read().decode())
+        if payload.get("error"):
+            raise ValueError(f"RPC error: {payload['error']}")
+        return payload.get("result", {})
+
+    return transport
+
+
 def bitcoin_core_rpc(method: str, params: list | None = None,
                      transport: Callable[[str, dict], dict] | None = None) -> dict:
-    """S16 (rpc.js:558-580): Bitcoin Core JSON-RPC connector stub.
+    """S16 (rpc.js:558-580): Bitcoin Core JSON-RPC connector.
 
     The engine only proxies `getblockchaininfo` (SURVEY: out of engine
-    scope); a real deployment injects a transport bound to the node's
-    auth. Without one this raises — deliberately, instead of a fake
-    default endpoint."""
+    scope). A deployment binds the RUNNABLE stdlib transport to its
+    node (`jsonrpc_transport(url, user, password)`) or injects its
+    own; with neither this raises — deliberately, instead of inventing
+    a fake default endpoint (this environment has no node and no
+    credentials)."""
     if transport is None:
         raise NotImplementedError(
-            "bitcoin_core_rpc requires an injected transport "
-            "(no node credentials in this environment)")
+            "bitcoin_core_rpc requires a transport: bind the runnable "
+            "default with jsonrpc_transport(url, user, password), or "
+            "inject your own (no node credentials in this environment)")
     return transport(method, {"params": params or []})

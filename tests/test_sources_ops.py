@@ -69,6 +69,60 @@ class TestRestSource:
         with pytest.raises(NotImplementedError):
             rest.bitcoin_core_rpc("getblockchaininfo")
 
+    def test_jsonrpc_transport_end_to_end_localhost(self):
+        """The RUNNABLE S16 default: a real HTTP round-trip through
+        urllib against a localhost JSON-RPC server that validates the
+        envelope and the basic-auth header the reference's client
+        sends (rpc.js:558-580)."""
+        import base64
+        import http.server
+        import json as _json
+        import threading
+
+        seen = {}
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                body = _json.loads(
+                    self.rfile.read(int(self.headers["Content-Length"])))
+                seen["body"] = body
+                seen["auth"] = self.headers.get("Authorization")
+                if body["method"] == "getblockchaininfo":
+                    out = {"result": {"chain": "main", "blocks": 850000},
+                           "error": None, "id": body["id"]}
+                else:
+                    out = {"result": None,
+                           "error": {"code": -32601,
+                                     "message": "Method not found"},
+                           "id": body["id"]}
+                data = _json.dumps(out).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            tr = rest.jsonrpc_transport(url, "u", "pw")
+            info = rest.bitcoin_core_rpc("getblockchaininfo", transport=tr)
+            assert info == {"chain": "main", "blocks": 850000}
+            assert seen["body"]["method"] == "getblockchaininfo"
+            assert seen["body"]["params"] == []
+            expect = base64.b64encode(b"u:pw").decode()
+            assert seen["auth"] == f"Basic {expect}"
+            with pytest.raises(ValueError, match="RPC error"):
+                rest.bitcoin_core_rpc("nosuch", transport=tr)
+        finally:
+            srv.shutdown()
+            srv.server_close()
+
 
 class TestGoldStore:
     def test_set_get_swap_prune(self, spark, tmp_path):
