@@ -34,6 +34,10 @@ from . import core
 
 HEIGHTS_PER_BUCKET = 1000
 
+# hard ceiling on the driver-side window-walk collect regardless of
+# reorg_depth: above this the tick uses the distributed segmented walk
+WALK_COLLECT_CAP = 1_000_000
+
 
 def _hb(col: str = "stacks_block_height") -> F.Column:
     return (F.col(col) / HEIGHTS_PER_BUCKET).cast("long").alias("hbucket")
@@ -158,7 +162,7 @@ def _windowed_prepare(spark: SparkSession, tables: dict[str, DataFrame],
     # chain, pure fixed overhead at window size). The cap enforces the
     # bound; a window above it (misconfigured reorg_depth) falls back
     # to the distributed engine, result-identical.
-    cap = min(4 * reorg_depth + 20_000, 1_000_000)
+    cap = min(4 * reorg_depth + 20_000, WALK_COLLECT_CAP)
     edge_rows = (
         window.select(F.lit("burn").alias("side"),
                       F.col("burn_header_hash").alias("id"),

@@ -83,6 +83,25 @@ class TestIncremental:
         assert int(mi[MINER_B]["total_win"]) == 3
         assert int(mi[MINER_B]["actual_win"]) == 3
 
+    def test_distributed_walk_fallback_equals_full(self, spark, tables,
+                                                   tmp_path, monkeypatch):
+        """Forcing the driver-walk cap to zero routes the tick through
+        the distributed segmented-walk fallback — results must be
+        byte-identical to the full recompute either way."""
+        monkeypatch.setattr(incremental, "WALK_COLLECT_CAP", 0)
+        gold = str(tmp_path / "gold_fb")
+        incremental.incremental_refresh(
+            spark, tables, gold, reorg_depth=10**9)    # bootstrap
+        ext = extended_tables(spark, tables)
+        info = incremental.incremental_refresh(
+            spark, ext, gold, reorg_depth=3)
+        assert info["mode"] == "windowed"
+        for name, builder in (("mining_info", core.mining_info),
+                              ("miner_info", core.miner_info)):
+            got = canon_rows(spark.read.parquet(f"{gold}/{name}"))
+            want = canon_rows(builder(ext))
+            assert got == want, f"{name} diverged on fallback walk"
+
     def test_stream_refresh_incremental_mode(self, spark, tables,
                                              tmp_path):
         """The streaming trigger in incremental mode bootstraps on the
