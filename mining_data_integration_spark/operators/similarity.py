@@ -305,8 +305,9 @@ def int_ivf_centroids(emb_q: DataFrame, n_centroids: int = 4,
     truncating division (sum div count — `div` and DuckDB `//` both
     truncate toward zero). A cell that loses all members keeps its
     previous centroid. This is what ivf_centroids (sim4) cannot give:
-    float averaging is aggregation-order-dependent, so sim4 stays
-    rows-only while sim11 hash-checks."""
+    float averaging is aggregation-order-dependent, so sim4's raw
+    top-k is gated through bounds verdicts while sim11 hash-checks
+    its actual hit set."""
     seed_rows = emb_q.orderBy(id_col).limit(n_centroids) \
         .select(id_col, vec_col).collect()
     seed_rows.sort(key=lambda r: r[0])

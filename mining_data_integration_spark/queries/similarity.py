@@ -759,7 +759,8 @@ def sim16_int_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.int_pq_topk): 4 subspaces x 16 dims, 4
     integer-k-means codewords each, approximate dot = sum of 4
     exact-int LUT lookups — the fully-deterministic sibling of the
-    float-PQ sim9 (rows-only), the same move sim11 made for sim4."""
+    float-PQ sim9 (itself verdict-gated), the same move sim11 made
+    for sim4."""
     emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
     out = S.int_pq_topk(emb, _queries_df(spark, sf_dir),
                         k=5, m=4, kc=4, iters=2, dim=_DIM)

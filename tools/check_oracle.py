@@ -82,8 +82,16 @@ def main() -> int:
     # exact agreement of the pointer-doubling and segmented engines.
     excluded = set(filter(None, os.environ.get(
         "ORACLE_EXCLUDE", "").split(",")))
+    # ORACLE_SLICE=k/m — run only every m-th query starting at k, so a
+    # full sweep can be split across time-boxed runs (k in 0..m-1
+    # covers the registry exactly once)
+    slice_spec = os.environ.get("ORACLE_SLICE")
+    sk, sm = (int(x) for x in slice_spec.split("/")) if slice_spec \
+        else (0, 1)
     failures = []
-    for name, fn in queries.items():
+    for qi, (name, fn) in enumerate(queries.items()):
+        if qi % sm != sk:
+            continue
         if FILTERS and not any(f in name for f in FILTERS):
             continue
         if name in excluded:
