@@ -92,3 +92,66 @@ def _pr_oracle() -> str:
 
 QUERIES = {"g1_pagerank": g1_pagerank}
 ORACLES = {"g1_pagerank": _pr_oracle()}
+
+
+def g2_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the undirected nation trade graph (the
+    g1 edge derivation, direction dropped): nodes, edges, wedges
+    Σ C(deg,2), and triangles — counted once each via the
+    degree-ordered edge orientation (operators/graph.triangle_stats,
+    the O(m^1.5) algorithm that survives hub skew). All int64; the
+    oracle replays the same orientation in SQL."""
+    from ..operators.graph import triangle_stats
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .select(s["s_nationkey"].cast("long").alias("a"),
+                c["c_nationkey"].cast("long").alias("b"))
+    )
+    return triangle_stats(pairs)
+
+
+QUERIES["g2_triangle_census"] = g2_triangle_census
+
+ORACLES["g2_triangle_census"] = """
+    WITH pairs AS MATERIALIZED (
+        SELECT DISTINCT
+               least(CAST(s.s_nationkey AS BIGINT),
+                     CAST(c.c_nationkey AS BIGINT)) AS u,
+               greatest(CAST(s.s_nationkey AS BIGINT),
+                        CAST(c.c_nationkey AS BIGINT)) AS v
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+    ), deg AS MATERIALIZED (
+        SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs
+        ) GROUP BY n
+    ), oriented AS MATERIALIZED (
+        SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS src,
+               CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS dst
+        FROM pairs
+        JOIN deg a ON pairs.u = a.n
+        JOIN deg b ON pairs.v = b.n,
+        LATERAL (SELECT a.d AS du, b.d AS dv) x
+    ), tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM oriented o1
+        JOIN oriented o2 ON o1.dst = o2.src
+        JOIN oriented o3 ON o3.src = o1.src AND o3.dst = o2.dst
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+           (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg)
+               AS n_wedges,
+           n_triangles
+    FROM tri
+"""

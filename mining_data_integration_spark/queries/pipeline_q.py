@@ -1015,3 +1015,75 @@ ORACLES["dp20_pack_fill_report"] = f"""
                 AS BIGINT) AS spill_tokens
     FROM packed GROUP BY pack_id ORDER BY pack_id
 """
+
+
+CHUNK_TOK = 128
+
+
+def dp21_chunked_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-then-pack — the GPT-style concat-and-shard step dp5 and
+    dp10 each do half of: documents split into <=CHUNK_TOK-token
+    pieces (whitespace tokens, no overlap — a tokenizer-budget split,
+    not dp10's char windows), then EVERY piece packed into fixed
+    PACK_BUDGET-token sequences by global (doc_id, chunk_idx) order.
+    Chunking first is what makes packing sound: no piece can exceed
+    the budget, so a pack never splits mid-chunk and long documents
+    stop creating pathological packs. The global offset is the
+    two-phase range-sharded cumsum (pipelines.pack_sequences) — no
+    single-partition window at any corpus size; the chunk fan-out is
+    map-side sequence+explode."""
+    from ..operators.text import tokens
+    from ..pipelines import pack_sequences
+
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    sized = (docs.select("doc_id",
+                         F.size(tokens(F.col("text"))).alias("_n"))
+             .filter(F.col("_n") > 0))
+    chunks = (
+        sized.withColumn(
+            "chunk_idx",
+            F.explode(F.sequence(
+                F.lit(0), F.expr(f"(_n - 1) div {CHUNK_TOK}"))))
+        .select(
+            "doc_id", "chunk_idx",
+            F.least(F.lit(CHUNK_TOK),
+                    F.col("_n") - F.col("chunk_idx") * CHUNK_TOK)
+            .alias("_ct"))
+    )
+    return pack_sequences(
+        chunks, PACK_BUDGET,
+        token_count=F.col("_ct"),
+        order_by=[F.col("doc_id"), F.col("chunk_idx")],
+        id_cols=["doc_id", "chunk_idx"],
+    ).orderBy("doc_id", "chunk_idx")
+
+
+QUERIES["dp21_chunked_pack"] = dp21_chunked_pack
+
+ORACLES["dp21_chunked_pack"] = f"""
+    WITH tok AS (
+        SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id,
+               unnest(range(0, CAST((n - 1) // {CHUNK_TOK} AS INT) + 1))
+                   AS chunk_idx,
+               n
+        FROM tok WHERE n > 0
+    ), sized AS (
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(least({CHUNK_TOK}, n - chunk_idx * {CHUNK_TOK})
+                    AS BIGINT) AS ct
+        FROM chunks
+    ), cum AS (
+        SELECT doc_id, chunk_idx, ct,
+               CAST(sum(ct) OVER (ORDER BY doc_id, chunk_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - ct AS BIGINT) AS start
+        FROM sized
+    )
+    SELECT doc_id, chunk_idx, ct AS n_tokens,
+           CAST(start // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(start % {PACK_BUDGET} AS BIGINT) AS pack_offset
+    FROM cum ORDER BY doc_id, chunk_idx
+"""

@@ -1264,3 +1264,19 @@ def test_changelog_apply_latest_wins(spark):
     assert out[-1].dig == dig("new " + docs[0])
     assert out[1].status == "kept"
     assert out[1].dig == dig(docs[1])
+
+
+def test_triangle_stats_hand_checked(spark):
+    """Square 1-2-3-4 with one diagonal (1,3): exactly 2 triangles,
+    5 edges, wedges = sum C(deg,2) = C(3,2)*2 + C(2,2)*2 = 8. Input
+    deliberately messy: duplicates and both orientations must
+    collapse before counting."""
+    from mining_data_integration_spark.operators.graph import (
+        triangle_stats)
+
+    raw = [(1, 2), (2, 1), (2, 3), (3, 4), (4, 1), (1, 3),
+           (3, 1), (1, 2), (2, 2)]   # dupes, reversals, self-loop
+    pairs = spark.createDataFrame(raw, "a long, b long")
+    row = triangle_stats(pairs).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) \
+        == (4, 5, 8, 2)

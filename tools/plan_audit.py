@@ -47,6 +47,8 @@ ALLOWED: dict[str, dict[str, str]] = {
         "sim4_ivf_topk": "3-row query-vector set broadcast (IVF probe "
                          "+ brute-force verdict companion) and 1-row "
                          "verdict aggregates",
+        "g2_triangle_census": "1-row census-total broadcasts joined "
+                              "into the single output row",
         "sim10_centroid_classify": "n_labels-row centroid table broadcast",
         "dp9_source_mix": "1-row corpus token total broadcast",
         "a21_hll_distinct": "1-row register fold x 1-row exact-distinct "
@@ -117,6 +119,10 @@ ALLOWED: dict[str, dict[str, str]] = {
         "o7_offset_pagination": "per-shard offset table (O(shards) rows)",
         "o8_range_slice": "per-shard offset table (O(shards) rows)",
         "dp5_sequence_pack": "per-shard token-cumsum offsets (O(shards))",
+        "dp21_chunked_pack": "per-shard token-cumsum offsets (O(shards); "
+                             "same sharded engine as dp5, chunk-level)",
+        "g2_triangle_census": "1-row census aggregates (nodes/edges/"
+                              "wedges/triangles totals)",
         "dp8_global_shuffle": "per-shard offset table (O(shards) rows)",
         "dp11_curriculum_epochs": "per-shard offset table (O(shards) rows)",
         "w7_ranking": "per-shard offset table (O(shards) rows; the "
