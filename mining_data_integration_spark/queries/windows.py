@@ -1856,3 +1856,119 @@ ORACLES["w27_mad_outliers"] = """
     JOIN mad a ON o.event_type = a.event_type
     ORDER BY o.event_type
 """
+
+
+def _stream_dir_sentinel(sf_dir: str, table: str) -> str:
+    """_stream_dir plus ONE far-future watermark-flush row (year 2100,
+    event_id/user_id = -1): outer-join eviction only emits null-padded
+    results once the watermark PASSES an unmatched row, and a finite
+    file stream's watermark stops at its own max timestamp — so the
+    trailing watermark-delay window would otherwise stay in state
+    forever and the availableNow run would under-produce. The sentinel
+    drags the watermark past every real event; queries filter its own
+    rows back out (negative ids are outside the real id domain — the
+    u5 convention)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    safe = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"sg_streamwm_{safe}_{table}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{table}.parquet")
+    target = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.lexists(link) and os.path.realpath(link) != \
+            os.path.realpath(target):
+        try:
+            os.unlink(link)
+        except FileNotFoundError:
+            pass
+    if not os.path.lexists(link):
+        try:
+            os.symlink(target, link)
+        except FileExistsError:
+            pass
+    sentinel = os.path.join(d, "zz_watermark_flush.parquet")
+    if not os.path.exists(sentinel):
+        import datetime
+
+        schema = pq.read_schema(target)
+        schema = schema.remove_metadata()
+        cols = []
+        for field in schema:
+            if field.name in ("event_id", "user_id"):
+                cols.append(pa.array([-1], field.type))
+            elif pa.types.is_timestamp(field.type):
+                cols.append(pa.array(
+                    [datetime.datetime(2100, 1, 1)], field.type))
+            else:
+                cols.append(pa.array([None], field.type))
+        tmp = sentinel + f".tmp{os.getpid()}"
+        pq.write_table(pa.table(cols, schema=schema), tmp)
+        os.replace(tmp, sentinel)   # atomic vs concurrent test procs
+    return d
+
+
+def st8_stream_outer_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream band join through the real engine,
+    oracle-checked — the streaming shape where the watermark decides
+    CORRECTNESS, not just state size: a left event with no right
+    partner (right stream = the 1-in-7 event_id%7==0 subset, band ±5
+    minutes) may only emit its null-padded row once the watermark
+    proves no partner can still arrive, so outer rows surface from
+    the state-eviction path in the trailing no-data micro-batch. The
+    _stream_dir_sentinel watermark-flush row forces that eviction to
+    cover ALL real events, making the availableNow run exactly equal
+    to the batch LEFT band join the DuckDB oracle replays."""
+    from ..streaming import stream_stream_band_join_outer
+
+    path = _stream_dir_sentinel(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+
+    def one() -> DataFrame:
+        return (
+            spark.readStream.schema(schema).parquet(path)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    # the sentinel must survive BOTH side filters: the join's eviction
+    # watermark is the MIN across all watermark operators, so a right
+    # side that never sees the flush row would stall the whole join's
+    # watermark at (real max ts - delay) and strand the newest lefts
+    right = one().filter((F.col("event_id") % 7 == 0)
+                         | (F.col("event_id") < 0))
+    out = stream_stream_band_join_outer(
+        one(), right, band="5 minutes", watermark="1 hour")
+    name = f"st8_sink_{next(_ST_SEQ)}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .filter(F.col("l_event_id") >= 0)
+        .select("user_id", "l_event_id", "r_event_id", "delta_us")
+        .orderBy("l_event_id", "r_event_id")
+    )
+
+
+QUERIES["st8_stream_outer_band_join"] = st8_stream_outer_band_join
+
+ORACLES["st8_stream_outer_band_join"] = """
+    WITH l AS (
+        SELECT user_id, event_id AS l_event_id,
+               CAST(ts AS TIMESTAMP) AS l_ts
+        FROM events
+    ), r AS (
+        SELECT user_id AS rk, event_id AS r_event_id,
+               CAST(ts AS TIMESTAMP) AS r_ts
+        FROM events WHERE event_id % 7 = 0
+    )
+    SELECT l.user_id, l.l_event_id, r.r_event_id,
+           epoch_us(r.r_ts) - epoch_us(l.l_ts) AS delta_us
+    FROM l LEFT JOIN r ON l.user_id = r.rk
+      AND r.r_ts >= l.l_ts - INTERVAL 5 MINUTE
+      AND r.r_ts <= l.l_ts + INTERVAL 5 MINUTE
+    ORDER BY l_event_id, r_event_id
+"""

@@ -270,3 +270,42 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour",
         return events.withWatermark(ts_col, watermark) \
             .dropDuplicatesWithinWatermark(list(keys))
     return events.dropDuplicates(list(keys))
+
+
+def stream_stream_band_join_outer(left: DataFrame, right: DataFrame,
+                                  band: str = "4 hours",
+                                  watermark: str = "1 hour",
+                                  key_col: str = "user_id",
+                                  ts_col: str = "ts") -> DataFrame:
+    """LEFT OUTER stream-stream band join — the shape that needs the
+    watermark for CORRECTNESS, not just state size: an unmatched left
+    row can only emit its null-padded result once the watermark
+    proves no matching right row can still arrive, so outer results
+    trail the stream by the watermark delay and Spark emits them from
+    the eviction path (a no-data micro-batch after the last data
+    batch). Same band predicate and column contract as
+    stream_stream_band_join; on batch frames it degrades to a plain
+    left band join, which is exactly what the SQL oracle replays."""
+    l = left.select(
+        F.col(key_col),
+        F.col("event_id").alias("l_event_id"),
+        F.col(ts_col).alias("l_ts"),
+    )
+    r = right.select(
+        F.col(key_col).alias("_rk"),
+        F.col("event_id").alias("r_event_id"),
+        F.col(ts_col).alias("r_ts"),
+    )
+    if left.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if right.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    cond = (
+        (l[key_col] == r["_rk"])
+        & (r["r_ts"] >= F.expr(f"l_ts - interval {band}"))
+        & (r["r_ts"] <= F.expr(f"l_ts + interval {band}"))
+    )
+    return l.join(r, cond, "leftOuter").select(
+        key_col, "l_event_id", "r_event_id",
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("delta_us"),
+    )
