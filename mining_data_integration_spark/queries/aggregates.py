@@ -956,3 +956,128 @@ ORACLES["a27_gini_concentration"] = """
                / CAST(count(*) * sum(m) AS DOUBLE) AS gini
     FROM ranked
 """
+
+
+A28_QS = (50, 90, 99)
+
+
+def a28_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch-style quantiles that are ENGINE-EXACT (the a21/tx13
+    move applied to quantile sketches): order totals in integer cents
+    drop into dyadic sub-buckets — bucket lower bound =
+    (c div 2^(bits-3)) * 2^(bits-3), keeping the top 3 bits, an
+    integer-only histogram with relative error <= 12.5%. Bit positions
+    come from length(bin(c)), never float log2 (wrong at power-of-2
+    boundaries). The quantile estimate is the lower bound of the
+    bucket holding the ceil(q*n/100)-th rank; exact-rank companions
+    and a rel_err_ok verdict (|est-exact|*8 <= exact) prove the error
+    contract instead of assuming it. Every step integer, so the
+    sketch VALUES hash-check against DuckDB.
+
+    Scale: the mergeable sketch is a groupBy over O(buckets) keys
+    (map-side combinable, ~30 sub-buckets per decade of domain); only
+    the exact-rank AUDIT column uses the distinct-value cumulative
+    window (the a20 exact-median engine) — at fleet scale you ship
+    the sketch and drop the audit."""
+    o = t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    base = o.select(cents.alias("c")).filter(F.col("c") > 0)
+    scale = F.expr("CAST(pow(2, length(bin(c)) - 3) AS BIGINT)")
+    keyed = base.select(
+        (F.col("c") - F.pmod(F.col("c"), scale)).alias("blo"))
+    sketch = keyed.groupBy("blo").agg(F.count("*").alias("bn"))
+    wb = Window.orderBy("blo").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = sketch.withColumn("cumn", F.sum("bn").over(wb)) \
+        .withColumn("n", F.sum("bn").over(
+            Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)))
+    # exact-rank audit: cumulative counts over DISTINCT cents values
+    # (O(value domain), the a20 engine), never a row-level sort
+    vals = base.groupBy("c").agg(F.count("*").alias("vn"))
+    wv = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    vcum = vals.withColumn("vcumn", F.sum("vn").over(wv))
+    qs = spark.createDataFrame([(q,) for q in A28_QS], "q_pct int")
+    ranked = qs.crossJoin(
+        F.broadcast(cum.select("n").limit(1)))
+    ranked = ranked.withColumn(
+        "r", F.expr("CAST((q_pct * n + 99) div 100 AS BIGINT)"))
+    est = (
+        ranked.join(F.broadcast(cum.select("blo", "cumn")),
+                    F.col("cumn") >= F.col("r"))
+        .groupBy("q_pct", "n", "r")
+        .agg(F.min("blo").alias("est_cents"))
+    )
+    exact = (
+        ranked.join(F.broadcast(vcum), F.col("vcumn") >= F.col("r"))
+        .groupBy("q_pct")
+        .agg(F.min("c").alias("exact_cents"))
+    )
+    return (
+        est.join(exact, "q_pct")
+        .select(
+            "q_pct", F.col("n").cast("long").alias("n"),
+            F.col("est_cents").cast("long").alias("est_cents"),
+            F.col("exact_cents").cast("long").alias("exact_cents"),
+            (F.abs(F.col("est_cents") - F.col("exact_cents")) * 8
+             <= F.col("exact_cents")).alias("rel_err_ok"),
+        )
+        .orderBy("q_pct")
+    )
+
+
+QUERIES["a28_ddsketch_quantiles"] = a28_ddsketch_quantiles
+
+ORACLES["a28_ddsketch_quantiles"] = """
+    WITH base AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS c
+        FROM orders
+        WHERE o_totalprice > 0
+    ), keyed AS (
+        SELECT c,
+               c - c % CAST(2 ** (length(bin(c)) - 3) AS BIGINT) AS blo
+        FROM base
+    ), sketch AS (
+        SELECT blo, CAST(count(*) AS BIGINT) AS bn
+        FROM keyed GROUP BY blo
+    ), cum AS (
+        SELECT blo, bn,
+               sum(bn) OVER (ORDER BY blo
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cumn,
+               sum(bn) OVER () AS n
+        FROM sketch
+    ), vals AS (
+        SELECT c, count(*) AS vn FROM keyed GROUP BY c
+    ), vcum AS (
+        SELECT c,
+               sum(vn) OVER (ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS vcumn
+        FROM vals
+    ), qs AS (
+        SELECT unnest([50, 90, 99]) AS q_pct
+    ), ranked AS (
+        SELECT q_pct, n,
+               CAST((q_pct * n + 99) // 100 AS BIGINT) AS r
+        FROM qs CROSS JOIN (SELECT DISTINCT n FROM cum) t
+    ), est AS (
+        SELECT rk.q_pct, rk.n, rk.r,
+               CAST(min(cu.blo) AS BIGINT) AS est_cents
+        FROM ranked rk JOIN cum cu ON cu.cumn >= rk.r
+        GROUP BY rk.q_pct, rk.n, rk.r
+    ), ex AS (
+        SELECT rk.q_pct, CAST(min(v.c) AS BIGINT) AS exact_cents
+        FROM ranked rk JOIN vcum v ON v.vcumn >= rk.r
+        GROUP BY rk.q_pct
+    )
+    SELECT e.q_pct, CAST(e.n AS BIGINT) AS n, e.est_cents,
+           x.exact_cents,
+           abs(e.est_cents - x.exact_cents) * 8 <= x.exact_cents
+               AS rel_err_ok
+    FROM est e JOIN ex x ON e.q_pct = x.q_pct
+    ORDER BY e.q_pct
+"""

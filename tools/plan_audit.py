@@ -49,6 +49,9 @@ ALLOWED: dict[str, dict[str, str]] = {
                          "verdict aggregates",
         "g2_triangle_census": "1-row census-total broadcasts joined "
                               "into the single output row",
+        "a28_ddsketch_quantiles": "1-row corpus-total broadcast + "
+                                  "range joins against the O(buckets) "
+                                  "sketch / value-histogram tables",
         "sim10_centroid_classify": "n_labels-row centroid table broadcast",
         "dp9_source_mix": "1-row corpus token total broadcast",
         "a21_hll_distinct": "1-row register fold x 1-row exact-distinct "
@@ -123,6 +126,11 @@ ALLOWED: dict[str, dict[str, str]] = {
                              "same sharded engine as dp5, chunk-level)",
         "g2_triangle_census": "1-row census aggregates (nodes/edges/"
                               "wedges/triangles totals)",
+        "a28_ddsketch_quantiles": "cumulative windows over O(buckets) "
+                                  "sketch rows and O(value domain) "
+                                  "distinct prices (a20 engine) — "
+                                  "audit column only, droppable at "
+                                  "fleet scale",
         "dp8_global_shuffle": "per-shard offset table (O(shards) rows)",
         "dp11_curriculum_epochs": "per-shard offset table (O(shards) rows)",
         "w7_ranking": "per-shard offset table (O(shards) rows; the "
