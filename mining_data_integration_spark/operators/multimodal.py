@@ -1145,3 +1145,239 @@ def make_jpeg_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "media_id": pd.Series(ids, dtype="int64"),
             "payload": pd.Series(payloads, dtype="object"),
         })
+
+
+# --- real compressed decode #3: GIF87a / LZW (from scratch) -------------
+# Third compression family beside PNG's DEFLATE and JPEG's DCT+Huffman:
+# dictionary coding. Grayscale-identity palette, one image block, no
+# extensions — the minimal valid GIF87a a web corpus is full of.
+
+GIF_W, GIF_H = 8, 8
+GIF_POISON_EVERY = 103
+
+
+class _LsbBitWriter:
+    """GIF packs LZW codes least-significant-bit first."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    w = _LsbBitWriter()
+    w.write(clear, width)
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        w.write(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= 4096:
+            w.write(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        cur = bytes([byte])
+    if cur:
+        w.write(table[cur], width)
+    w.write(eoi, width)
+    return w.flush()
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expect: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = acc = nbits = 0
+    width = min_code_size + 1
+
+    def read_code() -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        code = read_code()
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):          # the cScSc case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+        if len(out) > expect:
+            raise ValueError("LZW output overruns raster")
+    if len(out) != expect:
+        raise ValueError("LZW output short of raster")
+    return bytes(out)
+
+
+def gif_encode_gray(raw: bytes, width: int, height: int) -> bytes:
+    """Minimal valid GIF87a: grayscale-identity global palette (256
+    entries i,i,i), one image block, LZW-compressed index stream in
+    255-byte sub-blocks."""
+    if len(raw) != width * height:
+        raise ValueError("raster size mismatch")
+    out = bytearray(b"GIF87a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])           # GCT present, 256 entries
+    for i in range(256):
+        out += bytes([i, i, i])
+    out += b"\x2c" + (0).to_bytes(2, "little") * 2
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x00, 8])              # no LCT; LZW min code size 8
+    lzw = _lzw_encode(raw, 8)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i:i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def gif_decode_gray(data: bytes) -> tuple[int, int, bytes]:
+    """From-scratch GIF87a/89a decoder for the subset above: header +
+    screen descriptor, global color table walk, skips 0x21 extension
+    blocks, one image descriptor (no interlace, no local table), full
+    LZW decode (variable code width, clear/EOI, the cScSc case),
+    gray value = palette red channel. Raises ValueError on anything
+    malformed or truncated."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(data) < 13:
+        raise ValueError("truncated screen descriptor")
+    packed = data[10]
+    pos = 13
+    palette = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = data[pos:pos + 3 * n]
+        if len(palette) != 3 * n:
+            raise ValueError("truncated color table")
+        pos += 3 * n
+    while True:
+        if pos >= len(data):
+            raise ValueError("missing image block")
+        b = data[pos]
+        if b == 0x21:                     # extension: label + sub-blocks
+            pos += 2
+            while True:
+                if pos >= len(data):
+                    raise ValueError("truncated extension")
+                sz = data[pos]
+                pos += 1 + sz
+                if sz == 0:
+                    break
+        elif b == 0x2C:
+            break
+        else:
+            raise ValueError("unexpected block type")
+    if pos + 10 > len(data):
+        raise ValueError("truncated image descriptor")
+    width = int.from_bytes(data[pos + 5:pos + 7], "little")
+    height = int.from_bytes(data[pos + 7:pos + 9], "little")
+    ipacked = data[pos + 9]
+    pos += 10
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIF unsupported")
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 0x07)
+        palette = data[pos:pos + 3 * n]
+        if len(palette) != 3 * n:
+            raise ValueError("truncated local color table")
+        pos += 3 * n
+    if not palette:
+        raise ValueError("no color table")
+    if pos >= len(data):
+        raise ValueError("missing LZW code size")
+    min_code = data[pos]
+    pos += 1
+    if not 2 <= min_code <= 8:
+        raise ValueError("bad LZW minimum code size")
+    lzw = bytearray()
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated sub-block chain")
+        sz = data[pos]
+        pos += 1
+        if sz == 0:
+            break
+        block = data[pos:pos + sz]
+        if len(block) != sz:
+            raise ValueError("truncated sub-block")
+        lzw += block
+        pos += sz
+    idx = _lzw_decode(bytes(lzw), min_code, width * height)
+    gray = bytes(palette[3 * i] for i in idx)
+    return width, height, gray
+
+
+def make_gif_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: media_id -> REAL GIF87a payload whose raster
+    byte j is (media_id*(j+1)) % 256 (the mm5 closed form, so the SQL
+    oracle recomputes every pixel). Every GIF_POISON_EVERY-th id ships
+    half its payload -> ok=false."""
+    for pdf in batches:
+        ids, payloads = [], []
+        for mid in pdf["media_id"]:
+            raw = bytes((int(mid) * (j + 1)) % 256
+                        for j in range(GIF_W * GIF_H))
+            enc = gif_encode_gray(raw, GIF_W, GIF_H)
+            if mid % GIF_POISON_EVERY == 0:
+                enc = enc[:len(enc) // 2]
+            ids.append(mid)
+            payloads.append(enc)
+        yield pd.DataFrame({
+            "media_id": pd.Series(ids, dtype="int64"),
+            "payload": pd.Series(payloads, dtype="object"),
+        })

@@ -407,3 +407,43 @@ ORACLES["mm8_dhash_clusters"] = f"""
            CAST(min(doc_id) AS BIGINT) AS exemplar
     FROM h GROUP BY dhash ORDER BY dhash
 """
+
+
+def mm10_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode of a THIRD compression family, end-to-end: every
+    doc_id becomes a genuine GIF87a (Arrow encoder kernel — LSB-first
+    variable-width LZW with clear/EOI codes and 4096-entry dictionary
+    resets, 255-byte sub-block framing, grayscale-identity palette)
+    decoded through the injectable decode_real slot by the
+    from-scratch GIF parser (extension-block walk, palette handling,
+    full LZW with the cScSc case). LZW is lossless, so the oracle
+    recomputes pixel sums from the mm5 closed-form generator; every
+    103rd payload is truncated mid-stream -> ok=false poison rows."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    media = docs.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        M.make_gif_media, "media_id bigint, payload binary")
+    return media.mapInPandas(
+        M.decode_real(M.gif_decode_gray), M.REAL_STATS_SCHEMA
+    ).orderBy("media_id")
+
+
+QUERIES["mm10_gif_decode"] = mm10_gif_decode
+
+
+def _gif_sum_px() -> str:
+    n_px = M.GIF_W * M.GIF_H
+    terms = " + ".join(f"(doc_id * {j + 1}) % 256" for j in range(n_px))
+    return (f"CASE WHEN doc_id % {M.GIF_POISON_EVERY} = 0 THEN NULL "
+            f"ELSE CAST({terms} AS BIGINT) END")
+
+
+ORACLES["mm10_gif_decode"] = f"""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % {M.GIF_POISON_EVERY} = 0 THEN NULL
+                ELSE CAST({M.GIF_W} AS INTEGER) END AS width,
+           CASE WHEN doc_id % {M.GIF_POISON_EVERY} = 0 THEN NULL
+                ELSE CAST({M.GIF_H} AS INTEGER) END AS height,
+           {_gif_sum_px()} AS sum_px,
+           doc_id % {M.GIF_POISON_EVERY} <> 0 AS ok
+    FROM documents ORDER BY media_id
+"""

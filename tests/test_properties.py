@@ -295,3 +295,36 @@ class TestMediaCodecProperties:
         wav = M.wav_encode(samples, 8000)
         with _pytest.raises(ValueError):
             M.wav_decode(wav[:-cut])
+
+
+class TestGifLzwProperties:
+    """GIF/LZW is lossless: arbitrary index streams must round-trip
+    bit-exactly through the variable-width dictionary coder, and
+    truncation must raise."""
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.integers(0, 255), min_size=1, max_size=300))
+    def test_gif_roundtrip(self, raster):
+        from mining_data_integration_spark.operators import multimodal as M
+        raw = bytes(raster)
+        enc = M.gif_encode_gray(raw, len(raw), 1)
+        assert M.gif_decode_gray(enc) == (len(raw), 1, raw)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(st.integers(0, 3), min_size=64, max_size=64),
+           st.floats(0.2, 0.8))
+    def test_gif_truncation_raises(self, raster, frac):
+        import pytest as _pytest
+        from mining_data_integration_spark.operators import multimodal as M
+        # low-entropy rasters compress hard — truncation must still raise
+        enc = M.gif_encode_gray(bytes(raster), 8, 8)
+        with _pytest.raises(ValueError):
+            M.gif_decode_gray(enc[:int(len(enc) * frac)])
+
+    def test_gif_dictionary_reset_roundtrip(self):
+        from mining_data_integration_spark.operators import multimodal as M
+        import random
+        rng = random.Random(3)
+        raw = bytes(rng.randrange(256) for _ in range(8192))
+        enc = M.gif_encode_gray(raw, 128, 64)
+        assert M.gif_decode_gray(enc) == (128, 64, raw)

@@ -99,6 +99,9 @@ ALLOWED: dict[str, dict[str, str]] = {
         "mm9_jpeg_decode": "real baseline-JPEG encode + entropy/IDCT "
                            "decode ARE the operator (two Arrow stages "
                            "through the injectable codec slot)",
+        "mm10_gif_decode": "real GIF87a/LZW encode + decode ARE the "
+                           "operator (two Arrow stages through the "
+                           "injectable codec slot)",
     },
     "Exchange SinglePartition": {
         # bounded-row global sorts/windows: the rows reaching the
