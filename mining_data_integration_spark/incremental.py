@@ -290,22 +290,6 @@ def _windowed_prepare(spark: SparkSession, tables: dict[str, DataFrame],
             "aligned_floor": aligned_floor, "tip_stacks": tip_stacks}
 
 
-def _write_state(wchain: DataFrame, wstacks: DataFrame,
-                 gold_dir: str) -> None:
-    """Persist the canonical chain/fork state (window overwrite) —
-    both the next tick's anchor and a useful gold in its own right."""
-    _write_dynamic(
-        wchain.withColumn(
-            "hbucket",
-            (F.col("block_height") / HEIGHTS_PER_BUCKET).cast("long")),
-        f"{gold_dir}/canonical_chain")
-    _write_dynamic(
-        wstacks.withColumn(
-            "hbucket",
-            (F.col("block_height") / HEIGHTS_PER_BUCKET).cast("long")),
-        f"{gold_dir}/canonical_stacks")
-
-
 def incremental_refresh(spark: SparkSession, tables: dict[str, DataFrame],
                         gold_dir: str, reorg_depth: int = 100) -> dict:
     """One incremental tick: windowed when persisted state + boundary
@@ -341,17 +325,35 @@ def incremental_refresh(spark: SparkSession, tables: dict[str, DataFrame],
             .withColumn("hbucket", _hb()).filter(affected)
         pt = miner_partials(prepared).filter(affected)
 
-        _write_dynamic(mi, f"{gold_dir}/mining_info")
-        _write_dynamic(bi, f"{gold_dir}/block_info")
-        _write_dynamic(pt, f"{gold_dir}/miner_partials")
-        _write_state(
-            prepared["wchain"].select(
-                "burn_header_hash", "parent_burn_header_hash",
-                "block_height", "stacks_block_height", "total_burn"),
-            prepared["wstacks"].select(
-                "block_hash", "parent_block", "block_height",
-                "burn_header_hash"),
-            gold_dir)
+        # the five gold writes hit DIFFERENT paths off shared cached/
+        # checkpointed intermediates — submit them concurrently (Spark's
+        # scheduler interleaves jobs from multiple threads; the block
+        # manager serializes any racing cache fill). On a small tick the
+        # wall cost drops from the SUM of five write jobs to the MAX.
+        from concurrent.futures import ThreadPoolExecutor
+
+        chain_df = prepared["wchain"].select(
+            "burn_header_hash", "parent_burn_header_hash",
+            "block_height", "stacks_block_height", "total_burn") \
+            .withColumn("hbucket", (F.col("block_height")
+                                    / HEIGHTS_PER_BUCKET).cast("long"))
+        stacks_df = prepared["wstacks"].select(
+            "block_hash", "parent_block", "block_height",
+            "burn_header_hash") \
+            .withColumn("hbucket", (F.col("block_height")
+                                    / HEIGHTS_PER_BUCKET).cast("long"))
+        writes = [
+            (mi, f"{gold_dir}/mining_info"),
+            (bi, f"{gold_dir}/block_info"),
+            (pt, f"{gold_dir}/miner_partials"),
+            (chain_df, f"{gold_dir}/canonical_chain"),
+            (stacks_df, f"{gold_dir}/canonical_stacks"),
+        ]
+        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            futures = [pool.submit(_write_dynamic, df, path)
+                       for df, path in writes]
+            for f in futures:
+                f.result()   # surface the first failure
 
         merged = merge_miner_partials(
             spark.read.parquet(f"{gold_dir}/miner_partials"))
