@@ -835,3 +835,130 @@ def _bpe_encode_oracle(k: int) -> str:
 
 
 ORACLES["tx19_bpe_encode"] = _bpe_encode_oracle(BPE_K)
+
+
+def tx20_zipf_octaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law audit of the corpus frequency distribution — the
+    report a mixture-design review reads before trusting token-level
+    dedup/sampling thresholds: words globally ranked by frequency
+    (the two-phase range-sharded global_row_number, never a
+    vocab-sized single-partition window), then rolled up per rank
+    OCTAVE (bucket = bit_length(rank) — exact integer log2, the tx15
+    trick). Under Zipf, mean log2(freq) falls by ~alpha per octave;
+    the octave table surfaces exactly the integer sums
+    (n_words, sum_fbits = Σ bit_length(freq), sum_freq) needed to
+    read the slope — no float regression inside the engine, so every
+    value hash-checks."""
+    from ..operators.scalable import global_row_number
+    from ..operators.text import tokens
+
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    words = docs.select(F.explode(tokens(F.col("text"))).alias("w")) \
+        .filter(F.col("w") != "")
+    freq = words.groupBy("w").agg(F.count("*").alias("f"))
+    ranked = global_row_number(
+        freq, [F.col("f").desc(), F.col("w")], rn_col="r")
+    return (
+        ranked.groupBy(F.length(F.expr("bin(r)")).alias("octave"))
+        .agg(F.count("*").cast("long").alias("n_words"),
+             F.sum(F.length(F.expr("bin(f)"))).cast("long")
+             .alias("sum_fbits"),
+             F.sum("f").cast("long").alias("sum_freq"))
+        .withColumn("octave", F.col("octave").cast("long"))
+        .orderBy("octave")
+    )
+
+
+QUERIES["tx20_zipf_octaves"] = tx20_zipf_octaves
+
+ORACLES["tx20_zipf_octaves"] = f"""
+    WITH words AS (
+        SELECT unnest({_TOKS}) AS w FROM documents
+    ), freq AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS f
+        FROM words WHERE w <> '' GROUP BY w
+    ), ranked AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r
+        FROM freq
+    )
+    SELECT CAST(length(bin(r)) AS BIGINT) AS octave,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(bin(f))) AS BIGINT) AS sum_fbits,
+           CAST(sum(f) AS BIGINT) AS sum_freq
+    FROM ranked GROUP BY 1 ORDER BY octave
+"""
+
+
+TX21_PCTS = (10, 25, 50, 100)
+
+
+def tx21_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct-word counts over
+    corpus prefixes (10/25/50/100% of the doc_id axis) — the
+    projection that answers 'how much NEW vocabulary does the next
+    shard buy?'. Scale shape: ONE pass builds the per-word first-
+    occurrence doc (min over an equi groupBy), prefix membership is a
+    broadcast O(points) threshold join — the corpus is never
+    re-scanned per point. All integer (thresholds via integer div),
+    fully hash-checked."""
+    from ..operators.text import tokens
+
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")) \
+        .filter(F.col("w") != "")
+    firsts = words.groupBy("w").agg(F.min("doc_id").alias("d0"))
+    sized = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("nt"))
+    md = docs.agg(F.max("doc_id").alias("md"))
+    pts = spark.createDataFrame([(p,) for p in TX21_PCTS], "p int") \
+        .crossJoin(F.broadcast(md)) \
+        .withColumn("thr", F.expr("(md * p) div 100"))
+    vocab = (
+        pts.join(F.broadcast(firsts), F.col("d0") <= F.col("thr"))
+        .groupBy("p", "thr")
+        .agg(F.count("*").cast("long").alias("vocab_prefix"))
+    )
+    toks = (
+        pts.join(F.broadcast(sized), F.col("doc_id") <= F.col("thr"))
+        .groupBy("p")
+        .agg(F.count("*").cast("long").alias("n_docs_prefix"),
+             F.sum("nt").cast("long").alias("tokens_prefix"))
+    )
+    return (
+        vocab.join(toks, "p")
+        .select("p", F.col("thr").cast("long").alias("thr"),
+                "n_docs_prefix", "tokens_prefix", "vocab_prefix")
+        .orderBy("p")
+    )
+
+
+QUERIES["tx21_heaps_growth"] = tx21_heaps_growth
+
+ORACLES["tx21_heaps_growth"] = f"""
+    WITH words AS (
+        SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+    ), firsts AS (
+        SELECT w, min(doc_id) AS d0
+        FROM words WHERE w <> '' GROUP BY w
+    ), sized AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS nt
+        FROM documents
+    ), md AS (SELECT max(doc_id) AS md FROM documents),
+    pts AS (
+        SELECT p, (md * p) // 100 AS thr
+        FROM (SELECT unnest([{', '.join(str(p) for p in TX21_PCTS)}]) AS p)
+        CROSS JOIN md
+    ), vocab AS (
+        SELECT p, thr, CAST(count(*) AS BIGINT) AS vocab_prefix
+        FROM pts JOIN firsts ON d0 <= thr GROUP BY p, thr
+    ), toks AS (
+        SELECT p, CAST(count(*) AS BIGINT) AS n_docs_prefix,
+               CAST(sum(nt) AS BIGINT) AS tokens_prefix
+        FROM pts JOIN sized ON doc_id <= thr GROUP BY p
+    )
+    SELECT v.p, CAST(v.thr AS BIGINT) AS thr, t.n_docs_prefix,
+           t.tokens_prefix, v.vocab_prefix
+    FROM vocab v JOIN toks t ON v.p = t.p
+    ORDER BY v.p
+"""

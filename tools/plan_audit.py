@@ -49,6 +49,9 @@ ALLOWED: dict[str, dict[str, str]] = {
                          "verdict aggregates",
         "g2_triangle_census": "1-row census-total broadcasts joined "
                               "into the single output row",
+        "tx21_heaps_growth": "O(points) threshold-range joins: the "
+                             "4-row prefix table broadcast against "
+                             "first-occurrence/doc-size tables",
         "a28_ddsketch_quantiles": "1-row corpus-total broadcast + "
                                   "range joins against the O(buckets) "
                                   "sketch / value-histogram tables",
@@ -129,6 +132,10 @@ ALLOWED: dict[str, dict[str, str]] = {
                              "same sharded engine as dp5, chunk-level)",
         "g2_triangle_census": "1-row census aggregates (nodes/edges/"
                               "wedges/triangles totals)",
+        "tx20_zipf_octaves": "per-shard offset table (O(shards) rows; "
+                             "the vocab rank uses the sharded "
+                             "global_row_number engine)",
+        "tx21_heaps_growth": "1-row max-doc-id aggregate",
         "a28_ddsketch_quantiles": "cumulative windows over O(buckets) "
                                   "sketch rows and O(value domain) "
                                   "distinct prices (a20 engine) — "
