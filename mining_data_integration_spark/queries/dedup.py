@@ -655,3 +655,76 @@ def _lsh_calibration_oracle() -> str:
 
 
 ORACLES["dd13_lsh_calibration"] = _lsh_calibration_oracle()
+
+
+def dd14_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship policy on top of dd6's duplicate clusters — the
+    step every production dedup pipeline adds after clustering: the
+    cluster's CANONICAL document is chosen by an explicit rule (keep
+    the longest member — max token count, lowest doc_id tiebreak),
+    not whichever id happened to be smallest. Per doc: its cluster,
+    the canonical survivor, a keep flag and the cluster size. The
+    argmax is ONE max-of-struct aggregate per cluster (combinable —
+    no per-cluster sort), and the policy column is integer, so the
+    whole selection hash-checks against the recursive-CTE closure."""
+    from ..operators.components import dedup_keep_min
+    from ..operators.text import tokens
+
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    pairs = D.minhash_lsh_candidates(docs, n=3, num_hashes=16, bands=4)
+    clusters = dedup_keep_min(docs.select("doc_id"), pairs, "doc_id") \
+        .select("doc_id", "cluster_id")
+    sized = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("nt"))
+    j = clusters.join(sized, "doc_id")
+    canon = j.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("nt"), (-F.col("doc_id")).alias("nid"),
+                       F.col("doc_id").alias("d")))["d"]
+        .alias("canonical_id"),
+        F.count("*").cast("long").alias("n_members"),
+    )
+    return (
+        j.join(canon, "cluster_id")
+        .select("doc_id", "cluster_id", "canonical_id",
+                (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+                "n_members")
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["dd14_survivorship"] = dd14_survivorship
+
+ORACLES["dd14_survivorship"] = f"""
+    WITH RECURSIVE pairs AS (
+        {_minhash_band_sql(3, 16, 4).replace("ORDER BY id1, id2", "")}
+    ), sym AS (
+        SELECT id1 AS a, id2 AS b FROM pairs
+        UNION
+        SELECT id2 AS a, id1 AS b FROM pairs
+    ), reach AS (
+        SELECT a AS node, a AS r FROM sym
+        UNION
+        SELECT s.b AS node, reach.r
+        FROM sym s JOIN reach ON s.a = reach.node
+    ), comp AS (
+        SELECT node, min(r) AS component FROM reach GROUP BY node
+    ), clustered AS (
+        SELECT d.doc_id,
+               coalesce(c.component, d.doc_id) AS cluster_id,
+               CAST(len({_WORDS}) AS BIGINT) AS nt
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ), canon AS (
+        SELECT cluster_id, doc_id AS canonical_id, n_members FROM (
+            SELECT cluster_id, doc_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS n_members,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY nt DESC, doc_id) AS rn
+            FROM clustered
+        ) WHERE rn = 1
+    )
+    SELECT cl.doc_id, cl.cluster_id, ca.canonical_id,
+           cl.doc_id = ca.canonical_id AS keep,
+           CAST(ca.n_members AS BIGINT) AS n_members
+    FROM clustered cl JOIN canon ca ON cl.cluster_id = ca.cluster_id
+    ORDER BY cl.doc_id
+"""
