@@ -555,3 +555,69 @@ ORACLES["u5_changelog_apply"] = """
     FROM merged WHERE coalesce(op, '') <> 'D'
     ORDER BY doc_id
 """
+
+
+U6_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def u6_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-format fidelity audit: the documents table is written
+    to ORC, JSON and CSV and read back, and every format must carry
+    IDENTICAL content — one row per format with the row count and an
+    order-insensitive content digest (Σ over rows of the first 48
+    bits of md5(doc_id|source|lang|text), an exact int64). The DuckDB
+    oracle computes the expected digest ONCE from the parquet source
+    and asserts every format matches it (the a16 expected-verdict
+    pattern applied to IO): a writer/reader that mangles newlines,
+    quoting, unicode or nulls flips the digest and the row goes red.
+    CSV is the deliberate stress case — embedded newlines force
+    multiLine quoted reads."""
+    import tempfile
+
+    cols = ["doc_id", "source", "lang", "text"]
+    base = t(spark, sf_dir, "documents").select(*cols)
+    digest = F.sum(
+        F.conv(F.substring(
+            F.md5(F.concat_ws("|", *cols)), 1, 12), 16, 10)
+        .cast("long"))
+
+    def report(df: DataFrame, fmt: str) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            digest.alias("digest_sum"),
+        ).select(F.lit(fmt).alias("fmt"), "n_rows", "digest_sum")
+
+    out = report(base, "parquet")
+    tmp = tempfile.mkdtemp(prefix="sg_fmt_rt_")
+    for fmt in U6_FORMATS[1:]:
+        path = f"{tmp}/{fmt}"
+        w = base.write.mode("overwrite").format(fmt)
+        if fmt == "csv":
+            w = w.option("header", True).option("escape", '"')
+        w.save(path)
+        r = spark.read.format(fmt)
+        if fmt == "csv":
+            r = (r.option("header", True).option("multiLine", True)
+                 .option("escape", '"')
+                 .schema(base.schema))
+        elif fmt == "json":
+            r = r.schema(base.schema)
+        out = out.unionByName(report(r.load(path), fmt))
+    return out.orderBy("fmt")
+
+
+QUERIES["u6_format_roundtrip"] = u6_format_roundtrip
+
+ORACLES["u6_format_roundtrip"] = """
+    WITH src AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(CAST(('0x' || substring(md5(
+                   CAST(doc_id AS VARCHAR) || '|' || source || '|'
+                   || lang || '|' || text), 1, 12)) AS BIGINT)
+                   AS HUGEINT)) AS BIGINT) AS digest_sum
+        FROM documents
+    )
+    SELECT fmt, n_rows, digest_sum
+    FROM src, unnest(['csv', 'json', 'orc', 'parquet']) AS u(fmt)
+    ORDER BY fmt
+"""

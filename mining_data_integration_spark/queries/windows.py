@@ -1972,3 +1972,114 @@ ORACLES["st8_stream_outer_band_join"] = """
       AND r.r_ts <= l.l_ts + INTERVAL 5 MINUTE
     ORDER BY l_event_id, r_event_id
 """
+
+
+W28_LAGS = (1, 2, 3)
+
+
+def w28_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at lags 1-3 per event_type — the
+    time-series diagnostic (is this metric mean-reverting? seasonal?)
+    computed EXACTLY in integers, no float mean anywhere: with
+    S = Σx and n·x_i − S as the n-scaled centered value (an integer),
+    the lag-k autocovariance numerator Σ (n·x_i − S)(n·x_{i−k} − S)
+    accumulates in DECIMAL(38,0) (Spark) / HUGEINT (oracle) and is
+    scaled back by DIV n² into int64 — the a23/w20 fixed-assembly
+    discipline applied to serial correlation. acf_milli =
+    (cov*1000) div var, one exact integer ratio. The lag join is a
+    per-type window (uniform key, bounded partitions); outputs are
+    bit-stable under any partitioning."""
+    ev = t(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    base = ev.select("event_type", "event_id", "ts", cents.alias("x"))
+    stats = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    rows = []
+    lagged = base
+    for k in W28_LAGS:
+        lagged = lagged.withColumn(f"x{k}", F.lag("x", k).over(w))
+    j = lagged.join(F.broadcast(stats), "event_type")
+    cx = (F.col("n").cast("decimal(38,0)") * F.col("x") - F.col("s"))
+    out = None
+    for k in (0,) + W28_LAGS:
+        xk = F.col("x") if k == 0 else F.col(f"x{k}")
+        cxk = (F.col("n").cast("decimal(38,0)") * xk - F.col("s"))
+        term = (
+            j.filter(xk.isNotNull())
+            .groupBy("event_type", "n")
+            .agg(F.sum((cx * cxk).cast("decimal(38,0)"))
+                 .alias("num"),
+                 F.count("*").cast("long").alias("n_pairs"))
+            .select(
+                "event_type", F.lit(k).alias("lag"), "n_pairs",
+                F.expr("CAST(num div (CAST(n AS DECIMAL(38,0)) * n) "
+                       "AS BIGINT)").alias("cov_scaled"))
+        )
+        out = term if out is None else out.unionByName(term)
+    var0 = out.filter(F.col("lag") == 0).select(
+        "event_type", F.col("cov_scaled").alias("var_scaled"))
+    return (
+        out.filter(F.col("lag") > 0)
+        .join(F.broadcast(var0), "event_type")
+        .select(
+            "event_type", F.col("lag").cast("long").alias("lag"),
+            "n_pairs", "cov_scaled", "var_scaled",
+            F.expr("CAST((cov_scaled * 1000) div var_scaled AS BIGINT)")
+            .alias("acf_milli"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+QUERIES["w28_autocorrelation"] = w28_autocorrelation
+
+
+def _w28_oracle() -> str:
+    terms = []
+    for k in (0,) + W28_LAGS:
+        xk = "x" if k == 0 else f"lag(x, {k}) OVER (PARTITION BY event_type ORDER BY ts, event_id)"
+        terms.append(f"""
+        SELECT event_type, {k} AS lag, n_pairs, cov_scaled FROM (
+            SELECT event_type, any_value(n) AS n,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(CAST(cx AS HUGEINT) * cxk)
+                        // (CAST(any_value(n) AS HUGEINT)
+                            * any_value(n)) AS BIGINT) AS cov_scaled
+            FROM (
+                SELECT l.event_type, st.n,
+                       CAST(st.n AS HUGEINT) * l.x - st.s AS cx,
+                       CAST(st.n AS HUGEINT) * l.xk - st.s AS cxk
+                FROM (
+                    SELECT event_type, ts, event_id, x,
+                           {xk} AS xk
+                    FROM base
+                ) l JOIN stats st USING (event_type)
+                WHERE l.xk IS NOT NULL
+            ) GROUP BY event_type
+        )""")
+    unioned = " UNION ALL ".join(terms)
+    return f"""
+    WITH base AS (
+        SELECT event_type, ts, event_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        FROM events
+    ), stats AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s
+        FROM base GROUP BY event_type
+    ), allterms AS ({unioned})
+    SELECT a.event_type, CAST(a.lag AS BIGINT) AS lag, a.n_pairs,
+           a.cov_scaled, v.cov_scaled AS var_scaled,
+           CAST((a.cov_scaled * 1000) // v.cov_scaled AS BIGINT)
+               AS acf_milli
+    FROM allterms a
+    JOIN (SELECT event_type, cov_scaled FROM allterms WHERE lag = 0) v
+      ON a.event_type = v.event_type
+    WHERE a.lag > 0
+    ORDER BY a.event_type, a.lag
+"""
+
+
+ORACLES["w28_autocorrelation"] = _w28_oracle()

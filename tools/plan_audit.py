@@ -136,6 +136,8 @@ ALLOWED: dict[str, dict[str, str]] = {
                              "the vocab rank uses the sharded "
                              "global_row_number engine)",
         "tx21_heaps_growth": "1-row max-doc-id aggregate",
+        "u6_format_roundtrip": "1-row (count, digest) report "
+                               "aggregate per format",
         "a28_ddsketch_quantiles": "cumulative windows over O(buckets) "
                                   "sketch rows and O(value domain) "
                                   "distinct prices (a20 engine) — "
