@@ -56,6 +56,7 @@ _REVERIFY_FIRST = (
     "st8_stream_outer_band_join", "a28_ddsketch_quantiles",
     "mm10_gif_decode", "tx20_zipf_octaves", "tx21_heaps_growth",
     "dd14_survivorship", "w28_autocorrelation", "u6_format_roundtrip",
+    "sim18_binary_hamming_topk",
     "a16_approx_stats", "sim4_ivf_topk", "sim9_pq_topk",
     "a26_mergeable_moments", "u5_changelog_apply",
     "w23_cusum_alarms", "x18_json_shred_stats", "w1_trailing_mean",

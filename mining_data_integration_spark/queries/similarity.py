@@ -1041,3 +1041,82 @@ def _int_ivfpq_sql(dim: int = 64, k_cells: int = 4, n_probe: int = 2,
 
 
 ORACLES["sim17_int_ivfpq_topk"] = _int_ivfpq_sql(_DIM, 4, 2, 4, 4, 2, 5, 3)
+
+
+def sim18_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit) quantization ANN — the far end of the
+    quantization ladder (float sim1 -> int8 sim7 -> PQ sim16 -> one
+    BIT per dimension): each 64-dim vector packs its sign bits into
+    TWO int64 lanes of 32 bits each (a 32x memory cut; two lanes keep
+    every shift < 32, so no engine ever touches the int64 sign bit)
+    and similarity is Hamming distance = bit_count(XOR(lo)) +
+    bit_count(XOR(hi)) — the one-instruction scoring that binary
+    embedding indexes run at planet scale. Sign extraction, packing,
+    XOR and popcount are all exact integer ops, so the whole index
+    hash-checks. Top-5 per query, Hamming asc, vec_id tiebreak."""
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+
+    def lane(lo: int) -> "F.Column":
+        return F.aggregate(
+            F.zip_with(
+                F.slice("embedding", lo + 1, 32),
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda x, i: F.when(
+                    x.cast("double") > 0,
+                    F.pow(F.lit(2.0), i.cast("double")).cast("bigint")
+                ).otherwise(F.lit(0).cast("bigint"))),
+            F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+    packed = emb.select("vec_id", lane(0).alias("lo"),
+                        lane(32).alias("hi"))
+    q = packed.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"))
+    from pyspark.sql import Window
+
+    pairs = packed.crossJoin(F.broadcast(q)).select(
+        "q_id", "vec_id",
+        (F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+         + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi"))))
+        .cast("long").alias("hamming"))
+    w = Window.partitionBy("q_id").orderBy("hamming", "vec_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .orderBy("q_id", "rk")
+    )
+
+
+QUERIES["sim18_binary_hamming_topk"] = sim18_binary_hamming_topk
+
+
+def _sim18_lane_sql(lo: int) -> str:
+    return (f"CAST(list_sum(list_transform(range(1, 33), "
+            f"i -> CASE WHEN CAST(embedding[{lo} + i] AS DOUBLE) > 0 "
+            f"THEN CAST(2 ** (i - 1) AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)) AS BIGINT)")
+
+
+ORACLES["sim18_binary_hamming_topk"] = f"""
+    WITH packed AS (
+        SELECT vec_id,
+               {_sim18_lane_sql(0)} AS lo,
+               {_sim18_lane_sql(32)} AS hi
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS q_id, lo AS qlo, hi AS qhi
+        FROM packed WHERE vec_id < 3
+    ), pairs AS (
+        SELECT q.q_id, p.vec_id,
+               CAST(bit_count(xor(p.lo, q.qlo))
+                    + bit_count(xor(p.hi, q.qhi)) AS BIGINT) AS hamming
+        FROM packed p CROSS JOIN q
+    ), ranked AS (
+        SELECT q_id, vec_id, hamming,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY hamming, vec_id) AS rk
+        FROM pairs
+    )
+    SELECT q_id, vec_id, hamming, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5 ORDER BY q_id, rk
+"""

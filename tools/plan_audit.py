@@ -75,6 +75,8 @@ ALLOWED: dict[str, dict[str, str]] = {
                          "global register folds)",
         "sim16_int_pq_topk": "3-row query-vector set broadcast (the "
                              "ADC probe)",
+        "sim18_binary_hamming_topk": "3-row packed-signature query "
+                                     "broadcast (two int64 lanes)",
     },
     "ArrowEvalPython": {
         "j8_computed_key_join": "sha512/256 key: Arrow-batched codec in a "
