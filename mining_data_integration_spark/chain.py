@@ -284,8 +284,13 @@ def chain_members_auto(edges: DataFrame, tip_id: str,
     if _spark_major(edges.sparkSession) >= 4:
         return chain_members_rcte(
             edges, tip_id, id_col=id_col, parent_col=parent_col)
+    from pyspark.sql.types import StructField, StructType
+
+    # derive the tip schema from the edge table so engine selection
+    # never changes observable behavior for non-string id columns
     tips = edges.sparkSession.createDataFrame(
-        [(tip_id,)], f"{id_col} string")
+        [(tip_id,)],
+        StructType([StructField(id_col, edges.schema[id_col].dataType)]))
     return chain_members(edges, tips, id_col, parent_col)
 
 

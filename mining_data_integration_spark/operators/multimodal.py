@@ -164,7 +164,10 @@ def decode_real(decoder=None):
                     hs.append(h)
                     sums.append(sum(pix))
                     oks.append(True)
-                except ValueError:
+                except (ValueError, IndexError):
+                    # IndexError covers injected decoders that index a
+                    # short segment body before validating its length —
+                    # an adversarial payload must never kill the task
                     ws.append(None)
                     hs.append(None)
                     sums.append(None)
@@ -1045,6 +1048,8 @@ def jpeg_decode_gray(data: bytes) -> tuple[int, int, bytes]:
                 (dc_tabs if tc == 0 else ac_tabs)[th] = tab
                 b += 17 + n
         elif marker == 0xC0:
+            if len(body) < 9:
+                raise ValueError("short SOF body")
             if body[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             height = int.from_bytes(body[1:3], "big")
@@ -1060,6 +1065,8 @@ def jpeg_decode_gray(data: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xDA:
             if comp is None or width is None:
                 raise ValueError("SOS before SOF")
+            if len(body) < 6:
+                raise ValueError("short SOS body")
             if body[0] != 1:
                 raise ValueError("scan component count mismatch")
             td, ta = body[2] >> 4, body[2] & 0x0F

@@ -77,7 +77,8 @@ BRUTE_BROADCAST_MAX_Q = 10_000
 def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      q_id_col: str = "q_id", q_vec_col: str = "q_emb",
-                     max_broadcast_q: int = BRUTE_BROADCAST_MAX_Q) -> DataFrame:
+                     max_broadcast_q: int = BRUTE_BROADCAST_MAX_Q,
+                     assume_small_q: bool | None = None) -> DataFrame:
     """Exact cosine top-k per query vector; ties broken by candidate
     id for determinism.
 
@@ -90,11 +91,22 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     shard, and a shuffle-hash equi-join on the shard id meets every
     (emb, query) pair exactly once with per-task query state bounded
     by ~|Q|/S. Results are identical either way (same pairs, same
-    window), so both routes share one SQL oracle."""
+    window), so both routes share one SQL oracle.
+
+    `assume_small_q` short-circuits the limit-probe job when the
+    caller already KNOWS |Q| (True: a literal/filtered handful of
+    queries — broadcast without probing; False: a known-large query
+    set — shard without probing). Leave it None only when |Q| is
+    genuinely unknown: the probe is one bounded count, but it is a
+    whole Spark job per call, measurable on repeated small probes."""
     emb_n = emb.withColumn("_vnorm", norm(F.col(vec_col)))
     q_n = queries.withColumn("_qnorm", norm(F.col(q_vec_col)))
-    small_q = (queries.select(q_id_col).limit(max_broadcast_q + 1).count()
-               <= max_broadcast_q)
+    if assume_small_q is None:
+        small_q = (
+            queries.select(q_id_col).limit(max_broadcast_q + 1).count()
+            <= max_broadcast_q)
+    else:
+        small_q = assume_small_q
     if small_q:
         joined = emb_n.crossJoin(F.broadcast(q_n))
     else:

@@ -565,13 +565,18 @@ def u6_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ORC, JSON and CSV and read back, and every format must carry
     IDENTICAL content — one row per format with the row count and an
     order-insensitive content digest (Σ over rows of the first 48
-    bits of md5(doc_id|source|lang|text), an exact int64). The DuckDB
+    bits of md5(doc_id|source|lang|text), accumulated in
+    DECIMAL(38,0) / HUGEINT so the sum never wraps int64 at any
+    corpus size — the a26 discipline applied to IO). The DuckDB
     oracle computes the expected digest ONCE from the parquet source
     and asserts every format matches it (the a16 expected-verdict
     pattern applied to IO): a writer/reader that mangles newlines,
     quoting, unicode or nulls flips the digest and the row goes red.
     CSV is the deliberate stress case — embedded newlines force
-    multiLine quoted reads."""
+    multiLine quoted reads. The per-format results materialize
+    EAGERLY inside the query (4 bounded rows) so the scratch dir is
+    removed before return — repeated sweeps leave no /tmp residue."""
+    import shutil
     import tempfile
 
     cols = ["doc_id", "source", "lang", "text"]
@@ -579,31 +584,39 @@ def u6_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest = F.sum(
         F.conv(F.substring(
             F.md5(F.concat_ws("|", *cols)), 1, 12), 16, 10)
-        .cast("long"))
+        .cast("decimal(38,0)"))
 
     def report(df: DataFrame, fmt: str) -> DataFrame:
+        # digest_sum travels as a STRING of the full decimal value:
+        # decimal columns hash engine-dependently at the driver, a
+        # string of the exact integer does not
         return df.agg(
             F.count("*").cast("long").alias("n_rows"),
-            digest.alias("digest_sum"),
+            digest.cast("string").alias("digest_sum"),
         ).select(F.lit(fmt).alias("fmt"), "n_rows", "digest_sum")
 
     out = report(base, "parquet")
     tmp = tempfile.mkdtemp(prefix="sg_fmt_rt_")
-    for fmt in U6_FORMATS[1:]:
-        path = f"{tmp}/{fmt}"
-        w = base.write.mode("overwrite").format(fmt)
-        if fmt == "csv":
-            w = w.option("header", True).option("escape", '"')
-        w.save(path)
-        r = spark.read.format(fmt)
-        if fmt == "csv":
-            r = (r.option("header", True).option("multiLine", True)
-                 .option("escape", '"')
-                 .schema(base.schema))
-        elif fmt == "json":
-            r = r.schema(base.schema)
-        out = out.unionByName(report(r.load(path), fmt))
-    return out.orderBy("fmt")
+    try:
+        for fmt in U6_FORMATS[1:]:
+            path = f"{tmp}/{fmt}"
+            w = base.write.mode("overwrite").format(fmt)
+            if fmt == "csv":
+                w = w.option("header", True).option("escape", '"')
+            w.save(path)
+            r = spark.read.format(fmt)
+            if fmt == "csv":
+                r = (r.option("header", True).option("multiLine", True)
+                     .option("escape", '"')
+                     .schema(base.schema))
+            elif fmt == "json":
+                r = r.schema(base.schema)
+            out = out.unionByName(report(r.load(path), fmt))
+        rows = out.orderBy("fmt").collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema).orderBy("fmt")
 
 
 QUERIES["u6_format_roundtrip"] = u6_format_roundtrip
@@ -614,7 +627,7 @@ ORACLES["u6_format_roundtrip"] = """
                CAST(sum(CAST(CAST(('0x' || substring(md5(
                    CAST(doc_id AS VARCHAR) || '|' || source || '|'
                    || lang || '|' || text), 1, 12)) AS BIGINT)
-                   AS HUGEINT)) AS BIGINT) AS digest_sum
+                   AS HUGEINT)) AS VARCHAR) AS digest_sum
         FROM documents
     )
     SELECT fmt, n_rows, digest_sum

@@ -26,7 +26,8 @@ def _queries_df(spark, sf_dir, n=3):
 def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for 3 query vectors."""
     emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
-    return S.brute_force_topk(emb, _queries_df(spark, sf_dir), k=10).orderBy(
+    return S.brute_force_topk(emb, _queries_df(spark, sf_dir), k=10,
+                              assume_small_q=True).orderBy(
         "q_id", "rk"
     )
 
@@ -164,7 +165,7 @@ def sim4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
     q = _queries_df(spark, sf_dir)
     approx = S.ivf_topk(emb, q, k=5, n_centroids=8, n_probe=2)
-    exact = S.brute_force_topk(emb, q, k=5)
+    exact = S.brute_force_topk(emb, q, k=5, assume_small_q=True)
     hits = (approx.select("q_id", "vec_id")
             .join(exact.select("q_id", "vec_id"), ["q_id", "vec_id"])
             .agg(F.count("*").alias("n_hits")))
@@ -214,7 +215,7 @@ def sim9_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
     q = _queries_df(spark, sf_dir)
     approx = S.pq_topk(emb, q, k=5, m=8, n_codes=16)
-    exact = S.brute_force_topk(emb, q, k=5)
+    exact = S.brute_force_topk(emb, q, k=5, assume_small_q=True)
     hits = (approx.select("q_id", "vec_id")
             .join(exact.select("q_id", "vec_id"), ["q_id", "vec_id"])
             .agg(F.count("*").alias("n_hits")))
@@ -517,7 +518,8 @@ def sim13_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer arithmetic, so the report hash-checks."""
     emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
     q = _queries_df(spark, sf_dir)
-    exact = S.brute_force_topk(emb, q, k=5).select("q_id", "vec_id")
+    exact = S.brute_force_topk(
+        emb, q, k=5, assume_small_q=True).select("q_id", "vec_id")
     approx = S.ann_lsh_topk(emb, q, k=5, num_planes=4) \
         .select("q_id", "vec_id")
     hits = (exact.join(approx, ["q_id", "vec_id"])

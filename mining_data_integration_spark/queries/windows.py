@@ -1994,7 +1994,7 @@ def w28_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select("event_type", "event_id", "ts", cents.alias("x"))
     stats = base.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("x").cast("decimal(38,0)").alias("s"))
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("s"))
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     rows = []
     lagged = base
