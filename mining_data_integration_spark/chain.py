@@ -276,6 +276,14 @@ def chain_members_auto(edges: DataFrame, tip_id: str,
     The three engines are result-identical (pinned against each other
     in tests/test_core_golden.py and the j9/j16 oracles); callers that
     know better can still invoke a specific engine directly.
+
+    `tip_id` is always passed as a str (the signature); branches 1-2
+    (segmented, WITH RECURSIVE) embed it as a string literal and so
+    support string-keyed chains only. Branch 3 (pointer doubling)
+    accepts any id type: the str tip is built as a string column and
+    CAST to the edge table's id type, so e.g. a bigint-keyed chain
+    walks correctly there ("5" -> 5L) instead of tripping
+    createDataFrame schema verification.
     """
     if height_col is not None and height_col in edges.columns:
         return chain_members_segmented(
@@ -284,13 +292,18 @@ def chain_members_auto(edges: DataFrame, tip_id: str,
     if _spark_major(edges.sparkSession) >= 4:
         return chain_members_rcte(
             edges, tip_id, id_col=id_col, parent_col=parent_col)
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import StringType, StructField, StructType
 
-    # derive the tip schema from the edge table so engine selection
-    # never changes observable behavior for non-string id columns
+    # build the tip as a STRING column and cast to the edge id type:
+    # createDataFrame with the target type would reject the str input
+    # outright for non-string id columns, while cast accepts the str
+    # and yields the column's type — engine selection never changes
+    # observable behavior for types whose str round-trips (bigint etc.)
     tips = edges.sparkSession.createDataFrame(
-        [(tip_id,)],
-        StructType([StructField(id_col, edges.schema[id_col].dataType)]))
+        [(str(tip_id),)],
+        StructType([StructField(id_col, StringType())]),
+    ).select(F.col(id_col).cast(edges.schema[id_col].dataType)
+             .alias(id_col))
     return chain_members(edges, tips, id_col, parent_col)
 
 

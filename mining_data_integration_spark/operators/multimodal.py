@@ -141,9 +141,14 @@ def decode_real(decoder=None):
     decoders shipped here (jpeg_decode_gray below; png_decode /
     decode_ppm / wav_decode for their formats) — and get back a
     mapInPandas kernel producing REAL_STATS_SCHEMA rows; a decoder
-    ValueError becomes an ok=false row, never a dead task. Raises
-    ONLY when no decoder is injected: the engine itself never fakes a
-    codec it does not have."""
+    ValueError OR IndexError becomes an ok=false row, never a dead
+    task (IndexError is the adversarial-payload class: an injected
+    decoder that indexes a short segment body before validating its
+    length — the cost is that a genuine indexing bug in a decoder
+    also surfaces as ok=false rows rather than a task failure, so
+    decoder unit tests, not this kernel, are where implementation
+    bugs must be caught). Raises ONLY when no decoder is injected:
+    the engine itself never fakes a codec it does not have."""
     if decoder is None:
         raise NotImplementedError(
             "no decoder injected: pass decode_real(decoder=...) a "

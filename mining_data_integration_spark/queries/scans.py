@@ -575,7 +575,19 @@ def u6_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     CSV is the deliberate stress case — embedded newlines force
     multiLine quoted reads. The per-format results materialize
     EAGERLY inside the query (4 bounded rows) so the scratch dir is
-    removed before return — repeated sweeps leave no /tmp residue."""
+    removed before return — repeated sweeps leave no /tmp residue.
+
+    EAGER-SEMANTICS CAVEAT (deliberate trade, documented per round-7
+    ADVICE): because the write/read/digest runs at DataFrame-
+    CONSTRUCTION time, plan-only consumers (tools/plan_audit.py
+    explains every queries() entry) pay the full IO side effect, and
+    the returned frame is a LocalTableScan of 4 rows — so u6's plan
+    audit inspects the bounded result, not the IO pipeline (vacuous
+    by construction; the pipeline's plan hygiene is covered by the
+    s1-class scans it composes). The alternative — stay lazy and
+    clean the scratch dir via an exit hook — leaks the dir for the
+    lifetime of every sweep process and makes the query's result
+    depend on hook ordering; eager-and-clean is the smaller wart."""
     import shutil
     import tempfile
 

@@ -162,6 +162,31 @@ class TestChainWalk:
             edges, "n19", "id", "parent").collect()}
         assert got == {f"n{i:02d}" for i in range(20)}
 
+    def test_auto_doubling_accepts_bigint_keyed_chain(
+            self, spark, monkeypatch):
+        """Branch 3 with a NON-STRING id column (round-7 ADVICE): the
+        str tip is built as a string column and CAST to the edge id
+        type, so a bigint-keyed chain walks ("19" -> 19L) instead of
+        raising TypeError from createDataFrame schema verification."""
+        from mining_data_integration_spark import chain as C
+
+        monkeypatch.setattr(C, "chain_members_segmented",
+                            lambda *a, **k: (_ for _ in ()).throw(
+                                AssertionError("wrong engine")))
+        monkeypatch.setattr(C, "chain_members_rcte",
+                            lambda *a, **k: (_ for _ in ()).throw(
+                                AssertionError("wrong engine")))
+        monkeypatch.setattr(C, "_spark_major", lambda s: 3)
+        # ids start at 1 and genesis points at 0: the ZERO64 genesis
+        # sentinel casts to 0L on a bigint column, so 0 IS the
+        # sentinel value (the walk terminates there, and an id of 0
+        # would collide with it)
+        rows = [(i, i - 1) for i in range(1, 21)]
+        edges = spark.createDataFrame(rows, "id long, parent long")
+        got = {r.id for r in C.chain_members_auto(
+            edges, "20", "id", "parent").collect()}
+        assert got == set(range(1, 21))
+
     def test_chain_members_long_chain(self, spark):
         # 300-link chain + 50-node dead branch: pointer doubling must
         # cover length ≫ 2^#rounds-naive and exclude the branch

@@ -139,7 +139,11 @@ ALLOWED: dict[str, dict[str, str]] = {
                              "global_row_number engine)",
         "tx21_heaps_growth": "1-row max-doc-id aggregate",
         "u6_format_roundtrip": "1-row (count, digest) report "
-                               "aggregate per format",
+                               "aggregate per format; NOTE u6 runs "
+                               "its IO EAGERLY at construction, so "
+                               "this audit sees only the 4-row "
+                               "LocalTableScan result (vacuous by "
+                               "design — see the query docstring)",
         "a28_ddsketch_quantiles": "cumulative windows over O(buckets) "
                                   "sketch rows and O(value domain) "
                                   "distinct prices (a20 engine) — "
