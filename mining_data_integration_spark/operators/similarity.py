@@ -915,30 +915,18 @@ def int_pq_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
-def int_ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
-                   n_cells: int = 4, n_probe: int = 2, m: int = 4,
-                   kc: int = 4, iters: int = 2, dim: int = 64,
-                   id_col: str = "vec_id", vec_col: str = "embedding",
-                   q_id_col: str = "q_id",
-                   q_vec_col: str = "q_emb") -> DataFrame:
-    """IVF-PQ — the production ANN composition (coarse inverted lists
-    + product-quantized residuals, the FAISS IndexIVFPQ shape) built
-    ENTIRELY from the integer engines so the whole index is
-    value-hash checkable: int8 quantization (sim7), integer Lloyd's
-    coarse cells (sim11), per-subspace integer Lloyd's codebooks
-    trained on the CELL RESIDUALS q - centroid[cell] (what PQ
-    compresses in a real IVF-PQ — residual energy, not raw vectors),
-    and pure-integer ADC scoring by inner product:
-
-        dot(q, cell_centroid + residual_code)
-          = dot(q, centroid)            [exact, per probed cell]
-          + sum_s LUT_s[code_s]         [LUT = dot(q_sub, codeword)]
-
-    Scale shape: the index side stores one cell id + m one-byte codes
-    per vector (the 16-32x memory cut); queries broadcast with their
-    n_probe cell ids and O(kc*m) LUT entries; candidates are pruned
-    to the probed cells BEFORE any scoring. Training collects are
-    k-bounded driver artifacts (the sim11/sim16 pattern)."""
+def _ivfpq_train(emb: DataFrame, n_cells: int, m: int, kc: int,
+                 iters: int, dim: int, id_col: str, vec_col: str
+                 ) -> tuple[DataFrame, list[list[int]],
+                            list[list[list[int]]]]:
+    """Training half of IVF-PQ, shared verbatim by the inline query
+    (int_ivfpq_topk, sim17) and the persisted lifecycle
+    (save_ivfpq_index, sim19) so build-then-probe is bit-identical to
+    train-and-probe-inline: int8 quantization, integer Lloyd's coarse
+    cells, cell residuals q - centroid[cell], per-subspace residual
+    codebooks, exact-int code assignment. Returns (codes frame with
+    id/_cell/_c0.._c{m-1}, cells, codebooks); the list artifacts are
+    k-bounded driver rows (the sim11/sim16 collect pattern)."""
     from .dedup import materialize
 
     sub = dim // m
@@ -964,6 +952,26 @@ def int_ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                 cb, "_sv")
             .withColumnRenamed("_cid", f"_c{s}").drop("_sv")
         )
+    return data.drop("_qv", "_res"), cells, codebooks
+
+
+def _ivfpq_probe(codes: DataFrame, cells: list[list[int]],
+                 codebooks: list[list[list[int]]], queries: DataFrame,
+                 k: int, n_probe: int, m: int, sub: int, kc: int,
+                 id_col: str, q_id_col: str, q_vec_col: str,
+                 prune_partitions: bool = False) -> DataFrame:
+    """Probe half of IVF-PQ (shared by sim17 and sim19): quantize the
+    queries, rank all cells by exact int64 L2 and keep the n_probe
+    closest (carrying the exact dot(q, centroid) term), then score
+    only the probed cells' codes with the integer ADC LUTs.
+
+    With prune_partitions=True (the persisted-index path, where codes
+    is a parquet scan partitioned by _cell) the probed q rows are
+    materialized driver-side FIRST — a |Q| x n_probe BOUNDED collect —
+    so the probed cell ids become literal `IN` filters on the scan and
+    Spark prunes unprobed cell partitions at planning time: the 100 TB
+    read cost is n_probe/n_cells of the index, not all of it."""
+    spark = codes.sparkSession
     qs = queries.select(
         F.col(q_id_col), int8_quantize(F.col(q_vec_col)).alias("_qq"))
     probe_structs = []
@@ -983,7 +991,14 @@ def int_ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                 F.col("_p.i").alias("_cell"),
                 F.col("_p.qc").alias("_qc"))
     )
-    pairs = data.drop("_qv", "_res").join(F.broadcast(q_probed), "_cell")
+    if prune_partitions:
+        # bounded materialization: |Q| x n_probe rows (every probe
+        # call has a known small query set; sim19 uses 3 x 3)
+        q_rows = q_probed.collect()
+        probed_cells = sorted({r["_cell"] for r in q_rows})
+        q_probed = spark.createDataFrame(q_rows, q_probed.schema)
+        codes = codes.filter(F.col("_cell").isin(probed_cells))
+    pairs = codes.join(F.broadcast(q_probed), "_cell")
 
     def lut(s: int, cb: list[list[int]]):
         qsub = F.slice("_qq", s * sub + 1, sub)
@@ -1011,6 +1026,143 @@ def int_ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rk") <= k)
         .select(q_id_col, id_col, "ip_q8", "rk")
     )
+
+
+def int_ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                   n_cells: int = 4, n_probe: int = 2, m: int = 4,
+                   kc: int = 4, iters: int = 2, dim: int = 64,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   q_id_col: str = "q_id",
+                   q_vec_col: str = "q_emb") -> DataFrame:
+    """IVF-PQ — the production ANN composition (coarse inverted lists
+    + product-quantized residuals, the FAISS IndexIVFPQ shape) built
+    ENTIRELY from the integer engines so the whole index is
+    value-hash checkable: int8 quantization (sim7), integer Lloyd's
+    coarse cells (sim11), per-subspace integer Lloyd's codebooks
+    trained on the CELL RESIDUALS q - centroid[cell] (what PQ
+    compresses in a real IVF-PQ — residual energy, not raw vectors),
+    and pure-integer ADC scoring by inner product:
+
+        dot(q, cell_centroid + residual_code)
+          = dot(q, centroid)            [exact, per probed cell]
+          + sum_s LUT_s[code_s]         [LUT = dot(q_sub, codeword)]
+
+    Scale shape: the index side stores one cell id + m one-byte codes
+    per vector (the 16-32x memory cut); queries broadcast with their
+    n_probe cell ids and O(kc*m) LUT entries; candidates are pruned
+    to the probed cells BEFORE any scoring. Training collects are
+    k-bounded driver artifacts (the sim11/sim16 pattern). For the
+    train-once / probe-many production lifecycle, see
+    save_ivfpq_index / load_ivfpq_index / ivfpq_probe_topk (sim19)."""
+    codes, cells, codebooks = _ivfpq_train(
+        emb, n_cells, m, kc, iters, dim, id_col, vec_col)
+    return _ivfpq_probe(codes, cells, codebooks, queries, k, n_probe,
+                        m, dim // m, kc, id_col, q_id_col, q_vec_col)
+
+
+IVFPQ_INDEX_VERSION = 1
+
+
+def save_ivfpq_index(emb: DataFrame, path: str, n_cells: int = 4,
+                     m: int = 4, kc: int = 4, iters: int = 2,
+                     dim: int = 64, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Train an IVF-PQ index ONCE and persist it as parquet — the
+    production ANN lifecycle (FAISS train/add/write_index shape): at
+    100 TB an index is trained by one job and probed by thousands, so
+    training inside every query (sim17's inline shape) is the wrong
+    amortization. Layout under `path`:
+
+      codes/      one row per vector (id, _c0.._c{m-1}),
+                  PARTITIONED BY _cell — a probe reads n_probe of
+                  n_cells partitions, pruned at planning time
+      cells/      n_cells rows (cell, cent array<bigint>)
+      codebooks/  m*kc rows (s, cid, cent array<bigint>)
+      meta/       1 row (version, n_cells, m, kc, dim, sub, id_col)
+
+    The build lands in a scratch dir and is atomically os.rename'd to
+    `path` (the sources/kv.py gold-store pointer-swap discipline): a
+    reader never sees a half-written index, and when concurrent
+    builders race, the losers discard their scratch — harmless,
+    because the training is fully deterministic, so every racer built
+    the same artifact. No-op if `path` is already a complete index."""
+    import os
+    import shutil
+    import uuid
+
+    if os.path.exists(os.path.join(path, "meta")):
+        return
+    codes, cells, codebooks = _ivfpq_train(
+        emb, n_cells, m, kc, iters, dim, id_col, vec_col)
+    spark = emb.sparkSession
+    tmp = f"{path.rstrip('/')}.build-{uuid.uuid4().hex[:12]}"
+    codes.write.mode("overwrite").partitionBy("_cell") \
+        .parquet(f"{tmp}/codes")
+    spark.createDataFrame(
+        [(i, [int(v) for v in c]) for i, c in enumerate(cells)],
+        "cell int, cent array<bigint>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/cells")
+    spark.createDataFrame(
+        [(s, j, [int(v) for v in codebooks[s][j]])
+         for s in range(m) for j in range(kc)],
+        "s int, cid int, cent array<bigint>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/codebooks")
+    spark.createDataFrame(
+        [(IVFPQ_INDEX_VERSION, n_cells, m, kc, dim, dim // m, id_col)],
+        "version int, n_cells int, m int, kc int, dim int, sub int, "
+        "id_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/meta")
+    os.makedirs(os.path.dirname(path.rstrip("/")) or ".", exist_ok=True)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # a concurrent builder renamed first — identical content
+        # (deterministic training), so just drop the scratch copy
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def load_ivfpq_index(spark, path: str) -> dict:
+    """Load a save_ivfpq_index artifact for probing. The codes frame
+    stays a LAZY parquet scan (the O(n) part — never collected); the
+    cells/codebooks/meta loads are bounded collects (n_cells, m*kc
+    and 1 rows) because probing needs them as plan literals."""
+    meta_row = spark.read.parquet(f"{path}/meta").collect()[0]
+    if meta_row.version != IVFPQ_INDEX_VERSION:
+        raise ValueError(
+            f"ivfpq index version {meta_row.version} at {path}; "
+            f"this build reads version {IVFPQ_INDEX_VERSION}")
+    cells: list[list[int] | None] = [None] * meta_row.n_cells
+    for r in spark.read.parquet(f"{path}/cells").collect():
+        cells[r.cell] = [int(x) for x in r.cent]
+    books: list[list[list[int] | None]] = [
+        [None] * meta_row.kc for _ in range(meta_row.m)]
+    for r in spark.read.parquet(f"{path}/codebooks").collect():
+        books[r.s][r.cid] = [int(x) for x in r.cent]
+    return {
+        "codes": spark.read.parquet(f"{path}/codes"),
+        "cells": cells,
+        "codebooks": books,
+        "meta": {"n_cells": meta_row.n_cells, "m": meta_row.m,
+                 "kc": meta_row.kc, "dim": meta_row.dim,
+                 "sub": meta_row.sub, "id_col": meta_row.id_col},
+    }
+
+
+def ivfpq_probe_topk(index: dict, queries: DataFrame, k: int = 5,
+                     n_probe: int = 2, q_id_col: str = "q_id",
+                     q_vec_col: str = "q_emb") -> DataFrame:
+    """Probe a LOADED IVF-PQ index (load_ivfpq_index) — NO training
+    runs here: cells and codebooks are already driver literals, and
+    the only distributed input is the cell-partitioned codes scan,
+    statically pruned to the probed cells (prune_partitions=True).
+    Bit-identical to int_ivfpq_topk at equal parameters because both
+    run _ivfpq_train/_ivfpq_probe — the persistence layer adds only a
+    parquet round-trip of exact integers."""
+    meta = index["meta"]
+    return _ivfpq_probe(
+        index["codes"], index["cells"], index["codebooks"], queries,
+        k, n_probe, meta["m"], meta["sub"], meta["kc"],
+        meta["id_col"], q_id_col, q_vec_col, prune_partitions=True)
 
 
 def int_pq_codebooks(data: DataFrame, m: int, sub: int, kc: int = 4,

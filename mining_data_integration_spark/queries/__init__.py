@@ -50,8 +50,12 @@ _MODULES = (aggregates, dedup, e1, graph, joins, multimodal, pipeline_q,
 # re-established (driver samples 50/round; the rest of the sample
 # window falls through to registry order).
 _REVERIFY_FIRST = (
+    # round-8 head: new queries + queries whose operator internals
+    # were refactored this round (sim17 now routes through the shared
+    # _ivfpq_train/_ivfpq_probe halves that sim19 persists)
+    "sim19_ivfpq_persisted_topk", "sim17_int_ivfpq_topk",
     "e1_miner_info", "e1_mining_info", "mm9_jpeg_decode",
-    "sim17_int_ivfpq_topk", "sim16_int_pq_topk",
+    "sim16_int_pq_topk",
     "g2_triangle_census", "dp21_chunked_pack",
     "st8_stream_outer_band_join", "a28_ddsketch_quantiles",
     "mm10_gif_decode", "tx20_zipf_octaves", "tx21_heaps_growth",

@@ -1122,3 +1122,56 @@ ORACLES["sim18_binary_hamming_topk"] = f"""
     SELECT q_id, vec_id, hamming, CAST(rk AS BIGINT) AS rk
     FROM ranked WHERE rk <= 5 ORDER BY q_id, rk
 """
+
+
+def _ivfpq_index_path(sf_dir: str) -> str:
+    """Deterministic per-corpus index location, fingerprinted by the
+    source parquet's (path, size, mtime) so a regenerated testdata
+    tree can never be probed through a stale index — the fingerprint
+    costs one os.stat, no Spark job."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|"
+        f"v{S.IVFPQ_INDEX_VERSION}".encode()).hexdigest()[:16]
+    return f"/tmp/sg_ivfpq_index/{fp}"
+
+
+def sim19_ivfpq_persisted_topk(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The persisted ANN-index LIFECYCLE (train once / save / load /
+    probe many — FAISS write_index/read_index parity): sim17 trains
+    its IVF-PQ inside every query, which is the wrong amortization
+    for a billion-vector corpus; here the index is built AT MOST ONCE
+    per corpus (save_ivfpq_index -> parquet: cell-partitioned codes +
+    cells + codebooks + meta, atomically renamed into place) and the
+    query itself only LOADS and PROBES it — no k-means runs on the
+    probe path (pinned in tests/test_operators.py by poisoning the
+    training entry points, and in tests/test_plans.py by asserting
+    the probe plan scans ONLY the probed cell partitions of the index
+    — static partition pruning via the bounded |Q| x n_probe probe
+    materialization). Probes 3 of 4 cells (vs sim17's 2) so the two
+    registry entries are distinct results; the DuckDB oracle replays
+    the full deterministic train+probe, which equals probe-of-
+    persisted because training is bit-deterministic and the artifacts
+    are exact integers."""
+    path = _ivfpq_index_path(sf_dir)
+    import os
+
+    if not os.path.exists(os.path.join(path, "meta")):
+        emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+        S.save_ivfpq_index(emb, path, n_cells=4, m=4, kc=4, iters=2,
+                           dim=_DIM)
+    idx = S.load_ivfpq_index(spark, path)
+    return S.ivfpq_probe_topk(
+        idx, _queries_df(spark, sf_dir), k=5, n_probe=3
+    ).orderBy("q_id", "rk")
+
+
+QUERIES["sim19_ivfpq_persisted_topk"] = sim19_ivfpq_persisted_topk
+
+ORACLES["sim19_ivfpq_persisted_topk"] = _int_ivfpq_sql(
+    _DIM, 4, 3, 4, 4, 2, 5, 3)

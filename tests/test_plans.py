@@ -198,3 +198,23 @@ class TestNewOpPlans:
         assert "CartesianProduct" not in plan
         assert plans.count_operator(df, "BatchEvalPython") == 0
         assert plans.count_operator(df, "ArrowEvalPython") == 0
+
+
+class TestIvfpqPersistedPlan:
+    def test_sim19_probe_scans_only_index_partitions(self, spark,
+                                                     queries):
+        """sim19's probe plan must read ONLY the persisted index: the
+        codes scan carries a static _cell IN (...) PartitionFilter
+        (the probed q rows were materialized driver-side, so pruning
+        happens at planning time), the embeddings source table never
+        appears (queries were localized with them), and no Python
+        boundary exists — the probe is pure JVM scan+join+window."""
+        df = queries["sim19_ivfpq_persisted_topk"](spark, SF)
+        plan = plans.formatted_plan(df)
+        assert "sg_ivfpq_index" in plan                 # index scan
+        assert "PartitionFilters" in plan
+        import re
+        assert re.search(r"PartitionFilters:.*_cell#\d+ IN \(", plan)
+        assert "embeddings.parquet" not in plan         # index only
+        for py in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+            assert py not in plan
