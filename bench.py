@@ -38,7 +38,10 @@ HEADLINE = [
 
 # round-5/6 additions, timed separately so the HEADLINE series stays
 # comparable round-over-round (frozen at the same 15 queries since
-# round 1). One warm + one timed run each — indicative, not median.
+# round 1). One warm + MEDIAN OF 3 timed runs each (round 8): the
+# single-run values produced phantom x2-x5 swings on untouched code
+# in rounds 6-7 — box noise, indistinguishable from real regressions
+# without a median.
 EXTENDED = [
     "g1_pagerank",             # iterative graph analytics
     "w25_interval_coverage",   # sweep-line interval union
@@ -53,14 +56,20 @@ EXTENDED = [
 
 def e1_refresh_bench(spark, n_blocks: int, cpb: int = 10) -> dict:
     """Operational-parity number (BASELINE.md: the reference recomputes
-    its whole dashboard every 120 s, server.js:444-446): time one full
-    E1 gold recompute and one steady-state incremental tick against
+    its whole dashboard every 120 s, server.js:444-446): time the full
+    E1 gold recompute and the steady-state incremental tick against
     height-bucketed bronze, on a synthetic chain of n_blocks burn
-    blocks. tools/bench_e1.py is the standalone/larger-scale variant."""
+    blocks. Round 8: both are MEDIAN OF 3 warm runs (one discarded
+    warm-up first — rounds 6-7 proved single runs swing +-40% on this
+    box), and each reports a per-stage breakdown: the full refresh
+    splits walk (core.prepare — eager chain walks + winner join) from
+    joins (executing the three gold DAGs), the tick splits walk /
+    gold_writes / merge (instrumented inside incremental_refresh).
+    tools/bench_e1.py is the standalone/larger-scale variant."""
     import shutil
     import time as _time
 
-    from mining_data_integration_spark import streaming
+    from mining_data_integration_spark import core
     from mining_data_integration_spark.incremental import incremental_refresh
     from mining_data_integration_spark.io import write_bronze_commits
     from mining_data_integration_spark.synthworld import (
@@ -75,31 +84,52 @@ def e1_refresh_bench(spark, n_blocks: int, cpb: int = 10) -> dict:
     tables = synth_mining_world(spark, n_blocks, cpb, n_miners=200)
     tables = land_as_parquet(tables, "/tmp/bench_e1_bronze", spark)
 
+    def one_full() -> tuple[float, dict]:
+        t0 = _time.perf_counter()
+        prepared = core.prepare(tables)
+        t_walk = _time.perf_counter()
+        try:
+            for builder in (core.miner_info, core.mining_info,
+                            core.block_info):
+                builder(tables, prepared=prepared).count()
+            t_joins = _time.perf_counter()
+        finally:
+            prepared["enriched"].unpersist()
+        return (round(t_joins - t0, 2),
+                {"walk": round(t_walk - t0, 2),
+                 "joins": round(t_joins - t_walk, 2)})
+
     # steady state of a long-lived refresh process (the reference
     # recomputes on a 120 s timer in one warm process, server.js:444):
-    # run twice, report the second — the first pays one-off JIT /
-    # codegen / scan-metadata costs that no periodic tick repays
-    full = None
-    for _ in range(2):
-        t0 = _time.perf_counter()
-        for df in streaming.e1_gold_tables(tables).values():
-            df.count()
-        full = round(_time.perf_counter() - t0, 2)
+    # discard one warm-up run (one-off JIT / codegen / scan-metadata
+    # costs no periodic tick repays), then median-of-3
+    one_full()
+    full_runs = sorted((one_full() for _ in range(3)),
+                       key=lambda x: x[0])
+    full, full_stages = full_runs[1]
 
     bronze = "/tmp/bench_e1_bronze_commits"
     write_bronze_commits(tables["block_commits"], tables["snapshots"], bronze)
     tables["block_commits"] = spark.read.parquet(bronze)
     gold = "/tmp/bench_e1_gold_bb"
     incremental_refresh(spark, tables, gold, reorg_depth=10 ** 12)
-    tick = None
-    for _ in range(2):
+
+    def one_tick() -> tuple[float, dict, dict]:
+        st: dict = {}
         t0 = _time.perf_counter()
-        r = incremental_refresh(spark, tables, gold, reorg_depth=1000)
-        tick = round(_time.perf_counter() - t0, 2)
+        r = incremental_refresh(spark, tables, gold, reorg_depth=1000,
+                                stage_timings=st)
+        return round(_time.perf_counter() - t0, 2), st, r
+
+    one_tick()  # warm-up (first windowed tick pays its own JIT)
+    tick_runs = sorted((one_tick() for _ in range(3)),
+                       key=lambda x: x[0])
+    tick, tick_stages, r = tick_runs[1]
     assert r["mode"] == "windowed", r  # the tick must not silently go full
     return {"n_blocks": n_blocks, "commits_per_block": cpb,
-            "full_refresh_sec": full, "incremental_tick_sec": tick,
-            "budget_sec": 120}
+            "full_refresh_sec": full, "full_stages": full_stages,
+            "incremental_tick_sec": tick, "tick_stages": tick_stages,
+            "runs": 3, "budget_sec": 120}
 
 
 def main() -> None:
@@ -150,15 +180,19 @@ def main() -> None:
         "sf": sf,
     }
 
-    # round-5 extension ops (skippable: SPARK_GRAFT_EXTENDED=0)
+    # round-5 extension ops (skippable: SPARK_GRAFT_EXTENDED=0);
+    # median-of-3 since round 8 — see the EXTENDED comment
     if os.environ.get("SPARK_GRAFT_EXTENDED", "1") != "0":
         ext: dict[str, float] = {}
         for name in EXTENDED:
             fn = queries[name]
             fn(spark, sf_dir).count()  # warm
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            ext[name] = round(time.perf_counter() - t0, 3)
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                times.append(time.perf_counter() - t0)
+            ext[name] = round(sorted(times)[1], 3)
         out["extended_queries"] = ext
 
     # mining-domain operational parity (skippable: SPARK_GRAFT_E1_BLOCKS=0)

@@ -291,10 +291,22 @@ def _windowed_prepare(spark: SparkSession, tables: dict[str, DataFrame],
 
 
 def incremental_refresh(spark: SparkSession, tables: dict[str, DataFrame],
-                        gold_dir: str, reorg_depth: int = 100) -> dict:
+                        gold_dir: str, reorg_depth: int = 100,
+                        stage_timings: dict | None = None) -> dict:
     """One incremental tick: windowed when persisted state + boundary
     anchors allow it, full recompute otherwise. Returns
-    {'tip', 'lo_height', 'buckets_from', 'mode'}."""
+    {'tip', 'lo_height', 'buckets_from', 'mode'}.
+
+    Pass a dict as `stage_timings` to receive the tick's phase
+    breakdown (seconds): 'walk' (window prepare — the reorg-depth
+    chain walks and anchor probes), 'gold_writes' (the five
+    concurrent gold writes, which also execute the join DAG — Spark
+    is lazy, so join and write cost are one phase here), 'merge'
+    (partials fold + miner_info rewrite). Zero overhead beyond two
+    perf_counter calls per phase."""
+    from time import perf_counter as _pc
+
+    _t0 = _pc()
     prepared = _windowed_prepare(spark, tables, gold_dir, reorg_depth)
     mode = "windowed"
     if prepared is None:
@@ -307,6 +319,10 @@ def incremental_refresh(spark: SparkSession, tables: dict[str, DataFrame],
         from .chain import canonical_stacks_chain
         prepared["wchain"] = prepared["snap"]
         prepared["wstacks"] = canonical_stacks_chain(tables["block_headers"])
+    if stage_timings is not None:
+        # covers the windowed prepare AND the full-recompute fallback's
+        # core.prepare (whose eager localCheckpoints run the walks)
+        stage_timings["walk"] = round(_pc() - _t0, 3)
 
     try:
         # the windowed tick already knows its tip from the probe batch;
@@ -349,18 +365,24 @@ def incremental_refresh(spark: SparkSession, tables: dict[str, DataFrame],
             (chain_df, f"{gold_dir}/canonical_chain"),
             (stacks_df, f"{gold_dir}/canonical_stacks"),
         ]
+        _t0 = _pc()
         with ThreadPoolExecutor(max_workers=len(writes)) as pool:
             futures = [pool.submit(_write_dynamic, df, path)
                        for df, path in writes]
             for f in futures:
                 f.result()   # surface the first failure
+        if stage_timings is not None:
+            stage_timings["gold_writes"] = round(_pc() - _t0, 3)
 
+        _t0 = _pc()
         merged = merge_miner_partials(
             spark.read.parquet(f"{gold_dir}/miner_partials"))
         # O(miners) rows: one output file, not one per shuffle task —
         # the gold is re-read whole every serving call
         merged.coalesce(1).write.mode("overwrite") \
             .parquet(f"{gold_dir}/miner_info")
+        if stage_timings is not None:
+            stage_timings["merge"] = round(_pc() - _t0, 3)
         return {"tip": tip, "lo_height": lo, "buckets_from": lo_bucket,
                 "mode": mode}
     finally:
