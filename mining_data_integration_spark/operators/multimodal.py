@@ -709,6 +709,260 @@ def decode_wav_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         })
 
 
+# --- compressed audio: IMA ADPCM (DVI4), from scratch ------------------
+# The fourth compression family after DEFLATE (PNG), DCT+Huffman
+# (JPEG) and LZW (GIF): PREDICTIVE coding — each 16-bit sample is
+# stored as a 4-bit delta against an adaptive-step predictor (4x
+# compression). Tables and algorithm are the public IMA/DVI spec
+# (also RFC 3551 §4.5.1); the WAV container uses format tag 0x0011
+# with per-block (predictor, step-index) headers, a fact chunk, and
+# the same word-aligned RIFF walk as wav_decode above.
+
+ADPCM_SR = 8000
+ADPCM_SPB = 9            # samples per block: 1 header + 8 nibbles
+ADPCM_BLOCK_BYTES = 8    # 4-byte header + 4 nibble bytes
+ADPCM_N_BLOCKS = 6
+ADPCM_POISON_EVERY = 97
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step_decode(pred: int, index: int, nib: int) -> tuple[int, int]:
+    """One IMA decode step: reconstruct the next sample from a 4-bit
+    code. diff = step/8 + bit-selected step/1, step/2, step/4 — the
+    integer-shift formulation every hardware decoder uses."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nib & 4:
+        diff += step
+    if nib & 2:
+        diff += step >> 1
+    if nib & 1:
+        diff += step >> 2
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_ADJ[nib & 7]))
+    return pred, index
+
+
+def ima_adpcm_encode_block(samples: list[int],
+                           index: int) -> tuple[bytes, int, list[int]]:
+    """Encode one IMA ADPCM block: the first sample travels verbatim
+    in the 4-byte header (int16 predictor + step index + reserved),
+    the rest as greedy bit-by-bit 4-bit codes. The encoder tracks the
+    DECODER's reconstruction (predictive coding's defining closure:
+    both sides run the same predictor), so the returned `recon` list
+    is bit-exactly what ima_adpcm_decode will produce — the property
+    the roundtrip tests pin on arbitrary signals."""
+    pred = samples[0]
+    recon = [pred]
+    header = struct.pack("<hBB", pred, index, 0)
+    nibbles = []
+    for s in samples[1:]:
+        step = _IMA_STEPS[index]
+        delta = s - pred
+        nib = 0
+        if delta < 0:
+            nib = 8
+            delta = -delta
+        if delta >= step:
+            nib |= 4
+            delta -= step
+        if delta >= step >> 1:
+            nib |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            nib |= 1
+        pred, index = _ima_step_decode(pred, index, nib)
+        nibbles.append(nib)
+        recon.append(pred)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    data = bytes(nibbles[i] | (nibbles[i + 1] << 4)
+                 for i in range(0, len(nibbles), 2))
+    return header + data, index, recon
+
+
+def adpcm_encode(samples: list[int], sample_rate: int,
+                 spb: int = ADPCM_SPB) -> bytes:
+    """Mono IMA-ADPCM WAV encoder: fmt (tag 0x0011, 4-bit, cbSize=2
+    extension carrying samples-per-block), a fact chunk with the true
+    sample count, and fixed-size data blocks. The step index carries
+    ACROSS blocks (each block header re-seeds the decoder, real IMA
+    behavior) and the total length must tile into whole blocks."""
+    if len(samples) % spb:
+        raise ValueError("sample count must be a multiple of "
+                         "samples_per_block")
+    block_bytes = 4 + (spb - 1 + 1) // 2
+    index = 0
+    blocks = []
+    for i in range(0, len(samples), spb):
+        blk, index, _ = ima_adpcm_encode_block(samples[i:i + spb], index)
+        blocks.append(blk)
+    data = b"".join(blocks)
+    byte_rate = (sample_rate * block_bytes + spb - 1) // spb
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, sample_rate, byte_rate,
+                      block_bytes, 4, 2, spb)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", 4)
+            + struct.pack("<I", len(samples))
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def adpcm_decode(data: bytes) -> tuple[int, list[int]]:
+    """From-scratch IMA-ADPCM WAV decoder: RIFF walk (envelope size,
+    word alignment — the wav_decode discipline), fmt validation (tag
+    0x0011, mono, 4-bit, extension with samples-per-block), fact
+    sample count, then per-block predictive reconstruction seeded
+    from each block header. Raises ValueError on any malformation,
+    including a header step index past the 89-entry table."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (riff_sz,) = struct.unpack("<I", data[4:8])
+    if riff_sz != len(data) - 8:
+        raise ValueError("RIFF size mismatch")
+    pos = 12
+    sample_rate = block_bytes = spb = n_total = None
+    pcm = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (sz,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        payload = data[pos + 8:pos + 8 + sz]
+        if len(payload) != sz:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            if sz < 20:
+                raise ValueError("short fmt chunk")
+            tag, n_ch, sr, _br, ba, bits, cb, _spb = struct.unpack(
+                "<HHIIHHHH", payload[:20])
+            if (tag, n_ch, bits) != (0x11, 1, 4) or cb < 2:
+                raise ValueError("unsupported ADPCM variant")
+            sample_rate, block_bytes, spb = sr, ba, _spb
+        elif cid == b"fact":
+            if sz < 4:
+                raise ValueError("short fact chunk")
+            (n_total,) = struct.unpack("<I", payload[:4])
+        elif cid == b"data":
+            pcm = payload
+        pos += 8 + sz + (sz & 1)
+    if sample_rate is None or pcm is None or n_total is None:
+        raise ValueError("missing fmt/fact/data chunk")
+    if spb < 1 or block_bytes < 4 or len(pcm) % block_bytes:
+        raise ValueError("data does not tile into blocks")
+    samples: list[int] = []
+    for off in range(0, len(pcm), block_bytes):
+        pred, index, _rsv = struct.unpack(
+            "<hBB", pcm[off:off + 4])
+        if index > 88:
+            raise ValueError("step index out of range")
+        samples.append(pred)
+        emitted = 1
+        for byte in pcm[off + 4:off + block_bytes]:
+            for nib in (byte & 0x0F, byte >> 4):
+                if emitted >= spb:
+                    break
+                pred, index = _ima_step_decode(pred, index, nib)
+                samples.append(pred)
+                emitted += 1
+    if len(samples) < n_total:
+        raise ValueError("fact count exceeds decoded samples")
+    samples = samples[:n_total]
+    return sample_rate, samples
+
+
+def adpcm_block_start(mid: int, b: int) -> int:
+    """Closed-form first sample of block b for media id mid. Each
+    block is an ascending +1-per-sample ramp from this value; at step
+    index 0 (step=7) both a 0-delta and a +1-delta encode EXACTLY
+    (diff = 7>>3 = 0 and 7>>3 + 7>>2 = 1) and the index adjustment is
+    -1 -> clamped 0, so ramp fixtures round-trip the lossy codec
+    bit-exactly and the oracle can recompute every decoded sample as
+    start + j. |start| <= 2000 keeps start + 8 far from int16 clamp."""
+    return ((mid * (b + 7)) % 4001) - 2000
+
+
+def make_adpcm_media(batches: Iterator[pd.DataFrame]) \
+        -> Iterator[pd.DataFrame]:
+    """Arrow ENCODER kernel: media_id -> real IMA-ADPCM WAV of
+    ADPCM_N_BLOCKS ramp blocks (closed-form starts, see
+    adpcm_block_start). Every ADPCM_POISON_EVERY-th id gets its first
+    block header's step index corrupted to 0xEE (> 88) — located via
+    a mini chunk walk, not a hardcoded offset."""
+    for pdf in batches:
+        payloads = []
+        for mid in pdf["media_id"]:
+            samples = [adpcm_block_start(int(mid), b) + j
+                       for b in range(ADPCM_N_BLOCKS)
+                       for j in range(ADPCM_SPB)]
+            wav = bytearray(adpcm_encode(samples, ADPCM_SR))
+            if int(mid) % ADPCM_POISON_EVERY == 0:
+                pos = 12
+                while pos + 8 <= len(wav):
+                    (sz,) = struct.unpack("<I", wav[pos + 4:pos + 8])
+                    if wav[pos:pos + 4] == b"data":
+                        wav[pos + 8 + 2] = 0xEE  # block-1 step index
+                        break
+                    pos += 8 + sz + (sz & 1)
+            payloads.append(bytes(wav))
+        yield pd.DataFrame({
+            "media_id": pdf["media_id"].astype("int64"),
+            "payload": payloads,
+        })
+
+
+ADPCM_STATS_SCHEMA = (
+    "media_id bigint, sample_rate int, n_blocks int, n_samples int, "
+    "energy bigint, peak int, ok boolean"
+)
+
+
+def decode_adpcm_stats(batches: Iterator[pd.DataFrame]) \
+        -> Iterator[pd.DataFrame]:
+    """Arrow kernel around adpcm_decode: exact integer energy
+    (sum |sample|) and peak; malformed payloads -> ok=false rows."""
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "media_id", "sample_rate", "n_blocks", "n_samples",
+            "energy", "peak", "ok")}
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            out["media_id"].append(mid)
+            try:
+                sr, samples = adpcm_decode(bytes(payload))
+                out["sample_rate"].append(sr)
+                out["n_blocks"].append(len(samples) // ADPCM_SPB)
+                out["n_samples"].append(len(samples))
+                out["energy"].append(sum(abs(s) for s in samples))
+                out["peak"].append(max(abs(s) for s in samples)
+                                   if samples else 0)
+                out["ok"].append(True)
+            except ValueError:
+                for k in ("sample_rate", "n_blocks", "n_samples",
+                          "energy", "peak"):
+                    out[k].append(None)
+                out["ok"].append(False)
+        yield pd.DataFrame({
+            "media_id": pd.Series(out["media_id"], dtype="int64"),
+            "sample_rate": pd.Series(out["sample_rate"], dtype="Int32"),
+            "n_blocks": pd.Series(out["n_blocks"], dtype="Int32"),
+            "n_samples": pd.Series(out["n_samples"], dtype="Int32"),
+            "energy": pd.Series(out["energy"], dtype="Int64"),
+            "peak": pd.Series(out["peak"], dtype="Int32"),
+            "ok": pd.Series(out["ok"], dtype="bool"),
+        })
+
+
 DHASH_SCHEMA = "media_id bigint, dhash bigint, ok boolean"
 
 

@@ -447,3 +447,62 @@ ORACLES["mm10_gif_decode"] = f"""
            doc_id % {M.GIF_POISON_EVERY} <> 0 AS ok
     FROM documents ORDER BY media_id
 """
+
+
+def mm11_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED audio decode end-to-end — the fourth from-scratch
+    compression family (predictive coding: IMA ADPCM / DVI4, 4-bit
+    adaptive deltas, 4x) after DEFLATE (mm6), DCT+Huffman (mm9) and
+    LZW (mm10): every doc_id becomes a real IMA-ADPCM WAV (fmt tag
+    0x0011 + fact chunk + per-block predictor headers) of ramp blocks
+    chosen so the LOSSY codec reproduces them bit-exactly (at step
+    index 0 both 0- and +1-deltas encode exactly and the index stays
+    clamped at 0 — proof in adpcm_block_start's docstring), then the
+    decoder kernel (operators/multimodal.adpcm_decode) walks the RIFF
+    container and reconstructs samples predictively, reducing to
+    exact integer energy/peak. Every 97th id carries a block header
+    step index past the 89-entry table -> ok=false poison rows. The
+    oracle recomputes every decoded sample as block_start + j."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    media = docs.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        M.make_adpcm_media, "media_id bigint, payload binary")
+    return media.mapInPandas(
+        M.decode_adpcm_stats, M.ADPCM_STATS_SCHEMA).orderBy("media_id")
+
+
+QUERIES["mm11_adpcm_decode"] = mm11_adpcm_decode
+
+
+def _adpcm_oracle() -> str:
+    nb, spb, p = M.ADPCM_N_BLOCKS, M.ADPCM_SPB, M.ADPCM_POISON_EVERY
+    start = "((doc_id * (b + 7)) % 4001) - 2000"
+    return f"""
+    WITH bl AS (
+        SELECT doc_id, unnest(range(0, {nb})) AS b FROM documents
+    ), s AS (
+        SELECT doc_id, abs({start} + j.j) AS av
+        FROM bl, (SELECT unnest(range(0, {spb})) AS j) j
+    ), agg AS (
+        SELECT doc_id,
+               CAST(sum(av) AS BIGINT) AS energy,
+               CAST(max(av) AS INTEGER) AS peak
+        FROM s GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CASE WHEN d.doc_id % {p} = 0 THEN NULL
+                ELSE CAST({M.ADPCM_SR} AS INTEGER) END AS sample_rate,
+           CASE WHEN d.doc_id % {p} = 0 THEN NULL
+                ELSE CAST({nb} AS INTEGER) END AS n_blocks,
+           CASE WHEN d.doc_id % {p} = 0 THEN NULL
+                ELSE CAST({nb * spb} AS INTEGER) END AS n_samples,
+           CASE WHEN d.doc_id % {p} = 0 THEN NULL ELSE a.energy END
+               AS energy,
+           CASE WHEN d.doc_id % {p} = 0 THEN NULL ELSE a.peak END
+               AS peak,
+           d.doc_id % {p} <> 0 AS ok
+    FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+    ORDER BY media_id
+    """
+
+
+ORACLES["mm11_adpcm_decode"] = _adpcm_oracle()

@@ -328,3 +328,98 @@ class TestGifLzwProperties:
         raw = bytes(rng.randrange(256) for _ in range(8192))
         enc = M.gif_encode_gray(raw, 128, 64)
         assert M.gif_decode_gray(enc) == (128, 64, raw)
+
+
+class TestAdpcmProperties:
+    """IMA-ADPCM (mm11): predictive coding's defining closure is that
+    encoder and decoder run the SAME predictor, so decode(encode(x))
+    must equal the encoder's tracked reconstruction bit-exactly for
+    ARBITRARY signals — lossiness lives entirely in recon vs x."""
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.integers(-32768, 32767), min_size=9, max_size=90)
+           .filter(lambda s: len(s) % 9 == 0),
+           st.sampled_from([8000, 16000, 44100]))
+    def test_decode_equals_encoder_reconstruction(self, samples, sr):
+        from mining_data_integration_spark.operators import (
+            multimodal as M)
+
+        wav = M.adpcm_encode(samples, sr, spb=9)
+        got_sr, dec = M.adpcm_decode(wav)
+        idx, recon = 0, []
+        for i in range(0, len(samples), 9):
+            _, idx, r = M.ima_adpcm_encode_block(samples[i:i + 9], idx)
+            recon.extend(r)
+        assert (got_sr, dec) == (sr, recon)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(0, 10 ** 6))
+    def test_ramp_fixture_roundtrips_exactly(self, mid):
+        """The mm11 oracle's load-bearing fact: the per-block ramp
+        fixtures survive the LOSSY codec bit-exactly (proof in
+        adpcm_block_start's docstring)."""
+        from mining_data_integration_spark.operators import (
+            multimodal as M)
+
+        samples = [M.adpcm_block_start(mid, b) + j
+                   for b in range(M.ADPCM_N_BLOCKS)
+                   for j in range(M.ADPCM_SPB)]
+        assert M.adpcm_decode(M.adpcm_encode(samples, 8000)) \
+            == (8000, samples)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.integers(-32768, 32767), min_size=9, max_size=45)
+           .filter(lambda s: len(s) % 9 == 0),
+           st.integers(1, 12))
+    def test_truncation_raises(self, samples, cut):
+        import pytest as _pytest
+
+        from mining_data_integration_spark.operators import (
+            multimodal as M)
+
+        wav = M.adpcm_encode(samples, 8000)
+        with _pytest.raises(ValueError):
+            M.adpcm_decode(wav[:-cut])
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(st.integers(-2000, 2000), min_size=9, max_size=45)
+           .filter(lambda s: len(s) % 9 == 0))
+    def test_reconstruction_error_bounded_by_step(self, samples):
+        """Per-sample error of the greedy encoder is <= the step in
+        force at that sample WHENEVER the target delta is within the
+        quantizer's representable range (max diff = step>>3 + step +
+        step>>1 + step>>2). Beyond that is slope overload — ADPCM's
+        inherent failure mode, where the error equals the overshoot
+        and only shrinks as the step adapts upward — so overloaded
+        samples are bounded by |delta| instead."""
+        from mining_data_integration_spark.operators import (
+            multimodal as M)
+
+        idx = 0
+        checked = 0
+        for i in range(0, len(samples), 9):
+            blk = samples[i:i + 9]
+            pred = blk[0]
+            for s in blk[1:]:
+                step = M._IMA_STEPS[idx]
+                delta = s - pred
+                maxdiff = (step >> 3) + step + (step >> 1) + (step >> 2)
+                # replay one greedy encode step
+                d = abs(delta)
+                nib = 8 if delta < 0 else 0
+                if d >= step:
+                    nib |= 4
+                    d -= step
+                if d >= step >> 1:
+                    nib |= 2
+                    d -= step >> 1
+                if d >= step >> 2:
+                    nib |= 1
+                pred, idx = M._ima_step_decode(pred, idx, nib)
+                err = abs(s - pred)
+                if abs(delta) <= maxdiff:
+                    assert err <= step, (err, step, delta)
+                    checked += 1
+                else:
+                    assert err <= abs(delta), (err, delta)
+        assert checked > 0  # the in-range branch is really exercised

@@ -107,6 +107,9 @@ ALLOWED: dict[str, dict[str, str]] = {
         "mm10_gif_decode": "real GIF87a/LZW encode + decode ARE the "
                            "operator (two Arrow stages through the "
                            "injectable codec slot)",
+        "mm11_adpcm_decode": "real IMA-ADPCM encode + predictive "
+                             "decode ARE the operator (two Arrow "
+                             "stages)",
     },
     "Exchange SinglePartition": {
         # bounded-row global sorts/windows: the rows reaching the
