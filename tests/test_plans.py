@@ -218,3 +218,71 @@ class TestIvfpqPersistedPlan:
         assert "embeddings.parquet" not in plan         # index only
         for py in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
             assert py not in plan
+
+
+class TestCosineTopkRewrite:
+    """SURVEY §4's named custom-rewrite surface: brute-force cosine
+    top-k over an LSH-bucketable corpus rewrites into the bucket-
+    pruned equi-join. Asserted as before/after PHYSICAL plans, the way
+    a Catalyst rule's golden test would pin it."""
+
+    def _frames(self, spark):
+        import __spark_entry__  # noqa: F401 (path setup)
+        from mining_data_integration_spark.queries._util import spread, t
+        from pyspark.sql import functions as F
+
+        emb = spread(t(spark, SF, "embeddings"), "vec_id")
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"))
+        return emb, q
+
+    def test_before_brute_force_is_bnlj(self, spark):
+        from mining_data_integration_spark.planner import plan_cosine_topk
+
+        emb, q = self._frames(spark)
+        df, strategy = plan_cosine_topk(emb, q, k=5, approx_ok=False)
+        assert strategy == "bruteforce"
+        plan = plans.formatted_plan(df)
+        assert "BroadcastNestedLoopJoin" in plan  # the N x Q shape
+
+    def test_after_rewrite_is_pruned_hash_join(self, spark):
+        from mining_data_integration_spark.planner import plan_cosine_topk
+
+        emb, q = self._frames(spark)
+        df, strategy = plan_cosine_topk(
+            emb, q, k=5, approx_ok=True, corpus_rows=10 ** 9)
+        assert strategy == "lsh_pruned"
+        plan = plans.formatted_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan        # equi-join on bucket
+        assert "bucket" in plan
+
+    def test_rewrite_gates_are_conjunctive(self, spark):
+        """No stats -> no rewrite (CBO discipline); stats below the
+        threshold -> no rewrite; approximation never fires silently."""
+        from mining_data_integration_spark.planner import plan_cosine_topk
+
+        emb, q = self._frames(spark)
+        _, s1 = plan_cosine_topk(emb, q, approx_ok=True)          # no stats
+        _, s2 = plan_cosine_topk(emb, q, approx_ok=True,
+                                 corpus_rows=10)                  # tiny
+        _, s3 = plan_cosine_topk(emb, q, approx_ok=False,
+                                 corpus_rows=10 ** 9)             # no opt-in
+        assert (s1, s2, s3) == ("bruteforce",) * 3
+
+    def test_rewrite_keeps_self_hit(self, spark):
+        """Sanity on results, not just plans: each query's own vector
+        is in its bucket, so rank-1 of the pruned plan is the query
+        itself with cos_sim 1."""
+        from pyspark.sql import functions as F
+
+        from mining_data_integration_spark.planner import plan_cosine_topk
+
+        emb, q = self._frames(spark)
+        df, _ = plan_cosine_topk(
+            emb, q, k=3, approx_ok=True, corpus_rows=10 ** 9)
+        top1 = {(r.q_id, r.vec_id)
+                for r in df.filter(F.col("rk") == 1).collect()}
+        assert top1 == {(i, i) for i in range(3)}
