@@ -944,15 +944,69 @@ def _ivfpq_train(emb: DataFrame, n_cells: int, m: int, kc: int,
             lambda a, b: a - b)))
     codebooks = int_pq_codebooks(data, m, sub, kc, iters,
                                  id_col, "_res")
+    data = _assign_codes(data, codebooks, sub)
+    return data.drop("_qv", "_res"), cells, codebooks
+
+
+def _assign_codes(data: DataFrame, codebooks: list[list[list[int]]],
+                  sub: int, vec_col: str = "_res") -> DataFrame:
+    """Exact-int PQ code assignment per subspace (shared by training
+    and the day-2 append path): argmin codeword by int64 L2 on each
+    residual slice."""
     for s, cb in enumerate(codebooks):
         data = (
             int_assign_centroid(
                 data.withColumn("_sv",
-                                F.slice("_res", s * sub + 1, sub)),
+                                F.slice(vec_col, s * sub + 1, sub)),
                 cb, "_sv")
             .withColumnRenamed("_cid", f"_c{s}").drop("_sv")
         )
-    return data.drop("_qv", "_res"), cells, codebooks
+    return data
+
+
+def _ivfpq_encode(emb: DataFrame, cells: list[list[int]],
+                  codebooks: list[list[list[int]]], sub: int,
+                  id_col: str, vec_col: str) -> DataFrame:
+    """Encode vectors against EXISTING cells/codebooks — the no-
+    retraining half of _ivfpq_train, used when appending to a
+    persisted index (FAISS add() semantics: the quantizers are
+    frozen artifacts; new vectors only get assigned)."""
+    emb_q = emb.select(
+        F.col(id_col), int8_quantize(F.col(vec_col)).alias("_qv"))
+    cent_table = F.array(*[
+        F.array(*[F.lit(int(v)).cast("bigint") for v in c])
+        for c in cells])
+    data = (
+        int_assign_centroid(emb_q, cells, "_qv")
+        .withColumnRenamed("_cid", "_cell")
+        .withColumn("_res", F.zip_with(
+            F.col("_qv"), F.element_at(cent_table, F.col("_cell") + 1),
+            lambda a, b: a - b)))
+    data = _assign_codes(data, codebooks, sub)
+    return data.drop("_qv", "_res")
+
+
+def append_to_ivfpq_index(emb_new: DataFrame, path: str,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> None:
+    """Day-2 index maintenance: encode NEW vectors with the index's
+    FROZEN cells and codebooks (no k-means runs — FAISS add() parity)
+    and append their codes to the cell partitions. Caller contract:
+    the new ids must not already be in the index (dedup belongs to
+    the dd-family upstream). Visibility caveat, documented: parquet
+    append is file-granular, so a probe racing an append may see a
+    prefix of the new files — callers needing an atomic flip should
+    stage the whole build+append under a scratch path and rename
+    (what sim20 does)."""
+    spark = emb_new.sparkSession
+    idx = load_ivfpq_index(spark, path)
+    meta = idx["meta"]
+    codes_new = _ivfpq_encode(emb_new, idx["cells"], idx["codebooks"],
+                              meta["sub"], id_col, vec_col)
+    if id_col != meta["id_col"]:  # persisted schema wins
+        codes_new = codes_new.withColumnRenamed(id_col, meta["id_col"])
+    codes_new.write.mode("append").partitionBy("_cell") \
+        .parquet(f"{path}/codes")
 
 
 def _ivfpq_probe(codes: DataFrame, cells: list[list[int]],

@@ -53,8 +53,8 @@ _REVERIFY_FIRST = (
     # round-8 head: new queries + queries whose operator internals
     # were refactored this round (sim17 now routes through the shared
     # _ivfpq_train/_ivfpq_probe halves that sim19 persists)
-    "sim19_ivfpq_persisted_topk", "sim17_int_ivfpq_topk",
-    "mm11_adpcm_decode",
+    "sim19_ivfpq_persisted_topk", "sim20_ivfpq_append_probe",
+    "sim17_int_ivfpq_topk", "mm11_adpcm_decode",
     "e1_miner_info", "e1_mining_info", "mm9_jpeg_decode",
     "sim16_int_pq_topk",
     "g2_triangle_census", "dp21_chunked_pack",

@@ -903,12 +903,23 @@ QUERIES["sim17_int_ivfpq_topk"] = sim17_int_ivfpq_topk
 
 def _int_ivfpq_sql(dim: int = 64, k_cells: int = 4, n_probe: int = 2,
                    m: int = 4, kc: int = 4, iters: int = 2,
-                   topk: int = 5, n_q: int = 3) -> str:
+                   topk: int = 5, n_q: int = 3,
+                   train_pred: str | None = None) -> str:
     """DuckDB replay of int_ivfpq_topk: the _int_ivf_sql coarse chain,
     residual extraction (q - centroid[cell]), the _int_pq_sql
     per-subspace chains over residual slices, then probe (with the
-    exact dot(q, centroid) term) + integer ADC scoring."""
+    exact dot(q, centroid) term) + integer ADC scoring.
+
+    `train_pred` (a vec_id predicate, e.g. "vec_id % 2 = 0")
+    restricts ONLY the quantizer-training CTEs — coarse seeds +
+    Lloyd's assignments and the per-subspace codebook chains — while
+    encoding and probing still cover every vector: the exact replay
+    of the sim20 day-2 shape (index trained on the base corpus, new
+    vectors encoded with the frozen quantizers). None leaves the
+    generated SQL byte-identical to the pre-parameter version
+    (sim17/sim19 oracles unchanged)."""
     sub = dim // m
+    tw = "" if train_pred is None else f" WHERE {train_pred}"
 
     def d2(v: str, c: str, n: int) -> str:
         return (f"list_sum(list_transform(range(1, {n + 1}), "
@@ -930,7 +941,7 @@ def _int_ivfpq_sql(dim: int = 64, k_cells: int = 4, n_probe: int = 2,
         FROM base
     ), g0 AS MATERIALIZED (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cent
-        FROM qv ORDER BY vec_id LIMIT {k_cells}
+        FROM qv{tw} ORDER BY vec_id LIMIT {k_cells}
     )"""]
     for it in range(1, iters + 1):
         prev = f"g{it - 1}"
@@ -939,7 +950,7 @@ def _int_ivfpq_sql(dim: int = 64, k_cells: int = 4, n_probe: int = 2,
             SELECT v.vec_id, v.q, c.cid,
                    row_number() OVER (PARTITION BY v.vec_id
                        ORDER BY {d2('v.q', 'c.cent', dim)}, c.cid) AS rn
-            FROM qv v CROSS JOIN {prev} c
+            FROM qv v CROSS JOIN {prev} c{tw}
         ) WHERE rn = 1
     ), gm{it} AS MATERIALIZED (
         SELECT cid, pos, CAST(sum(q[pos]) // count(*) AS BIGINT) AS mval
@@ -973,7 +984,7 @@ def _int_ivfpq_sql(dim: int = 64, k_cells: int = 4, n_probe: int = 2,
     ), p{s}_0 AS MATERIALIZED (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
                sv AS cent
-        FROM rsub{s} ORDER BY vec_id LIMIT {kc}
+        FROM rsub{s}{tw} ORDER BY vec_id LIMIT {kc}
     )""")
         for it in range(1, iters + 1):
             prev = f"p{s}_{it - 1}"
@@ -982,7 +993,7 @@ def _int_ivfpq_sql(dim: int = 64, k_cells: int = 4, n_probe: int = 2,
             SELECT v.vec_id, v.sv, c.cid,
                    row_number() OVER (PARTITION BY v.vec_id
                        ORDER BY {d2('v.sv', 'c.cent', sub)}, c.cid) AS rn
-            FROM rsub{s} v CROSS JOIN {prev} c
+            FROM rsub{s} v CROSS JOIN {prev} c{tw}
         ) WHERE rn = 1
     ), pm{s}_{it} AS MATERIALIZED (
         SELECT cid, pos, CAST(sum(sv[pos]) // count(*) AS BIGINT) AS mval
@@ -1124,18 +1135,19 @@ ORACLES["sim18_binary_hamming_topk"] = f"""
 """
 
 
-def _ivfpq_index_path(sf_dir: str) -> str:
+def _ivfpq_index_path(sf_dir: str, tag: str = "") -> str:
     """Deterministic per-corpus index location, fingerprinted by the
     source parquet's (path, size, mtime) so a regenerated testdata
     tree can never be probed through a stale index — the fingerprint
-    costs one os.stat, no Spark job."""
+    costs one os.stat, no Spark job. `tag` separates differently-
+    built indexes over the same corpus (sim20's split-trained one)."""
     import hashlib
     import os
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     fp = hashlib.sha256(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}|"
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|{tag}|"
         f"v{S.IVFPQ_INDEX_VERSION}".encode()).hexdigest()[:16]
     return f"/tmp/sg_ivfpq_index/{fp}"
 
@@ -1175,3 +1187,47 @@ QUERIES["sim19_ivfpq_persisted_topk"] = sim19_ivfpq_persisted_topk
 
 ORACLES["sim19_ivfpq_persisted_topk"] = _int_ivfpq_sql(
     _DIM, 4, 3, 4, 4, 2, 5, 3)
+
+
+def sim20_ivfpq_append_probe(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """DAY-2 index maintenance (FAISS add() parity), hash-checked:
+    the persisted IVF-PQ index is TRAINED on half the corpus (even
+    vec_ids), then the odd half is APPENDED with the frozen cells and
+    codebooks — no retraining (append_to_ivfpq_index runs only
+    assignment; pinned by poisoned training entry points in
+    tests/test_operators.py) — and the probe runs over the combined
+    index. This is the operation every production ANN index performs
+    daily: quantizers are stable artifacts, ingest only encodes. The
+    build+append is staged under a scratch path and renamed as one
+    unit, so a racing reader never sees the half-appended state. The
+    DuckDB oracle replays the exact split: quantizer-training CTEs
+    are filtered to even ids (the _int_ivfpq_sql train_pred
+    parameter) while encoding and probing cover every vector."""
+    import os
+    import shutil
+    import uuid
+
+    path = _ivfpq_index_path(sf_dir, tag="train-even-append-odd")
+    if not os.path.exists(os.path.join(path, "meta")):
+        emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+        scratch = f"{path}.stage-{uuid.uuid4().hex[:12]}"
+        S.save_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 0),
+                           scratch, n_cells=4, m=4, kc=4, iters=2,
+                           dim=_DIM)
+        S.append_to_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 1),
+                                scratch)
+        try:
+            os.rename(scratch, path)
+        except OSError:
+            shutil.rmtree(scratch, ignore_errors=True)
+    idx = S.load_ivfpq_index(spark, path)
+    return S.ivfpq_probe_topk(
+        idx, _queries_df(spark, sf_dir), k=5, n_probe=2
+    ).orderBy("q_id", "rk")
+
+
+QUERIES["sim20_ivfpq_append_probe"] = sim20_ivfpq_append_probe
+
+ORACLES["sim20_ivfpq_append_probe"] = _int_ivfpq_sql(
+    _DIM, 4, 2, 4, 4, 2, 5, 3, train_pred="vec_id % 2 = 0")

@@ -1442,3 +1442,46 @@ class TestIvfpqPersistedLifecycle:
         """
         want = sorted(tuple(r) for r in con.execute(sql).fetchall())
         assert got == want
+
+    def test_append_runs_no_training_and_matches_union(
+            self, spark, tmp_path, monkeypatch):
+        """Day-2 append (sim20): poisons every training entry point
+        BEFORE the append — encoding new vectors must use only the
+        frozen cells/codebooks — then pins that probing the appended
+        index equals probing an index built over the same union with
+        the SAME frozen quantizers (encode-inline parity)."""
+        from mining_data_integration_spark.operators import (
+            similarity as S)
+
+        rows, emb = self._emb(spark)
+        base = emb.filter("vec_id % 2 = 0")
+        delta = emb.filter("vec_id % 2 = 1")
+        path = str(tmp_path / "idx")
+        S.save_ivfpq_index(base, path, n_cells=2, m=2, kc=2, iters=2,
+                           dim=8)
+
+        def boom(*a, **k):
+            raise AssertionError("training ran during append")
+
+        monkeypatch.setattr(S, "_ivfpq_train", boom)
+        monkeypatch.setattr(S, "int_ivf_centroids", boom)
+        monkeypatch.setattr(S, "int_pq_codebooks", boom)
+        S.append_to_ivfpq_index(delta, path)
+
+        idx = S.load_ivfpq_index(spark, path)
+        assert idx["codes"].count() == 40  # base 20 + appended 20
+        q = emb.filter("vec_id < 2").select(
+            emb.vec_id.alias("q_id"), emb.embedding.alias("q_emb"))
+        got = sorted(tuple(r) for r in
+                     S.ivfpq_probe_topk(idx, q, k=3, n_probe=1)
+                     .collect())
+        # parity: encode the union in memory with the SAME frozen
+        # artifacts and probe that
+        union_codes = S._ivfpq_encode(
+            emb, idx["cells"], idx["codebooks"], idx["meta"]["sub"],
+            "vec_id", "embedding")
+        want = sorted(tuple(r) for r in S._ivfpq_probe(
+            union_codes, idx["cells"], idx["codebooks"], q,
+            3, 1, 2, idx["meta"]["sub"], idx["meta"]["kc"],
+            "vec_id", "q_id", "q_emb").collect())
+        assert got == want
