@@ -38,18 +38,30 @@ def main() -> None:
     tables = synth_mining_world(spark, n_blocks, cpb, n_miners=200)
     tables = land_as_parquet(tables, "/tmp/bench_e1_bronze", spark)
 
-    t0 = time.perf_counter()
-    golds = streaming.e1_gold_tables(tables)
-    counts = {name: df.count() for name, df in golds.items()}
-    wall = round(time.perf_counter() - t0, 2)
+    # median-of-3 (round-8 discipline, matching bench.py): single-run
+    # values on this box swing +-40% and masquerade as regressions
+    def med3(fn) -> float:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            runs.append(round(time.perf_counter() - t0, 2))
+        return sorted(runs)[1]
+
+    counts = {}
+
+    def one_full() -> None:
+        for name, df in streaming.e1_gold_tables(tables).items():
+            counts[name] = df.count()
+
+    wall = med3(one_full)
 
     # steady-state incremental tick: bootstrap the partitioned gold,
-    # then time one bounded-reorg refresh (the production cadence)
+    # then time bounded-reorg refreshes (the production cadence)
     gold_dir = "/tmp/bench_e1_gold"
     incremental_refresh(spark, tables, gold_dir, reorg_depth=10 ** 12)
-    t0 = time.perf_counter()
-    incremental_refresh(spark, tables, gold_dir, reorg_depth=1000)
-    inc_wall = round(time.perf_counter() - t0, 2)
+    inc_wall = med3(lambda: incremental_refresh(
+        spark, tables, gold_dir, reorg_depth=1000))
 
     # same tick against height-bucketed bronze commits: the commits
     # scan partition-prunes to the reorg window
@@ -59,14 +71,14 @@ def main() -> None:
     t2["block_commits"] = spark.read.parquet(bronze)
     gold2 = "/tmp/bench_e1_gold_bb"
     incremental_refresh(spark, t2, gold2, reorg_depth=10 ** 12)
-    t0 = time.perf_counter()
-    incremental_refresh(spark, t2, gold2, reorg_depth=1000)
-    inc_bb_wall = round(time.perf_counter() - t0, 2)
+    inc_bb_wall = med3(lambda: incremental_refresh(
+        spark, t2, gold2, reorg_depth=1000))
 
     print(json.dumps({
         "metric": "e1_refresh_wall", "value": wall, "unit": "sec",
         "incremental_tick_sec": inc_wall,
         "incremental_tick_bucketed_bronze_sec": inc_bb_wall,
+        "runs": 3,
         "n_blocks": n_blocks, "commits_per_block": cpb,
         "budget_sec": 120, "gold_rows": counts,
     }))
