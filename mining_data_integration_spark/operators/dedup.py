@@ -179,14 +179,15 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
     return sh.groupBy("id").agg(*aggs)
 
 
-def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
-                           id_col: str = "doc_id", n: int = 3,
-                           num_hashes: int = 16, bands: int = 4) -> DataFrame:
-    """Candidate near-dup pairs via MinHash banding: docs sharing any
-    band signature. The band-bucket self-join replaces the all-pairs
-    product; rows per bucket are tiny for uniform hashes."""
+def band_bucket_rows(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 3,
+                     num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """(id, band, bh) band-bucket rows — the LSH index unit shared by
+    the self-join candidates (minhash_lsh_candidates), the persisted
+    index build (save_minhash_index) and the ingest probe
+    (probe_minhash_index): bh = md5 over the band's signature rows."""
     rows = num_hashes // bands
-    # materialize signatures: the banded self-join reads them twice,
+    # materialize signatures: consumers read them through an explode,
     # and the shingle+16×md5 subtree is the expensive part of the plan
     sigs = materialize(minhash_signatures(
         shingles(df, text_col, id_col, n), num_hashes
@@ -197,21 +198,97 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         for b in range(bands)
     ]
     banded = sigs.select("id", *band_cols)
-    stacked = banded.select(
+    return banded.select(
         "id",
-        F.explode(
-            F.array(*[
-                F.concat_ws(":", F.lit(str(b)), F.col(f"band{b}"))
-                for b in range(bands)
-            ])
-        ).alias("bucket"),
-    )
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
+            for b in range(bands)
+        ])).alias("_x"),
+    ).select("id", F.col("_x.band").alias("band"),
+             F.col("_x.bh").alias("bh"))
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 3,
+                           num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs via MinHash banding: docs sharing any
+    band signature. The band-bucket self-join replaces the all-pairs
+    product; rows per bucket are tiny for uniform hashes."""
+    stacked = band_bucket_rows(df, text_col, id_col, n,
+                               num_hashes, bands).select(
+        "id", F.concat_ws(":", F.col("band").cast("string"),
+                          F.col("bh")).alias("bucket"))
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+
+
+MINHASH_INDEX_VERSION = 1
+
+
+def save_minhash_index(docs: DataFrame, path: str, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       num_hashes: int = 16, bands: int = 4) -> None:
+    """Persist the corpus's MinHash band buckets as the NEAR-DUP
+    ingest index (the dedup-family sibling of save_ivfpq_index): at
+    100 TB the corpus's shingle+signature pass is a one-time build,
+    and each day's ingest batch probes it with O(batch) work instead
+    of re-signing the corpus. Layout: buckets/ (id, bh) partitioned
+    by band, meta/ one row (version + the signature parameters, so a
+    probe can never hash with mismatched n/num_hashes/bands). Same
+    atomic-rename discipline as the ANN index: build to scratch,
+    rename wins, losers discard identical content."""
+    import os
+    import shutil
+    import uuid
+
+    if os.path.exists(os.path.join(path, "meta")):
+        return
+    rows = band_bucket_rows(docs, text_col, id_col, n, num_hashes, bands)
+    spark = docs.sparkSession
+    tmp = f"{path.rstrip('/')}.build-{uuid.uuid4().hex[:12]}"
+    rows.write.mode("overwrite").partitionBy("band") \
+        .parquet(f"{tmp}/buckets")
+    spark.createDataFrame(
+        [(MINHASH_INDEX_VERSION, n, num_hashes, bands)],
+        "version int, n int, num_hashes int, bands int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/meta")
+    os.makedirs(os.path.dirname(path.rstrip("/")) or ".", exist_ok=True)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def probe_minhash_index(new_docs: DataFrame, path: str,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Candidate (new_id, corpus_id) near-dup pairs for an ingest
+    batch against a persisted index: band-bucket the NEW batch with
+    the index's RECORDED parameters (meta — a probe can never hash
+    differently than the build did) and equi-join on (band, bh). The
+    batch side is broadcast (an ingest batch is small by definition);
+    the corpus is touched only through the bucket scan — no corpus
+    re-signing, no all-pairs anything."""
+    spark = new_docs.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    if meta.version != MINHASH_INDEX_VERSION:
+        raise ValueError(
+            f"minhash index version {meta.version} at {path}; "
+            f"this build reads version {MINHASH_INDEX_VERSION}")
+    new_rows = band_bucket_rows(
+        new_docs, text_col, id_col, meta.n, meta.num_hashes,
+        meta.bands).select(F.col("id").alias("new_id"), "band", "bh")
+    idx = spark.read.parquet(f"{path}/buckets") \
+        .select(F.col("id").alias("corpus_id"), "band", "bh")
+    return (
+        idx.join(F.broadcast(new_rows), ["band", "bh"])
+        .select("new_id", "corpus_id")
         .distinct()
     )
 

@@ -728,3 +728,91 @@ ORACLES["dd14_survivorship"] = f"""
     FROM clustered cl JOIN canon ca ON cl.cluster_id = ca.cluster_id
     ORDER BY cl.doc_id
 """
+
+
+def _lsh_index_path(sf_dir: str) -> str:
+    """Deterministic per-corpus LSH-index location, fingerprinted by
+    the documents parquet's (path, size, mtime) — the sim19 staleness
+    rule applied to the dedup index (one os.stat, no Spark job)."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|train-even|"
+        f"v{D.MINHASH_INDEX_VERSION}".encode()).hexdigest()[:16]
+    return f"/tmp/sg_lsh_index/{fp}"
+
+
+def dd15_persisted_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED near-dup ingest index — the dedup-family lifecycle
+    sibling of sim19/sim20: the corpus half (even doc_ids) is
+    shingled/signed ONCE into a persisted band-bucket index
+    (save_minhash_index: buckets parquet partitioned by band + meta
+    with the signature parameters, atomic rename), and the ingest
+    batch (odd doc_ids) probes it — the batch is band-bucketed with
+    the index's RECORDED parameters and broadcast-joined against the
+    bucket scan, so a daily ingest pays O(batch), never a corpus
+    re-signing. Output: candidate (new_id, corpus_id) near-dup pairs.
+    The DuckDB oracle replays both sides' band buckets from the
+    documents table and joins across the even/odd split."""
+    import os
+
+    path = _lsh_index_path(sf_dir)
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    if not os.path.exists(os.path.join(path, "meta")):
+        D.save_minhash_index(docs.filter(F.col("doc_id") % 2 == 0),
+                             path, n=3, num_hashes=16, bands=4)
+    return D.probe_minhash_index(
+        docs.filter(F.col("doc_id") % 2 == 1), path
+    ).orderBy("new_id", "corpus_id")
+
+
+QUERIES["dd15_persisted_lsh_probe"] = dd15_persisted_lsh_probe
+
+
+def _lsh_probe_sql(n: int = 3, num_hashes: int = 16,
+                   bands: int = 4) -> str:
+    """Replay of dd15: the _minhash_band_sql signature chain over ALL
+    documents, then new (odd) x corpus (even) bucket matches."""
+    from ..operators.dedup import MERSENNE31 as P, uh_params
+
+    rows = num_hashes // bands
+    digit = (
+        "(strpos('0123456789abcdef', substring(md5(shingle), {pos}, 1)) - 1)"
+    )
+
+    def seg_val(seg: int) -> str:
+        return " + ".join(
+            digit.format(pos=1 + 8 * seg + j) + f" * {16 ** (7 - j)}"
+            for j in range(8)
+        )
+
+    segs = ", ".join(
+        f"CAST({seg_val(s)} AS BIGINT) % {P} AS h{s}" for s in range(4))
+    mins = ", ".join(
+        f"min((h{i % 4} * {a} + {b}) % {P}) AS mh{i}"
+        for i, (a, b) in enumerate(uh_params(num_hashes))
+    )
+    band_exprs = []
+    for b in range(bands):
+        parts = " || '|' || ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
+        band_exprs.append(f"md5({parts}) AS band{b}")
+    buckets = ", ".join(f"'{b}:' || band{b}" for b in range(bands))
+    return f"""
+        WITH sh AS ({_duck_shingles(n)}),
+        hv AS (SELECT id, shingle, {segs} FROM sh),
+        sigs AS (SELECT id, {mins} FROM hv GROUP BY id),
+        banded AS (SELECT id, {', '.join(band_exprs)} FROM sigs),
+        stacked AS (SELECT id, unnest([{buckets}]) AS bucket FROM banded)
+        SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
+        FROM stacked n JOIN stacked c
+          ON n.bucket = c.bucket
+        WHERE n.id % 2 = 1 AND c.id % 2 = 0
+        ORDER BY new_id, corpus_id
+    """
+
+
+ORACLES["dd15_persisted_lsh_probe"] = _lsh_probe_sql(3, 16, 4)

@@ -1485,3 +1485,58 @@ class TestIvfpqPersistedLifecycle:
             3, 1, 2, idx["meta"]["sub"], idx["meta"]["kc"],
             "vec_id", "q_id", "q_emb").collect())
         assert got == want
+
+
+class TestMinhashPersistedIndex:
+    """dd15: the persisted near-dup ingest index (build band buckets
+    once, probe each batch with the recorded parameters)."""
+
+    def _docs(self, spark):
+        base = "the quick brown fox jumps over the lazy dog tonight"
+        rows = [(i, base.replace("dog", f"pet{i}")) for i in range(0, 8, 2)]
+        rows += [(i, base.replace("dog", f"pet{i-1}"))   # near-dup of i-1
+                 for i in range(1, 8, 2)]
+        rows += [(20, "completely unrelated text with different words"),
+                 (21, "another disjoint document nothing shared here")]
+        return docs_df(spark, rows)
+
+    def test_probe_matches_inline_cross_pairs(self, spark, tmp_path):
+        docs = self._docs(spark)
+        path = str(tmp_path / "lshidx")
+        D.save_minhash_index(docs.filter("doc_id % 2 = 0"), path,
+                             n=3, num_hashes=16, bands=4)
+        got = {(r.new_id, r.corpus_id) for r in D.probe_minhash_index(
+            docs.filter("doc_id % 2 = 1"), path).collect()}
+        # expected: the odd-even cross slice of the full self-join
+        # candidates (shared machinery, so parity must be exact)
+        full = D.minhash_lsh_candidates(docs, n=3, num_hashes=16,
+                                        bands=4).collect()
+        want = set()
+        for r in full:
+            for a, b in ((r.id1, r.id2), (r.id2, r.id1)):
+                if a % 2 == 1 and b % 2 == 0:
+                    want.add((a, b))
+        assert got == want and got  # non-empty: near-dups really match
+
+    def test_probe_uses_recorded_params_and_version_gate(
+            self, spark, tmp_path):
+        from unittest import mock
+
+        import pytest as _pytest
+
+        docs = self._docs(spark)
+        path = str(tmp_path / "lshidx")
+        # build with NON-default parameters; the probe must pick them
+        # up from meta, not from its own defaults
+        D.save_minhash_index(docs.filter("doc_id % 2 = 0"), path,
+                             n=2, num_hashes=8, bands=2)
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        assert (meta.n, meta.num_hashes, meta.bands) == (2, 8, 2)
+        out = D.probe_minhash_index(
+            docs.filter("doc_id % 2 = 1"), path).collect()
+        assert all(r.new_id % 2 == 1 and r.corpus_id % 2 == 0
+                   for r in out)
+        with mock.patch.object(D, "MINHASH_INDEX_VERSION", 99):
+            with _pytest.raises(ValueError, match="version"):
+                D.probe_minhash_index(
+                    docs.filter("doc_id % 2 = 1"), path)
