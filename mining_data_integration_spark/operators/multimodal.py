@@ -963,6 +963,138 @@ def decode_adpcm_stats(batches: Iterator[pd.DataFrame]) \
         })
 
 
+# --- mixed-corpus codec dispatch (mm12) --------------------------------
+# A real media lake is format-heterogeneous: the decode operator must
+# SNIFF each payload's container (magic bytes, and for RIFF the fmt
+# tag) and route it to the right decoder. This composes all four
+# from-scratch families behind one kernel, with the same injectable-
+# decoder philosophy as decode_real (pass your own kind->decoder map
+# in a codec-equipped deployment).
+
+MIX_POISON_EVERY = 101
+MIX_PNG_W, MIX_PNG_H = 4, 2          # RGB: 24 raster bytes
+MIX_GIF_W, MIX_GIF_H = 4, 2          # gray: 8 raster bytes
+MIX_WAV_N = 16
+MIX_ADPCM_BLOCKS = 2
+
+MIX_STATS_SCHEMA = (
+    "media_id bigint, kind string, n_units int, checksum bigint, "
+    "ok boolean"
+)
+
+
+def sniff_media_kind(data: bytes) -> str:
+    """Container detection from magic bytes: PNG signature, GIF87a/
+    89a, or RIFF/WAVE — the latter disambiguated to PCM vs IMA-ADPCM
+    by walking chunks to the fmt tag (the container alone does not
+    identify the codec; the fmt chunk does). Raises ValueError for
+    unknown containers — the dispatch kernel maps that to ok=false."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        pos = 12
+        while pos + 8 <= len(data):
+            cid = data[pos:pos + 4]
+            (sz,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            if cid == b"fmt " and sz >= 2:
+                (tag,) = struct.unpack("<H", data[pos + 8:pos + 10])
+                if tag == 1:
+                    return "wav_pcm"
+                if tag == 0x11:
+                    return "wav_adpcm"
+                raise ValueError(f"unknown WAV format tag {tag:#x}")
+            pos += 8 + sz + (sz & 1)
+        raise ValueError("RIFF/WAVE without fmt chunk")
+    raise ValueError("unknown media container")
+
+
+def _mix_decode(kind: str, payload: bytes) -> tuple[int, int]:
+    """(n_units, checksum) per kind: pixels + byte sum for rasters,
+    samples + absolute-amplitude sum for audio."""
+    if kind == "png":
+        w, h, pix = png_decode(payload)
+        return w * h, sum(pix)
+    if kind == "gif":
+        w, h, pix = gif_decode_gray(payload)
+        return w * h, sum(pix)
+    dec = wav_decode if kind == "wav_pcm" else adpcm_decode
+    _sr, samples = dec(payload)
+    return len(samples), sum(abs(s) for s in samples)
+
+
+def codec_dispatch_stats(batches: Iterator[pd.DataFrame]) \
+        -> Iterator[pd.DataFrame]:
+    """Arrow kernel: sniff -> route -> decode -> unified stats row.
+    Any sniff/decode ValueError (wrong magic, corrupt stream,
+    truncation) degrades to an ok=false row with a null kind — one
+    poisoned payload never kills the batch."""
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "media_id", "kind", "n_units", "checksum", "ok")}
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            out["media_id"].append(mid)
+            try:
+                payload = bytes(payload)
+                kind = sniff_media_kind(payload)
+                n_units, checksum = _mix_decode(kind, payload)
+                out["kind"].append(kind)
+                out["n_units"].append(n_units)
+                out["checksum"].append(checksum)
+                out["ok"].append(True)
+            except ValueError:
+                out["kind"].append(None)
+                out["n_units"].append(None)
+                out["checksum"].append(None)
+                out["ok"].append(False)
+        yield pd.DataFrame({
+            "media_id": pd.Series(out["media_id"], dtype="int64"),
+            "kind": pd.Series(out["kind"], dtype="object"),
+            "n_units": pd.Series(out["n_units"], dtype="Int32"),
+            "checksum": pd.Series(out["checksum"], dtype="Int64"),
+            "ok": pd.Series(out["ok"], dtype="bool"),
+        })
+
+
+def make_mixed_media(batches: Iterator[pd.DataFrame]) \
+        -> Iterator[pd.DataFrame]:
+    """Arrow ENCODER kernel: media_id -> one of the four real formats
+    by id % 4 (0 png, 1 gif, 2 pcm wav, 3 ima-adpcm), each with a
+    closed-form content generator so the oracle recomputes the
+    decoded stats per format. Every MIX_POISON_EVERY-th id gets its
+    first magic byte flipped -> unknown container -> ok=false."""
+    for pdf in batches:
+        payloads = []
+        for mid in pdf["media_id"]:
+            d = int(mid)
+            f = d % 4
+            if f == 0:
+                raw = bytes((d * (j + 1)) % 256
+                            for j in range(MIX_PNG_W * MIX_PNG_H * 3))
+                media = png_encode(raw, MIX_PNG_W, MIX_PNG_H)
+            elif f == 1:
+                raw = bytes((d * (j + 1)) % 256
+                            for j in range(MIX_GIF_W * MIX_GIF_H))
+                media = gif_encode_gray(raw, MIX_GIF_W, MIX_GIF_H)
+            elif f == 2:
+                samples = [((d * (j + 3)) % 4001) - 2000
+                           for j in range(MIX_WAV_N)]
+                media = wav_encode(samples, WAV_SR)
+            else:
+                samples = [adpcm_block_start(d, b) + j
+                           for b in range(MIX_ADPCM_BLOCKS)
+                           for j in range(ADPCM_SPB)]
+                media = adpcm_encode(samples, ADPCM_SR)
+            if d % MIX_POISON_EVERY == 0:
+                media = bytes([media[0] ^ 0xFF]) + media[1:]
+            payloads.append(media)
+        yield pd.DataFrame({
+            "media_id": pdf["media_id"].astype("int64"),
+            "payload": payloads,
+        })
+
+
 DHASH_SCHEMA = "media_id bigint, dhash bigint, ok boolean"
 
 

@@ -56,6 +56,7 @@ _REVERIFY_FIRST = (
     "sim19_ivfpq_persisted_topk", "sim20_ivfpq_append_probe",
     "dd15_persisted_lsh_probe", "dd3_minhash_lsh",
     "sim17_int_ivfpq_topk", "mm11_adpcm_decode",
+    "mm12_codec_dispatch",
     "e1_miner_info", "e1_mining_info", "mm9_jpeg_decode",
     "sim16_int_pq_topk",
     "g2_triangle_census", "dp21_chunked_pack",

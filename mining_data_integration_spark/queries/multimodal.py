@@ -506,3 +506,60 @@ def _adpcm_oracle() -> str:
 
 
 ORACLES["mm11_adpcm_decode"] = _adpcm_oracle()
+
+
+def mm12_codec_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-corpus codec DISPATCH — the media-lake reality check
+    composing all four from-scratch families behind one kernel: every
+    doc_id becomes one of PNG (DEFLATE), GIF (LZW), PCM WAV or
+    IMA-ADPCM WAV (predictive) by id % 4; the decode side SNIFFS each
+    payload (magic bytes; RIFF disambiguated to PCM vs ADPCM by
+    walking to the fmt tag — container alone does not identify the
+    codec) and routes to the right from-scratch decoder, reducing to
+    a unified (kind, n_units, checksum) row. Closed-form content
+    generators per format let the oracle recompute every stat; every
+    101st id has its first magic byte flipped -> unknown container ->
+    ok=false with a null kind."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    media = docs.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        M.make_mixed_media, "media_id bigint, payload binary")
+    return media.mapInPandas(
+        M.codec_dispatch_stats, M.MIX_STATS_SCHEMA).orderBy("media_id")
+
+
+QUERIES["mm12_codec_dispatch"] = mm12_codec_dispatch
+
+
+def _mix_oracle() -> str:
+    p = M.MIX_POISON_EVERY
+    png_sum = " + ".join(f"(doc_id * {j + 1}) % 256"
+                         for j in range(M.MIX_PNG_W * M.MIX_PNG_H * 3))
+    gif_sum = " + ".join(f"(doc_id * {j + 1}) % 256"
+                         for j in range(M.MIX_GIF_W * M.MIX_GIF_H))
+    wav_sum = " + ".join(
+        f"abs(((doc_id * {j + 3}) % 4001) - 2000)"
+        for j in range(M.MIX_WAV_N))
+    adpcm_sum = " + ".join(
+        f"abs(((doc_id * {b + 7}) % 4001) - 2000 + {j})"
+        for b in range(M.MIX_ADPCM_BLOCKS)
+        for j in range(M.ADPCM_SPB))
+    kind = ("CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' "
+            "WHEN 2 THEN 'wav_pcm' ELSE 'wav_adpcm' END")
+    n_units = ("CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 8 "
+               "WHEN 2 THEN 16 ELSE 18 END")
+    checksum = (f"CASE doc_id % 4 WHEN 0 THEN {png_sum} "
+                f"WHEN 1 THEN {gif_sum} WHEN 2 THEN {wav_sum} "
+                f"ELSE {adpcm_sum} END")
+    return f"""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % {p} = 0 THEN NULL ELSE {kind} END AS kind,
+           CASE WHEN doc_id % {p} = 0 THEN NULL
+                ELSE CAST({n_units} AS INTEGER) END AS n_units,
+           CASE WHEN doc_id % {p} = 0 THEN NULL
+                ELSE CAST({checksum} AS BIGINT) END AS checksum,
+           doc_id % {p} <> 0 AS ok
+    FROM documents ORDER BY media_id
+    """
+
+
+ORACLES["mm12_codec_dispatch"] = _mix_oracle()

@@ -423,3 +423,52 @@ class TestAdpcmProperties:
                 else:
                     assert err <= abs(delta), (err, delta)
         assert checked > 0  # the in-range branch is really exercised
+
+
+class TestCodecDispatch:
+    """mm12: container sniffing + routing over all four families."""
+
+    def test_sniffer_identifies_all_four(self):
+        from mining_data_integration_spark.operators import (
+            multimodal as M)
+
+        png = M.png_encode(bytes(range(24)), 4, 2)
+        gif = M.gif_encode_gray(bytes(range(8)), 4, 2)
+        pcm = M.wav_encode([1, -2, 3], 8000)
+        adp = M.adpcm_encode([0] * 9, 8000)
+        assert M.sniff_media_kind(png) == "png"
+        assert M.sniff_media_kind(gif) == "gif"
+        assert M.sniff_media_kind(pcm) == "wav_pcm"
+        assert M.sniff_media_kind(adp) == "wav_adpcm"
+
+    def test_sniffer_rejects_unknowns(self):
+        import struct
+
+        import pytest as _pytest
+
+        from mining_data_integration_spark.operators import (
+            multimodal as M)
+
+        with _pytest.raises(ValueError, match="unknown media"):
+            M.sniff_media_kind(b"\x00\x01\x02\x03garbagegarbage")
+        # RIFF/WAVE with an unknown fmt tag must not silently route
+        fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 16000, 2, 16)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", 0))
+        wav = b"RIFF" + struct.pack("<I", len(body)) + body
+        with _pytest.raises(ValueError, match="format tag"):
+            M.sniff_media_kind(wav)
+
+    def test_dispatch_decode_matches_direct_decoders(self):
+        """Routing must not change results: dispatching each payload
+        equals calling its decoder directly."""
+        from mining_data_integration_spark.operators import (
+            multimodal as M)
+
+        raw = bytes((7 * (j + 1)) % 256 for j in range(24))
+        png = M.png_encode(raw, 4, 2)
+        assert M._mix_decode("png", png) == (8, sum(raw))
+        samples = [((5 * (j + 3)) % 4001) - 2000 for j in range(16)]
+        pcm = M.wav_encode(samples, M.WAV_SR)
+        assert M._mix_decode("wav_pcm", pcm) \
+            == (16, sum(abs(s) for s in samples))

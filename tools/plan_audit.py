@@ -110,6 +110,10 @@ ALLOWED: dict[str, dict[str, str]] = {
         "mm11_adpcm_decode": "real IMA-ADPCM encode + predictive "
                              "decode ARE the operator (two Arrow "
                              "stages)",
+        "mm12_codec_dispatch": "mixed-format encode + sniff-and-"
+                               "dispatch decode ARE the operator "
+                               "(two Arrow stages over all four "
+                               "codec families)",
     },
     "Exchange SinglePartition": {
         # bounded-row global sorts/windows: the rows reaching the
