@@ -54,6 +54,7 @@ _REVERIFY_FIRST = (
     # were refactored this round (sim17 now routes through the shared
     # _ivfpq_train/_ivfpq_probe halves that sim19 persists)
     "sim19_ivfpq_persisted_topk", "sim20_ivfpq_append_probe",
+    "sim21_ivfpq_recall_eval",
     "dd15_persisted_lsh_probe", "dd3_minhash_lsh",
     "sim17_int_ivfpq_topk", "mm11_adpcm_decode",
     "mm12_codec_dispatch",

@@ -904,7 +904,8 @@ QUERIES["sim17_int_ivfpq_topk"] = sim17_int_ivfpq_topk
 def _int_ivfpq_sql(dim: int = 64, k_cells: int = 4, n_probe: int = 2,
                    m: int = 4, kc: int = 4, iters: int = 2,
                    topk: int = 5, n_q: int = 3,
-                   train_pred: str | None = None) -> str:
+                   train_pred: str | None = None,
+                   tail: str | None = None) -> str:
     """DuckDB replay of int_ivfpq_topk: the _int_ivf_sql coarse chain,
     residual extraction (q - centroid[cell]), the _int_pq_sql
     per-subspace chains over residual slices, then probe (with the
@@ -917,7 +918,11 @@ def _int_ivfpq_sql(dim: int = 64, k_cells: int = 4, n_probe: int = 2,
     of the sim20 day-2 shape (index trained on the base corpus, new
     vectors encoded with the frozen quantizers). None leaves the
     generated SQL byte-identical to the pre-parameter version
-    (sim17/sim19 oracles unchanged)."""
+    (sim17/sim19 oracles unchanged). `tail` replaces the default
+    final SELECT with caller SQL appended AFTER the `ranked` CTE
+    (which can also reference `qv`, the int8-quantized vectors) —
+    the sim21 recall harness uses it to join the probe's top-k
+    against the exact integer-dot top-k inside one statement."""
     sub = dim // m
     tw = "" if train_pred is None else f" WHERE {train_pred}"
 
@@ -1047,7 +1052,8 @@ def _int_ivfpq_sql(dim: int = 64, k_cells: int = 4, n_probe: int = 2,
                row_number() OVER (PARTITION BY q_id
                    ORDER BY ip_q8 DESC, vec_id) AS rk
         FROM scored
-    )
+    )""")
+    parts.append(tail if tail is not None else f"""
     SELECT q_id, vec_id, ip_q8, CAST(rk AS BIGINT) AS rk
     FROM ranked WHERE rk <= {topk} ORDER BY q_id, rk""")
     return "".join(parts)
@@ -1231,3 +1237,92 @@ QUERIES["sim20_ivfpq_append_probe"] = sim20_ivfpq_append_probe
 
 ORACLES["sim20_ivfpq_append_probe"] = _int_ivfpq_sql(
     _DIM, 4, 2, 4, 4, 2, 5, 3, train_pred="vec_id % 2 = 0")
+
+
+def sim21_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PERSISTED IVF-PQ index (sim19's artifact,
+    shared — built at most once) against the exact INTEGER-dot top-5
+    over the same int8-quantized corpus — the quality report every
+    production index owner reads before widening n_probe. Unlike the
+    float-k-means harness (sim13 gates LSH, sim4/sim9 need verdict
+    floors), BOTH sides here are exact integer arithmetic, so the
+    per-query recall report is fully hash-checked: the DuckDB oracle
+    replays train+probe via _int_ivfpq_sql's tail hook and joins it
+    against the exact integer-dot ranking inside one statement."""
+    import os
+
+    path = _ivfpq_index_path(sf_dir)
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    if not os.path.exists(os.path.join(path, "meta")):
+        S.save_ivfpq_index(emb, path, n_cells=4, m=4, kc=4, iters=2,
+                           dim=_DIM)
+    idx = S.load_ivfpq_index(spark, path)
+    q = _queries_df(spark, sf_dir)
+    approx = S.ivfpq_probe_topk(idx, q, k=5, n_probe=3) \
+        .select("q_id", "vec_id")
+
+    emb_q = emb.select(
+        "vec_id", S.int8_quantize(F.col("embedding")).alias("_qv"))
+    qq = emb_q.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("_qv").alias("_qq"))
+    from pyspark.sql import Window
+
+    pairs = emb_q.crossJoin(F.broadcast(qq)).select(
+        "q_id", "vec_id",
+        S.idot(F.col("_qq"), F.col("_qv")).alias("ip"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("ip"), F.col("vec_id"))
+    exact = (pairs.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= 5).select("q_id", "vec_id"))
+
+    hits = (exact.join(approx, ["q_id", "vec_id"])
+            .groupBy("q_id").agg(F.count("*").alias("n_hits")))
+    napp = approx.groupBy("q_id").agg(F.count("*").alias("n_approx"))
+    return (
+        q.select("q_id")
+        .join(hits, "q_id", "left").join(napp, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce("n_approx", F.lit(0)).cast("long")
+            .alias("n_approx"),
+            F.expr("(200 * coalesce(n_hits, 0) + 5) DIV 10").cast("long")
+            .alias("recall_pct"),
+        )
+        .orderBy("q_id")
+    )
+
+
+QUERIES["sim21_ivfpq_recall_eval"] = sim21_ivfpq_recall_eval
+
+_SIM21_IDOT = ("CAST(list_sum(list_transform(range(1, 65), "
+               "i -> q.q[i]*v.q[i])) AS BIGINT)")
+
+ORACLES["sim21_ivfpq_recall_eval"] = _int_ivfpq_sql(
+    _DIM, 4, 3, 4, 4, 2, 5, 3, tail=f""", approx AS (
+        SELECT q_id, vec_id FROM ranked WHERE rk <= 5
+    ), iexact AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q.vec_id AS q_id, v.vec_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_SIM21_IDOT} DESC, v.vec_id) AS rk
+            FROM qv v CROSS JOIN qv q
+            WHERE q.vec_id < 3
+        ) WHERE rk <= 5
+    ), h AS (
+        SELECT e.q_id, count(*) AS n_hits
+        FROM iexact e JOIN approx a
+          ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+        GROUP BY e.q_id
+    ), na AS (
+        SELECT q_id, count(*) AS n_approx FROM approx GROUP BY q_id
+    ), q0 AS (
+        SELECT vec_id AS q_id FROM qv WHERE vec_id < 3
+    )
+    SELECT q0.q_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(na.n_approx, 0) AS BIGINT) AS n_approx,
+           CAST((200 * coalesce(h.n_hits, 0) + 5) // 10 AS BIGINT)
+               AS recall_pct
+    FROM q0 LEFT JOIN h ON q0.q_id = h.q_id
+    LEFT JOIN na ON q0.q_id = na.q_id
+    ORDER BY q0.q_id""")

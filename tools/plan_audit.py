@@ -77,6 +77,9 @@ ALLOWED: dict[str, dict[str, str]] = {
                              "ADC probe)",
         "sim18_binary_hamming_topk": "3-row packed-signature query "
                                      "broadcast (two int64 lanes)",
+        "sim21_ivfpq_recall_eval": "3-row query-vector set broadcast "
+                                   "(the exact integer-dot ground-"
+                                   "truth side of the recall report)",
     },
     "ArrowEvalPython": {
         "j8_computed_key_join": "sha512/256 key: Arrow-batched codec in a "
