@@ -1540,3 +1540,35 @@ class TestMinhashPersistedIndex:
             with _pytest.raises(ValueError, match="version"):
                 D.probe_minhash_index(
                     docs.filter("doc_id % 2 = 1"), path)
+
+    def test_lifecycle_parity_across_configs(self, spark, tmp_path):
+        """Persisted == inline must hold for ANY index geometry, not
+        just the registered one: sweep (n_cells, m, kc, dim) configs
+        covering uneven cells, more subspaces, bigger codebooks and a
+        different dimensionality; each config round-trips through
+        save/load/probe and must match int_ivfpq_topk bit-for-bit."""
+        from mining_data_integration_spark.operators import (
+            similarity as S)
+
+        configs = [
+            (2, 2, 2, 8),     # the registered small shape
+            (3, 4, 2, 8),     # odd cell count, 4 subspaces of 2 dims
+            (4, 2, 4, 16),    # wider codebooks, higher dim
+        ]
+        for i, (n_cells, m, kc, dim) in enumerate(configs):
+            rows = [(j, [float(((j * 11 + d * 5) % 13) - 6)
+                         for d in range(dim)]) for j in range(30)]
+            emb = spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>")
+            q = emb.filter("vec_id < 2").select(
+                emb.vec_id.alias("q_id"), emb.embedding.alias("q_emb"))
+            inline = sorted(tuple(r) for r in S.int_ivfpq_topk(
+                emb, q, k=3, n_cells=n_cells, n_probe=2, m=m, kc=kc,
+                iters=2, dim=dim).collect())
+            path = str(tmp_path / f"idx{i}")
+            S.save_ivfpq_index(emb, path, n_cells=n_cells, m=m, kc=kc,
+                               iters=2, dim=dim)
+            idx = S.load_ivfpq_index(spark, path)
+            persisted = sorted(tuple(r) for r in S.ivfpq_probe_topk(
+                idx, q, k=3, n_probe=2).collect())
+            assert persisted == inline, (n_cells, m, kc, dim)
