@@ -1219,6 +1219,53 @@ def ivfpq_probe_topk(index: dict, queries: DataFrame, k: int = 5,
         meta["id_col"], q_id_col, q_vec_col, prune_partitions=True)
 
 
+def ivfpq_refine_topk(index: dict, emb: DataFrame, queries: DataFrame,
+                      k: int = 5, r: int = 15, n_probe: int = 3,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      q_id_col: str = "q_id",
+                      q_vec_col: str = "q_emb") -> DataFrame:
+    """Two-stage retrieval over a LOADED IVF-PQ index — the FAISS
+    IndexRefine shape every production ANN deployment ends up running:
+    the compressed index nominates r >> k candidates cheaply (ADC over
+    the probed cells, never touching raw vectors), then ONLY those
+    candidates are re-scored with the exact integer dot product
+    against the full-precision (int8) corpus and the top-k is taken on
+    the exact score. This recovers the recall the PQ approximation
+    loses while reading just |Q| x r raw vectors instead of the whole
+    corpus.
+
+    Scale shape: the candidate stage is sim19's statically-pruned
+    probe; the (q_id, id) candidate table is |Q| x r rows and is
+    BROADCAST against the corpus scan, so the refine stage is one
+    BroadcastHashJoin that prunes the 100 TB side down to candidate
+    rows before any scoring — no second full scan is ever shuffled.
+    Both stages are exact integer arithmetic end-to-end, so the whole
+    two-stage result stays value-hash checkable."""
+    meta = index["meta"]
+    cand = _ivfpq_probe(
+        index["codes"], index["cells"], index["codebooks"], queries,
+        r, n_probe, meta["m"], meta["sub"], meta["kc"],
+        meta["id_col"], q_id_col, q_vec_col, prune_partitions=True,
+    ).select(q_id_col, F.col(meta["id_col"]).alias(id_col))
+    emb_q = emb.select(
+        F.col(id_col), int8_quantize(F.col(vec_col)).alias("_qv"))
+    qq = queries.select(
+        F.col(q_id_col), int8_quantize(F.col(q_vec_col)).alias("_qq"))
+    scored = (
+        emb_q.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qq), q_id_col)
+        .select(q_id_col, id_col,
+                idot(F.col("_qq"), F.col("_qv")).alias("ip_exact"))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.desc("ip_exact"), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(q_id_col, id_col, "ip_exact", "rk")
+    )
+
+
 def int_pq_codebooks(data: DataFrame, m: int, sub: int, kc: int = 4,
                      iters: int = 2, id_col: str = "vec_id",
                      vec_col: str = "_res") -> list[list[list[int]]]:

@@ -1297,6 +1297,53 @@ QUERIES["sim21_ivfpq_recall_eval"] = sim21_ivfpq_recall_eval
 _SIM21_IDOT = ("CAST(list_sum(list_transform(range(1, 65), "
                "i -> q.q[i]*v.q[i])) AS BIGINT)")
 
+def sim22_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE retrieval (candidate generation + exact re-rank — the
+    FAISS IndexRefine production shape) over the PERSISTED sim19
+    index: the compressed index nominates r=15 candidates per query
+    via the statically-pruned ADC probe, then only those 45 candidate
+    vectors are re-scored with the exact integer dot product and the
+    top-5 is taken on the EXACT score (operators/similarity.
+    ivfpq_refine_topk: the candidate table broadcasts against the
+    corpus scan, so the refine never re-reads the corpus). Both
+    stages are exact integer arithmetic, so the composed two-stage
+    result is fully hash-checked: the DuckDB oracle replays
+    train+probe via _int_ivfpq_sql's tail hook, widens to rk<=15,
+    and re-ranks the candidates by the exact integer dot."""
+    import os
+
+    path = _ivfpq_index_path(sf_dir)
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    if not os.path.exists(os.path.join(path, "meta")):
+        S.save_ivfpq_index(emb, path, n_cells=4, m=4, kc=4, iters=2,
+                           dim=_DIM)
+    idx = S.load_ivfpq_index(spark, path)
+    return S.ivfpq_refine_topk(
+        idx, emb, _queries_df(spark, sf_dir), k=5, r=15, n_probe=3
+    ).orderBy("q_id", "rk")
+
+
+QUERIES["sim22_ivfpq_refined_topk"] = sim22_ivfpq_refined_topk
+
+ORACLES["sim22_ivfpq_refined_topk"] = _int_ivfpq_sql(
+    _DIM, 4, 3, 4, 4, 2, 5, 3, tail=f""", cand AS (
+        SELECT q_id, vec_id FROM ranked WHERE rk <= 15
+    ), rescored AS (
+        SELECT c.q_id, c.vec_id,
+               CAST(list_sum(list_transform(range(1, 65),
+                   i -> q.q[i]*v.q[i])) AS BIGINT) AS ip_exact
+        FROM cand c
+        JOIN qv v ON v.vec_id = c.vec_id
+        JOIN qv q ON q.vec_id = c.q_id
+    )
+    SELECT q_id, vec_id, ip_exact, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT q_id, vec_id, ip_exact,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY ip_exact DESC, vec_id) AS rk
+        FROM rescored
+    ) WHERE rk <= 5 ORDER BY q_id, rk""")
+
+
 ORACLES["sim21_ivfpq_recall_eval"] = _int_ivfpq_sql(
     _DIM, 4, 3, 4, 4, 2, 5, 3, tail=f""", approx AS (
         SELECT q_id, vec_id FROM ranked WHERE rk <= 5

@@ -1486,6 +1486,73 @@ class TestIvfpqPersistedLifecycle:
             "vec_id", "q_id", "q_emb").collect())
         assert got == want
 
+    def test_refine_reranks_candidates_exactly(self, spark, tmp_path):
+        """sim22: the refined top-k must equal re-ranking the probe's
+        r candidates by the exact integer dot, computed independently
+        in Python from the same int8 quantization — and every refined
+        row must come from the candidate set (two-stage containment)."""
+        from mining_data_integration_spark.operators import (
+            similarity as S)
+
+        rows, emb = self._emb(spark)
+        path = str(tmp_path / "idx")
+        S.save_ivfpq_index(emb, path, n_cells=2, m=2, kc=2, iters=2,
+                           dim=8)
+        idx = S.load_ivfpq_index(spark, path)
+        q = emb.filter("vec_id < 2").select(
+            emb.vec_id.alias("q_id"), emb.embedding.alias("q_emb"))
+        r, k = 6, 3
+        got = S.ivfpq_refine_topk(idx, emb, q, k=k, r=r,
+                                  n_probe=1).collect()
+        cand = S.ivfpq_probe_topk(idx, q, k=r, n_probe=1).collect()
+        cand_ids = {(c.q_id, c.vec_id) for c in cand}
+        assert all((g.q_id, g.vec_id) in cand_ids for g in got)
+
+        def quant(v):
+            mx = max(abs(x) for x in v)
+            if mx == 0:
+                return [0] * len(v)
+            import math
+            return [math.floor(x * 127.0 / mx + 0.5) for x in v]
+
+        qvecs = {i: quant(v) for i, v in rows}
+        want = []
+        for qid in (0, 1):
+            cs = [(c.vec_id,
+                   sum(a * b for a, b in zip(qvecs[qid],
+                                             qvecs[c.vec_id])))
+                  for c in cand if c.q_id == qid]
+            cs.sort(key=lambda t: (-t[1], t[0]))
+            want += [(qid, vid, ip, rk + 1)
+                     for rk, (vid, ip) in enumerate(cs[:k])]
+        assert sorted(tuple(g) for g in got) == sorted(want)
+
+    def test_refine_path_runs_no_training(self, spark, tmp_path,
+                                          monkeypatch):
+        """The sim22 two-stage path must run NO k-means: poison every
+        training entry point after the build; refine must still
+        produce the full result."""
+        from mining_data_integration_spark.operators import (
+            similarity as S)
+
+        rows, emb = self._emb(spark)
+        path = str(tmp_path / "idx")
+        S.save_ivfpq_index(emb, path, n_cells=2, m=2, kc=2, iters=2,
+                           dim=8)
+
+        def boom(*a, **k):
+            raise AssertionError("training ran on the refine path")
+
+        monkeypatch.setattr(S, "_ivfpq_train", boom)
+        monkeypatch.setattr(S, "int_ivf_centroids", boom)
+        monkeypatch.setattr(S, "int_pq_codebooks", boom)
+        q = emb.filter("vec_id < 2").select(
+            emb.vec_id.alias("q_id"), emb.embedding.alias("q_emb"))
+        idx = S.load_ivfpq_index(spark, path)
+        out = S.ivfpq_refine_topk(idx, emb, q, k=3, r=6,
+                                  n_probe=1).collect()
+        assert len(out) == 6 and all(r.ip_exact is not None for r in out)
+
 
 class TestMinhashPersistedIndex:
     """dd15: the persisted near-dup ingest index (build band buckets
