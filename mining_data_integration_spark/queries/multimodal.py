@@ -563,3 +563,55 @@ def _mix_oracle() -> str:
 
 
 ORACLES["mm12_codec_dispatch"] = _mix_oracle()
+
+
+def mm13_mjpeg_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame decode end-to-end — the VIDEO modality done
+    with an actual container + codec rather than the mm2 stub: every
+    doc_id becomes a genuine MJPEG AVI (Arrow encoder kernel — RIFF
+    'AVI ' envelope, hdrl/avih/strl stream headers, movi list of six
+    complete baseline-JPEG frames), and the decode kernel walks the
+    container with the from-scratch demuxer (operators/multimodal.
+    avi_parse_mjpeg), samples every 2nd frame and decodes it through
+    the injectable JPEG slot (jpeg_decode_gray) — one output row per
+    sampled frame, the 1->N fan-out inside the Arrow batch. Frame
+    rasters are flat even-valued 8x8 blocks (avi_frame_value), so the
+    lossy codec round-trips them bit-exactly and the oracle recomputes
+    every sampled frame's pixel sum in closed form; every 109th id
+    carries an avih frame count that disagrees with the movi payload
+    -> the demuxer rejects the lying header as a single ok=false row."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    media = docs.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        M.make_avi_media, "media_id bigint, payload binary")
+    return media.mapInPandas(
+        M.decode_avi_frames(M.jpeg_decode_gray), M.AVI_STATS_SCHEMA
+    ).orderBy("media_id", "frame_idx")
+
+
+QUERIES["mm13_mjpeg_avi_decode"] = mm13_mjpeg_avi_decode
+
+
+def _avi_sum_px() -> str:
+    """Closed-form sampled-frame pixel sum: each of the four 8x8
+    blocks of frame fi contributes 64 * avi_frame_value."""
+    return " + ".join(
+        f"64 * (2 * ((doc_id * 7 + fi * 11 + {bx} + 3 * {by}) % 128))"
+        for by in range(M.AVI_H // 8) for bx in range(M.AVI_W // 8))
+
+
+ORACLES["mm13_mjpeg_avi_decode"] = f"""
+    SELECT doc_id AS media_id, CAST(fi AS INTEGER) AS frame_idx,
+           CAST({M.AVI_W} AS INTEGER) AS width,
+           CAST({M.AVI_H} AS INTEGER) AS height,
+           CAST({_avi_sum_px()} AS BIGINT) AS sum_px,
+           TRUE AS ok
+    FROM documents,
+         (SELECT unnest(range(0, {M.AVI_N_FRAMES},
+                              {M.AVI_FRAME_STRIDE})) AS fi) f
+    WHERE doc_id % {M.AVI_POISON_EVERY} <> 0
+    UNION ALL
+    SELECT doc_id AS media_id, NULL AS frame_idx, NULL AS width,
+           NULL AS height, NULL AS sum_px, FALSE AS ok
+    FROM documents WHERE doc_id % {M.AVI_POISON_EVERY} = 0
+    ORDER BY media_id, frame_idx
+"""

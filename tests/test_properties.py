@@ -330,6 +330,79 @@ class TestGifLzwProperties:
         assert M.gif_decode_gray(enc) == (128, 64, raw)
 
 
+class TestAviMjpegProperties:
+    """MJPEG-in-AVI (mm13): the container mux/demux is byte-exact for
+    ARBITRARY frame payloads (including odd lengths — RIFF word
+    alignment), a header that lies about the frame count must be
+    rejected, truncation must raise, and the oracle's load-bearing
+    fact holds: every sampled fixture frame decodes to its closed-form
+    pixel sum."""
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.binary(min_size=0, max_size=40), min_size=0,
+                    max_size=8))
+    def test_container_roundtrip(self, frames):
+        from mining_data_integration_spark.operators import multimodal as M
+        avi = M.avi_encode_mjpeg(frames, 16, 16)
+        assert M.avi_parse_mjpeg(avi) == (16, 16, frames)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(st.binary(min_size=1, max_size=40), min_size=1,
+                    max_size=6),
+           st.integers(-3, 3).filter(lambda d: d != 0))
+    def test_lying_frame_count_raises(self, frames, delta):
+        import pytest as _pytest
+        from mining_data_integration_spark.operators import multimodal as M
+        if len(frames) + delta < 0:
+            delta = -len(frames)
+            if delta == 0:
+                return
+        avi = M.avi_encode_mjpeg(frames, 16, 16,
+                                 declared_frames=len(frames) + delta)
+        with _pytest.raises(ValueError, match="frames"):
+            M.avi_parse_mjpeg(avi)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(st.binary(min_size=8, max_size=40), min_size=1,
+                    max_size=4),
+           st.integers(1, 24))
+    def test_truncation_raises(self, frames, cut):
+        import pytest as _pytest
+        from mining_data_integration_spark.operators import multimodal as M
+        avi = M.avi_encode_mjpeg(frames, 16, 16)
+        with _pytest.raises(ValueError):
+            M.avi_parse_mjpeg(avi[:-cut])
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.integers(0, 10 ** 6))
+    def test_fixture_frames_decode_to_closed_form(self, mid):
+        from mining_data_integration_spark.operators import multimodal as M
+        frames = []
+        for f in range(M.AVI_N_FRAMES):
+            raw = bytearray(M.AVI_W * M.AVI_H)
+            for by in range(M.AVI_H // 8):
+                for bx in range(M.AVI_W // 8):
+                    v = M.avi_frame_value(mid, f, bx, by)
+                    for y in range(8):
+                        row = (by * 8 + y) * M.AVI_W + bx * 8
+                        raw[row:row + 8] = bytes([v] * 8)
+            frames.append(M.jpeg_encode_gray(bytes(raw), M.AVI_W, M.AVI_H))
+        _, _, parsed = M.avi_parse_mjpeg(
+            M.avi_encode_mjpeg(frames, M.AVI_W, M.AVI_H))
+        for fi in range(0, M.AVI_N_FRAMES, M.AVI_FRAME_STRIDE):
+            w, h, pix = M.jpeg_decode_gray(parsed[fi])
+            want = sum(64 * M.avi_frame_value(mid, fi, bx, by)
+                       for by in range(M.AVI_H // 8)
+                       for bx in range(M.AVI_W // 8))
+            assert (w, h, sum(pix)) == (M.AVI_W, M.AVI_H, want)
+
+    def test_decode_avi_frames_requires_injection(self):
+        import pytest as _pytest
+        from mining_data_integration_spark.operators import multimodal as M
+        with _pytest.raises(NotImplementedError):
+            M.decode_avi_frames()
+
+
 class TestAdpcmProperties:
     """IMA-ADPCM (mm11): predictive coding's defining closure is that
     encoder and decoder run the SAME predictor, so decode(encode(x))

@@ -117,6 +117,10 @@ ALLOWED: dict[str, dict[str, str]] = {
                                "dispatch decode ARE the operator "
                                "(two Arrow stages over all four "
                                "codec families)",
+        "mm13_mjpeg_avi_decode": "real AVI mux + demux/frame-sample/"
+                                 "JPEG decode ARE the operator (two "
+                                 "Arrow stages through the "
+                                 "injectable codec slot)",
     },
     "Exchange SinglePartition": {
         # bounded-row global sorts/windows: the rows reaching the
