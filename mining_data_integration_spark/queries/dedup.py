@@ -773,9 +773,14 @@ QUERIES["dd15_persisted_lsh_probe"] = dd15_persisted_lsh_probe
 
 
 def _lsh_probe_sql(n: int = 3, num_hashes: int = 16,
-                   bands: int = 4) -> str:
+                   bands: int = 4, tail: str | None = None) -> str:
     """Replay of dd15: the _minhash_band_sql signature chain over ALL
-    documents, then new (odd) x corpus (even) bucket matches."""
+    documents, then new (odd) x corpus (even) bucket matches. `tail`
+    replaces the default final SELECT with caller SQL appended after
+    the `stacked` CTE (None leaves the generated SQL byte-identical
+    to the pre-parameter version — the dd15 oracle is unchanged);
+    the st9 streaming-ingest report composes its per-doc aggregate
+    through it."""
     from ..operators.dedup import MERSENNE31 as P, uh_params
 
     rows = num_hashes // bands
@@ -801,18 +806,20 @@ def _lsh_probe_sql(n: int = 3, num_hashes: int = 16,
             f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
         band_exprs.append(f"md5({parts}) AS band{b}")
     buckets = ", ".join(f"'{b}:' || band{b}" for b in range(bands))
-    return f"""
-        WITH sh AS ({_duck_shingles(n)}),
-        hv AS (SELECT id, shingle, {segs} FROM sh),
-        sigs AS (SELECT id, {mins} FROM hv GROUP BY id),
-        banded AS (SELECT id, {', '.join(band_exprs)} FROM sigs),
-        stacked AS (SELECT id, unnest([{buckets}]) AS bucket FROM banded)
+    default_tail = """
         SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
         FROM stacked n JOIN stacked c
           ON n.bucket = c.bucket
         WHERE n.id % 2 = 1 AND c.id % 2 = 0
         ORDER BY new_id, corpus_id
     """
+    return f"""
+        WITH sh AS ({_duck_shingles(n)}),
+        hv AS (SELECT id, shingle, {segs} FROM sh),
+        sigs AS (SELECT id, {mins} FROM hv GROUP BY id),
+        banded AS (SELECT id, {', '.join(band_exprs)} FROM sigs),
+        stacked AS (SELECT id, unnest([{buckets}]) AS bucket FROM banded)\
+""" + (tail if tail is not None else default_tail)
 
 
 ORACLES["dd15_persisted_lsh_probe"] = _lsh_probe_sql(3, 16, 4)

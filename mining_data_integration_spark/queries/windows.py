@@ -2083,3 +2083,84 @@ def _w28_oracle() -> str:
 
 
 ORACLES["w28_autocorrelation"] = _w28_oracle()
+
+
+def st9_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest near-dup screening against the PERSISTED
+    MinHash index — the dd15 lifecycle driven by the real micro-batch
+    engine: the corpus half (even doc_ids, dd15's shared artifact) is
+    indexed once; the odd half arrives as a FILE STREAM and each
+    micro-batch is band-bucketed with the index's recorded parameters,
+    broadcast-joined against the bucket scan and reduced to a per-doc
+    novelty report appended to parquet (streaming.stream_ingest_dedup
+    via foreachBatch — so the stream pays O(batch) per trigger and
+    never re-signs the corpus). The returned DataFrame reads the
+    report the stream wrote, so the driver hash-compares an actual
+    Structured Streaming run against the batch SQL replay — the
+    stream/batch parity discipline of st1-st8 applied to the persisted
+    dedup index."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..streaming import stream_ingest_dedup
+    from .dedup import _lsh_index_path
+
+    index_path = _lsh_index_path(sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    if not os.path.exists(os.path.join(index_path, "meta")):
+        from ..operators import dedup as D
+        from ._util import spread
+        D.save_minhash_index(
+            spread(docs, "doc_id").filter(F.col("doc_id") % 2 == 0),
+            index_path, n=3, num_hashes=16, bands=4)
+
+    src_dir = _stream_dir(sf_dir, "documents")
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema).parquet(src_dir)
+        .filter(F.col("doc_id") % 2 == 1)
+    )
+    run = uuid.uuid4().hex[:12]
+    out_dir = os.path.join(tempfile.gettempdir(),
+                           f"sg_st9_out_{run}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"sg_st9_ckpt_{run}")
+    q = (
+        stream_ingest_dedup(stream, index_path, out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).orderBy("new_id")
+
+
+QUERIES["st9_stream_ingest_dedup"] = st9_stream_ingest_dedup
+
+
+def _st9_oracle() -> str:
+    from .dedup import _lsh_probe_sql
+
+    return _lsh_probe_sql(3, 16, 4, tail="""
+        , pairs AS (
+            SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
+            FROM stacked n JOIN stacked c
+              ON n.bucket = c.bucket
+            WHERE n.id % 2 = 1 AND c.id % 2 = 0
+        ), agg AS (
+            SELECT new_id, count(*) AS n_candidates,
+                   min(corpus_id) AS first_match
+            FROM pairs GROUP BY new_id
+        )
+        SELECT d.doc_id AS new_id,
+               CAST(coalesce(a.n_candidates, 0) AS BIGINT)
+                   AS n_candidates,
+               CAST(a.first_match AS BIGINT) AS first_match,
+               coalesce(a.n_candidates, 0) = 0 AS is_novel
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.new_id
+        WHERE d.doc_id % 2 = 1
+        ORDER BY new_id
+    """)
+
+
+ORACLES["st9_stream_ingest_dedup"] = _st9_oracle()

@@ -309,3 +309,49 @@ def stream_stream_band_join_outer(left: DataFrame, right: DataFrame,
         key_col, "l_event_id", "r_event_id",
         (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("delta_us"),
     )
+
+
+def stream_ingest_dedup(stream_docs: DataFrame, index_path: str,
+                        out_dir: str, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """Streaming ingest near-dup screening against the PERSISTED
+    MinHash band-bucket index (operators/dedup.save_minhash_index —
+    the dd15 artifact): each micro-batch of incoming documents is
+    band-bucketed with the index's RECORDED signature parameters,
+    broadcast-joined against the bucket scan
+    (operators/dedup.probe_minhash_index), and reduced to a per-doc
+    novelty report appended to `out_dir`:
+
+        (new_id, n_candidates, first_match, is_novel)
+
+    — route is_novel rows onward, hold candidates for review. This is
+    the production shape of continuous corpus ingest: the corpus-sized
+    shingle+signature pass happened ONCE at index build; the stream
+    pays O(batch) per trigger forever after. The probe is a plain
+    batch job per micro-batch (foreachBatch), so the full dedup
+    operator surface composes without streaming-aggregation
+    restrictions, and the parquet append makes each batch's report
+    atomic at file granularity. Returns the DataStreamWriter — caller
+    picks the trigger and checkpoint."""
+    from .operators.dedup import probe_minhash_index
+
+    def batch_fn(batch_df: DataFrame, _batch_id: int) -> None:
+        pairs = probe_minhash_index(batch_df, index_path, text_col,
+                                    id_col)
+        agg = pairs.groupBy("new_id").agg(
+            F.count("*").alias("_n"),
+            F.min("corpus_id").alias("_first"))
+        report = (
+            batch_df.select(F.col(id_col).alias("new_id"))
+            .join(agg, "new_id", "left")
+            .select(
+                "new_id",
+                F.coalesce("_n", F.lit(0)).cast("long")
+                .alias("n_candidates"),
+                F.col("_first").cast("long").alias("first_match"),
+                (F.coalesce("_n", F.lit(0)) == 0).alias("is_novel"),
+            )
+        )
+        report.write.mode("append").parquet(out_dir)
+
+    return stream_docs.writeStream.foreachBatch(batch_fn)

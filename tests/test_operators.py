@@ -1639,3 +1639,45 @@ class TestMinhashPersistedIndex:
             persisted = sorted(tuple(r) for r in S.ivfpq_probe_topk(
                 idx, q, k=3, n_probe=2).collect())
             assert persisted == inline, (n_cells, m, kc, dim)
+
+    def test_stream_ingest_report_matches_batch_probe(
+            self, spark, tmp_path):
+        """st9: the novelty report a genuine Structured Streaming run
+        (foreachBatch over a file stream) appends must equal the
+        batch probe + aggregate over the same ingest docs — stream/
+        batch parity for the persisted-index lifecycle."""
+        from pyspark.sql import functions as F
+
+        from mining_data_integration_spark.streaming import (
+            stream_ingest_dedup)
+
+        docs = self._docs(spark)
+        src = str(tmp_path / "src")
+        docs.write.parquet(src)
+        idx_path = str(tmp_path / "lshidx")
+        D.save_minhash_index(docs.filter("doc_id % 2 = 0"), idx_path,
+                             n=3, num_hashes=16, bands=4)
+        stream = (
+            spark.readStream.schema(docs.schema).parquet(src)
+            .filter(F.col("doc_id") % 2 == 1)
+        )
+        out = str(tmp_path / "report")
+        q = (stream_ingest_dedup(stream, idx_path, out)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+        pairs = D.probe_minhash_index(
+            docs.filter("doc_id % 2 = 1"), idx_path).collect()
+        by_new: dict[int, list[int]] = {}
+        for r in pairs:
+            by_new.setdefault(r.new_id, []).append(r.corpus_id)
+        want = sorted(
+            (int(r.doc_id), len(by_new.get(r.doc_id, [])),
+             min(by_new[r.doc_id]) if r.doc_id in by_new else None,
+             r.doc_id not in by_new)
+            for r in docs.filter("doc_id % 2 = 1").collect())
+        assert got == want
+        assert any(not w[3] for w in want)   # real candidates flowed
+        assert any(w[3] for w in want)       # and real novelty too
