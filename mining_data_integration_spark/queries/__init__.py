@@ -54,7 +54,7 @@ _REVERIFY_FIRST = (
     # were refactored this round (sim17 now routes through the shared
     # _ivfpq_train/_ivfpq_probe halves that sim19 persists)
     "sim22_ivfpq_refined_topk", "mm13_mjpeg_avi_decode",
-    "st9_stream_ingest_dedup",
+    "st9_stream_ingest_dedup", "j20_bucketed_colocated_join",
     "sim19_ivfpq_persisted_topk", "sim20_ivfpq_append_probe",
     "sim21_ivfpq_recall_eval",
     "dd15_persisted_lsh_probe", "dd3_minhash_lsh",

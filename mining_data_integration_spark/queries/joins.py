@@ -814,3 +814,100 @@ ORACLES["j19_null_safe_join"] = """
     SELECT 'plain_equi', count(*) FROM c JOIN n ON c.nk = n.nk2
     ORDER BY flavor
 """
+
+
+def _j20_bucketed_tables(spark: SparkSession, sf_dir: str) \
+        -> tuple[str, str]:
+    """Build-once bucketed layout for the j20 fact-fact join — the
+    third persisted-layout lifecycle beside the ANN index (sim19) and
+    the LSH index (dd15): orders and lineitem are each written ONCE as
+    bucketed tables on the join key with the same bucket count
+    (io.write_bucketed), and every later join on that key runs with NO
+    shuffle exchange — at 100 TB this converts the biggest recurring
+    shuffle in the warehouse into a one-time layout cost. Rebuilds
+    only when the catalog lacks the tables (per-process path + table
+    names, so concurrent sweeps never race on one location; the
+    catalog check makes repeat queries in a session free)."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    ot = f"sg_j20_orders_pid{os.getpid()}_{fp}"
+    lt = f"sg_j20_lineitem_pid{os.getpid()}_{fp}"
+    if not (spark.catalog.tableExists(ot)
+            and spark.catalog.tableExists(lt)):
+        import shutil
+
+        from ..io import write_bucketed
+
+        root = "/tmp/sg_bucketed"
+        # self-cleaning layout: the dir name carries the owner pid, so
+        # a build can reap layouts whose process is gone (kill(pid, 0)
+        # raising) without ever touching a live sweep's tables
+        if os.path.isdir(root):
+            for d in os.listdir(root):
+                if not d.startswith("pid"):
+                    continue
+                try:
+                    pid = int(d[3:].split("_", 1)[0])
+                    os.kill(pid, 0)
+                except ValueError:
+                    continue
+                except OSError:
+                    shutil.rmtree(os.path.join(root, d),
+                                  ignore_errors=True)
+        base = f"{root}/pid{os.getpid()}_{fp}"
+        write_bucketed(
+            t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority"),
+            ot, "o_orderkey", 8, path=f"{base}/orders")
+        write_bucketed(
+            t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount"),
+            lt, "l_orderkey", 8, path=f"{base}/lineitem")
+    return ot, lt
+
+
+def j20_bucketed_colocated_join(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-fact join over a BUCKETED layout: orders and
+    lineitem are bucketed on the join key with the same bucket count
+    (built once per corpus, _j20_bucketed_tables), so the sort-merge
+    join reads co-located buckets directly — the ONLY exchange in the
+    whole plan is the O(groups) aggregate shuffle, pinned in
+    tests/test_plans.py. The merge hint forces the SMJ so the
+    demonstration doesn't silently degrade to a broadcast at test
+    scale (at 100 TB neither side broadcasts). Revenue per order
+    priority, j1's exact-decimal money discipline."""
+    ot, lt = _j20_bucketed_tables(spark, sf_dir)
+    o = spark.table(ot)
+    li = spark.table(lt)
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            money(
+                dec_sum(F.col("l_extendedprice")
+                        * (1 - F.col("l_discount")), 4)
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES["j20_bucketed_colocated_join"] = j20_bucketed_colocated_join
+
+ORACLES["j20_bucketed_colocated_join"] = """
+    SELECT o_orderpriority,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""

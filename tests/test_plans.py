@@ -109,6 +109,20 @@ class TestPlanProperties:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
 
+    def test_j20_join_below_all_exchanges(self, spark, queries):
+        """j20: the bucketed fact-fact join itself must be
+        exchange-free — both SMJ inputs read co-located buckets
+        straight off the scan; the only exchanges sit ABOVE the join
+        (the O(groups) aggregate + the 5-row final sort). In the
+        formatted tree that means every Exchange line precedes the
+        SortMergeJoin line, and no broadcast was silently substituted."""
+        df = queries["j20_bucketed_colocated_join"](spark, SF)
+        tree = plans.formatted_plan(df).split("\n\n")[0]
+        assert "SortMergeJoin" in tree
+        assert "BroadcastExchange" not in tree
+        assert tree.rindex("Exchange") < tree.index("SortMergeJoin"), \
+            f"exchange below the bucketed join:\n{tree}"
+
     def test_mm1_prunes_before_decode(self, spark, queries):
         # metadata width-filter must run before the mapInPandas decode
         df = queries["mm1_feature_extract"](spark, SF)
