@@ -140,3 +140,57 @@ def triangle_stats(pairs: DataFrame, a_col: str = "a",
     return (nodes.crossJoin(F.broadcast(counts))
             .crossJoin(F.broadcast(tri))
             .select("n_nodes", "n_edges", "n_wedges", "n_triangles"))
+
+
+def min_label_components(edges: DataFrame, iterations: int = 6) -> DataFrame:
+    """Synchronous min-label propagation over an undirected edge list —
+    the distributed connected-components kernel: every round each node
+    takes the minimum label among itself and its neighbors, so after
+    k rounds a node's label is the smallest node id within graph
+    distance k, and once k reaches the component diameter labels ARE
+    the connected components (pinned by the convergence unit test on
+    the registered graph; the label sequence itself is deterministic
+    at ANY k, which is what the SQL oracle replays round-for-round).
+
+    edges: (u bigint, v bigint), one row per undirected edge.
+    Returns (n, comp).
+
+    Scale shape: each round is one shuffle-join of the symmetrized
+    edge list against the O(nodes) label table plus a groupBy-min —
+    the textbook BSP round, with `localCheckpoint(eager=False)`
+    truncating lineage so the plan stays constant-size in k (the g1
+    discipline). Rounds needed equal the component diameter; for
+    diameter-unbounded graphs the O(log n) upgrade is the alternating
+    large-star/small-star contraction, which swaps this kernel's
+    neighbor-min for star re-attachment but keeps the same
+    join+groupBy round structure."""
+    sym = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"),
+                            F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        sym.select(F.col("u").alias("n")).distinct()
+        .withColumn("comp", F.col("n"))
+    )
+    for _ in range(iterations):
+        nbr = (
+            sym.join(labels.select(F.col("n").alias("_vn"), "comp"),
+                     F.col("v") == F.col("_vn"))
+            .groupBy("u")
+            .agg(F.min("comp").alias("_nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, labels["n"] == nbr["u"], "left")
+            .select(
+                labels["n"],
+                F.least(
+                    F.col("comp"),
+                    F.coalesce(F.col("_nbr_min"), F.col("comp")),
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -155,3 +155,85 @@ ORACLES["g2_triangle_census"] = """
            n_triangles
     FROM tri
 """
+
+
+G3_ITERATIONS = 6
+
+
+def g3_label_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the SPARSE part-supplier supply graph
+    by synchronous min-label propagation (operators/graph.
+    min_label_components, 6 BSP rounds — each one shuffle-join +
+    groupBy-min): the bipartite graph keeps every (part, supplier)
+    lineitem pair with (l_partkey*7 + l_suppkey) % 5 = 0, parts on
+    even node ids and suppliers on odd, so unlike g1/g2's dense
+    25-nation graph it genuinely fragments into supply islands.
+    Output is the per-component rollup (size, part/supplier split,
+    id range) a supply-chain or corpus-clustering report reads. The
+    DuckDB oracle replays all 6 rounds in chained MATERIALIZED CTEs —
+    the hash checks the exact label sequence, so it stays green at
+    any k; convergence to true components on this graph is pinned
+    separately by the unit test."""
+    from ..operators.graph import min_label_components
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = (
+        li.filter((F.col("l_partkey") * 7 + F.col("l_suppkey")) % 5 == 0)
+        .select((F.col("l_partkey").cast("long") * 2).alias("u"),
+                (F.col("l_suppkey").cast("long") * 2 + 1).alias("v"))
+        .distinct()
+    )
+    labels = min_label_components(edges, iterations=G3_ITERATIONS)
+    return (
+        labels.groupBy("comp")
+        .agg(F.count("*").cast("long").alias("n_nodes"),
+             F.sum((F.col("n") % 2 == 0).cast("long")).alias("n_parts"),
+             F.sum((F.col("n") % 2 == 1).cast("long"))
+             .alias("n_suppliers"),
+             F.max("n").cast("long").alias("max_node"))
+        .orderBy("comp")
+    )
+
+
+QUERIES["g3_label_components"] = g3_label_components
+
+
+def _g3_oracle() -> str:
+    steps = []
+    prev = "r0"
+    for i in range(1, G3_ITERATIONS + 1):
+        steps.append(f"""
+    , r{i} AS MATERIALIZED (
+        SELECT p.n,
+               least(p.comp, coalesce(t.m, p.comp)) AS comp
+        FROM {prev} p LEFT JOIN (
+            SELECT s.u, min(r.comp) AS m
+            FROM sym s JOIN {prev} r ON s.v = r.n
+            GROUP BY s.u
+        ) t ON p.n = t.u
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH edges AS MATERIALIZED (
+        SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS u,
+               CAST(l_suppkey AS BIGINT) * 2 + 1 AS v
+        FROM lineitem
+        WHERE (l_partkey * 7 + l_suppkey) % 5 = 0
+    ), sym AS MATERIALIZED (
+        SELECT u, v FROM edges UNION SELECT v, u FROM edges
+    ), r0 AS MATERIALIZED (
+        SELECT n, n AS comp FROM (
+            SELECT DISTINCT u AS n FROM sym
+        )
+    ){''.join(steps)}
+    SELECT comp, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(CASE WHEN n % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_parts,
+           CAST(sum(CASE WHEN n % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_suppliers,
+           CAST(max(n) AS BIGINT) AS max_node
+    FROM {prev} GROUP BY comp ORDER BY comp
+"""
+
+
+ORACLES["g3_label_components"] = _g3_oracle()

@@ -1266,6 +1266,48 @@ def test_changelog_apply_latest_wins(spark):
     assert out[1].dig == dig(docs[1])
 
 
+def test_min_label_components_hand_checked(spark):
+    """Three known components: a path 1-2-3 (diameter 2), an isolated
+    edge 10-11, and a 4-cycle 20-21-22-23. Min-label propagation at
+    k >= diameter must label each node with its component minimum."""
+    from mining_data_integration_spark.operators.graph import (
+        min_label_components)
+
+    raw = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23),
+           (23, 20)]
+    edges = spark.createDataFrame(raw, "u long, v long")
+    got = {(r.n, r.comp)
+           for r in min_label_components(edges, iterations=3).collect()}
+    want = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+            (20, 20), (21, 20), (22, 20), (23, 20)}
+    assert got == want
+
+
+def test_g3_six_rounds_converge_on_registered_graph(spark):
+    """The g3 query runs 6 propagation rounds; on the registered
+    part-supplier graph that must be past the component diameter —
+    round 7 changes no label (so the reported rollup IS the true
+    connected-components rollup, not a truncated propagation)."""
+    from pyspark.sql import functions as F
+
+    from mining_data_integration_spark.operators.graph import (
+        min_label_components)
+    from mining_data_integration_spark.queries._util import t
+
+    li = t(spark, "/root/testdata/sf0.001", "lineitem")
+    edges = (
+        li.filter((F.col("l_partkey") * 7 + F.col("l_suppkey")) % 5 == 0)
+        .select((F.col("l_partkey").cast("long") * 2).alias("u"),
+                (F.col("l_suppkey").cast("long") * 2 + 1).alias("v"))
+        .distinct()
+    )
+    l6 = {(r.n, r.comp)
+          for r in min_label_components(edges, iterations=6).collect()}
+    l7 = {(r.n, r.comp)
+          for r in min_label_components(edges, iterations=7).collect()}
+    assert l6 == l7 and l6
+
+
 def test_triangle_stats_hand_checked(spark):
     """Square 1-2-3-4 with one diagonal (1,3): exactly 2 triangles,
     5 edges, wedges = sum C(deg,2) = C(3,2)*2 + C(2,2)*2 = 8. Input
