@@ -646,3 +646,67 @@ ORACLES["u6_format_roundtrip"] = """
     FROM src, unnest(['csv', 'json', 'orc', 'parquet']) AS u(fmt)
     ORDER BY fmt
 """
+
+
+def u7_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read audit — the data-lake reality every
+    long-lived corpus hits: generation 1 of a dataset was written
+    without a `quality` column (even doc_ids), generation 2 added it
+    (odd doc_ids, quality = (doc_id*13) % 100); both live under one
+    dataset root as gen=N directories. The read side exercises TWO
+    lake mechanisms at once: partition DISCOVERY (the gen=N path
+    fragment becomes a queryable column) and mergeSchema (the union
+    schema is reconciled across file generations, v1 rows surfacing
+    NULL quality). The report per generation — row count, quality
+    nulls, quality sum — is what a migration owner checks before
+    backfilling. Eager-and-clean per the u6 discipline (bounded 2-row
+    result collected, scratch removed before return; same
+    plan-audit-vacuous caveat as u6's docstring)."""
+    import shutil
+    import tempfile
+
+    docs = t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="sg_schema_evo_")
+    try:
+        (docs.filter(F.col("doc_id") % 2 == 0)
+         .select("doc_id", "source")
+         .write.mode("overwrite").parquet(f"{tmp}/data/gen=1"))
+        (docs.filter(F.col("doc_id") % 2 == 1)
+         .select("doc_id", "source",
+                 ((F.col("doc_id") * 13) % 100).cast("long")
+                 .alias("quality"))
+         .write.mode("overwrite").parquet(f"{tmp}/data/gen=2"))
+        merged = (spark.read.option("mergeSchema", True)
+                  .parquet(f"{tmp}/data"))
+        out = (
+            merged.groupBy(F.col("gen").cast("int").alias("gen"))
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.sum(F.col("quality").isNull().cast("long"))
+                 .alias("n_null_quality"),
+                 F.coalesce(F.sum("quality"), F.lit(0)).cast("long")
+                 .alias("sum_quality"))
+            .orderBy("gen")
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema).orderBy("gen")
+
+
+QUERIES["u7_schema_evolution"] = u7_schema_evolution
+
+ORACLES["u7_schema_evolution"] = """
+    SELECT CAST(1 AS INTEGER) AS gen,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_null_quality,
+           CAST(0 AS BIGINT) AS sum_quality
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT CAST(2 AS INTEGER),
+           CAST(count(*) AS BIGINT),
+           CAST(0 AS BIGINT),
+           CAST(sum((doc_id * 13) % 100) AS BIGINT)
+    FROM documents WHERE doc_id % 2 = 1
+    ORDER BY gen
+"""
