@@ -1204,17 +1204,30 @@ def load_ivfpq_index(spark, path: str) -> dict:
 
 def ivfpq_probe_topk(index: dict, queries: DataFrame, k: int = 5,
                      n_probe: int = 2, q_id_col: str = "q_id",
-                     q_vec_col: str = "q_emb") -> DataFrame:
+                     q_vec_col: str = "q_emb",
+                     codes_filter=None) -> DataFrame:
     """Probe a LOADED IVF-PQ index (load_ivfpq_index) — NO training
     runs here: cells and codebooks are already driver literals, and
     the only distributed input is the cell-partitioned codes scan,
     statically pruned to the probed cells (prune_partitions=True).
     Bit-identical to int_ivfpq_topk at equal parameters because both
     run _ivfpq_train/_ivfpq_probe — the persistence layer adds only a
-    parquet round-trip of exact integers."""
+    parquet round-trip of exact integers.
+
+    `codes_filter` (an optional Column predicate over the codes
+    schema) is FILTERED SEARCH — the attribute-constrained ANN every
+    production vector store exposes: the predicate restricts
+    candidates BEFORE ADC scoring and ranking (pre-filter strategy),
+    so the top-k is taken over the allowed subset rather than
+    post-filtering an unconstrained top-k down to fewer than k
+    survivors. The filter lands on the parquet codes scan, composing
+    with the static cell pruning."""
     meta = index["meta"]
+    codes = index["codes"]
+    if codes_filter is not None:
+        codes = codes.filter(codes_filter)
     return _ivfpq_probe(
-        index["codes"], index["cells"], index["codebooks"], queries,
+        codes, index["cells"], index["codebooks"], queries,
         k, n_probe, meta["m"], meta["sub"], meta["kc"],
         meta["id_col"], q_id_col, q_vec_col, prune_partitions=True)
 

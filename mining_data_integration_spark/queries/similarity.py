@@ -1344,6 +1344,46 @@ ORACLES["sim22_ivfpq_refined_topk"] = _int_ivfpq_sql(
     ) WHERE rk <= 5 ORDER BY q_id, rk""")
 
 
+def sim23_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search over the persisted sim19 index — the
+    attribute-constrained ANN every production vector store exposes
+    (FAISS IDSelector / metadata-filter parity): only vectors with
+    vec_id % 3 = 0 are eligible, and the predicate restricts
+    candidates BEFORE ADC scoring and ranking (pre-filter strategy:
+    the top-5 is taken over the allowed subset, NOT an unconstrained
+    top-5 post-filtered down to fewer survivors — the distinction that
+    decides recall under selective filters). The predicate lands on
+    the cell-partitioned codes scan, composing with static cell
+    pruning; no training runs. The oracle replays train+probe via the
+    _int_ivfpq_sql tail hook and applies the same predicate to the
+    scored candidates before ranking."""
+    import os
+
+    path = _ivfpq_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "meta")):
+        emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+        S.save_ivfpq_index(emb, path, n_cells=4, m=4, kc=4, iters=2,
+                           dim=_DIM)
+    idx = S.load_ivfpq_index(spark, path)
+    return S.ivfpq_probe_topk(
+        idx, _queries_df(spark, sf_dir), k=5, n_probe=3,
+        codes_filter=F.col("vec_id") % 3 == 0,
+    ).orderBy("q_id", "rk")
+
+
+QUERIES["sim23_ivfpq_filtered_topk"] = sim23_ivfpq_filtered_topk
+
+ORACLES["sim23_ivfpq_filtered_topk"] = _int_ivfpq_sql(
+    _DIM, 4, 3, 4, 4, 2, 5, 3, tail=""", fr AS (
+        SELECT q_id, vec_id, ip_q8,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY ip_q8 DESC, vec_id) AS rk
+        FROM scored WHERE vec_id % 3 = 0
+    )
+    SELECT q_id, vec_id, ip_q8, CAST(rk AS BIGINT) AS rk
+    FROM fr WHERE rk <= 5 ORDER BY q_id, rk""")
+
+
 ORACLES["sim21_ivfpq_recall_eval"] = _int_ivfpq_sql(
     _DIM, 4, 3, 4, 4, 2, 5, 3, tail=f""", approx AS (
         SELECT q_id, vec_id FROM ranked WHERE rk <= 5

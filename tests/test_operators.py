@@ -1595,6 +1595,41 @@ class TestIvfpqPersistedLifecycle:
                                   n_probe=1).collect()
         assert len(out) == 6 and all(r.ip_exact is not None for r in out)
 
+    def test_filtered_probe_is_prefilter_not_postfilter(
+            self, spark, tmp_path):
+        """sim23: codes_filter must restrict candidates BEFORE
+        ranking — every returned id satisfies the predicate, each
+        query still gets a full k rows, and the result equals probing
+        an index whose codes frame was filtered by hand (while a
+        post-filter of the unconstrained top-k would generally return
+        fewer rows)."""
+        from pyspark.sql import functions as F
+
+        from mining_data_integration_spark.operators import (
+            similarity as S)
+
+        rows, emb = self._emb(spark)
+        path = str(tmp_path / "idx")
+        S.save_ivfpq_index(emb, path, n_cells=2, m=2, kc=2, iters=2,
+                           dim=8)
+        idx = S.load_ivfpq_index(spark, path)
+        q = emb.filter("vec_id < 2").select(
+            emb.vec_id.alias("q_id"), emb.embedding.alias("q_emb"))
+        pred = F.col("vec_id") % 3 == 0
+        got = S.ivfpq_probe_topk(idx, q, k=3, n_probe=2,
+                                 codes_filter=pred).collect()
+        assert len(got) == 6
+        assert all(r.vec_id % 3 == 0 for r in got)
+        by_hand = dict(idx)
+        by_hand["codes"] = idx["codes"].filter(pred)
+        want = S.ivfpq_probe_topk(by_hand, q, k=3, n_probe=2).collect()
+        assert sorted(tuple(r) for r in got) \
+            == sorted(tuple(r) for r in want)
+        # a post-filter of the unconstrained top-3 keeps fewer rows
+        # on this fixture — the semantics genuinely differ
+        unf = S.ivfpq_probe_topk(idx, q, k=3, n_probe=2).collect()
+        assert sum(1 for r in unf if r.vec_id % 3 == 0) < len(got)
+
 
 class TestMinhashPersistedIndex:
     """dd15: the persisted near-dup ingest index (build band buckets
