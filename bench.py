@@ -51,6 +51,10 @@ EXTENDED = [
     "st6_stream_sessionize",   # genuine streaming session windows
     "mm9_jpeg_decode",         # r6: real baseline-JPEG encode+decode
     "e1_mining_info",          # r6: full E1 DAG on the synth world
+    "sim22_ivfpq_refined_topk",  # r8: persisted-index probe + refine
+    "mm13_mjpeg_avi_decode",     # r8: AVI demux + per-frame JPEG
+    "j20_bucketed_colocated_join",  # r8: shuffle-free bucketed SMJ
+    "g3_label_components",       # r8: 6-round BSP label propagation
 ]
 
 

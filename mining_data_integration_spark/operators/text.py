@@ -555,3 +555,59 @@ def mojibake_repair(df: DataFrame, text_col: str = "text",
         F.length(fixed).cast("long").alias("fixed_len"),
         F.md5(fixed).alias("fixed_hash"),
     )
+
+
+def bigram_surprisal_score(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Exact-integer BIGRAM conditional surprisal per document — the
+    next LM-quality rung above the unigram surprisal_score: per
+    bigram (w1 w2), surprisal(w2|w1) = floor(log2(c(w1) / c(w1 w2)))
+    — how unpredictable the continuation is given its left context,
+    the cheap stand-in for a KenLM bigram filter (templated text
+    scores near zero, noisy or shuffled text scores high even when
+    its UNIGRAMS are common, which is exactly the failure mode the
+    unigram score cannot see). Computed with no float log and no
+    float division: the quotient is integer DIV (c(w1) >= c(w1 w2)
+    always, since every bigram occurrence contains a w1 occurrence)
+    and the log is length(bin(q)) - 1 — the tx15 discipline. Per doc:
+    the occurrence-weighted sum over its bigrams plus the HALF_UP
+    milli-unit mean ((2000*S + n) DIV (2n)); docs with fewer than two
+    tokens carry no bigram and drop out (the tx15 convention).
+
+    Scale shape: three combinable keyed shuffles (doc-bigram tf,
+    corpus bigram counts, corpus unigram counts) + two vocab-keyed
+    joins (both count tables are unique-keyed after aggregation, so
+    stop-bigram heavy hitters hit a 1-row build side) + one doc-keyed
+    regroup — no corpus-wide window."""
+    from .dedup import gram_array
+
+    base = df.select(F.col(id_col).alias("id"),
+                     tokens(F.col(text_col)).alias("_t"))
+    uni = (base.select(F.explode("_t").alias("w1"))
+           .groupBy("w1").agg(F.count("*").alias("c1")))
+    docbg = (base.select("id",
+                         F.explode(gram_array(F.col("_t"), 2))
+                         .alias("bg"))
+             .groupBy("id", "bg").agg(F.count("*").alias("tf")))
+    cbg = docbg.groupBy("bg").agg(F.sum("tf").cast("long").alias("c2"))
+    scored = (
+        docbg.join(cbg, "bg")
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+        .join(uni, "w1")
+        .withColumn(
+            "surp",
+            (F.length(F.bin(F.expr("c1 DIV c2"))) - 1).cast("long"))
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.sum(F.col("tf") * F.col("surp")).cast("long")
+        .alias("sum_surprisal"),
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_bigrams",
+        "sum_surprisal",
+        F.expr("(2000 * sum_surprisal + n_bigrams) "
+               "DIV (2 * n_bigrams)").cast("long")
+        .alias("mean_surprisal_milli"),
+    )

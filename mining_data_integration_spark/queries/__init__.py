@@ -56,7 +56,7 @@ _REVERIFY_FIRST = (
     "sim22_ivfpq_refined_topk", "mm13_mjpeg_avi_decode",
     "st9_stream_ingest_dedup", "j20_bucketed_colocated_join",
     "g3_label_components", "u7_schema_evolution",
-    "sim23_ivfpq_filtered_topk",
+    "sim23_ivfpq_filtered_topk", "tx22_bigram_surprisal",
     "sim19_ivfpq_persisted_topk", "sim20_ivfpq_append_probe",
     "sim21_ivfpq_recall_eval",
     "dd15_persisted_lsh_probe", "dd3_minhash_lsh",

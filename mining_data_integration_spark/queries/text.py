@@ -962,3 +962,45 @@ ORACLES["tx21_heaps_growth"] = f"""
     FROM vocab v JOIN toks t ON v.p = t.p
     ORDER BY v.p
 """
+
+
+def tx22_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-surprisal quality score (operators/text.
+    bigram_surprisal_score): floor(log2(c(w1)/c(w1 w2))) per bigram
+    via exact bit-length integers — the left-context-aware rung above
+    tx15's unigram score, catching shuffled/noisy text whose unigrams
+    look common. No float log, no float division; hash-exact."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    return TX.bigram_surprisal_score(docs).orderBy("doc_id")
+
+
+QUERIES["tx22_bigram_surprisal"] = tx22_bigram_surprisal
+
+ORACLES["tx22_bigram_surprisal"] = f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), uni AS (
+        SELECT w, count(*) AS c1
+        FROM (SELECT unnest(t) AS w FROM base) GROUP BY w
+    ), docbg AS (
+        SELECT doc_id, bg, count(*) AS tf
+        FROM (SELECT doc_id, unnest(list_transform(
+                  range(1, greatest(len(t) - 1, 0) + 1),
+                  i -> t[i] || ' ' || t[i+1])) AS bg FROM base)
+        GROUP BY doc_id, bg
+    ), cbg AS (
+        SELECT bg, CAST(sum(tf) AS BIGINT) AS c2 FROM docbg GROUP BY bg
+    ), s AS (
+        SELECT d.doc_id, d.tf,
+               length(bin(u.c1 // c.c2)) - 1 AS surp
+        FROM docbg d
+        JOIN cbg c USING (bg)
+        JOIN uni u ON string_split(d.bg, ' ')[1] = u.w
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           CAST(sum(tf * surp) AS BIGINT) AS sum_surprisal,
+           CAST((2000 * sum(tf * surp) + sum(tf)) // (2 * sum(tf))
+                AS BIGINT) AS mean_surprisal_milli
+    FROM s GROUP BY doc_id ORDER BY doc_id
+"""
