@@ -57,6 +57,7 @@ _REVERIFY_FIRST = (
     "st9_stream_ingest_dedup", "j20_bucketed_colocated_join",
     "g3_label_components", "u7_schema_evolution",
     "sim23_ivfpq_filtered_topk", "tx22_bigram_surprisal",
+    "st10_stream_index_append",
     "sim19_ivfpq_persisted_topk", "sim20_ivfpq_append_probe",
     "sim21_ivfpq_recall_eval",
     "dd15_persisted_lsh_probe", "dd3_minhash_lsh",

@@ -1413,3 +1413,67 @@ ORACLES["sim21_ivfpq_recall_eval"] = _int_ivfpq_sql(
     FROM q0 LEFT JOIN h ON q0.q_id = h.q_id
     LEFT JOIN na ON q0.q_id = na.q_id
     ORDER BY q0.q_id""")
+
+
+def st10_stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING day-2 index maintenance — sim20's append driven by
+    the real micro-batch engine (the continuous-ingest shape of a
+    production vector store): the persisted IVF-PQ base is trained on
+    even vec_ids ONLY; the odd half arrives as a file stream split
+    into TWO parquet files processed as separate micro-batches
+    (maxFilesPerTrigger=1), each appended to a run-scratch copy of the
+    base with the FROZEN cells/codebooks via foreachBatch
+    (append_to_ivfpq_index — no k-means ever runs on the stream; the
+    appends commute at file granularity, so batch order is
+    irrelevant). After the stream drains, the combined index is
+    probed (n_probe=3, distinct from sim20's 2-probe output) and the
+    scratch removed — eager-and-clean per the u6 discipline. The
+    DuckDB oracle replays the even-trained/all-encoded split via
+    _int_ivfpq_sql's train_pred hook."""
+    import os
+    import shutil
+    import tempfile
+
+    base_path = _ivfpq_index_path(sf_dir, tag="train-even-base")
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    if not os.path.exists(os.path.join(base_path, "meta")):
+        S.save_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 0),
+                           base_path, n_cells=4, m=4, kc=4, iters=2,
+                           dim=_DIM)
+    run = tempfile.mkdtemp(prefix="sg_st10_")
+    try:
+        idx_path = os.path.join(run, "idx")
+        shutil.copytree(base_path, idx_path)
+        src = os.path.join(run, "incoming")
+        # two ingest files -> two genuine micro-batches
+        (emb.filter(F.col("vec_id") % 4 == 1).coalesce(1)
+         .write.mode("append").parquet(src))
+        (emb.filter(F.col("vec_id") % 4 == 3).coalesce(1)
+         .write.mode("append").parquet(src))
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+
+        def batch_fn(batch_df, _batch_id: int) -> None:
+            S.append_to_ivfpq_index(batch_df, idx_path)
+
+        q = (stream.writeStream.foreachBatch(batch_fn)
+             .option("checkpointLocation", os.path.join(run, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        idx = S.load_ivfpq_index(spark, idx_path)
+        out = S.ivfpq_probe_topk(
+            idx, _queries_df(spark, sf_dir), k=5, n_probe=3
+        ).orderBy("q_id", "rk")
+        rows = out.collect()
+        schema_out = out.schema
+    finally:
+        shutil.rmtree(run, ignore_errors=True)
+    return spark.createDataFrame(rows, schema_out) \
+        .orderBy("q_id", "rk")
+
+
+QUERIES["st10_stream_index_append"] = st10_stream_index_append
+
+ORACLES["st10_stream_index_append"] = _int_ivfpq_sql(
+    _DIM, 4, 3, 4, 4, 2, 5, 3, train_pred="vec_id % 2 = 0")
