@@ -261,35 +261,41 @@ def _spark_major(spark) -> int:
 
 def chain_members_auto(edges: DataFrame, tip_id: str,
                        id_col: str, parent_col: str,
-                       height_col: str | None = None) -> DataFrame:
+                       height_col: str | None = None,
+                       prefer_rcte: bool = False) -> DataFrame:
     """Engine-selecting front door for the ancestors-of-tip walk.
 
-    Selection rule (one probe, no caller knobs):
+    Selection rule (one probe, no depth assumption):
     1. a monotone height column is available -> segmented walk
        (O(1) shuffles — the E1 hot-path choice at any chain length);
-    2. else on Spark 4+ -> `WITH RECURSIVE` (declarative, Catalyst
-       owns the iteration; depth-n materialization, right for the
-       moderate depths a height-less walk implies);
-    3. else -> pointer doubling (O(log n) shuffle rounds, fully
-       general — the only engine with no version or schema demands).
+    2. else -> pointer doubling (O(log n) shuffle rounds, fully
+       general: no version, schema, or DEPTH demands — when no height
+       column exists the chain depth is unknown, and `WITH RECURSIVE`
+       materializes one level per link, a wall-clock cliff around
+       depth ~3000 documented in logs/r8_walk_scale_150k.log, so it
+       must never be the blind default);
+    3. `prefer_rcte=True` (explicit opt-in, Spark 4+ only) -> `WITH
+       RECURSIVE` for callers that KNOW the walk is shallow and want
+       the declarative SQL-surface twin (j16's direct-call domain).
 
     The three engines are result-identical (pinned against each other
-    in tests/test_core_golden.py and the j9/j16 oracles); callers that
+    in tests/test_core_golden.py and the j9/j16 oracles, and at 150k
+    edges height-less in tools/check_walk_scale.py); callers that
     know better can still invoke a specific engine directly.
 
-    `tip_id` is always passed as a str (the signature); branches 1-2
-    (segmented, WITH RECURSIVE) embed it as a string literal and so
-    support string-keyed chains only. Branch 3 (pointer doubling)
-    accepts any id type: the str tip is built as a string column and
-    CAST to the edge table's id type, so e.g. a bigint-keyed chain
-    walks correctly there ("5" -> 5L) instead of tripping
-    createDataFrame schema verification.
+    `tip_id` is always passed as a str (the signature); the segmented
+    and rcte engines embed it as a string literal and so support
+    string-keyed chains only. Pointer doubling accepts any id type:
+    the str tip is built as a string column and CAST to the edge
+    table's id type, so e.g. a bigint-keyed chain walks correctly
+    there ("5" -> 5L) instead of tripping createDataFrame schema
+    verification.
     """
     if height_col is not None and height_col in edges.columns:
         return chain_members_segmented(
             edges, tip_id, id_col=id_col, parent_col=parent_col,
             height_col=height_col)
-    if _spark_major(edges.sparkSession) >= 4:
+    if prefer_rcte and _spark_major(edges.sparkSession) >= 4:
         return chain_members_rcte(
             edges, tip_id, id_col=id_col, parent_col=parent_col)
     from pyspark.sql.types import StringType, StructField, StructType
@@ -299,11 +305,23 @@ def chain_members_auto(edges: DataFrame, tip_id: str,
     # outright for non-string id columns, while cast accepts the str
     # and yields the column's type — engine selection never changes
     # observable behavior for types whose str round-trips (bigint etc.)
+    id_type = edges.schema[id_col].dataType
     tips = edges.sparkSession.createDataFrame(
         [(str(tip_id),)],
         StructType([StructField(id_col, StringType())]),
-    ).select(F.col(id_col).cast(edges.schema[id_col].dataType)
-             .alias(id_col))
+    ).select(
+        # a non-round-tripping tip (e.g. "xyz" vs a bigint id column)
+        # would cast to NULL and silently walk to an empty result;
+        # assert_true turns that into a loud runtime error instead
+        F.assert_true(
+            F.col(id_col).cast(id_type).isNotNull(),
+            F.concat(
+                F.lit("chain_members_auto: tip '"), F.col(id_col),
+                F.lit(f"' does not cast to edge id type "
+                      f"{id_type.simpleString()}")),
+        ).alias("_tip_cast_ok"),
+        F.col(id_col).cast(id_type).alias(id_col),
+    ).drop("_tip_cast_ok")
     return chain_members(edges, tips, id_col, parent_col)
 
 

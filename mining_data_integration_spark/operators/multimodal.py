@@ -999,6 +999,8 @@ def sniff_media_kind(data: bytes) -> str:
             cid = data[pos:pos + 4]
             (sz,) = struct.unpack("<I", data[pos + 4:pos + 8])
             if cid == b"fmt " and sz >= 2:
+                if pos + 10 > len(data):
+                    raise ValueError("RIFF fmt chunk truncated")
                 (tag,) = struct.unpack("<H", data[pos + 8:pos + 10])
                 if tag == 1:
                     return "wav_pcm"

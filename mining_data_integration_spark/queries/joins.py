@@ -856,9 +856,14 @@ def _j20_bucketed_tables(spark: SparkSession, sf_dir: str) \
                     os.kill(pid, 0)
                 except ValueError:
                     continue
-                except OSError:
+                except ProcessLookupError:
+                    # ESRCH: pid is gone — safe to reap. EPERM
+                    # (PermissionError) means the pid is ALIVE under
+                    # another user, so it must NOT be treated as dead.
                     shutil.rmtree(os.path.join(root, d),
                                   ignore_errors=True)
+                except OSError:
+                    continue
         base = f"{root}/pid{os.getpid()}_{fp}"
         write_bucketed(
             t(spark, sf_dir, "orders")

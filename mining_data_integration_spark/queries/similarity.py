@@ -1454,8 +1454,18 @@ def st10_stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = (spark.readStream.schema(schema)
                   .option("maxFilesPerTrigger", 1).parquet(src))
 
-        def batch_fn(batch_df, _batch_id: int) -> None:
+        def batch_fn(batch_df, batch_id: int) -> None:
+            # idempotency guard: foreachBatch is at-least-once, and a
+            # retried micro-batch would append its codes twice. The
+            # marker makes re-delivery of an already-applied batch a
+            # no-op (file-granular, matching availableNow local runs;
+            # a crash between append and marker is the residual
+            # at-least-once window, documented here).
+            marker = os.path.join(run, f"applied-{batch_id}")
+            if os.path.exists(marker):
+                return
             S.append_to_ivfpq_index(batch_df, idx_path)
+            open(marker, "w").close()
 
         q = (stream.writeStream.foreachBatch(batch_fn)
              .option("checkpointLocation", os.path.join(run, "ckpt"))

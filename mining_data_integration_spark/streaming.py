@@ -330,12 +330,19 @@ def stream_ingest_dedup(stream_docs: DataFrame, index_path: str,
     pays O(batch) per trigger forever after. The probe is a plain
     batch job per micro-batch (foreachBatch), so the full dedup
     operator surface composes without streaming-aggregation
-    restrictions, and the parquet append makes each batch's report
-    atomic at file granularity. Returns the DataStreamWriter — caller
-    picks the trigger and checkpoint."""
+    restrictions. Each batch's report lands under a
+    `batch_id=<id>` subdirectory written with mode=overwrite, so a
+    RETRIED micro-batch replaces its own output instead of appending
+    a duplicate — the sink is idempotent per batch id (exactly-once
+    at the report level, not merely at-least-once). Readers see
+    `batch_id` as a discovered partition column and can drop it.
+    Returns the DataStreamWriter — caller picks the trigger and
+    checkpoint."""
+    import os
+
     from .operators.dedup import probe_minhash_index
 
-    def batch_fn(batch_df: DataFrame, _batch_id: int) -> None:
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
         pairs = probe_minhash_index(batch_df, index_path, text_col,
                                     id_col)
         agg = pairs.groupBy("new_id").agg(
@@ -352,6 +359,7 @@ def stream_ingest_dedup(stream_docs: DataFrame, index_path: str,
                 (F.coalesce("_n", F.lit(0)) == 0).alias("is_novel"),
             )
         )
-        report.write.mode("append").parquet(out_dir)
+        report.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}"))
 
     return stream_docs.writeStream.foreachBatch(batch_fn)

@@ -1743,7 +1743,13 @@ class TestMinhashPersistedIndex:
              .option("checkpointLocation", str(tmp_path / "ckpt"))
              .trigger(availableNow=True).start())
         q.awaitTermination()
-        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        # round-9 ADVICE: the sink writes each micro-batch under a
+        # batch_id=<id> dir with mode=overwrite, so a RETRIED batch
+        # replaces its own report instead of duplicating rows
+        import os
+        assert any(d.startswith("batch_id=") for d in os.listdir(out))
+        got = sorted(tuple(r) for r in
+                     spark.read.parquet(out).drop("batch_id").collect())
 
         pairs = D.probe_minhash_index(
             docs.filter("doc_id % 2 = 1"), idx_path).collect()

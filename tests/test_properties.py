@@ -532,6 +532,29 @@ class TestCodecDispatch:
         with _pytest.raises(ValueError, match="format tag"):
             M.sniff_media_kind(wav)
 
+    def test_sniffer_truncated_fmt_chunk_is_valueerror(self):
+        """Round-9 ADVICE: a RIFF payload cut INSIDE the fmt chunk
+        (header says sz>=2 but the tag bytes are missing) must raise
+        ValueError — struct.error would escape the dispatch kernel's
+        except ValueError and kill the whole Arrow batch, violating
+        the poison contract."""
+        import struct
+
+        import pytest as _pytest
+
+        from mining_data_integration_spark.operators import (
+            multimodal as M)
+
+        # fmt chunk header claims 16 bytes but the payload ends right
+        # after the size field: data[pos+8:pos+10] is empty
+        body = b"WAVE" + b"fmt " + struct.pack("<I", 16)
+        wav = b"RIFF" + struct.pack("<I", len(body)) + body
+        with _pytest.raises(ValueError, match="truncated"):
+            M.sniff_media_kind(wav)
+        # one byte of the 2-byte tag present: still ValueError
+        with _pytest.raises(ValueError, match="truncated"):
+            M.sniff_media_kind(wav + b"\x01")
+
     def test_dispatch_decode_matches_direct_decoders(self):
         """Routing must not change results: dispatching each payload
         equals calling its decoder directly."""

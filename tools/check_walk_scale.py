@@ -98,6 +98,12 @@ def main() -> int:
             "id", "parent"),
         "auto": lambda: C.chain_members_auto(
             edges, tip, "id", "parent", height_col="h"),
+        # the round-9 routing fix: with NO height column, auto must
+        # pick pointer doubling (depth unknown -> never the rcte
+        # cliff), so a deep height-less chain walks through the
+        # front door in O(log n) rounds
+        "auto_noheight": lambda: C.chain_members_auto(
+            edges.drop("h"), tip, "id", "parent"),
     }
     # WITH RECURSIVE materializes one level per chain link, so a 150k
     # chain means 150k sequential micro-jobs — the same wall-clock
