@@ -265,6 +265,58 @@ def save_minhash_index(docs: DataFrame, path: str, text_col: str = "text",
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def append_to_minhash_index(new_docs: DataFrame, path: str,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> None:
+    """Day-2 index maintenance for the near-dup index (the sim20
+    move applied to dedup): shingle/sign the NEW documents with the
+    index's RECORDED signature parameters (meta — an append can never
+    hash differently than the build did) and append their band
+    buckets into the band-partitioned layout. Caller contract: the
+    new ids must not already be in the index (dedup-of-the-dedup-
+    input belongs upstream). Parquet append is file-granular, so each
+    append adds one fragment per band partition — run
+    `compact_minhash_index` periodically to merge fragments; probes
+    are correct either way (the bucket scan reads all fragments),
+    compaction is purely a small-files/read-amplification fix."""
+    spark = new_docs.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    if meta.version != MINHASH_INDEX_VERSION:
+        raise ValueError(
+            f"minhash index version {meta.version} at {path}; "
+            f"this build writes version {MINHASH_INDEX_VERSION}")
+    rows = band_bucket_rows(new_docs, text_col, id_col, meta.n,
+                            meta.num_hashes, meta.bands)
+    rows.write.mode("append").partitionBy("band") \
+        .parquet(f"{path}/buckets")
+
+
+def compact_minhash_index(spark, path: str) -> None:
+    """Merge appended fragments: rewrite buckets/ as one fresh
+    generation (distinct rows, one file per band partition) and swap
+    it in. The swap is two renames (buckets -> buckets.old, compacted
+    -> buckets) — NOT atomic against concurrent probes, so compaction
+    is a single-writer maintenance operation, run from the same
+    scheduler slot that owns appends; the pre-swap build itself never
+    disturbs readers."""
+    import shutil
+    import uuid
+
+    import os
+
+    buckets = f"{path}/buckets"
+    nonce = uuid.uuid4().hex[:12]
+    tmp = f"{buckets}.compact-{nonce}"
+    (spark.read.parquet(buckets)
+     .select("id", "bh", "band").distinct()
+     .repartition("band")
+     .write.mode("overwrite").partitionBy("band").parquet(tmp))
+    old = f"{buckets}.old-{nonce}"
+    os.rename(buckets, old)
+    os.rename(tmp, buckets)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def probe_minhash_index(new_docs: DataFrame, path: str,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:

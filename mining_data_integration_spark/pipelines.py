@@ -69,9 +69,11 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
     cands = D.minhash_lsh_candidates(
         kept, text_col, id_col, num_hashes=num_hashes, bands=jaccard_bands)
     if transitive:
-        from .operators.components import connected_components
+        # star contraction: O(log n) rounds even when near-dup
+        # clusters chain arbitrarily deep across crawl snapshots
+        from .operators.components import connected_components_star
 
-        comp = connected_components(cands, "id1", "id2") \
+        comp = connected_components_star(cands, "id1", "id2") \
             .withColumnRenamed("node", id_col)
         return (
             kept.join(comp, id_col, "left")

@@ -730,17 +730,19 @@ ORACLES["dd14_survivorship"] = f"""
 """
 
 
-def _lsh_index_path(sf_dir: str) -> str:
+def _lsh_index_path(sf_dir: str, tag: str = "train-even") -> str:
     """Deterministic per-corpus LSH-index location, fingerprinted by
     the documents parquet's (path, size, mtime) — the sim19 staleness
-    rule applied to the dedup index (one os.stat, no Spark job)."""
+    rule applied to the dedup index (one os.stat, no Spark job).
+    `tag` separates build lineages (dd15's one-shot even-corpus index
+    vs dd16's base+append generations)."""
     import hashlib
     import os
 
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     fp = hashlib.sha256(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}|train-even|"
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|{tag}|"
         f"v{D.MINHASH_INDEX_VERSION}".encode()).hexdigest()[:16]
     return f"/tmp/sg_lsh_index/{fp}"
 
@@ -823,3 +825,59 @@ def _lsh_probe_sql(n: int = 3, num_hashes: int = 16,
 
 
 ORACLES["dd15_persisted_lsh_probe"] = _lsh_probe_sql(3, 16, 4)
+
+
+def dd16_lsh_index_append_probe(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Day-2 near-dup index lifecycle (round-9 VERDICT #3 — the sim20
+    move applied to dedup): generation 1 (doc_id % 4 == 0) is built
+    into a persisted band-bucket index; generation 2 (doc_id % 4 == 2)
+    arrives later and is APPENDED with the index's RECORDED signature
+    parameters (append_to_minhash_index — no re-signing of gen 1);
+    the fragments are then COMPACTED into one generation
+    (compact_minhash_index) before the ingest batch (odd doc_ids)
+    probes the combined index. Output: candidate pairs tagged with
+    the corpus generation each candidate came from — probing the
+    appended index must equal probing an index built one-shot over
+    the union (pinned in tests/test_operators.py), which is exactly
+    what the DuckDB oracle replays. The whole base+append+compact
+    build runs under a staging path and renames in at the end, so a
+    half-built index is never mistaken for a finished one."""
+    import os
+    import shutil
+
+    path = _lsh_index_path(sf_dir, tag="gen-append")
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    if not os.path.exists(os.path.join(path, "meta")):
+        staging = f"{path}.staging-{os.getpid()}"
+        shutil.rmtree(staging, ignore_errors=True)
+        D.save_minhash_index(docs.filter(F.col("doc_id") % 4 == 0),
+                             staging, n=3, num_hashes=16, bands=4)
+        D.append_to_minhash_index(
+            docs.filter(F.col("doc_id") % 4 == 2), staging)
+        D.compact_minhash_index(spark, staging)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    pairs = D.probe_minhash_index(
+        docs.filter(F.col("doc_id") % 2 == 1), path)
+    return (
+        pairs.select(
+            "new_id", "corpus_id",
+            F.when(F.col("corpus_id") % 4 == 0, F.lit(1))
+            .otherwise(F.lit(2)).alias("corpus_gen"))
+        .orderBy("new_id", "corpus_id")
+    )
+
+
+QUERIES["dd16_lsh_index_append_probe"] = dd16_lsh_index_append_probe
+
+ORACLES["dd16_lsh_index_append_probe"] = _lsh_probe_sql(3, 16, 4, tail="""
+        SELECT DISTINCT n.id AS new_id, c.id AS corpus_id,
+               CASE WHEN c.id % 4 = 0 THEN 1 ELSE 2 END AS corpus_gen
+        FROM stacked n JOIN stacked c
+          ON n.bucket = c.bucket
+        WHERE n.id % 2 = 1 AND c.id % 2 = 0
+        ORDER BY new_id, corpus_id
+    """)

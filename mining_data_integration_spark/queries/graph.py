@@ -237,3 +237,142 @@ def _g3_oracle() -> str:
 
 
 ORACLES["g3_label_components"] = _g3_oracle()
+
+
+G4_ORACLE_ROUNDS = 12  # converged rounds measured 8 at sf0.001/0.01/0.1
+G4_CHAIN_BASE = 1_000_000_000
+
+
+def g4_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by LARGE-STAR/SMALL-STAR contraction
+    (operators/components.connected_components_star — O(log n)
+    rounds, diameter-independent) over a graph built to defeat the
+    O(diameter) min-label kernel: the g3 part-supplier bipartite
+    islands UNION ~97-link chain segments over consecutive part keys
+    in a disjoint id range (node = p_partkey + 1e9, segment broken at
+    every multiple of 97). Min-label would need ~97 rounds per
+    segment; star contraction converges in 8 at every sf tier
+    (measured sf0.001/0.01/0.1). Output is the per-component rollup
+    (size, part/supplier/chain split, id range).
+
+    The DuckDB oracle replays 12 contraction rounds as chained
+    MATERIALIZED CTEs (the g3 pattern): the converged star forest is
+    a FIXED POINT of the (large-star ∘ small-star) round, so any
+    replay count >= the kernel's convergence round reproduces the
+    exact final edge set — 12 gives 4 rounds of margin over the
+    measured 8, and the unit test pins convergence <= 10 on this
+    derivation."""
+    from ..operators.components import connected_components_star
+
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    bip = (
+        li.filter((F.col("l_partkey") * 7 + F.col("l_suppkey")) % 5 == 0)
+        .select((F.col("l_partkey").cast("long") * 2).alias("u"),
+                (F.col("l_suppkey").cast("long") * 2 + 1).alias("v"))
+        .distinct()
+    )
+    mx = p.agg(F.max("p_partkey")).collect()[0][0]
+    chain = (
+        p.filter((F.col("p_partkey") % 97 != 0)
+                 & (F.col("p_partkey") < mx))
+        .select((F.col("p_partkey").cast("long") + G4_CHAIN_BASE)
+                .alias("u"),
+                (F.col("p_partkey").cast("long") + G4_CHAIN_BASE + 1)
+                .alias("v"))
+    )
+    labels = connected_components_star(
+        bip.unionByName(chain), "u", "v")
+    B = G4_CHAIN_BASE
+    return (
+        labels.groupBy(F.col("component"))
+        .agg(F.count("*").cast("long").alias("n_nodes"),
+             F.sum(((F.col("node") < B) & (F.col("node") % 2 == 0))
+                   .cast("long")).alias("n_parts"),
+             F.sum(((F.col("node") < B) & (F.col("node") % 2 == 1))
+                   .cast("long")).alias("n_suppliers"),
+             F.sum((F.col("node") >= B).cast("long")).alias("n_chain"),
+             F.max("node").cast("long").alias("max_node"))
+        .orderBy("component")
+    )
+
+
+QUERIES["g4_star_components"] = g4_star_components
+
+
+def _g4_oracle() -> str:
+    B = G4_CHAIN_BASE
+    steps = []
+    prev = "e0"
+    for i in range(1, G4_ORACLE_ROUNDS + 1):
+        steps.append(f"""
+    , s{i} AS MATERIALIZED (
+        SELECT x AS u, y AS v FROM {prev}
+        UNION ALL SELECT y, x FROM {prev}
+    ), l{i} AS MATERIALIZED (
+        SELECT DISTINCT s.v AS x, m.m AS y
+        FROM s{i} s JOIN (
+            SELECT u, least(u, min(v)) AS m FROM s{i} GROUP BY u
+        ) m ON s.u = m.u
+        WHERE s.v > s.u
+    ), e{i} AS MATERIALIZED (
+        SELECT DISTINCT a AS x, b AS y FROM (
+            SELECT l.x AS a, m.m AS b
+            FROM l{i} l JOIN (
+                SELECT x, min(y) AS m FROM l{i} GROUP BY x
+            ) m ON l.x = m.x
+            UNION ALL
+            SELECT l.y, m.m
+            FROM l{i} l JOIN (
+                SELECT x, min(y) AS m FROM l{i} GROUP BY x
+            ) m ON l.x = m.x
+        ) WHERE a <> b
+    )""")
+        prev = f"e{i}"
+    return f"""
+    WITH bip AS MATERIALIZED (
+        SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS u,
+               CAST(l_suppkey AS BIGINT) * 2 + 1 AS v
+        FROM lineitem
+        WHERE (l_partkey * 7 + l_suppkey) % 5 = 0
+    ), chain AS MATERIALIZED (
+        SELECT CAST(p_partkey AS BIGINT) + {B} AS u,
+               CAST(p_partkey AS BIGINT) + {B + 1} AS v
+        FROM part
+        WHERE p_partkey % 97 <> 0
+          AND p_partkey < (SELECT max(p_partkey) FROM part)
+    ), e0 AS MATERIALIZED (
+        SELECT DISTINCT greatest(u, v) AS x, least(u, v) AS y
+        FROM (SELECT u, v FROM bip UNION ALL SELECT u, v FROM chain)
+        WHERE u <> v
+    ){''.join(steps)}
+    , labels AS MATERIALIZED (
+        SELECT DISTINCT x AS node, y AS comp FROM {prev}
+        UNION
+        SELECT DISTINCT y, y FROM {prev}
+    ), nodes0 AS MATERIALIZED (
+        SELECT DISTINCT n AS node FROM (
+            SELECT x AS n FROM e0 UNION ALL SELECT y FROM e0
+        )
+    ), final AS MATERIALIZED (
+        SELECT node, comp FROM labels
+        UNION ALL
+        SELECT n.node, n.node
+        FROM nodes0 n LEFT JOIN (SELECT DISTINCT node FROM labels) l
+          ON n.node = l.node
+        WHERE l.node IS NULL
+    )
+    SELECT comp AS component,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(CASE WHEN node < {B} AND node % 2 = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_parts,
+           CAST(sum(CASE WHEN node < {B} AND node % 2 = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers,
+           CAST(sum(CASE WHEN node >= {B} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_chain,
+           CAST(max(node) AS BIGINT) AS max_node
+    FROM final GROUP BY comp ORDER BY component
+"""
+
+
+ORACLES["g4_star_components"] = _g4_oracle()

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from mining_data_integration_spark.operators.components import (
     connected_components,
+    connected_components_star,
     dedup_keep_min,
 )
 
@@ -56,6 +57,97 @@ def test_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(1, 10)], "x long, y long")
     with pytest.raises(RuntimeError):
         connected_components(edges, "x", "y", max_rounds=2)
+
+
+def _comp_star(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "x long, y long")
+    got = connected_components_star(df, "x", "y", **kw).collect()
+    return {r.node: r.component for r in got}
+
+
+def test_star_matches_minlabel_on_messy_graph(spark):
+    edges = [
+        (5, 3), (3, 5), (3, 3),        # reversed dup + self loop
+        (5, 9),
+        (20, 30), (30, 40),
+        (100, 100),                    # self-loop-only singleton
+    ]
+    star = _comp_star(spark, edges)
+    minl = _comp(spark, edges)
+    # both kernels keep the self-loop-only node as a singleton
+    assert star == minl
+    assert star[100] == 100
+
+
+def test_star_isolated_nodes_via_nodes_frame(spark):
+    edges = spark.createDataFrame([(1, 2)], "x long, y long")
+    all_nodes = spark.createDataFrame([(1,), (2,), (7,)], "n long")
+    comp = {r.node: r.component
+            for r in connected_components_star(
+                edges, "x", "y", nodes=all_nodes).collect()}
+    assert comp == {1: 1, 2: 1, 7: 7}
+
+
+def test_star_deep_chain_logarithmic_rounds(spark):
+    """The round-9 headline pin: a 10k-link chain graph — min-label
+    would need 10k diameter rounds (its max_rounds=50 default would
+    abort) — converges under star contraction in <= ~30 rounds and
+    labels every node with the chain head."""
+    n = 10_001
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "x long, y long")
+    rounds: list[int] = []
+    labels = connected_components_star(
+        edges, "x", "y", rounds_out=rounds)
+    agg = labels.groupBy("component").count().collect()
+    assert len(agg) == 1
+    assert agg[0]["component"] == 1 and agg[0]["count"] == n
+    assert rounds[0] <= 30, rounds
+
+
+def test_star_nonconvergence_raises(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 200)], "x long, y long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(edges, "x", "y", max_rounds=1)
+
+
+def test_star_g4_graph_converges_within_oracle_margin(spark):
+    """The g4 oracle replays a FIXED 12 contraction rounds; that is
+    only sound if the kernel converges in <= 12 on the registered
+    graph derivation (fixed point => extra SQL rounds are no-ops).
+    Pin convergence <= 10 at sf0.001 (measured 8 at all three
+    tiers — segment length, not data volume, sets the round count)."""
+    from mining_data_integration_spark.queries.graph import (
+        G4_ORACLE_ROUNDS, g4_star_components)
+
+    assert G4_ORACLE_ROUNDS >= 12
+    # run the registered query end-to-end (smoke) ...
+    out = g4_star_components(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) >= 2
+    # ... and pin the round count on the same derivation
+    from pyspark.sql import functions as F
+
+    from mining_data_integration_spark.queries._util import t as _t
+
+    li = _t(spark, "/root/testdata/sf0.001", "lineitem")
+    p = _t(spark, "/root/testdata/sf0.001", "part")
+    bip = (li.filter((F.col("l_partkey") * 7
+                      + F.col("l_suppkey")) % 5 == 0)
+           .select((F.col("l_partkey").cast("long") * 2).alias("u"),
+                   (F.col("l_suppkey").cast("long") * 2 + 1).alias("v"))
+           .distinct())
+    mx = p.agg(F.max("p_partkey")).collect()[0][0]
+    chain = (p.filter((F.col("p_partkey") % 97 != 0)
+                      & (F.col("p_partkey") < mx))
+             .select((F.col("p_partkey").cast("long") + 10**9)
+                     .alias("u"),
+                     (F.col("p_partkey").cast("long") + 10**9 + 1)
+                     .alias("v")))
+    rounds: list[int] = []
+    connected_components_star(bip.unionByName(chain), "u", "v",
+                              rounds_out=rounds).count()
+    assert rounds[0] <= 10, rounds
 
 
 def test_dedup_keep_min_singletons_and_clusters(spark):

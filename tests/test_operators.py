@@ -1662,6 +1662,90 @@ class TestMinhashPersistedIndex:
                     want.add((a, b))
         assert got == want and got  # non-empty: near-dups really match
 
+    def test_append_probe_equals_one_shot_union(self, spark, tmp_path):
+        """dd16 parity pin: build on gen 1 (doc_id % 4 == 0), APPEND
+        gen 2 (doc_id % 4 == 2) with the recorded params, and the
+        probe must equal probing an index built ONE-SHOT over the
+        union corpus — day-2 appends are invisible to queries."""
+        docs = self._docs(spark)
+        appended = str(tmp_path / "appended")
+        D.save_minhash_index(docs.filter("doc_id % 4 = 0"), appended,
+                             n=3, num_hashes=16, bands=4)
+        D.append_to_minhash_index(docs.filter("doc_id % 4 = 2"),
+                                  appended)
+        oneshot = str(tmp_path / "oneshot")
+        D.save_minhash_index(docs.filter("doc_id % 2 = 0"), oneshot,
+                             n=3, num_hashes=16, bands=4)
+        batch = docs.filter("doc_id % 2 = 1")
+        got = sorted((r.new_id, r.corpus_id) for r in
+                     D.probe_minhash_index(batch, appended).collect())
+        want = sorted((r.new_id, r.corpus_id) for r in
+                      D.probe_minhash_index(batch, oneshot).collect())
+        assert got == want and got
+
+        # compaction merges fragments without changing any probe:
+        import glob
+        before = len(glob.glob(f"{appended}/buckets/band=*/*.parquet"))
+        D.compact_minhash_index(spark, appended)
+        after = len(glob.glob(f"{appended}/buckets/band=*/*.parquet"))
+        assert after < before
+        compacted = sorted(
+            (r.new_id, r.corpus_id)
+            for r in D.probe_minhash_index(batch, appended).collect())
+        assert compacted == want
+
+    def test_append_version_gate(self, spark, tmp_path):
+        from unittest import mock
+
+        import pytest as _pytest
+
+        docs = self._docs(spark)
+        path = str(tmp_path / "vgate")
+        D.save_minhash_index(docs.filter("doc_id % 4 = 0"), path,
+                             n=3, num_hashes=16, bands=4)
+        with mock.patch.object(D, "MINHASH_INDEX_VERSION", 99):
+            with _pytest.raises(ValueError, match="version"):
+                D.append_to_minhash_index(
+                    docs.filter("doc_id % 4 = 2"), path)
+
+    def test_stream_probe_over_appended_index_stays_green(
+            self, spark, tmp_path):
+        """st9 re-pointed at a dd16-style appended index (round-9
+        VERDICT #3 done-criterion): the streamed novelty report over
+        base+append equals the one over the one-shot index, because
+        the corpora are identical sets."""
+        from pyspark.sql import functions as F
+
+        from mining_data_integration_spark.streaming import (
+            stream_ingest_dedup)
+
+        docs = self._docs(spark)
+        src = str(tmp_path / "src")
+        docs.write.parquet(src)
+        appended = str(tmp_path / "appidx")
+        D.save_minhash_index(docs.filter("doc_id % 4 = 0"), appended,
+                             n=3, num_hashes=16, bands=4)
+        D.append_to_minhash_index(docs.filter("doc_id % 4 = 2"),
+                                  appended)
+        D.compact_minhash_index(spark, appended)
+
+        def run(idx_path: str, tag: str):
+            stream = (spark.readStream.schema(docs.schema).parquet(src)
+                      .filter(F.col("doc_id") % 2 == 1))
+            out = str(tmp_path / f"out_{tag}")
+            q = (stream_ingest_dedup(stream, idx_path, out)
+                 .option("checkpointLocation",
+                         str(tmp_path / f"ckpt_{tag}"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            return sorted(tuple(r) for r in spark.read.parquet(out)
+                          .drop("batch_id").collect())
+
+        oneshot = str(tmp_path / "oneidx")
+        D.save_minhash_index(docs.filter("doc_id % 2 = 0"), oneshot,
+                             n=3, num_hashes=16, bands=4)
+        assert run(appended, "app") == run(oneshot, "one")
+
     def test_probe_uses_recorded_params_and_version_gate(
             self, spark, tmp_path):
         from unittest import mock

@@ -1,0 +1,127 @@
+"""Large-scale connected-components verification via a CLOSED-FORM
+synthetic graph (round-9 VERDICT #5, mirroring check_walk_scale.py).
+
+The g3/g4 DuckDB oracles replay contraction/propagation rounds as
+chained CTEs, which caps the depth they can certify. This tool closes
+the scale gap WITHOUT any round replay: it builds an edge list whose
+component assignment is pure arithmetic on the node id —
+
+  * nodes 0..n-1; node i belongs to block i // span
+  * inside each block the nodes form one PATH (i, i+1) — so every
+    component is a chain of diameter span-1, and the component id is
+    closed-form: comp(i) = (i // span) * span (the block minimum)
+  * every 7th block additionally gets bridge edges from its minimum
+    to a few interior nodes (pure arithmetic), adding cycles and
+    duplicate connectivity without changing the components
+
+With span=1500 the min-label kernel would need ~1500 rounds per
+block (far past its max_rounds=50 abort), while star contraction
+converges in O(log span) — both the deep case for g4's kernel and,
+with span=4, the shallow case g3's kernel handles, are checked
+against the closed-form assignment hashed in DuckDB on the SAME
+parquet file.
+
+Usage: python tools/check_cc_scale.py [n_edges]   (default 150000)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_EDGES = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
+
+
+def build_edges(n_nodes: int, span: int) -> list[tuple[int, int]]:
+    """Path-per-block + arithmetic bridges. comp(i) = (i//span)*span."""
+    edges = [(i, i + 1) for i in range(n_nodes - 1)
+             if (i + 1) % span != 0]
+    for b0 in range(0, n_nodes, span * 7):  # every 7th block: bridges
+        top = min(b0 + span, n_nodes)
+        for k in (span // 3, (2 * span) // 3):
+            if b0 + k + 1 < top:
+                edges.append((b0, b0 + k + 1))
+    return edges
+
+
+def check(spark, con, name: str, n_nodes: int, span: int,
+          kernel) -> bool:
+    edges = build_edges(n_nodes, span)
+    tmp = tempfile.mkdtemp(prefix="sg_cc_scale_")
+    try:
+        path = f"{tmp}/edges.parquet"
+        spark.createDataFrame(edges, "u long, v long") \
+            .repartition(32).write.mode("overwrite").parquet(path)
+        # closed-form oracle: comp(i) = (i // span) * span, no rounds
+        want = con.execute(f"""
+            SELECT (n // {span}) * {span} AS comp, n FROM (
+                SELECT DISTINCT n FROM (
+                    SELECT u AS n FROM read_parquet('{path}/*.parquet')
+                    UNION ALL
+                    SELECT v FROM read_parquet('{path}/*.parquet')
+                )
+            ) ORDER BY n
+        """).fetchall()
+        want_hash = hashlib.sha256(
+            "\n".join(f"{c}|{n}" for c, n in want).encode()).hexdigest()
+        t0 = time.time()
+        rounds: list[int] = []
+        df = spark.read.parquet(path)
+        try:
+            got = sorted((r.component, r.node)
+                         for r in kernel(df, rounds).collect())
+        except Exception as ex:
+            print(f"FAIL  {name}: {type(ex).__name__}: {ex}")
+            return False
+        got_hash = hashlib.sha256(
+            "\n".join(f"{c}|{n}" for c, n in got).encode()).hexdigest()
+        ok = got_hash == want_hash
+        rtxt = f" rounds={rounds[0]}" if rounds else ""
+        print(f"{'PASS' if ok else 'FAIL'}  {name}: {len(got)} nodes, "
+              f"{len(edges)} edges, span {span},{rtxt} "
+              f"hash={'match' if ok else 'MISMATCH'} "
+              f"({time.time() - t0:.1f}s)")
+        return ok
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> int:
+    import duckdb
+
+    from mining_data_integration_spark.operators.components import (
+        connected_components, connected_components_star)
+    from mining_data_integration_spark.session import get_spark
+
+    spark = get_spark("cc-scale")
+    con = duckdb.connect()
+    n_nodes = N_EDGES + 1
+
+    def star(df, rounds):
+        return connected_components_star(df, "u", "v",
+                                         rounds_out=rounds)
+
+    def minlabel(df, _rounds):
+        return connected_components(df, "u", "v")
+
+    ok = True
+    # deep case: 1500-diameter chains — min-label's named scale-killer
+    ok &= check(spark, con, "star_deep", n_nodes, 1500, star)
+    # shallow case: span-4 blocks — both kernels must agree here
+    ok &= check(spark, con, "star_shallow", n_nodes, 4, star)
+    ok &= check(spark, con, "minlabel_shallow", n_nodes, 4, minlabel)
+    # mid case: span-40 (min-label converges < its 50-round cap)
+    ok &= check(spark, con, "star_mid", n_nodes, 40, star)
+    ok &= check(spark, con, "minlabel_mid", n_nodes, 40, minlabel)
+    print("ALL PASS" if ok else "FAILURES PRESENT")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
