@@ -50,14 +50,21 @@ _MODULES = (aggregates, dedup, e1, graph, joins, multimodal, pipeline_q,
 # re-established (driver samples 50/round; the rest of the sample
 # window falls through to registry order).
 _REVERIFY_FIRST = (
-    # round-8 head: new queries + queries whose operator internals
-    # were refactored this round (sim17 now routes through the shared
+    # round-9 head: new queries (g4 star contraction, dd16 index
+    # append+compact, sim24 occupancy audit) + queries whose
+    # internals changed this round (st9 eager-and-clean + idempotent
+    # batch_id sink; st10 retry marker; dd15 shares the tagged index
+    # path helper; dd-family keep-min now rides the star kernel)
+    "g4_star_components", "dd16_lsh_index_append_probe",
+    "sim24_ivfpq_cell_occupancy",
+    "st9_stream_ingest_dedup", "st10_stream_index_append",
+    "dd15_persisted_lsh_probe", "dd6_dup_clusters", "dd14_survivorship",
+    # round-8 head continues (sim17 routes through the shared
     # _ivfpq_train/_ivfpq_probe halves that sim19 persists)
     "sim22_ivfpq_refined_topk", "mm13_mjpeg_avi_decode",
-    "st9_stream_ingest_dedup", "j20_bucketed_colocated_join",
+    "j20_bucketed_colocated_join",
     "g3_label_components", "u7_schema_evolution",
     "sim23_ivfpq_filtered_topk", "tx22_bigram_surprisal",
-    "st10_stream_index_append",
     "sim19_ivfpq_persisted_topk", "sim20_ivfpq_append_probe",
     "sim21_ivfpq_recall_eval",
     "dd15_persisted_lsh_probe", "dd3_minhash_lsh",

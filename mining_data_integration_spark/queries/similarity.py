@@ -1487,3 +1487,52 @@ QUERIES["st10_stream_index_append"] = st10_stream_index_append
 
 ORACLES["st10_stream_index_append"] = _int_ivfpq_sql(
     _DIM, 4, 3, 4, 4, 2, 5, 3, train_pred="vec_id % 2 = 0")
+
+
+def sim24_ivfpq_cell_occupancy(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """IVF cell-occupancy audit over the PERSISTED sim19 artifact
+    (round-9 VERDICT #6): static partition pruning's "probe reads
+    n_probe/n_cells of the index" cost model only holds while cells
+    are balanced — a hot cell holding share p makes a probe that
+    touches it read p of the corpus. This query loads the shared
+    sim19 index (building it first iff absent, same as every sim19-
+    family query) and reports each cell's code count, share in
+    integer thousandths, and a HOT flag at share > 2/n_cells (the
+    occupancy bound the registered probes size themselves against);
+    hot cells are the trigger for operators/similarity.
+    rebalance_ivfpq_index (retrain from the source corpus with more
+    Lloyd iterations, same geometry, atomic-rename swap-in). The
+    DuckDB oracle replays the deterministic training's final cell
+    assignment (the `gaf` CTE of _int_ivfpq_sql) and aggregates it
+    identically — persisted counts == training-replay counts because
+    training is bit-deterministic."""
+    import os
+
+    path = _ivfpq_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "meta")):
+        emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+        S.save_ivfpq_index(emb, path, n_cells=4, m=4, kc=4, iters=2,
+                           dim=_DIM)
+    idx = S.load_ivfpq_index(spark, path)
+    return S.ivfpq_cell_occupancy(idx)
+
+
+QUERIES["sim24_ivfpq_cell_occupancy"] = sim24_ivfpq_cell_occupancy
+
+# tail reads the final training assignment (gaf) instead of the
+# ranked probe: per-cell counts over all cells of the final
+# quantizer (g2 = the iters=2 coarse centroids), empty cells kept
+ORACLES["sim24_ivfpq_cell_occupancy"] = _int_ivfpq_sql(
+    _DIM, 4, 2, 4, 4, 2, 5, 3, tail="""
+    , occ AS (
+        SELECT g.cid AS cell,
+               CAST(coalesce(c.n, 0) AS BIGINT) AS n_codes
+        FROM g2 g LEFT JOIN (
+            SELECT cell, count(*) AS n FROM gaf GROUP BY cell
+        ) c ON g.cid = c.cell
+    ), tot AS (SELECT CAST(sum(n_codes) AS BIGINT) AS total FROM occ)
+    SELECT CAST(cell AS BIGINT) AS cell, n_codes,
+           CAST((n_codes * 1000) // total AS BIGINT) AS occ_milli,
+           n_codes * 4 > total * 2 AS is_hot
+    FROM occ CROSS JOIN tot ORDER BY cell""")

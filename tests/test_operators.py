@@ -1631,6 +1631,74 @@ class TestIvfpqPersistedLifecycle:
         assert sum(1 for r in unf if r.vec_id % 3 == 0) < len(got)
 
 
+class TestIvfpqOccupancy:
+    """sim24: the cell-occupancy audit + the rebalance path."""
+
+    def _fan(self, spark):
+        # angular fan: direction varies, so per-vector int8
+        # quantization preserves the geometry; the first 4 vec_ids
+        # (the k-means seeds) are clustered in a narrow angle, so a
+        # short train leaves one genuinely HOT cell
+        import math
+
+        rows = []
+        for j in range(32):
+            th = math.radians(j * 3.0)
+            rows.append((j, [100 * math.cos(th), 100 * math.sin(th)]
+                         + [0.0] * 6))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    def test_audit_flags_hot_cell_and_rebalance_clears_it(
+            self, spark, tmp_path):
+        from mining_data_integration_spark.operators import (
+            similarity as S)
+
+        emb = self._fan(spark)
+        skewed = str(tmp_path / "skewed")
+        S.save_ivfpq_index(emb, skewed, n_cells=4, m=2, kc=2,
+                           iters=2, dim=8)
+        before = S.ivfpq_cell_occupancy(
+            S.load_ivfpq_index(spark, skewed)).collect()
+        assert sum(r.n_codes for r in before) == 32
+        assert len(before) == 4                  # empty cells kept
+        assert any(r.is_hot for r in before)     # skew detected
+        # shares are exact integer thousandths of the total
+        assert all(r.occ_milli == r.n_codes * 1000 // 32
+                   for r in before)
+
+        balanced = str(tmp_path / "balanced")
+        S.rebalance_ivfpq_index(emb, skewed, balanced, iters=8)
+        after = S.ivfpq_cell_occupancy(
+            S.load_ivfpq_index(spark, balanced)).collect()
+        assert sum(r.n_codes for r in after) == 32
+        assert not any(r.is_hot for r in after)  # skew cleared
+        assert max(r.occ_milli for r in after) \
+            < max(r.occ_milli for r in before)
+        # the rebalanced artifact is probe-compatible (same geometry)
+        meta_a = spark.read.parquet(f"{skewed}/meta").collect()[0]
+        meta_b = spark.read.parquet(f"{balanced}/meta").collect()[0]
+        assert (meta_a.n_cells, meta_a.m, meta_a.kc, meta_a.dim) \
+            == (meta_b.n_cells, meta_b.m, meta_b.kc, meta_b.dim)
+
+    def test_rebalance_version_gate(self, spark, tmp_path):
+        from unittest import mock
+
+        import pytest as _pytest
+
+        from mining_data_integration_spark.operators import (
+            similarity as S)
+
+        emb = self._fan(spark)
+        path = str(tmp_path / "vg")
+        S.save_ivfpq_index(emb, path, n_cells=4, m=2, kc=2,
+                           iters=2, dim=8)
+        with mock.patch.object(S, "IVFPQ_INDEX_VERSION", 99):
+            with _pytest.raises(ValueError, match="version"):
+                S.rebalance_ivfpq_index(
+                    emb, path, str(tmp_path / "vg2"), iters=4)
+
+
 class TestMinhashPersistedIndex:
     """dd15: the persisted near-dup ingest index (build band buckets
     once, probe each batch with the recorded parameters)."""
