@@ -96,20 +96,20 @@ def merge_miner_partials(partials: DataFrame) -> DataFrame:
     )
 
 
-def _windowed_prepare(spark: SparkSession, tables: dict[str, DataFrame],
-                      gold_dir: str, reorg_depth: int) -> dict | None:
-    """Window-bounded version of core.prepare: walk only the last
-    `reorg_depth` blocks, anchored on the persisted canonical-chain
-    state at the window floor. Returns None when the incremental
-    anchor fails (no state yet, empty window, or a reorg deeper than
-    the window) — callers fall back to the full recompute.
+def _window_chain_state(spark: SparkSession, tables: dict[str, DataFrame],
+                        gold_dir: str, reorg_depth: int) -> dict | None:
+    """Boundary-verified window chain state — the shared walk half of
+    both incremental ticks (_windowed_prepare) and warm full
+    refreshes (prepare_full_with_gold): probe the tips, walk ONLY the
+    last `reorg_depth` blocks of both chains, and verify each window
+    floor's parent against the persisted canonical state one height
+    below. Returns None when the anchor fails (no state yet, empty
+    window, or a reorg deeper than the window) — callers fall back
+    to the from-scratch walk.
 
-    This is where the incremental tick stops paying for history: the
-    chain walks, the lag-delta and the commit-enrichment join all see
-    only O(reorg_depth) snapshot rows. (The commits scan itself prunes
-    at the storage layer when bronze is partitioned by burn-height
-    bucket; the join keeps only window rows either way.)"""
-    from pyspark.sql import Window
+    Returns {'wchain', 'wstacks' (window rows joined to their walk
+    membership, lazily checkpointed), 'floors', 'prev_total',
+    'aligned_floor', 'tip_stacks', 'stored_chain', 'stored_stacks'}."""
     from .chain import chain_members_segmented
     from .schemas import ZERO64
 
@@ -261,6 +261,32 @@ def _windowed_prepare(spark: SparkSession, tables: dict[str, DataFrame],
         if "stacks" not in prevs or \
                 prevs["stacks"].id != floors["stacks"].parent:
             return None
+    return {"wchain": wchain, "wstacks": wstacks, "floors": floors,
+            "prev_total": prev_total, "aligned_floor": aligned_floor,
+            "tip_stacks": tip_stacks, "stored_chain": stored_chain,
+            "stored_stacks": stored_stacks}
+
+
+def _windowed_prepare(spark: SparkSession, tables: dict[str, DataFrame],
+                      gold_dir: str, reorg_depth: int) -> dict | None:
+    """Window-bounded version of core.prepare: walk only the last
+    `reorg_depth` blocks, anchored on the persisted canonical-chain
+    state at the window floor. Returns None when the incremental
+    anchor fails — callers fall back to the full recompute.
+
+    This is where the incremental tick stops paying for history: the
+    chain walks, the lag-delta and the commit-enrichment join all see
+    only O(reorg_depth) snapshot rows. (The commits scan itself prunes
+    at the storage layer when bronze is partitioned by burn-height
+    bucket; the join keeps only window rows either way.)"""
+    from pyspark.sql import Window
+
+    st = _window_chain_state(spark, tables, gold_dir, reorg_depth)
+    if st is None:
+        return None
+    wchain, wstacks = st["wchain"], st["wstacks"]
+    floors, prev_total = st["floors"], st["prev_total"]
+    aligned_floor, tip_stacks = st["aligned_floor"], st["tip_stacks"]
 
     w = Window.orderBy("block_height")
     snap = wchain.withColumn(
@@ -288,6 +314,98 @@ def _windowed_prepare(spark: SparkSession, tables: dict[str, DataFrame],
     return {"snap": snap, "enriched": enriched, "winners": winners,
             "wchain": wchain, "wstacks": wstacks,
             "aligned_floor": aligned_floor, "tip_stacks": tip_stacks}
+
+
+def prepare_full_with_gold(spark: SparkSession,
+                           tables: dict[str, DataFrame],
+                           gold_dir: str,
+                           reorg_depth: int = 100) -> dict | None:
+    """WARM full-refresh prepare (round-9 VERDICT #7): core.prepare's
+    exact output contract, but the canonical-chain membership is
+    persisted state below the window floor UNION a freshly walked
+    reorg window — so the walk stage costs O(reorg_depth) instead of
+    re-walking from genesis, while the E1 join DAG still covers full
+    history and the outputs stay byte-identical to core.prepare
+    (golden equivalence in tests/test_incremental.py).
+
+    Soundness is the same boundary argument as the windowed tick: the
+    window floor's parent is verified against the stored canonical
+    row one height below (_window_chain_state), and rows below the
+    floor are immutable under the bounded-reorg assumption; state
+    buckets align with the window floor's axis, so windowed overwrite
+    can never leave holes in the stored history this reads. Returns
+    None when the anchor fails (no state yet, or a deeper reorg) —
+    callers fall back to the from-scratch core.prepare."""
+    from pyspark.sql import Window
+
+    st = _window_chain_state(spark, tables, gold_dir, reorg_depth)
+    if st is None:
+        return None
+    floor = st["aligned_floor"]
+    # full canonical membership: stored history strictly below the
+    # floor (disjoint from the window by construction) + window walk
+    members = (
+        st["stored_chain"]
+        .filter(F.col("stacks_block_height") < floor)
+        .select("burn_header_hash")
+        .unionByName(st["wchain"].select("burn_header_hash"))
+    )
+    valid = tables["snapshots"].filter(F.col("pox_valid") != 0)
+    w = Window.orderBy("block_height")
+    snap = (
+        valid.join(members, "burn_header_hash")
+        .withColumn(
+            "actual_burn",
+            F.col("total_burn") - F.lag("total_burn", 1, 0).over(w))
+        .localCheckpoint(eager=True)
+    )
+    commits = tables["block_commits"]
+    if "hbucket" in commits.columns:
+        commits = commits.drop("hbucket")  # full history — no pruning
+    enriched = core.commits_enriched(
+        snap, commits, tables["leader_keys"]).cache()
+    chain_cols = (
+        st["stored_stacks"]
+        .filter(F.col("block_height") < floor)
+        .select("burn_header_hash",
+                F.col("block_height").alias("stacks_height"))
+        .unionByName(st["wstacks"].select(
+            "burn_header_hash",
+            F.col("block_height").alias("stacks_height")))
+    )
+    winners = (
+        enriched.filter(F.col("is_winner"))
+        .join(F.broadcast(chain_cols), "burn_header_hash")
+        .localCheckpoint(eager=True)
+    )
+    return {"snap": snap, "enriched": enriched, "winners": winners,
+            "wchain": st["wchain"], "wstacks": st["wstacks"],
+            "aligned_floor": floor, "tip_stacks": st["tip_stacks"]}
+
+
+def chain_state_frames(prepared: dict) -> tuple[DataFrame, DataFrame]:
+    """The two canonical-chain state frames (burn chain, stacks
+    chain) from a prepared dict carrying wchain/wstacks — shared by
+    the incremental tick and refresh_once's state maintenance.
+
+    canonical_chain state buckets on the STACKS height axis — the
+    SAME axis the window floor aligns on. Bucketing on burn height
+    would let a window overwrite straddle a bucket whose low side
+    holds sub-floor rows, silently dropping them from state; the
+    boundary probe only reads floor-1 so windowed ticks never
+    noticed, but prepare_full_with_gold reads the WHOLE stored
+    history and needs it hole-free."""
+    chain_df = prepared["wchain"].select(
+        "burn_header_hash", "parent_burn_header_hash",
+        "block_height", "stacks_block_height", "total_burn") \
+        .withColumn("hbucket", (F.col("stacks_block_height")
+                                / HEIGHTS_PER_BUCKET).cast("long"))
+    stacks_df = prepared["wstacks"].select(
+        "block_hash", "parent_block", "block_height",
+        "burn_header_hash") \
+        .withColumn("hbucket", (F.col("block_height")
+                                / HEIGHTS_PER_BUCKET).cast("long"))
+    return chain_df, stacks_df
 
 
 def incremental_refresh(spark: SparkSession, tables: dict[str, DataFrame],
@@ -348,16 +466,7 @@ def incremental_refresh(spark: SparkSession, tables: dict[str, DataFrame],
         # wall cost drops from the SUM of five write jobs to the MAX.
         from concurrent.futures import ThreadPoolExecutor
 
-        chain_df = prepared["wchain"].select(
-            "burn_header_hash", "parent_burn_header_hash",
-            "block_height", "stacks_block_height", "total_burn") \
-            .withColumn("hbucket", (F.col("block_height")
-                                    / HEIGHTS_PER_BUCKET).cast("long"))
-        stacks_df = prepared["wstacks"].select(
-            "block_hash", "parent_block", "block_height",
-            "burn_header_hash") \
-            .withColumn("hbucket", (F.col("block_height")
-                                    / HEIGHTS_PER_BUCKET).cast("long"))
+        chain_df, stacks_df = chain_state_frames(prepared)
         writes = [
             (mi, f"{gold_dir}/mining_info"),
             (bi, f"{gold_dir}/block_info"),

@@ -45,13 +45,51 @@ def e1_gold_tables(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
     }
 
 
-def refresh_once(tables: dict[str, DataFrame], gold_dir: str) -> None:
+def refresh_once(tables: dict[str, DataFrame], gold_dir: str,
+                 reuse_gold: bool = False, reorg_depth: int = 100,
+                 stage_timings: dict | None = None) -> str:
     """ST1 batch body: recompute + atomic overwrite (the Redis SET
     equivalent, server.js:295-299). The shared prepared intermediates
     are released after the writes — without the unpersist, a
     long-running trigger would accumulate one cached commits table
-    per tick."""
-    prepared = core.prepare(tables)
+    per tick. Returns the mode used ('cold' or 'warm').
+
+    reuse_gold=True turns on the round-9 walk-constant fix: when the
+    persisted canonical-chain state exists and boundary-verifies
+    (incremental.prepare_full_with_gold), the full refresh walks ONLY
+    the reorg window and takes history membership from state — walk
+    cost O(reorg_depth) instead of O(history), outputs byte-identical
+    (golden equivalence test). The from-scratch walk remains the
+    cold-start path (first run, or a reorg deeper than the window),
+    and each refresh maintains the state so the NEXT one is warm:
+    warm ticks overwrite only the window's state buckets, cold ticks
+    rewrite the full state."""
+    from time import perf_counter as _pc
+
+    spark = tables["snapshots"].sparkSession
+    _t0 = _pc()
+    prepared = None
+    mode = "cold"
+    if reuse_gold:
+        from .incremental import prepare_full_with_gold
+        prepared = prepare_full_with_gold(spark, tables, gold_dir,
+                                          reorg_depth=reorg_depth)
+        if prepared is not None:
+            mode = "warm"
+    if prepared is None:
+        tables = dict(tables)
+        if "hbucket" in tables["block_commits"].columns:
+            tables["block_commits"] = \
+                tables["block_commits"].drop("hbucket")
+        prepared = core.prepare(tables)
+        if reuse_gold:
+            from .chain import canonical_stacks_chain
+            prepared["wchain"] = prepared["snap"]
+            prepared["wstacks"] = canonical_stacks_chain(
+                tables["block_headers"])
+    if stage_timings is not None:
+        stage_timings["walk"] = round(_pc() - _t0, 3)
+    _t0 = _pc()
     try:
         for name, builder in (
             ("miner_info", core.miner_info),
@@ -60,8 +98,19 @@ def refresh_once(tables: dict[str, DataFrame], gold_dir: str) -> None:
         ):
             write_gold(builder(tables, prepared=prepared),
                        f"{gold_dir}/{name}")
+        if reuse_gold:
+            # maintain the chain state so the next refresh is warm:
+            # warm mode touches only the window's buckets, cold mode
+            # (wchain = full canonical) rewrites everything
+            from .incremental import _write_dynamic, chain_state_frames
+            chain_df, stacks_df = chain_state_frames(prepared)
+            _write_dynamic(chain_df, f"{gold_dir}/canonical_chain")
+            _write_dynamic(stacks_df, f"{gold_dir}/canonical_stacks")
+        if stage_timings is not None:
+            stage_timings["gold_writes"] = round(_pc() - _t0, 3)
     finally:
         prepared["enriched"].unpersist()
+    return mode
 
 
 def stream_refresh(spark: SparkSession, bronze_dir: str, gold_dir: str,

@@ -83,6 +83,48 @@ class TestIncremental:
         assert int(mi[MINER_B]["total_win"]) == 3
         assert int(mi[MINER_B]["actual_win"]) == 3
 
+    def test_refresh_once_warm_equals_cold(self, spark, tables,
+                                           tmp_path):
+        """Round-9 VERDICT #7: a warm full refresh (walk = persisted
+        state below the floor + reorg-window walk) must produce gold
+        byte-identical to the from-scratch compute, across a chain
+        extension."""
+        from mining_data_integration_spark.streaming import refresh_once
+
+        gold = str(tmp_path / "goldw")
+        assert refresh_once(tables, gold, reuse_gold=True) == "cold"
+        ext = extended_tables(spark, tables)
+        st: dict = {}
+        mode = refresh_once(ext, gold, reuse_gold=True, reorg_depth=3,
+                            stage_timings=st)
+        assert mode == "warm"
+        assert set(st) == {"walk", "gold_writes"}
+        for name, builder in (("mining_info", core.mining_info),
+                              ("block_info", core.block_info),
+                              ("miner_info", core.miner_info)):
+            got = canon_rows(spark.read.parquet(f"{gold}/{name}"))
+            want = canon_rows(builder(ext))
+            assert got == want, f"{name} diverged on warm refresh"
+        # a second warm tick off the warm-maintained state also holds
+        assert refresh_once(ext, gold, reuse_gold=True,
+                            reorg_depth=3) == "warm"
+        got = canon_rows(spark.read.parquet(f"{gold}/miner_info"))
+        assert got == canon_rows(core.miner_info(ext))
+
+    def test_refresh_once_default_stays_reference_faithful(
+            self, spark, tables, tmp_path):
+        """Without reuse_gold the body is the reference's full
+        recompute and writes ONLY the three gold tables — no state
+        dirs appear."""
+        import os
+
+        from mining_data_integration_spark.streaming import refresh_once
+
+        gold = str(tmp_path / "goldc")
+        assert refresh_once(tables, gold) == "cold"
+        assert sorted(os.listdir(gold)) == [
+            "block_info", "miner_info", "mining_info"]
+
     def test_distributed_walk_fallback_equals_full(self, spark, tables,
                                                    tmp_path, monkeypatch):
         """Forcing the driver-walk cap to zero routes the tick through

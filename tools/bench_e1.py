@@ -56,6 +56,27 @@ def main() -> None:
 
     wall = med3(one_full)
 
+    # WARM full refresh (round-9: reuse the persisted canonical chain,
+    # walk only the reorg window — walk stage should track the tick
+    # walk, not the from-scratch walk). Cold bootstrap first.
+    import shutil
+
+    gold_w = "/tmp/bench_e1_gold_warm"
+    shutil.rmtree(gold_w, ignore_errors=True)
+    cold_st: dict = {}
+    streaming.refresh_once(tables, gold_w, reuse_gold=True,
+                           stage_timings=cold_st)
+    warm_st: dict = {}
+
+    def one_warm() -> None:
+        warm_st.clear()
+        mode = streaming.refresh_once(tables, gold_w, reuse_gold=True,
+                                      reorg_depth=1000,
+                                      stage_timings=warm_st)
+        assert mode == "warm", mode
+
+    warm_wall = med3(one_warm)
+
     # steady-state incremental tick: bootstrap the partitioned gold,
     # then time bounded-reorg refreshes (the production cadence)
     gold_dir = "/tmp/bench_e1_gold"
@@ -76,6 +97,10 @@ def main() -> None:
 
     print(json.dumps({
         "metric": "e1_refresh_wall", "value": wall, "unit": "sec",
+        "warm_full_refresh_sec": warm_wall,
+        "warm_stage_walk_sec": warm_st.get("walk"),
+        "warm_stage_gold_writes_sec": warm_st.get("gold_writes"),
+        "cold_stage_walk_sec": cold_st.get("walk"),
         "incremental_tick_sec": inc_wall,
         "incremental_tick_bucketed_bronze_sec": inc_bb_wall,
         "runs": 3,

@@ -49,6 +49,8 @@ ALLOWED: dict[str, dict[str, str]] = {
                          "verdict aggregates",
         "g2_triangle_census": "1-row census-total broadcasts joined "
                               "into the single output row",
+        "sim24_ivfpq_cell_occupancy": "1-row code-total broadcast into "
+                                      "the n_cells-row occupancy table",
         "tx21_heaps_growth": "O(points) threshold-range joins: the "
                              "4-row prefix table broadcast against "
                              "first-occurrence/doc-size tables",
