@@ -56,7 +56,7 @@ _REVERIFY_FIRST = (
     # batch_id sink; st10 retry marker; dd15 shares the tagged index
     # path helper; dd-family keep-min now rides the star kernel)
     "g4_star_components", "dd16_lsh_index_append_probe",
-    "sim24_ivfpq_cell_occupancy",
+    "sim24_ivfpq_cell_occupancy", "dd17_star_dedup_clusters",
     "st9_stream_ingest_dedup", "st10_stream_index_append",
     "dd15_persisted_lsh_probe", "dd6_dup_clusters", "dd14_survivorship",
     # round-8 head continues (sim17 routes through the shared

@@ -881,3 +881,64 @@ ORACLES["dd16_lsh_index_append_probe"] = _lsh_probe_sql(3, 16, 4, tail="""
         WHERE n.id % 2 = 1 AND c.id % 2 = 0
         ORDER BY new_id, corpus_id
     """)
+
+
+DD17_ORACLE_ROUNDS = 6
+
+
+def dd17_star_dedup_clusters(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The production dedup combination, end-to-end: MinHash/LSH
+    candidate pairs (dd3's machinery) collapsed into transitive
+    near-dup CLUSTERS by the O(log n) star-contraction kernel
+    (operators/components.connected_components_star — the g4 kernel
+    on the graph it was built for: near-dup chains whose diameter is
+    unbounded across crawl snapshots; converges in 2 rounds at every
+    sf tier here, pinned <= DD17_ORACLE_ROUNDS by the parity test).
+    Output: one row per duplicate cluster (cluster id = min doc id,
+    size, max member) — what a keep-one-per-cluster pass consumes.
+    The DuckDB oracle replays the full chain: signature -> band
+    buckets -> candidate pairs -> 6 star-contraction rounds (margin
+    over the measured 2; the star forest is a fixed point, so extra
+    rounds are no-ops) -> cluster rollup."""
+    from ..operators.components import connected_components_star
+
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    pairs = D.minhash_lsh_candidates(docs, n=3, num_hashes=16, bands=4)
+    labels = connected_components_star(pairs, "id1", "id2")
+    return (
+        labels.groupBy(F.col("component").alias("cluster_id"))
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.max("node").cast("long").alias("max_doc"))
+        .orderBy("cluster_id")
+    )
+
+
+QUERIES["dd17_star_dedup_clusters"] = dd17_star_dedup_clusters
+
+
+def _dd17_oracle() -> str:
+    from .graph import star_rounds_sql
+
+    rounds_sql, final = star_rounds_sql(DD17_ORACLE_ROUNDS)
+    return _lsh_probe_sql(3, 16, 4, tail=f"""
+        , cand AS MATERIALIZED (
+            SELECT DISTINCT a.id AS id1, b.id AS id2
+            FROM stacked a JOIN stacked b
+              ON a.bucket = b.bucket AND a.id < b.id
+        ), e0 AS MATERIALIZED (
+            SELECT DISTINCT id2 AS x, id1 AS y FROM cand
+        ){rounds_sql}
+        , labels AS MATERIALIZED (
+            SELECT DISTINCT x AS node, y AS comp FROM {final}
+            UNION
+            SELECT DISTINCT y, y FROM {final}
+        )
+        SELECT comp AS cluster_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(max(node) AS BIGINT) AS max_doc
+        FROM labels GROUP BY comp ORDER BY cluster_id
+    """)
+
+
+ORACLES["dd17_star_dedup_clusters"] = _dd17_oracle()

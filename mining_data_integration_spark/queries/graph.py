@@ -300,11 +300,18 @@ def g4_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["g4_star_components"] = g4_star_components
 
 
-def _g4_oracle() -> str:
-    B = G4_CHAIN_BASE
+def star_rounds_sql(rounds: int, first: str = "e0") -> tuple[str, str]:
+    """SQL replay of `rounds` alternating large-star/small-star
+    contraction rounds over a canonical edge CTE named `first`
+    (columns x > y) — shared by the g4 and dd17 oracles. Returns
+    (chained CTE text to append after the e0 CTE, name of the final
+    edge CTE). Rounds past the kernel's convergence are no-ops (the
+    star forest is a fixed point), so callers pick `rounds` with
+    margin over the measured convergence and pin the margin in a
+    unit test."""
     steps = []
-    prev = "e0"
-    for i in range(1, G4_ORACLE_ROUNDS + 1):
+    prev = first
+    for i in range(1, rounds + 1):
         steps.append(f"""
     , s{i} AS MATERIALIZED (
         SELECT x AS u, y AS v FROM {prev}
@@ -329,6 +336,12 @@ def _g4_oracle() -> str:
         ) WHERE a <> b
     )""")
         prev = f"e{i}"
+    return "".join(steps), prev
+
+
+def _g4_oracle() -> str:
+    B = G4_CHAIN_BASE
+    rounds_sql, prev = star_rounds_sql(G4_ORACLE_ROUNDS)
     return f"""
     WITH bip AS MATERIALIZED (
         SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS u,
@@ -345,7 +358,7 @@ def _g4_oracle() -> str:
         SELECT DISTINCT greatest(u, v) AS x, least(u, v) AS y
         FROM (SELECT u, v FROM bip UNION ALL SELECT u, v FROM chain)
         WHERE u <> v
-    ){''.join(steps)}
+    ){rounds_sql}
     , labels AS MATERIALIZED (
         SELECT DISTINCT x AS node, y AS comp FROM {prev}
         UNION

@@ -150,6 +150,8 @@ ALLOWED: dict[str, dict[str, str]] = {
                              "same sharded engine as dp5, chunk-level)",
         "g2_triangle_census": "1-row census aggregates (nodes/edges/"
                               "wedges/triangles totals)",
+        "sim24_ivfpq_cell_occupancy": "1-row code-total aggregate + "
+                                      "n_cells-row (4) final sort",
         "tx20_zipf_octaves": "per-shard offset table (O(shards) rows; "
                              "the vocab rank uses the sharded "
                              "global_row_number engine)",
