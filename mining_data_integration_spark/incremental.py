@@ -319,7 +319,9 @@ def _windowed_prepare(spark: SparkSession, tables: dict[str, DataFrame],
 def prepare_full_with_gold(spark: SparkSession,
                            tables: dict[str, DataFrame],
                            gold_dir: str,
-                           reorg_depth: int = 100) -> dict | None:
+                           reorg_depth: int = 100,
+                           stage_timings: dict | None = None
+                           ) -> dict | None:
     """WARM full-refresh prepare (round-9 VERDICT #7): core.prepare's
     exact output contract, but the canonical-chain membership is
     persisted state below the window floor UNION a freshly walked
@@ -336,11 +338,21 @@ def prepare_full_with_gold(spark: SparkSession,
     can never leave holes in the stored history this reads. Returns
     None when the anchor fails (no state yet, or a deeper reorg) —
     callers fall back to the from-scratch core.prepare."""
+    from time import perf_counter as _pc
+
     from pyspark.sql import Window
 
+    _t0 = _pc()
     st = _window_chain_state(spark, tables, gold_dir, reorg_depth)
     if st is None:
         return None
+    if stage_timings is not None:
+        # the part the warm path actually shrinks: O(reorg_depth)
+        # probes + walks, comparable to the tick's walk stage. The
+        # remainder of the prepare (full snap join + lag + eager
+        # checkpoint) is O(history) and identical in the cold path.
+        stage_timings["window_walk"] = round(_pc() - _t0, 3)
+    _t0 = _pc()
     floor = st["aligned_floor"]
     # full canonical membership: stored history strictly below the
     # floor (disjoint from the window by construction) + window walk
@@ -378,6 +390,8 @@ def prepare_full_with_gold(spark: SparkSession,
         .join(F.broadcast(chain_cols), "burn_header_hash")
         .localCheckpoint(eager=True)
     )
+    if stage_timings is not None:
+        stage_timings["history_materialize"] = round(_pc() - _t0, 3)
     return {"snap": snap, "enriched": enriched, "winners": winners,
             "wchain": st["wchain"], "wstacks": st["wstacks"],
             "aligned_floor": floor, "tip_stacks": st["tip_stacks"]}

@@ -73,7 +73,8 @@ def refresh_once(tables: dict[str, DataFrame], gold_dir: str,
     if reuse_gold:
         from .incremental import prepare_full_with_gold
         prepared = prepare_full_with_gold(spark, tables, gold_dir,
-                                          reorg_depth=reorg_depth)
+                                          reorg_depth=reorg_depth,
+                                          stage_timings=stage_timings)
         if prepared is not None:
             mode = "warm"
     if prepared is None:

@@ -98,7 +98,8 @@ class TestIncremental:
         mode = refresh_once(ext, gold, reuse_gold=True, reorg_depth=3,
                             stage_timings=st)
         assert mode == "warm"
-        assert set(st) == {"walk", "gold_writes"}
+        assert set(st) == {"walk", "gold_writes", "window_walk",
+                           "history_materialize"}
         for name, builder in (("mining_info", core.mining_info),
                               ("block_info", core.block_info),
                               ("miner_info", core.miner_info)):

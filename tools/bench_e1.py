@@ -92,17 +92,27 @@ def main() -> None:
     t2["block_commits"] = spark.read.parquet(bronze)
     gold2 = "/tmp/bench_e1_gold_bb"
     incremental_refresh(spark, t2, gold2, reorg_depth=10 ** 12)
-    inc_bb_wall = med3(lambda: incremental_refresh(
-        spark, t2, gold2, reorg_depth=1000))
+    tick_st: dict = {}
+
+    def one_tick_bb() -> None:
+        tick_st.clear()
+        incremental_refresh(spark, t2, gold2, reorg_depth=1000,
+                            stage_timings=tick_st)
+
+    inc_bb_wall = med3(one_tick_bb)
 
     print(json.dumps({
         "metric": "e1_refresh_wall", "value": wall, "unit": "sec",
         "warm_full_refresh_sec": warm_wall,
         "warm_stage_walk_sec": warm_st.get("walk"),
+        "warm_stage_window_walk_sec": warm_st.get("window_walk"),
+        "warm_stage_history_materialize_sec":
+            warm_st.get("history_materialize"),
         "warm_stage_gold_writes_sec": warm_st.get("gold_writes"),
         "cold_stage_walk_sec": cold_st.get("walk"),
         "incremental_tick_sec": inc_wall,
         "incremental_tick_bucketed_bronze_sec": inc_bb_wall,
+        "tick_stage_walk_sec": tick_st.get("walk"),
         "runs": 3,
         "n_blocks": n_blocks, "commits_per_block": cpb,
         "budget_sec": 120, "gold_rows": counts,
