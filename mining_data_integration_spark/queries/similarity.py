@@ -1536,3 +1536,38 @@ ORACLES["sim24_ivfpq_cell_occupancy"] = _int_ivfpq_sql(
            CAST((n_codes * 1000) // total AS BIGINT) AS occ_milli,
            n_codes * 4 > total * 2 AS is_hot
     FROM occ CROSS JOIN tot ORDER BY cell""")
+
+
+def sim25_ivfpq_rebalanced_probe(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Probe of a REBALANCED index — the back half of the sim24
+    lifecycle: rebalance_ivfpq_index retrains the sim19 artifact from
+    the source corpus with MORE Lloyd iterations (4 vs 2) at the same
+    geometry and swaps the fresh index in; this query probes the
+    rebalanced artifact (k=5, n_probe=2). Correctness of the
+    rebalance is fully hash-checked because training is
+    bit-deterministic: the DuckDB oracle replays the whole
+    train(iters=4)+probe chain, which must equal the probe of the
+    persisted rebalanced index. Together with sim24 (detect skew) and
+    the rebalance unit tests (skew actually clears), this closes the
+    audit -> rebalance -> probe loop."""
+    import os
+
+    base = _ivfpq_index_path(sf_dir)
+    reb = _ivfpq_index_path(sf_dir, tag="rebalanced-i4")
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    if not os.path.exists(os.path.join(base, "meta")):
+        S.save_ivfpq_index(emb, base, n_cells=4, m=4, kc=4, iters=2,
+                           dim=_DIM)
+    if not os.path.exists(os.path.join(reb, "meta")):
+        S.rebalance_ivfpq_index(emb, base, reb, iters=4)
+    idx = S.load_ivfpq_index(spark, reb)
+    return S.ivfpq_probe_topk(
+        idx, _queries_df(spark, sf_dir), k=5, n_probe=2
+    ).orderBy("q_id", "rk")
+
+
+QUERIES["sim25_ivfpq_rebalanced_probe"] = sim25_ivfpq_rebalanced_probe
+
+ORACLES["sim25_ivfpq_rebalanced_probe"] = _int_ivfpq_sql(
+    _DIM, 4, 2, 4, 4, 4, 5, 3)
