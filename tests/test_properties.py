@@ -568,3 +568,41 @@ class TestCodecDispatch:
         pcm = M.wav_encode(samples, M.WAV_SR)
         assert M._mix_decode("wav_pcm", pcm) \
             == (16, sum(abs(s) for s in samples))
+
+
+class TestStarContractionProperty:
+    """g4 kernel: star contraction must compute EXACT connected
+    components on arbitrary graphs — property-checked against a
+    driver-side union-find ground truth (pure Python, no Spark round
+    replay, so the test is independent of the kernel's algebra)."""
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+                    min_size=1, max_size=60))
+    def test_matches_union_find(self, spark, edges):
+        from mining_data_integration_spark.operators.components import (
+            connected_components_star)
+
+        # ground truth: union-find with min-id representatives
+        parent: dict[int, int] = {}
+
+        def find(a: int) -> int:
+            while parent.setdefault(a, a) != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for u, v in edges:
+            ra, rb = find(u), find(v)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        want = {n: find(n) for n in parent}
+        # re-root every chain fully (path compression is partial)
+        want = {n: find(r) for n, r in want.items()}
+
+        df = spark.createDataFrame(edges, "u long, v long")
+        got = {r.node: r.component
+               for r in connected_components_star(df, "u", "v")
+               .collect()}
+        assert got == want
