@@ -148,8 +148,12 @@ def connected_components_star(pairs: DataFrame, src: str, dst: str,
     unchanged fingerprint after a full round means no edge was
     rewired, which (connectivity preservation + the monotone
     smaller-endpoint potential) holds only at the star-forest fixed
-    point. One eager localCheckpoint + one bounded fingerprint agg
-    per round keeps lineage flat and every downstream read on
+    point. A fingerprint MATCH is then confirmed with a real set
+    difference (equal counts + one-sided exceptAll empty <=> set
+    equality) so a 2^-64 hash collision can never terminate the
+    loop early — the confirm job runs once, at convergence, never
+    per round. One eager localCheckpoint + one bounded fingerprint
+    agg per round keeps lineage flat and every downstream read on
     checkpointed blocks.
 
     pairs: undirected edges, any orientation, dups/self-loops OK.
@@ -192,10 +196,13 @@ def connected_components_star(pairs: DataFrame, src: str, dst: str,
         # kept because the round's output is read three times (the
         # fingerprint + twice by the next round's symmetrize) and
         # eager guarantees all of them hit checkpointed blocks
+        prev = edges
         edges = small_star(large_star(edges)) \
             .localCheckpoint(eager=True)
         fp_new = fingerprint(edges)
-        if fp_new == fp:
+        if fp_new == fp and edges.exceptAll(prev).isEmpty():
+            # counts equal (fingerprint) + one-sided difference empty
+            # over distinct frames => genuinely identical edge sets
             break
         fp = fp_new
     else:

@@ -298,7 +298,11 @@ def compact_minhash_index(spark, path: str) -> None:
     -> buckets) — NOT atomic against concurrent probes, so compaction
     is a single-writer maintenance operation, run from the same
     scheduler slot that owns appends; the pre-swap build itself never
-    disturbs readers."""
+    disturbs readers. Crash window, documented: a crash between the
+    two renames leaves no `buckets/` but the complete pre-compaction
+    data in `buckets.old-<nonce>/` and the compacted copy in
+    `buckets.compact-<nonce>/` — recovery is renaming either back;
+    nothing is ever deleted before its replacement is in place."""
     import shutil
     import uuid
 
