@@ -2135,16 +2135,19 @@ def st9_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eager-and-clean (the u6 discipline): the report is bounded
     # (one row per streamed doc), so collect it, remove the run's
     # /tmp output + checkpoint dirs, and return a local frame — no
-    # scratch residue survives the query. batch_id is the sink's
-    # idempotency partition column, not part of the report schema.
+    # scratch residue survives the query, even on a failed read
+    # (finally). batch_id is the sink's idempotency partition
+    # column, not part of the report schema.
     import shutil
 
-    out = (spark.read.parquet(out_dir).drop("batch_id")
-           .orderBy("new_id"))
-    rows = out.collect()
-    schema_out = out.schema
-    shutil.rmtree(out_dir, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
+    try:
+        out = (spark.read.parquet(out_dir).drop("batch_id")
+               .orderBy("new_id"))
+        rows = out.collect()
+        schema_out = out.schema
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.createDataFrame(rows, schema_out).orderBy("new_id")
 
 
