@@ -193,3 +193,35 @@ ORACLES = {
     ORDER BY stacks_block_height DESC
 """,
 }
+
+
+def a4_win_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (rpc.js:271, 305) — the LAST SURVEY §2 operator id: the
+    reference computes two global running counters while it loops —
+    win_total (winning commits on the canonical burn chain) and
+    actual_win_total (wins that also landed on the canonical Stacks
+    fork) — and only ever console.logs them; no served output reads
+    them. Implemented anyway as a 1-row query over the synthetic E1
+    world so the id flips from partial-by-design to oracle-checked:
+    two count aggregates off the shared prepared intermediates (the
+    exact frames A1/A3 consume), combined by a 1-row broadcast
+    cross-join (the g2 pattern, plan-audit whitelisted)."""
+    from ..core import prepare
+
+    p = prepare(_world(spark))
+    a = p["enriched"].filter(F.col("is_winner")).agg(
+        F.count("*").cast("long").alias("win_total"))
+    b = p["winners"].agg(
+        F.count("*").cast("long").alias("actual_win_total"))
+    return a.crossJoin(F.broadcast(b))
+
+
+QUERIES["a4_win_totals"] = a4_win_totals
+
+ORACLES["a4_win_totals"] = _E1_WORLD + """
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM enr
+            WHERE is_winner) AS win_total,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM enr e JOIN schain s ON s.bhh = e.bhh
+            WHERE e.is_winner) AS actual_win_total
+"""

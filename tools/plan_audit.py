@@ -51,6 +51,8 @@ ALLOWED: dict[str, dict[str, str]] = {
                               "into the single output row",
         "sim24_ivfpq_cell_occupancy": "1-row code-total broadcast into "
                                       "the n_cells-row occupancy table",
+        "a4_win_totals": "two 1-row global win counters cross-joined "
+                         "into the single output row (g2 pattern)",
         "tx21_heaps_growth": "O(points) threshold-range joins: the "
                              "4-row prefix table broadcast against "
                              "first-occurrence/doc-size tables",
@@ -152,6 +154,7 @@ ALLOWED: dict[str, dict[str, str]] = {
                               "wedges/triangles totals)",
         "sim24_ivfpq_cell_occupancy": "1-row code-total aggregate + "
                                       "n_cells-row (4) final sort",
+        "a4_win_totals": "two 1-row global count aggregates",
         "tx20_zipf_octaves": "per-shard offset table (O(shards) rows; "
                              "the vocab rank uses the sharded "
                              "global_row_number engine)",
