@@ -160,10 +160,12 @@ def min_label_components(edges: DataFrame, iterations: int = 6) -> DataFrame:
     the textbook BSP round, with `localCheckpoint(eager=False)`
     truncating lineage so the plan stays constant-size in k (the g1
     discipline). Rounds needed equal the component diameter; for
-    diameter-unbounded graphs the O(log n) upgrade is the alternating
-    large-star/small-star contraction, which swaps this kernel's
-    neighbor-min for star re-attachment but keeps the same
-    join+groupBy round structure."""
+    diameter-unbounded graphs the O(log n) kernel is
+    operators/components.connected_components_star (alternating
+    large-star/small-star contraction — the g4 query and the
+    dd-family cluster collapse ride it); this min-label kernel stays
+    for shallow graphs and for oracles that replay its deterministic
+    label sequence round-for-round (g3)."""
     sym = (
         edges.select("u", "v")
         .union(edges.select(F.col("v").alias("u"),
