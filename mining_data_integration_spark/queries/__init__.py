@@ -58,6 +58,7 @@ _REVERIFY_FIRST = (
     "g4_star_components", "dd16_lsh_index_append_probe",
     "sim24_ivfpq_cell_occupancy", "dd17_star_dedup_clusters",
     "sim25_ivfpq_rebalanced_probe", "a4_win_totals",
+    "st11_stream_components",
     "st9_stream_ingest_dedup", "st10_stream_index_append",
     "dd15_persisted_lsh_probe", "dd6_dup_clusters", "dd14_survivorship",
     # round-8 head continues (sim17 routes through the shared

@@ -389,3 +389,107 @@ def _g4_oracle() -> str:
 
 
 ORACLES["g4_star_components"] = _g4_oracle()
+
+
+def st11_stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental connected components — the cross-snapshot
+    dedup reality driven by the real micro-batch engine: the g4 graph
+    arrives as an edge FILE STREAM in three micro-batches
+    (maxFilesPerTrigger=1), and each batch is star-contracted TOGETHER
+    with the persisted star forest of everything seen before, then the
+    refreshed forest is swapped back in. Soundness: a star forest is a
+    connectivity-preserving O(nodes) summary of its input, and the
+    min-rooted star forest of a graph is UNIQUE, so folding batches in
+    any order ends at exactly the batch answer — each tick costs
+    O(batch + nodes), never O(all edges seen). Components genuinely
+    MERGE across ticks here (chain segments split by an arithmetic
+    hash, so adjacent links land in different batches). Output is the
+    g4 rollup of the final forest; the DuckDB oracle is the g4 batch
+    replay — streamed fold == batch contraction is the whole claim.
+    Eager-and-clean: the bounded rollup is collected and the run's
+    scratch (stream source, forest state, checkpoint) removed."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.components import connected_components_star
+
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    bip = (
+        li.filter((F.col("l_partkey") * 7 + F.col("l_suppkey")) % 5 == 0)
+        .select((F.col("l_partkey").cast("long") * 2).alias("u"),
+                (F.col("l_suppkey").cast("long") * 2 + 1).alias("v"))
+        .distinct()
+    )
+    mx = p.agg(F.max("p_partkey")).collect()[0][0]
+    chain = (
+        p.filter((F.col("p_partkey") % 97 != 0)
+                 & (F.col("p_partkey") < mx))
+        .select((F.col("p_partkey").cast("long") + G4_CHAIN_BASE)
+                .alias("u"),
+                (F.col("p_partkey").cast("long") + G4_CHAIN_BASE + 1)
+                .alias("v"))
+    )
+    edges = bip.unionByName(chain)
+    run = tempfile.mkdtemp(prefix="sg_st11_")
+    try:
+        src = os.path.join(run, "incoming")
+        # three ingest files -> three genuine micro-batches; (u+v)%3
+        # splits adjacent chain links across batches, so merges span
+        # ticks
+        for i in range(3):
+            (edges.filter((F.col("u") + F.col("v")) % 3 == i)
+             .coalesce(1).write.mode("append").parquet(src))
+        state = os.path.join(run, "forest")
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+
+        def batch_fn(batch_df, batch_id: int) -> None:
+            if os.path.exists(state):
+                prev = spark.read.parquet(state)
+                g = batch_df.select("u", "v").unionByName(
+                    prev.filter(F.col("node") != F.col("component"))
+                    .select(F.col("node").alias("u"),
+                            F.col("component").alias("v")))
+                labels = connected_components_star(
+                    g, "u", "v", nodes=prev.select("node"))
+            else:
+                labels = connected_components_star(batch_df, "u", "v")
+            # single-writer state swap, file-granular per batch
+            new = f"{state}.new-{batch_id}"
+            labels.write.mode("overwrite").parquet(new)
+            shutil.rmtree(state, ignore_errors=True)
+            os.rename(new, state)
+
+        q = (stream.writeStream.foreachBatch(batch_fn)
+             .option("checkpointLocation", os.path.join(run, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        labels = spark.read.parquet(state)
+        B = G4_CHAIN_BASE
+        out = (
+            labels.groupBy(F.col("component"))
+            .agg(F.count("*").cast("long").alias("n_nodes"),
+                 F.sum(((F.col("node") < B) & (F.col("node") % 2 == 0))
+                       .cast("long")).alias("n_parts"),
+                 F.sum(((F.col("node") < B) & (F.col("node") % 2 == 1))
+                       .cast("long")).alias("n_suppliers"),
+                 F.sum((F.col("node") >= B).cast("long"))
+                 .alias("n_chain"),
+                 F.max("node").cast("long").alias("max_node"))
+            .orderBy("component")
+        )
+        rows = out.collect()
+        schema_out = out.schema
+    finally:
+        shutil.rmtree(run, ignore_errors=True)
+    return spark.createDataFrame(rows, schema_out).orderBy("component")
+
+
+QUERIES["st11_stream_components"] = st11_stream_components
+
+# the claim IS that the streamed fold equals the batch contraction,
+# so the oracle is exactly the g4 batch replay
+ORACLES["st11_stream_components"] = _g4_oracle()

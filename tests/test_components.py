@@ -150,6 +150,30 @@ def test_star_g4_graph_converges_within_oracle_margin(spark):
     assert rounds[0] <= 10, rounds
 
 
+def test_star_forest_fold_equals_batch(spark):
+    """st11's soundness claim in isolation: contracting batch 2's
+    edges together with batch 1's star FOREST equals contracting the
+    union — including the hard case where a component only exists
+    once both batches are seen (the bridge edge arrives last)."""
+    b1 = spark.createDataFrame([(1, 2), (3, 4), (10, 11)],
+                               "u long, v long")
+    b2 = spark.createDataFrame([(2, 3), (20, 21)], "u long, v long")
+    lab1 = connected_components_star(b1, "u", "v")
+    folded_in = (b2.unionByName(
+        lab1.filter("node != component")
+        .selectExpr("node as u", "component as v")))
+    folded = {r.node: r.component
+              for r in connected_components_star(
+                  folded_in, "u", "v",
+                  nodes=lab1.select("node")).collect()}
+    batch = {r.node: r.component
+             for r in connected_components_star(
+                 b1.unionByName(b2), "u", "v").collect()}
+    assert folded == batch
+    assert folded[4] == 1            # the cross-batch merge happened
+    assert folded[10] == 10 and folded[11] == 10  # untouched survives
+
+
 def test_dedup_keep_min_singletons_and_clusters(spark):
     docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
     pairs = spark.createDataFrame(
