@@ -262,6 +262,12 @@ def save_minhash_index(docs: DataFrame, path: str, text_col: str = "text",
     try:
         os.rename(tmp, path)
     except OSError:
+        # a concurrent builder renamed first — identical content
+        # (deterministic signatures). If the index is still absent the
+        # rename failed for a real reason (cross-device tmp, stale
+        # target): re-raise instead of discarding the built index.
+        if not os.path.exists(os.path.join(path, "meta")):
+            raise
         shutil.rmtree(tmp, ignore_errors=True)
 
 

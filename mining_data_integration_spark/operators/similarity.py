@@ -1171,7 +1171,12 @@ def save_ivfpq_index(emb: DataFrame, path: str, n_cells: int = 4,
         os.rename(tmp, path)
     except OSError:
         # a concurrent builder renamed first — identical content
-        # (deterministic training), so just drop the scratch copy
+        # (deterministic training), so just drop the scratch copy. If
+        # the index is still absent the rename failed for a real
+        # reason (cross-device tmp, stale target): re-raise instead
+        # of discarding the built index.
+        if not os.path.exists(os.path.join(path, "meta")):
+            raise
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -1236,8 +1241,13 @@ def ivfpq_cell_occupancy(index: dict) -> DataFrame:
         .select(
             "cell", "n_codes",
             # integer div, not double `/` + cast: exact at the
-            # boundaries, bit-identical to DuckDB's `//`
-            F.expr("(n_codes * 1000) div _total").alias("occ_milli"),
+            # boundaries, bit-identical to DuckDB's `//`. Guarded for
+            # an EMPTY index: _total = 0 would raise DIVIDE_BY_ZERO
+            # under ANSI mode (Spark 4 default) — an empty audit
+            # reports all-zero occupancy instead.
+            F.when(F.col("_total") > 0,
+                   F.expr("(n_codes * 1000) div _total"))
+            .otherwise(F.lit(0).cast("long")).alias("occ_milli"),
             (F.col("n_codes") * n_cells > F.col("_total") * 2)
             .alias("is_hot"))
         .orderBy("cell")

@@ -859,6 +859,12 @@ def dd16_lsh_index_append_probe(spark: SparkSession,
         try:
             os.rename(staging, path)
         except OSError:
+            # only a concurrent winner may absorb the failure: if the
+            # index is still absent the rename failed for a real
+            # reason (cross-device tmp, stale target) — re-raise
+            # instead of discarding the built index
+            if not os.path.exists(os.path.join(path, "meta")):
+                raise
             shutil.rmtree(staging, ignore_errors=True)
     pairs = D.probe_minhash_index(
         docs.filter(F.col("doc_id") % 2 == 1), path)

@@ -1226,6 +1226,11 @@ def sim20_ivfpq_append_probe(spark: SparkSession,
         try:
             os.rename(scratch, path)
         except OSError:
+            # only a concurrent winner may absorb the failure: if the
+            # index is still absent the rename failed for a real
+            # reason — re-raise instead of discarding the built index
+            if not os.path.exists(os.path.join(path, "meta")):
+                raise
             shutil.rmtree(scratch, ignore_errors=True)
     idx = S.load_ivfpq_index(spark, path)
     return S.ivfpq_probe_topk(

@@ -1681,6 +1681,21 @@ class TestIvfpqOccupancy:
         assert (meta_a.n_cells, meta_a.m, meta_a.kc, meta_a.dim) \
             == (meta_b.n_cells, meta_b.m, meta_b.kc, meta_b.dim)
 
+    def test_empty_index_audit_reports_zero_occupancy(self, spark):
+        # round-10 ADVICE: _total = 0 must not DIVIDE_BY_ZERO under
+        # ANSI mode (Spark 4 default) — an empty index audits to
+        # all-zero shares, no hot flags
+        from mining_data_integration_spark.operators import (
+            similarity as S)
+
+        codes = spark.createDataFrame(
+            [], "vec_id long, _cell int, code array<int>")
+        out = S.ivfpq_cell_occupancy(
+            {"codes": codes, "meta": {"n_cells": 4}}).collect()
+        assert len(out) == 4
+        assert all(r.n_codes == 0 and r.occ_milli == 0
+                   and not r.is_hot for r in out)
+
     def test_rebalance_version_gate(self, spark, tmp_path):
         from unittest import mock
 

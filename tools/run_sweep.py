@@ -13,6 +13,7 @@ ORACLE_SHUFFLE_PARTITIONS in the environment propagate to the shards
 from __future__ import annotations
 
 import os
+import re
 import subprocess
 import sys
 
@@ -40,7 +41,11 @@ def main() -> int:
         p.wait()
         fh.close()
         txt = open(log, errors="replace").read()
-        good = "\n0 failures" in txt or txt.rstrip().endswith("0 failures")
+        # match the zero-failure summary line EXACTLY: endswith("0
+        # failures") would also accept "10 failures" if check_oracle
+        # ever printed a bare count (today it appends ": [names]" to
+        # nonzero counts — a coupling this regex removes)
+        good = re.search(r"(?m)^0 failures\s*$", txt) is not None
         print(f"{'PASS' if good else 'FAIL'} {log}")
         ok &= good
     print("SWEEP PASS" if ok else "SWEEP FAIL")
