@@ -311,17 +311,20 @@ def chain_members_auto(edges: DataFrame, tip_id: str,
         StructType([StructField(id_col, StringType())]),
     ).select(
         # a non-round-tripping tip (e.g. "xyz" vs a bigint id column)
-        # would cast to NULL and silently walk to an empty result;
-        # assert_true turns that into a loud runtime error instead
-        F.assert_true(
-            F.col(id_col).cast(id_type).isNotNull(),
-            F.concat(
-                F.lit("chain_members_auto: tip '"), F.col(id_col),
-                F.lit(f"' does not cast to edge id type "
-                      f"{id_type.simpleString()}")),
-        ).alias("_tip_cast_ok"),
-        F.col(id_col).cast(id_type).alias(id_col),
-    ).drop("_tip_cast_ok")
+        # would cast to NULL and silently walk to an empty result. The
+        # guard is folded INTO the kept column (when/raise_error), not
+        # a dropped assert_true column: Catalyst prunes an unused
+        # projection, so a dropped guard never fires with ANSI off
+        # (round-10 ADVICE) — with it folded in, a NULL cast raises
+        # loudly under either ANSI setting.
+        F.when(F.col(id_col).cast(id_type).isNotNull(),
+               F.col(id_col).cast(id_type))
+        .otherwise(F.raise_error(F.concat(
+            F.lit("chain_members_auto: tip '"), F.col(id_col),
+            F.lit(f"' does not cast to edge id type "
+                  f"{id_type.simpleString()}"))))
+        .alias(id_col),
+    )
     return chain_members(edges, tips, id_col, parent_col)
 
 

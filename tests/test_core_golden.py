@@ -174,10 +174,33 @@ class TestChainWalk:
         rows = [(i, i - 1) for i in range(1, 6)]
         edges = spark.createDataFrame(rows, "id long, parent long")
         # ANSI mode: the CAST itself raises; non-ANSI: the cast
-        # yields NULL and the assert_true net fires — loud either way
+        # yields NULL and the raise_error branch fires — loud either way
         with pytest.raises(Exception,
                            match="does not cast|cannot be cast"):
             C.chain_members_auto(edges, "xyz", "id", "parent").collect()
+
+    def test_auto_non_casting_tip_errors_loudly_ansi_off(self, spark):
+        """round-10 ADVICE: with ANSI OFF the CAST yields NULL instead
+        of raising, and the previous dropped-assert_true guard was
+        PRUNED by Catalyst — the walk silently returned [Row(id=None)].
+        The guard is now folded into the kept column (when/raise_error)
+        so it cannot be pruned; this pins the non-ANSI path."""
+        from mining_data_integration_spark import chain as C
+
+        rows = [(i, i - 1) for i in range(1, 6)]
+        edges = spark.createDataFrame(rows, "id long, parent long")
+        old = spark.conf.get("spark.sql.ansi.enabled")
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        try:
+            with pytest.raises(Exception, match="does not cast"):
+                C.chain_members_auto(
+                    edges, "xyz", "id", "parent").collect()
+            # and the happy path still walks under ANSI off
+            got = {r.id for r in C.chain_members_auto(
+                edges, "5", "id", "parent").collect()}
+            assert got == {1, 2, 3, 4, 5}
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", old)
 
     def test_auto_falls_back_to_doubling_pre_spark4(
             self, spark, monkeypatch):
