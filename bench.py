@@ -68,11 +68,12 @@ def e1_refresh_bench(spark, n_blocks: int, cpb: int = 10) -> dict:
     height-bucketed bronze, on a synthetic chain of n_blocks burn
     blocks. Round 8: both are MEDIAN OF 3 warm runs (one discarded
     warm-up first — rounds 6-7 proved single runs swing +-40% on this
-    box), and each reports a per-stage breakdown: the full refresh
-    splits walk (core.prepare — eager chain walks + winner join) from
-    joins (executing the three gold DAGs), the tick splits walk /
-    gold_writes / merge (instrumented inside incremental_refresh).
-    tools/bench_e1.py is the standalone/larger-scale variant."""
+    box). Round 10: cold, warm and tick all run refresh machinery
+    INCLUDING writes, so the three numbers compare like-for-like;
+    stage breakdowns come from the refreshers' stage_timings (cold:
+    walk/gold_writes; warm adds window_walk/history_materialize; tick:
+    walk/gold_writes/merge). tools/bench_e1.py is the standalone/
+    larger-scale variant."""
     import shutil
     import time as _time
 
@@ -85,33 +86,37 @@ def e1_refresh_bench(spark, n_blocks: int, cpb: int = 10) -> dict:
     # clean slate: stale gold state from a previous invocation would
     # silently change which refresh path the timed calls take
     for d in ("/tmp/bench_e1_bronze", "/tmp/bench_e1_bronze_commits",
-              "/tmp/bench_e1_gold_bb"):
+              "/tmp/bench_e1_gold_bb", "/tmp/bench_e1_gold_cold",
+              "/tmp/bench_e1_gold_warm"):
         shutil.rmtree(d, ignore_errors=True)
 
     tables = synth_mining_world(spark, n_blocks, cpb, n_miners=200)
     tables = land_as_parquet(tables, "/tmp/bench_e1_bronze", spark)
 
-    def one_full() -> tuple[float, dict]:
+    # round-10 symmetry fix (round-9 VERDICT "what's wrong #3"): cold
+    # and warm refreshes measure THE SAME WORK — one refresh_once
+    # including all gold + state writes — so the two numbers compare
+    # like-for-like. (Previously cold only .count()ed the outputs while
+    # warm included writes, which read as "warm is a regression".)
+    from mining_data_integration_spark.streaming import refresh_once
+
+    gold_c = "/tmp/bench_e1_gold_cold"
+
+    def one_cold() -> tuple[float, dict]:
+        shutil.rmtree(gold_c, ignore_errors=True)  # no state -> cold
+        st: dict = {}
         t0 = _time.perf_counter()
-        prepared = core.prepare(tables)
-        t_walk = _time.perf_counter()
-        try:
-            for builder in (core.miner_info, core.mining_info,
-                            core.block_info):
-                builder(tables, prepared=prepared).count()
-            t_joins = _time.perf_counter()
-        finally:
-            prepared["enriched"].unpersist()
-        return (round(t_joins - t0, 2),
-                {"walk": round(t_walk - t0, 2),
-                 "joins": round(t_joins - t_walk, 2)})
+        mode = refresh_once(tables, gold_c, reuse_gold=True,
+                            stage_timings=st)
+        assert mode == "cold", mode
+        return round(_time.perf_counter() - t0, 2), st
 
     # steady state of a long-lived refresh process (the reference
     # recomputes on a 120 s timer in one warm process, server.js:444):
     # discard one warm-up run (one-off JIT / codegen / scan-metadata
     # costs no periodic tick repays), then median-of-3
-    one_full()
-    full_runs = sorted((one_full() for _ in range(3)),
+    one_cold()
+    full_runs = sorted((one_cold() for _ in range(3)),
                        key=lambda x: x[0])
     full, full_stages = full_runs[1]
 

@@ -37,7 +37,7 @@ through an unpartitioned window.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .chain import canonical_snapshots, canonical_stacks_chain
@@ -51,16 +51,57 @@ STX_REWARD = 1000
 GAS = 350 * 100
 
 
-def snapshots_with_actual_burn(snapshots: DataFrame) -> DataFrame:
-    """Canonical snapshots + A2 lag-delta: `total_burn` in the source is
-    a *cumulative* counter (rpc.js:250-252); per-block burn is the
-    difference from the previous canonical block."""
-    canon = canonical_snapshots(snapshots)
-    w = Window.orderBy("block_height")
-    return canon.withColumn(
+def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+    """localCheckpoint, unless SPARK_GRAFT_NO_CHECKPOINT=1.
+
+    Checkpoints truncate lineage, which blinds plan audits: the round-9
+    audit saw only post-checkpoint scans for the e1_* queries and the
+    A2 single-partition window hid behind core.prepare's eager
+    checkpoint. tools/plan_audit.py and the plan tests set the env flag
+    to build the FULL logical DAG (slower to construct, never executed
+    eagerly beyond the walk probes)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_CHECKPOINT") == "1":
+        return df
+    return df.localCheckpoint(eager=eager)
+
+
+def with_actual_burn(canon: DataFrame,
+                     first_default: int = 0) -> DataFrame:
+    """A2 lag-delta over a canonical-chain frame: `total_burn` in the
+    source is a *cumulative* counter (rpc.js:250-252); per-block burn
+    is the difference from the previous canonical block
+    (`first_default` seeds the first row — 0 from genesis).
+
+    Scale shape (round-9 VERDICT #1): the lag runs through
+    operators/scalable.global_lag — shard-local window + an O(shards)
+    boundary patch — not a single-partition Window.orderBy over full
+    history, which was the one per-executor serialization point left
+    in the flagship E1 DAG. block_height is unique on a canonical
+    chain (duplicate heights collapse in the F2 walk), so it is a
+    total order. Callers pass a MATERIALIZED canon (checkpointed /
+    cached): global_lag samples range boundaries at plan-build time,
+    so an un-materialized walk upstream would re-execute per sampling
+    job."""
+    from .operators.scalable import global_lag
+
+    lagged = global_lag(canon, [F.col("block_height")],
+                        F.col("total_burn"), out_col="_prev_burn")
+    return lagged.withColumn(
         "actual_burn",
-        F.col("total_burn") - F.lag("total_burn", 1, 0).over(w),
-    )
+        F.col("total_burn")
+        - F.coalesce(F.col("_prev_burn"), F.lit(first_default)),
+    ).drop("_prev_burn")
+
+
+def snapshots_with_actual_burn(snapshots: DataFrame) -> DataFrame:
+    """Canonical snapshots + A2 lag-delta (see with_actual_burn). The
+    walk output is checkpointed here (one row per burn block) so the
+    lag's boundary sampling reads materialized blocks instead of
+    re-running the walk."""
+    canon = _ckpt(canonical_snapshots(snapshots))
+    return with_actual_burn(canon)
 
 
 def burn_blocks_with_feeds(snapshots_canon: DataFrame,
@@ -183,12 +224,11 @@ def prepare(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
     materializes the canonical chain (small: one row per burn block —
     localCheckpoint also truncates the walk's iterative lineage) and
     caches the enriched commits that all three gold tables consume."""
-    snap = snapshots_with_actual_burn(tables["snapshots"]) \
-        .localCheckpoint(eager=True)
+    snap = _ckpt(snapshots_with_actual_burn(tables["snapshots"]))
     enriched = commits_enriched(
         snap, tables["block_commits"], tables["leader_keys"]).cache()
-    winners = canonical_winners(tables["block_headers"], snap, enriched) \
-        .localCheckpoint(eager=True)
+    winners = _ckpt(
+        canonical_winners(tables["block_headers"], snap, enriched))
     return {"snap": snap, "enriched": enriched, "winners": winners}
 
 

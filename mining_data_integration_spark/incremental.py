@@ -27,12 +27,26 @@ whole old partitions, never torn rows.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import core
 
 HEIGHTS_PER_BUCKET = 1000
+
+# Layout/axis version of the persisted canonical-chain state. Version 2
+# buckets canonical_chain on STACKS height (round 9 changed the axis
+# from burn height). The marker gates every warm read: a gold_dir
+# written by a previous layout — or by any build that predates the
+# marker — fails the check and forces a COLD rebuild that deletes and
+# rewrites the state. Without the gate, dynamic partition overwrite
+# would rewrite only new-axis buckets and leave stale old-axis rows in
+# place, silently duplicating join keys in prepare_full_with_gold's
+# members union (round-10 ADVICE).
+STATE_LAYOUT_VERSION = 2
 
 # hard ceiling on the driver-side window-walk collect regardless of
 # reorg_depth: above this the tick uses the distributed segmented walk
@@ -96,6 +110,43 @@ def merge_miner_partials(partials: DataFrame) -> DataFrame:
     )
 
 
+def _state_layout_ok(gold_dir: str) -> bool:
+    """True iff the persisted chain state was written by THIS layout
+    version (see STATE_LAYOUT_VERSION)."""
+    try:
+        with open(os.path.join(gold_dir, "STATE_LAYOUT")) as f:
+            return int(f.read().strip()) == STATE_LAYOUT_VERSION
+    except (OSError, ValueError):
+        return False
+
+
+def reset_state_for_layout(gold_dir: str) -> None:
+    """Before a FULL state rewrite: if the layout marker is missing or
+    mismatched, DELETE the state directories. Dynamic partition
+    overwrite only rewrites buckets present in the new frame, so
+    stale buckets written on a different axis would otherwise survive
+    the rewrite."""
+    if _state_layout_ok(gold_dir):
+        return
+    shutil.rmtree(os.path.join(gold_dir, "canonical_chain"),
+                  ignore_errors=True)
+    shutil.rmtree(os.path.join(gold_dir, "canonical_stacks"),
+                  ignore_errors=True)
+
+
+def mark_state_layout(gold_dir: str) -> None:
+    """After a successful FULL state write: record the layout version
+    (atomic replace — a crash between the state write and the marker
+    leaves the marker absent, which just forces one more cold
+    rebuild)."""
+    os.makedirs(gold_dir, exist_ok=True)
+    marker = os.path.join(gold_dir, "STATE_LAYOUT")
+    tmp = f"{marker}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(str(STATE_LAYOUT_VERSION))
+    os.replace(tmp, marker)
+
+
 def _window_chain_state(spark: SparkSession, tables: dict[str, DataFrame],
                         gold_dir: str, reorg_depth: int) -> dict | None:
     """Boundary-verified window chain state — the shared walk half of
@@ -113,6 +164,11 @@ def _window_chain_state(spark: SparkSession, tables: dict[str, DataFrame],
     from .chain import chain_members_segmented
     from .schemas import ZERO64
 
+    # layout gate FIRST: state written on a different bucket axis must
+    # never anchor a warm path (the floor-1 boundary probe cannot
+    # detect axis-mixed buckets — round-10 ADVICE)
+    if not _state_layout_ok(gold_dir):
+        return None
     try:
         stored_chain = spark.read.parquet(f"{gold_dir}/canonical_chain")
         stored_stacks = spark.read.parquet(f"{gold_dir}/canonical_stacks")
@@ -288,11 +344,14 @@ def _windowed_prepare(spark: SparkSession, tables: dict[str, DataFrame],
     floors, prev_total = st["floors"], st["prev_total"]
     aligned_floor, tip_stacks = st["aligned_floor"], st["tip_stacks"]
 
+    # single-partition lag is FINE here: wchain holds only the
+    # O(reorg_depth) window, not history (the full-history paths use
+    # the sharded core.with_actual_burn)
     w = Window.orderBy("block_height")
-    snap = wchain.withColumn(
+    snap = core._ckpt(wchain.withColumn(
         "actual_burn",
         F.col("total_burn") - F.lag("total_burn", 1, prev_total).over(w),
-    ).localCheckpoint(eager=True)
+    ))
 
     commits = tables["block_commits"]
     if "hbucket" in commits.columns:
@@ -306,10 +365,9 @@ def _windowed_prepare(spark: SparkSession, tables: dict[str, DataFrame],
         snap, commits.drop("hbucket"), tables["leader_keys"]).cache()
     chain_cols = wstacks.select(
         "burn_header_hash", F.col("block_height").alias("stacks_height"))
-    winners = (
+    winners = core._ckpt(
         enriched.filter(F.col("is_winner"))
         .join(F.broadcast(chain_cols), "burn_header_hash")
-        .localCheckpoint(eager=True)
     )
     return {"snap": snap, "enriched": enriched, "winners": winners,
             "wchain": wchain, "wstacks": wstacks,
@@ -340,8 +398,6 @@ def prepare_full_with_gold(spark: SparkSession,
     callers fall back to the from-scratch core.prepare."""
     from time import perf_counter as _pc
 
-    from pyspark.sql import Window
-
     _t0 = _pc()
     st = _window_chain_state(spark, tables, gold_dir, reorg_depth)
     if st is None:
@@ -363,14 +419,14 @@ def prepare_full_with_gold(spark: SparkSession,
         .unionByName(st["wchain"].select("burn_header_hash"))
     )
     valid = tables["snapshots"].filter(F.col("pox_valid") != 0)
-    w = Window.orderBy("block_height")
-    snap = (
-        valid.join(members, "burn_header_hash")
-        .withColumn(
-            "actual_burn",
-            F.col("total_burn") - F.lag("total_burn", 1, 0).over(w))
-        .localCheckpoint(eager=True)
-    )
+    # the A2 lag-delta over FULL history rides the sharded global_lag
+    # (core.with_actual_burn) — the warm path must not reintroduce the
+    # single-partition window the cold path removed (round-9 VERDICT
+    # #1). Lazy-checkpoint the membership join first: the lag's
+    # boundary sampling is the first consumer and materializes it once.
+    joined = core._ckpt(
+        valid.join(members, "burn_header_hash"), eager=False)
+    snap = core._ckpt(core.with_actual_burn(joined))
     commits = tables["block_commits"]
     if "hbucket" in commits.columns:
         commits = commits.drop("hbucket")  # full history — no pruning
@@ -489,11 +545,18 @@ def incremental_refresh(spark: SparkSession, tables: dict[str, DataFrame],
             (stacks_df, f"{gold_dir}/canonical_stacks"),
         ]
         _t0 = _pc()
+        if mode == "full":
+            # a full rewrite covers every bucket of the CURRENT axis;
+            # stale buckets from a different layout must be deleted
+            # first, and the marker written only after the writes land
+            reset_state_for_layout(gold_dir)
         with ThreadPoolExecutor(max_workers=len(writes)) as pool:
             futures = [pool.submit(_write_dynamic, df, path)
                        for df, path in writes]
             for f in futures:
                 f.result()   # surface the first failure
+        if mode == "full":
+            mark_state_layout(gold_dir)
         if stage_timings is not None:
             stage_timings["gold_writes"] = round(_pc() - _t0, 3)
 

@@ -59,6 +59,49 @@ def shuffle_count(df: DataFrame) -> int:
     return headers - single_partition_exchanges(df, _plan=plan)
 
 
+def unpartitioned_window_orders(df: DataFrame) -> list[str]:
+    """Order-key expressions of every Window node in the OPTIMIZED
+    logical plan whose partition spec is EMPTY — i.e. windows that
+    force all their input through one partition (WindowExec's "No
+    Partition Defined" warning; a scale-killer unless the input is
+    provably bounded).
+
+    Why the logical plan and not the formatted physical text: the
+    physical rendering of an unpartitioned Window is not reliably
+    distinguishable by substring, and the partition spec IS a typed
+    field on the logical node. Walks children() only (subquery
+    expressions are not traversed — none of the audited DAGs hide
+    windows there).
+
+    Caveat (the round-9 audit blind spot): a localCheckpoint TRUNCATES
+    lineage — anything upstream of the checkpoint is invisible to any
+    plan API. Auditing checkpoint-bearing DAGs therefore requires
+    building them with SPARK_GRAFT_NO_CHECKPOINT=1 (core._ckpt), which
+    is what tools/plan_audit.py and tests/test_plans.py do; the
+    self-test pins that the detector is blind behind a checkpoint and
+    sighted without one."""
+    out: list[str] = []
+
+    def walk(node) -> None:
+        if node.getClass().getSimpleName() == "Window" \
+                and node.partitionSpec().size() == 0:
+            orders = node.orderSpec()
+            names = []
+            for i in range(orders.size()):
+                child = orders.apply(i).child()
+                try:
+                    names.append(child.sql())
+                except Exception:
+                    names.append(child.toString())
+            out.append(", ".join(names))
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out
+
+
 def single_partition_exchanges(df: DataFrame, _plan: str | None = None) -> int:
     """Count Exchange operators that shuffle everything to ONE partition.
 

@@ -122,23 +122,29 @@ def w4_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w6_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6+A2 (rpc.js:245-252): lag-difference over a cumulative series —
     the reference's actual_burn = total_burn − lag(total_burn). Builds
-    the cumulative series first (as the source data does), then delta."""
+    the cumulative series first (as the source data does), then delta.
+
+    Round 10: both global-order windows ride the sharded two-phase
+    engines (operators/scalable.global_cumsum / global_lag) — the same
+    machinery core.with_actual_burn uses for the E1 A2 path — so the
+    only single-partition work left is the O(shards) boundary tables.
+    The day grain bounds this fixture anyway; the point is that the
+    registered query demonstrates the scale-safe shape."""
+    from ..operators.scalable import global_cumsum, global_lag
+
     o = t(spark, sf_dir, "orders")
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_day_total")
     )
-    w_cum = Window.orderBy("day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_lag = Window.orderBy("day")
-    cum = daily.select(
-        "day", F.sum("_day_total").over(w_cum).alias("_cum_total")
-    )
-    return cum.select(
+    cum = global_cumsum(daily, [F.col("day")], F.col("_day_total"),
+                        out_col="_cum_total")
+    lagged = global_lag(cum, [F.col("day")], F.col("_cum_total"),
+                        out_col="_prev_total")
+    return lagged.select(
         "day",
         money(F.col("_cum_total")).alias("cum_total"),
         money(
-            F.col("_cum_total") - F.lag("_cum_total", 1).over(w_lag)
+            F.col("_cum_total") - F.col("_prev_total")
         ).alias("delta_total"),
     ).orderBy("day")
 

@@ -112,6 +112,56 @@ class TestIncremental:
         got = canon_rows(spark.read.parquet(f"{gold}/miner_info"))
         assert got == canon_rows(core.miner_info(ext))
 
+    def test_warm_refresh_skips_subfloor_gold_partitions(
+            self, spark, tables, tmp_path, monkeypatch):
+        """round-9 VERDICT #4: the WARM full refresh must not rewrite
+        full mining_info/block_info history every refresh — sub-floor
+        hbucket partitions are byte-stable and stay untouched, while
+        the merged view still equals the full recompute."""
+        import glob
+        import os
+
+        from mining_data_integration_spark.streaming import refresh_once
+
+        monkeypatch.setattr(incremental, "HEIGHTS_PER_BUCKET", 2)
+        gold = str(tmp_path / "goldp")
+        assert refresh_once(tables, gold, reuse_gold=True) == "cold"
+        low = sorted(glob.glob(f"{gold}/mining_info/hbucket=0/*.parquet"))
+        assert low, "cold refresh must write the partitioned layout"
+        mtimes = {p: os.path.getmtime(p) for p in low}
+
+        ext = extended_tables(spark, tables)
+        assert refresh_once(ext, gold, reuse_gold=True,
+                            reorg_depth=1) == "warm"
+        after = sorted(glob.glob(f"{gold}/mining_info/hbucket=0/*.parquet"))
+        assert after == low
+        assert all(os.path.getmtime(p) == mtimes[p] for p in after), \
+            "sub-floor gold partition rewritten by a warm full refresh"
+        for name, builder in (("mining_info", core.mining_info),
+                              ("block_info", core.block_info),
+                              ("miner_info", core.miner_info)):
+            got = canon_rows(spark.read.parquet(f"{gold}/{name}"))
+            assert got == canon_rows(builder(ext)), name
+
+    def test_warm_write_falls_back_full_on_flat_layout(
+            self, spark, tables, tmp_path):
+        """A gold dir whose outputs were last written FLAT (a
+        reuse_gold=False refresh on the same dir) cannot take a
+        partition-scoped warm write — the guard rewrites it whole
+        instead of mixing layouts."""
+        from mining_data_integration_spark.streaming import refresh_once
+
+        gold = str(tmp_path / "goldmix")
+        assert refresh_once(tables, gold, reuse_gold=True) == "cold"
+        # clobber the partitioned outputs with a flat write
+        refresh_once(tables, gold)
+        ext = extended_tables(spark, tables)
+        assert refresh_once(ext, gold, reuse_gold=True,
+                            reorg_depth=3) == "warm"
+        got = canon_rows(
+            spark.read.parquet(f"{gold}/mining_info"))
+        assert got == canon_rows(core.mining_info(ext))
+
     def test_refresh_once_default_stays_reference_faithful(
             self, spark, tables, tmp_path):
         """Without reuse_gold the body is the reference's full
@@ -173,6 +223,61 @@ class TestIncremental:
                 raise AssertionError("incremental stream never converged")
         finally:
             q.stop()
+
+    def test_state_layout_marker_gates_warm_anchor(self, spark, tables,
+                                                   tmp_path):
+        """round-10 ADVICE: state written on a different bucket axis
+        (or by a build that predates the marker) must never anchor a
+        warm path — the tick goes full, DELETES the stale state dirs
+        (dynamic overwrite alone would leave foreign-axis buckets in
+        place) and re-marks the layout."""
+        import os
+
+        gold = str(tmp_path / "gold")
+        incremental.incremental_refresh(
+            spark, tables, gold, reorg_depth=10**9)
+        marker = os.path.join(gold, "STATE_LAYOUT")
+        assert os.path.exists(marker)
+        with open(marker) as f:
+            assert int(f.read()) == incremental.STATE_LAYOUT_VERSION
+
+        # simulate a previous-build gold_dir: no marker, plus one
+        # bucket that only an old axis could have produced
+        os.remove(marker)
+        stale = os.path.join(gold, "canonical_chain", "hbucket=999")
+        (spark.read.parquet(os.path.join(gold, "canonical_chain"))
+         .drop("hbucket").limit(1).write.parquet(stale))
+        assert incremental._window_chain_state(
+            spark, tables, gold, 3) is None      # gate fires
+
+        info = incremental.incremental_refresh(
+            spark, tables, gold, reorg_depth=3)
+        assert info["mode"] == "full"            # warm anchor refused
+        assert not os.path.exists(stale)         # stale axis deleted
+        assert os.path.exists(marker)            # layout re-marked
+        # and with the marker restored the next tick anchors warm
+        info = incremental.incremental_refresh(
+            spark, extended_tables(spark, tables), gold, reorg_depth=3)
+        assert info["mode"] == "windowed"
+
+    def test_refresh_once_cold_restores_layout_marker(
+            self, spark, tables, tmp_path):
+        import os
+
+        from mining_data_integration_spark.streaming import refresh_once
+
+        gold = str(tmp_path / "gold")
+        assert refresh_once(tables, gold, reuse_gold=True) == "cold"
+        marker = os.path.join(gold, "STATE_LAYOUT")
+        assert os.path.exists(marker)
+        assert refresh_once(tables, gold, reuse_gold=True,
+                            reorg_depth=3) == "warm"
+        os.remove(marker)                         # previous-build dir
+        assert refresh_once(tables, gold, reuse_gold=True,
+                            reorg_depth=3) == "cold"
+        assert os.path.exists(marker)
+        assert refresh_once(tables, gold, reuse_gold=True,
+                            reorg_depth=3) == "warm"
 
     def test_untouched_partitions_not_rewritten(self, spark, tables,
                                                 tmp_path, monkeypatch):

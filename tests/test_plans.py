@@ -17,6 +17,67 @@ def queries():
     return e.queries()
 
 
+class TestCheckpointBlindSpot:
+    """Round-9 VERDICT #2: core.prepare's eager localCheckpoint
+    truncated lineage, so the plan audit could not see the A2
+    single-partition window upstream of it. The fix is two-sided:
+    the E1 lag now rides the sharded global_lag, AND the audit builds
+    the DAG with SPARK_GRAFT_NO_CHECKPOINT=1 so nothing hides."""
+
+    def test_detector_blind_behind_checkpoint_sighted_with_flag(
+            self, spark, monkeypatch):
+        """Self-test: an intentionally-injected global window upstream
+        of a core._ckpt is INVISIBLE with checkpoints on (the round-9
+        blind spot, pinned) and FAILS the detector when the audit flag
+        disables them."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from mining_data_integration_spark import core
+
+        df = spark.range(50).withColumn("v", F.col("id") * 3)
+        bad = df.withColumn(
+            "p", F.lag("v").over(Window.orderBy("id")))
+
+        hidden = core._ckpt(bad)            # checkpoints ON
+        assert plans.unpartitioned_window_orders(hidden) == []
+
+        monkeypatch.setenv("SPARK_GRAFT_NO_CHECKPOINT", "1")
+        visible = core._ckpt(bad)           # audit flag: no truncation
+        orders = plans.unpartitioned_window_orders(visible)
+        assert any("id" in o for o in orders)
+
+    def test_e1_lag_is_sharded_in_the_pre_checkpoint_dag(
+            self, spark, monkeypatch):
+        """The A2 lag-delta in BOTH full-history preps must show no
+        data-sized global window in the un-truncated DAG: every
+        unpartitioned window may order only by the sharded engines'
+        _sc_pid (the O(shards) boundary table)."""
+        from mining_data_integration_spark import core, fixtures
+
+        monkeypatch.setenv("SPARK_GRAFT_NO_CHECKPOINT", "1")
+        tables = fixtures.mining_tables(spark)
+        snap = core.snapshots_with_actual_burn(tables["snapshots"])
+        for o in plans.unpartitioned_window_orders(snap):
+            assert "_sc_pid" in o and "block_height" not in o, o
+        # with_actual_burn directly (the prepare_full_with_gold shape)
+        direct = core.with_actual_burn(
+            tables["snapshots"].filter("pox_valid != 0"))
+        for o in plans.unpartitioned_window_orders(direct):
+            assert "_sc_pid" in o and "block_height" not in o, o
+
+    def test_e1_registered_queries_have_only_shard_windows(
+            self, spark, monkeypatch, queries):
+        """The registered flagship queries, built exactly as the plan
+        audit builds them (pre-checkpoint DAG): every unpartitioned
+        window is the sharded engines' O(shards) boundary table."""
+        monkeypatch.setenv("SPARK_GRAFT_NO_CHECKPOINT", "1")
+        for name in ("e1_miner_info", "e1_mining_info"):
+            df = queries[name](spark, SF)
+            for o in plans.unpartitioned_window_orders(df):
+                assert "_sc_pid" in o, (name, o)
+
+
 class TestPlanProperties:
     def test_f3_filter_pushed_to_scan(self, spark, queries):
         df = queries["f3_range_filter"](spark, SF)

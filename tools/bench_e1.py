@@ -48,24 +48,32 @@ def main() -> None:
             runs.append(round(time.perf_counter() - t0, 2))
         return sorted(runs)[1]
 
-    counts = {}
+    # COLD full refresh including all gold + state writes (round-10
+    # symmetry fix: cold and warm measure the SAME work — previously
+    # cold only counted the outputs while warm included writes)
+    import shutil
 
-    def one_full() -> None:
-        for name, df in streaming.e1_gold_tables(tables).items():
-            counts[name] = df.count()
+    gold_c = "/tmp/bench_e1_gold_cold"
+    cold_st: dict = {}
 
-    wall = med3(one_full)
+    def one_cold() -> None:
+        shutil.rmtree(gold_c, ignore_errors=True)   # no state -> cold
+        cold_st.clear()
+        mode = streaming.refresh_once(tables, gold_c, reuse_gold=True,
+                                      stage_timings=cold_st)
+        assert mode == "cold", mode
+
+    wall = med3(one_cold)
+    counts = {
+        name: spark.read.parquet(f"{gold_c}/{name}").count()
+        for name in ("miner_info", "mining_info", "block_info")}
 
     # WARM full refresh (round-9: reuse the persisted canonical chain,
     # walk only the reorg window — walk stage should track the tick
     # walk, not the from-scratch walk). Cold bootstrap first.
-    import shutil
-
     gold_w = "/tmp/bench_e1_gold_warm"
     shutil.rmtree(gold_w, ignore_errors=True)
-    cold_st: dict = {}
-    streaming.refresh_once(tables, gold_w, reuse_gold=True,
-                           stage_timings=cold_st)
+    streaming.refresh_once(tables, gold_w, reuse_gold=True)
     warm_st: dict = {}
 
     def one_warm() -> None:
@@ -110,6 +118,7 @@ def main() -> None:
             warm_st.get("history_materialize"),
         "warm_stage_gold_writes_sec": warm_st.get("gold_writes"),
         "cold_stage_walk_sec": cold_st.get("walk"),
+        "cold_stage_gold_writes_sec": cold_st.get("gold_writes"),
         "incremental_tick_sec": inc_wall,
         "incremental_tick_bucketed_bronze_sec": inc_bb_wall,
         "tick_stage_walk_sec": tick_st.get("walk"),

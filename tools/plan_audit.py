@@ -177,9 +177,19 @@ ALLOWED: dict[str, dict[str, str]] = {
                       "global_rank in round 4)",
         "w15_range_frame": "single-key demo series (bounded fixture); "
                            "partitioned variant is w2/w16",
-        "w6_lag_delta": "height-ordered chain delta — the reference's "
-                        "global-order semantics (A2); bounded by chain "
-                        "length, segmented engine covers the scale path",
+        "e1_miner_info": "O(shards) boundary table of the sharded A2 "
+                         "global_lag — visible only now that the audit "
+                         "builds the pre-checkpoint DAG (round-10 fix); "
+                         "the data-sized global window it replaced is "
+                         "gone (window orders pinned in "
+                         "tests/test_plans.py)",
+        "e1_mining_info": "O(shards) boundary table of the sharded A2 "
+                          "global_lag (same as e1_miner_info)",
+        "w6_lag_delta": "per-shard boundary tables (O(shards) rows) of "
+                        "the sharded global_cumsum/global_lag engines — "
+                        "the same machinery core.with_actual_burn runs "
+                        "for the E1 A2 delta (narrowed in round 10: the "
+                        "data-sized global window is gone)",
         "e2_burn_fee_area": "trailing-1000 slice upstream bounds rows",
         "w1_trailing_mean": "trailing-20 slice",
         "w3_keep_last": "trailing slice upstream",
@@ -215,6 +225,15 @@ ALLOWED: dict[str, dict[str, str]] = {
 
 
 def main() -> int:
+    # Build the DAGs WITHOUT localCheckpoints (core._ckpt honors this):
+    # a checkpoint truncates lineage, so anything upstream of it is
+    # invisible to every plan API — the round-9 audit passed the e1_*
+    # queries as plain `ok` while the A2 single-partition window hid
+    # behind core.prepare's eager checkpoint. With the flag set, the
+    # audit sees the FULL logical DAG. tests/test_plans.py pins both
+    # directions (blind behind a checkpoint, sighted with the flag).
+    os.environ["SPARK_GRAFT_NO_CHECKPOINT"] = "1"
+
     import __spark_entry__ as e
     from mining_data_integration_spark import plans
     from mining_data_integration_spark.session import get_spark
