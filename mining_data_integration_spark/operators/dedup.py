@@ -271,6 +271,33 @@ def save_minhash_index(docs: DataFrame, path: str, text_col: str = "text",
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _buckets_dir(path: str) -> str:
+    """Resolve the CURRENT buckets generation of a persisted minhash
+    index. A fresh build uses the flat `buckets/`; the first
+    compaction introduces immutable `buckets-g<N>/` generations behind
+    a tiny `BUCKETS` pointer file (the sources/kv.py pointer-swap
+    discipline), so a probe racing a compaction always resolves one
+    complete directory — never a hole."""
+    import os
+
+    ptr = os.path.join(path, "BUCKETS")
+    try:
+        with open(ptr) as f:
+            return os.path.join(path, f.read().strip())
+    except OSError:
+        return os.path.join(path, "buckets")
+
+
+def _prune_bucket_generations(path: str, keep: set[str]) -> None:
+    import os
+    import shutil
+
+    for name in os.listdir(path):
+        if (name == "buckets" or name.startswith("buckets-g")) \
+                and name not in keep:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
+
 def append_to_minhash_index(new_docs: DataFrame, path: str,
                             text_col: str = "text",
                             id_col: str = "doc_id") -> None:
@@ -294,37 +321,44 @@ def append_to_minhash_index(new_docs: DataFrame, path: str,
     rows = band_bucket_rows(new_docs, text_col, id_col, meta.n,
                             meta.num_hashes, meta.bands)
     rows.write.mode("append").partitionBy("band") \
-        .parquet(f"{path}/buckets")
+        .parquet(_buckets_dir(path))
 
 
 def compact_minhash_index(spark, path: str) -> None:
-    """Merge appended fragments: rewrite buckets/ as one fresh
-    generation (distinct rows, one file per band partition) and swap
-    it in. The swap is two renames (buckets -> buckets.old, compacted
-    -> buckets) — NOT atomic against concurrent probes, so compaction
-    is a single-writer maintenance operation, run from the same
-    scheduler slot that owns appends; the pre-swap build itself never
-    disturbs readers. Crash window, documented: a crash between the
-    two renames leaves no `buckets/` but the complete pre-compaction
-    data in `buckets.old-<nonce>/` and the compacted copy in
-    `buckets.compact-<nonce>/` — recovery is renaming either back;
-    nothing is ever deleted before its replacement is in place."""
-    import shutil
-    import uuid
+    """Merge appended fragments into one fresh GENERATION and flip the
+    pointer (round-9 VERDICT #1 / round-10: the sources/kv.py
+    versioned-generation discipline, replacing the old two-rename swap
+    whose window left no buckets/ at all for racing probes):
 
+        buckets-g<N+1>/   <- distinct rows, one file per band
+        BUCKETS           <- pointer file, swapped with os.replace
+
+    Readers (_buckets_dir) resolve the pointer then read ONE immutable
+    directory, so a probe racing a compaction reads either the old or
+    the new generation — never an error. The superseded generation is
+    kept for one cycle for in-flight readers and pruned on the NEXT
+    compaction. Crash-safe: before the flip the old generation stays
+    current (a dead buckets-g<N+1> is overwritten next time); after
+    the flip both generations are complete. Compaction itself remains
+    single-writer versus OTHER compactions/appends — the pointer
+    protects probes, not concurrent maintenance."""
     import os
 
-    buckets = f"{path}/buckets"
-    nonce = uuid.uuid4().hex[:12]
-    tmp = f"{buckets}.compact-{nonce}"
-    (spark.read.parquet(buckets)
+    cur = _buckets_dir(path)
+    cur_name = os.path.basename(cur)
+    gen = 1 if cur_name == "buckets" else int(cur_name.rsplit("-g", 1)[1])
+    new_name = f"buckets-g{gen + 1}"
+    (spark.read.parquet(cur)
      .select("id", "bh", "band").distinct()
      .repartition("band")
-     .write.mode("overwrite").partitionBy("band").parquet(tmp))
-    old = f"{buckets}.old-{nonce}"
-    os.rename(buckets, old)
-    os.rename(tmp, buckets)
-    shutil.rmtree(old, ignore_errors=True)
+     .write.mode("overwrite").partitionBy("band")
+     .parquet(os.path.join(path, new_name)))
+    ptr = os.path.join(path, "BUCKETS")
+    tmp = f"{ptr}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(new_name)
+    os.replace(tmp, ptr)   # atomic: probes see old or new, never none
+    _prune_bucket_generations(path, keep={cur_name, new_name})
 
 
 def probe_minhash_index(new_docs: DataFrame, path: str,
@@ -346,7 +380,7 @@ def probe_minhash_index(new_docs: DataFrame, path: str,
     new_rows = band_bucket_rows(
         new_docs, text_col, id_col, meta.n, meta.num_hashes,
         meta.bands).select(F.col("id").alias("new_id"), "band", "bh")
-    idx = spark.read.parquet(f"{path}/buckets") \
+    idx = spark.read.parquet(_buckets_dir(path)) \
         .select(F.col("id").alias("corpus_id"), "band", "bh")
     return (
         idx.join(F.broadcast(new_rows), ["band", "bh"])
