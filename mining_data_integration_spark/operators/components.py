@@ -242,3 +242,159 @@ def dedup_keep_min(docs: DataFrame, pairs: DataFrame, id_col: str,
         .withColumn("keep", F.col("cluster_id") == F.col(id_col))
         .drop("component")
     )
+
+
+# --- streaming incremental components: delta state (round-9 VERDICT #5)
+
+def _forest_base_dir(state_dir: str) -> str | None:
+    """Resolve the current compacted-base generation via the BASE
+    pointer file (the sources/kv.py discipline — flips atomically, so
+    a crash mid-compaction never corrupts the readable state)."""
+    import os
+
+    try:
+        with open(os.path.join(state_dir, "BASE")) as f:
+            return os.path.join(state_dir, f.read().strip())
+    except OSError:
+        return None
+
+
+def read_star_forest(spark, state_dir: str,
+                     exclude_gen: int | None = None) -> DataFrame | None:
+    """Current star forest from a delta-state directory: the compacted
+    base plus per-batch delta generations, LATEST generation winning
+    per node (max_by over the gen column; generations are strictly
+    increasing batch ids, so the winner is unique — base rows carry
+    the max generation they folded, and a leftover delta at that same
+    generation holds the identical label, making the tie harmless).
+
+    exclude_gen drops one delta generation from the fold — a RETRIED
+    micro-batch must compute against the state as it was BEFORE its
+    own earlier partial write, or the retry would fold its own output
+    (partition-pruned: gen is the delta partition column). Returns
+    None when no state exists yet."""
+    import os
+
+    frames = []
+    base = _forest_base_dir(state_dir)
+    if base is not None:
+        frames.append(spark.read.parquet(base))
+    delta = os.path.join(state_dir, "delta")
+    if os.path.isdir(delta) and os.listdir(delta):
+        d = spark.read.parquet(delta) \
+            .select("node", "component", F.col("gen").cast("long").alias("gen"))
+        if exclude_gen is not None:
+            d = d.filter(F.col("gen") != exclude_gen)
+        frames.append(d)
+    if not frames:
+        return None
+    allr = frames[0]
+    for f in frames[1:]:
+        allr = allr.unionByName(f)
+    return (allr.groupBy("node")
+            .agg(F.max_by("component", "gen").alias("component")))
+
+
+def incremental_components_tick(batch_edges: DataFrame, state_dir: str,
+                                gen: int, src: str = "u", dst: str = "v",
+                                compact_every: int = 8) -> int:
+    """One micro-batch of streaming incremental connected components,
+    with DELTA state: star-contract (batch edges ∪ the star forests of
+    ONLY the components this batch touches) and write just the
+    changed-or-new labels as delta generation `gen` — per-trigger
+    WRITE cost is O(batch-touched components), not O(all nodes)
+    (round-9 VERDICT #5: the previous scheme rewrote the whole forest
+    parquet every tick).
+
+    Soundness: the min-rooted star forest is a lossless, UNIQUE
+    connectivity summary, and a component none of the batch's
+    endpoints belong to cannot change (no new edge reaches it), so
+    restricting the contraction input to touched components loses
+    nothing; label rows that come out unchanged are dropped by an
+    anti-join and never rewritten. Idempotent per gen: the fold
+    excludes this generation (a retry recomputes against pre-attempt
+    state) and the delta write overwrites its own gen directory.
+    Every `compact_every` generations the deltas are folded into a
+    fresh base behind an atomic pointer flip (single-writer — exactly
+    foreachBatch's serial-batch guarantee). Returns the number of
+    delta rows written."""
+    import os
+
+    spark = batch_edges.sparkSession
+    edges = batch_edges.select(F.col(src).alias("u"),
+                               F.col(dst).alias("v"))
+    forest = read_star_forest(spark, state_dir, exclude_gen=gen)
+    if forest is None:
+        delta = connected_components_star(edges, "u", "v")
+    else:
+        forest = forest.cache()
+        bnodes = (edges.select(F.col("u").alias("node"))
+                  .union(edges.select(F.col("v").alias("node")))
+                  .distinct())
+        # touched components: bounded by the batch's endpoint count
+        touched = forest.join(bnodes, "node") \
+            .select("component").distinct()
+        sub = forest.join(F.broadcast(touched), "component")
+        g = edges.unionByName(
+            sub.filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias("u"),
+                    F.col("component").alias("v")))
+        labels = connected_components_star(
+            g, "u", "v", nodes=sub.select("node"))
+        delta = labels.join(forest, ["node", "component"], "left_anti")
+    out = os.path.join(state_dir, "delta", f"gen={gen}")
+    delta.select("node", "component").write.mode("overwrite").parquet(out)
+    if forest is not None:
+        forest.unpersist()
+    n = spark.read.parquet(out).count()
+
+    gens = _delta_gens(state_dir)
+    if len(gens) >= compact_every:
+        compact_star_forest(spark, state_dir)
+    return n
+
+
+def _delta_gens(state_dir: str) -> list[int]:
+    import os
+
+    delta = os.path.join(state_dir, "delta")
+    try:
+        return sorted(int(d.split("=", 1)[1]) for d in os.listdir(delta)
+                      if d.startswith("gen="))
+    except OSError:
+        return []
+
+
+def compact_star_forest(spark, state_dir: str) -> None:
+    """Fold base + all delta generations into a fresh base-g<G>
+    (G = the max folded generation) and flip the BASE pointer, then
+    prune the folded deltas and superseded bases. Crash-safe by write
+    order: before the flip the old state is untouched; after the flip
+    the new base already carries every folded label at generation G,
+    so any delta <= G that escaped pruning folds to the identical
+    label (tie at G) or loses to it — never regresses."""
+    import os
+    import shutil
+
+    gens = _delta_gens(state_dir)
+    if not gens:
+        return
+    G = gens[-1]
+    forest = read_star_forest(spark, state_dir)
+    new_name = f"base-g{G}"
+    (forest.withColumn("gen", F.lit(G).cast("long"))
+     .write.mode("overwrite")
+     .parquet(os.path.join(state_dir, new_name)))
+    ptr = os.path.join(state_dir, "BASE")
+    tmp = f"{ptr}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(new_name)
+    os.replace(tmp, ptr)   # atomic: readers see old or new, never none
+    for g in gens:
+        if g <= G:
+            shutil.rmtree(os.path.join(state_dir, "delta", f"gen={g}"),
+                          ignore_errors=True)
+    for name in os.listdir(state_dir):
+        if name.startswith("base-g") and name != new_name:
+            shutil.rmtree(os.path.join(state_dir, name),
+                          ignore_errors=True)

@@ -184,3 +184,103 @@ def test_dedup_keep_min_singletons_and_clusters(spark):
     assert out[4] == (2, False) and out[6] == (2, False)
     for singleton in (1, 3, 5):
         assert out[singleton] == (singleton, True)
+
+
+class TestIncrementalDeltaState:
+    """round-9 VERDICT #5: streaming incremental CC with DELTA state —
+    per-tick writes are O(batch-touched components), retries are
+    idempotent, compaction folds behind an atomic pointer flip."""
+
+    def _graph(self, spark):
+        # chain A (0..100) + chain B (200..250), fed in pieces
+        edges = [(i, i + 1) for i in range(0, 100)]
+        edges += [(i, i + 1) for i in range(200, 250)]
+        return spark.createDataFrame(edges, "u long, v long")
+
+    def test_delta_writes_batch_scoped_and_fold_equals_batch(
+            self, spark, tmp_path):
+        from mining_data_integration_spark.operators import (
+            components as C)
+
+        all_e = self._graph(spark)
+        state = str(tmp_path / "st")
+        C.incremental_components_tick(
+            all_e.filter("u < 60"), state, gen=1, compact_every=100)
+        # a small batch touching ONLY chain B writes only its labels
+        n2 = C.incremental_components_tick(
+            all_e.filter("u >= 200"), state, gen=2, compact_every=100)
+        total = C.read_star_forest(spark, state).count()
+        assert n2 == 51 and n2 < total    # chain B's 51 nodes, not all
+        # a batch whose edges change NOTHING writes zero rows
+        n_noop = C.incremental_components_tick(
+            all_e.filter("u < 5"), state, gen=3, compact_every=100)
+        assert n_noop == 0
+        # the bridge merges the rest of chain A; fold == batch answer
+        C.incremental_components_tick(
+            all_e.filter("u >= 60 and u < 200"), state, gen=4,
+            compact_every=100)
+        got = {(r.node, r.component)
+               for r in C.read_star_forest(spark, state).collect()}
+        want = {(r.node, r.component)
+                for r in C.connected_components_star(
+                    all_e, "u", "v").collect()}
+        assert got == want
+
+    def test_retry_is_idempotent(self, spark, tmp_path):
+        from mining_data_integration_spark.operators import (
+            components as C)
+
+        all_e = self._graph(spark)
+        state = str(tmp_path / "st")
+        b2 = all_e.filter("u >= 50")
+        C.incremental_components_tick(
+            all_e.filter("u < 50"), state, gen=1, compact_every=100)
+        C.incremental_components_tick(b2, state, gen=2,
+                                      compact_every=100)
+        before = sorted(
+            (r.node, r.component)
+            for r in C.read_star_forest(spark, state).collect())
+        # replay of gen 2 (crash-retry): must not fold its own earlier
+        # output, and must leave the state identical
+        C.incremental_components_tick(b2, state, gen=2,
+                                      compact_every=100)
+        after = sorted(
+            (r.node, r.component)
+            for r in C.read_star_forest(spark, state).collect())
+        assert after == before
+
+    def test_compaction_folds_and_prunes(self, spark, tmp_path):
+        import os
+
+        from mining_data_integration_spark.operators import (
+            components as C)
+
+        all_e = self._graph(spark)
+        state = str(tmp_path / "st")
+        C.incremental_components_tick(
+            all_e.filter("u < 60"), state, gen=1, compact_every=2)
+        # second tick trips compaction (2 delta generations folded)
+        C.incremental_components_tick(
+            all_e.filter("u >= 60"), state, gen=2, compact_every=2)
+        assert os.path.exists(os.path.join(state, "BASE"))
+        assert C._delta_gens(state) == []          # folded + pruned
+        base = C._forest_base_dir(state)
+        assert base is not None and base.endswith("base-g2")
+        want = {(r.node, r.component)
+                for r in C.connected_components_star(
+                    all_e, "u", "v").collect()}
+        got = {(r.node, r.component)
+               for r in C.read_star_forest(spark, state).collect()}
+        assert got == want
+        # ticks keep working on the compacted base; a second
+        # compaction supersedes and prunes the first
+        C.incremental_components_tick(
+            spark.createDataFrame([(300, 301)], "u long, v long"),
+            state, gen=3, compact_every=100)
+        C.incremental_components_tick(
+            spark.createDataFrame([(301, 302)], "u long, v long"),
+            state, gen=4, compact_every=2)
+        assert C._forest_base_dir(state).endswith("base-g4")
+        assert not os.path.exists(os.path.join(state, "base-g2"))
+        got = C.read_star_forest(spark, state)
+        assert got.filter("node = 302").collect()[0].component == 300
