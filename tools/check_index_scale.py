@@ -172,13 +172,15 @@ def lsh_side(spark) -> None:
         plan = plans.formatted_plan(probe)
         check(f"lsh/{tag}/batch-broadcast-joins-index",
               "BroadcastHashJoin" in plan)
-        # formatted mode renders scans as "Scan parquet"; the only
-        # corpus-sized input must be the persisted bucket scan itself
-        # (the batch side enters via Range/materialized signatures)
+        # formatted mode renders each scan once in the tree AND once as
+        # a "(n) Scan parquet" detail header — count detail headers.
+        # The only corpus-sized input must be the persisted bucket scan
+        # (the batch side enters via Range/materialized signatures).
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
         check(f"lsh/{tag}/no-corpus-re-signing",
-              plan.count("Scan parquet") == 1
-              and f"lsh_{tag}" in plan,
-              "only the persisted bucket scan reads corpus-sized data")
+              len(scans) == 1 and f"lsh_{tag}" in plan,
+              f"{len(scans)} parquet scan(s) — only the persisted "
+              f"bucket scan reads corpus-sized data")
         walls[tag] = med3(lambda: probe.count())
         print(f"  lsh/{tag}: n={n} build={build:.1f}s "
               f"probe={walls[tag]:.2f}s")
