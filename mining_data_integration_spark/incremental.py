@@ -57,6 +57,30 @@ def _hb(col: str = "stacks_block_height") -> F.Column:
     return (F.col(col) / HEIGHTS_PER_BUCKET).cast("long").alias("hbucket")
 
 
+def _prune_buckets_above(path: str, max_bucket: int) -> None:
+    """Delete hbucket partitions above the CURRENT tip's bucket.
+
+    Dynamic partition overwrite only rewrites buckets present in the
+    new frame — after a reorg that LOWERS the tip, a bucket above the
+    new tip gets no new rows and would silently keep the abandoned
+    fork's rows (phantom gold rows above the tip; for miner_partials,
+    phantom per-miner stats that the merge would fold into miner_info).
+    Runs after every refresh's writes; in the steady state (tip never
+    lower than last refresh) it deletes nothing."""
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return
+    for n in names:
+        if n.startswith("hbucket="):
+            try:
+                b = int(n.split("=", 1)[1])
+            except ValueError:
+                continue
+            if b > max_bucket:
+                shutil.rmtree(os.path.join(path, n), ignore_errors=True)
+
+
 def _write_dynamic(df: DataFrame, path: str) -> None:
     # one file per bucket partition (not one per shuffle task): the
     # partials/state tables are read back whole every tick, and a
@@ -557,6 +581,26 @@ def incremental_refresh(spark: SparkSession, tables: dict[str, DataFrame],
                 f.result()   # surface the first failure
         if mode == "full":
             mark_state_layout(gold_dir)
+        # reorg-shrink guard: a tip LOWER than the previous refresh's
+        # leaves its old high buckets unrewritten by dynamic overwrite
+        # — drop every bucket above the new tip, in the outputs AND
+        # the chain state (a stale state bucket would re-enter the
+        # members union once a later floor passes it). Two bounds, two
+        # axes: tables keyed by SNAPSHOT stacks height (block_info,
+        # partials' stats side, canonical_chain) prune above the burn
+        # tip's stacks height; tables keyed by the STACKS HEADER chain
+        # (mining_info winners, canonical_stacks) prune above the
+        # header tip, which can sit below the snapshot-side height.
+        stip = prepared["wstacks"].agg(
+            F.max("block_height")).collect()[0][0]
+        tip_bucket = (tip or 0) // HEIGHTS_PER_BUCKET
+        stip_bucket = (stip or 0) // HEIGHTS_PER_BUCKET
+        for p, b in (("mining_info", stip_bucket),
+                     ("canonical_stacks", stip_bucket),
+                     ("block_info", tip_bucket),
+                     ("miner_partials", tip_bucket),
+                     ("canonical_chain", tip_bucket)):
+            _prune_buckets_above(f"{gold_dir}/{p}", b)
         if stage_timings is not None:
             stage_timings["gold_writes"] = round(_pc() - _t0, 3)
 

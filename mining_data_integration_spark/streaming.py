@@ -171,6 +171,30 @@ def _write_gold_with_state(tables: dict[str, DataFrame], gold_dir: str,
     if mode == "cold":
         mark_state_layout(gold_dir)
 
+    # reorg-shrink guard (see incremental._prune_buckets_above): drop
+    # buckets above the new tip that dynamic overwrite left behind —
+    # in the warm-scoped outputs and in the chain state (cold's static
+    # output rewrite needs no pruning). Two bounds, two axes: the
+    # snapshot-side tip bounds block_info/canonical_chain; the stacks
+    # HEADER tip (which can sit below it) bounds mining_info/
+    # canonical_stacks. Bounded 1-row aggs.
+    from .incremental import _prune_buckets_above
+    tip = prepared.get("tip_stacks")
+    if tip is None:
+        tip = prepared["snap"].agg(
+            F.max("stacks_block_height")).collect()[0][0]
+    stip = prepared["wstacks"].agg(
+        F.max("block_height")).collect()[0][0]
+    tip_bucket = (tip or 0) // HEIGHTS_PER_BUCKET
+    stip_bucket = (stip or 0) // HEIGHTS_PER_BUCKET
+    targets = [("canonical_chain", tip_bucket),
+               ("canonical_stacks", stip_bucket)]
+    if warm_scoped:
+        targets += [("mining_info", stip_bucket),
+                    ("block_info", tip_bucket)]
+    for p, b in targets:
+        _prune_buckets_above(f"{gold_dir}/{p}", b)
+
 
 def stream_refresh(spark: SparkSession, bronze_dir: str, gold_dir: str,
                    read_tables, interval: str = "120 seconds",

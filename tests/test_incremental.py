@@ -162,6 +162,47 @@ class TestIncremental:
             spark.read.parquet(f"{gold}/mining_info"))
         assert got == canon_rows(core.mining_info(ext))
 
+    def test_reorg_shrink_prunes_stale_high_buckets(
+            self, spark, tables, tmp_path, monkeypatch):
+        """A reorg that LOWERS the tip leaves the old tip's buckets
+        unrewritten by dynamic overwrite (no new rows land there):
+        without the prune, gold serves phantom rows from the abandoned
+        fork and stale miner_partials silently corrupt the merged
+        miner_info. The tick must end with gold == full recompute on
+        the shrunken chain."""
+        monkeypatch.setattr(incremental, "HEIGHTS_PER_BUCKET", 1)
+        gold = str(tmp_path / "gold")
+        ext = extended_tables(spark, tables)      # tip stacks 7
+        incremental.incremental_refresh(
+            spark, ext, gold, reorg_depth=10**9)
+        # "reorg": the world WITHOUT the extension block (tip stacks 6)
+        info = incremental.incremental_refresh(
+            spark, tables, gold, reorg_depth=3)
+        assert info["mode"] == "windowed"
+        for name, builder in (("mining_info", core.mining_info),
+                              ("block_info", core.block_info),
+                              ("miner_info", core.miner_info)):
+            got = canon_rows(spark.read.parquet(f"{gold}/{name}"))
+            assert got == canon_rows(builder(tables)), \
+                f"{name} kept phantom rows above the shrunken tip"
+
+    def test_refresh_once_reorg_shrink_prunes_warm_gold(
+            self, spark, tables, tmp_path, monkeypatch):
+        from mining_data_integration_spark.streaming import refresh_once
+
+        monkeypatch.setattr(incremental, "HEIGHTS_PER_BUCKET", 1)
+        gold = str(tmp_path / "goldw")
+        ext = extended_tables(spark, tables)
+        assert refresh_once(ext, gold, reuse_gold=True) == "cold"
+        assert refresh_once(tables, gold, reuse_gold=True,
+                            reorg_depth=3) == "warm"
+        for name, builder in (("mining_info", core.mining_info),
+                              ("block_info", core.block_info),
+                              ("miner_info", core.miner_info)):
+            got = canon_rows(spark.read.parquet(f"{gold}/{name}"))
+            assert got == canon_rows(builder(tables)), \
+                f"{name} kept phantom rows above the shrunken tip"
+
     def test_refresh_once_default_stays_reference_faithful(
             self, spark, tables, tmp_path):
         """Without reuse_gold the body is the reference's full
