@@ -135,12 +135,19 @@ def _write_gold_with_state(tables: dict[str, DataFrame], gold_dir: str,
     the round-10 layout-marker guard on the cold rewrite."""
     from .incremental import (HEIGHTS_PER_BUCKET, _hb, _write_dynamic,
                               chain_state_frames, mark_state_layout,
-                              reset_state_for_layout)
+                              miner_partials, reset_state_for_layout)
 
     mi = core.mining_info(tables, prepared=prepared) \
         .withColumn("hbucket", _hb())
     bi = core.block_info(tables, prepared=prepared) \
         .withColumn("hbucket", _hb())
+    # miner_partials too: the TICK's merge assumes every sub-floor
+    # bucket holds correct partials, so a refresh that advances the
+    # chain without maintaining them would make blocks it passed over
+    # vanish from every later tick's miner_info (the mixed
+    # tick/refresh maintenance hole) — the reuse_gold family keeps ALL
+    # the state a tick reads
+    pt = miner_partials(prepared)
     # a warm write can only be partition-scoped onto an hbucket layout:
     # a dir last written flat (reuse_gold=False) gets a full rewrite
     warm_scoped = mode == "warm" and all(
@@ -151,8 +158,10 @@ def _write_gold_with_state(tables: dict[str, DataFrame], gold_dir: str,
         affected = F.col("hbucket") >= lo_bucket
         _write_dynamic(mi.filter(affected), f"{gold_dir}/mining_info")
         _write_dynamic(bi.filter(affected), f"{gold_dir}/block_info")
+        _write_dynamic(pt.filter(affected), f"{gold_dir}/miner_partials")
     else:
-        for df, name in ((mi, "mining_info"), (bi, "block_info")):
+        for df, name in ((mi, "mining_info"), (bi, "block_info"),
+                         (pt, "miner_partials")):
             (df.repartition("hbucket").write.mode("overwrite")
              .partitionBy("hbucket").parquet(f"{gold_dir}/{name}"))
     write_gold(core.miner_info(tables, prepared=prepared),
@@ -188,7 +197,8 @@ def _write_gold_with_state(tables: dict[str, DataFrame], gold_dir: str,
     tip_bucket = (tip or 0) // HEIGHTS_PER_BUCKET
     stip_bucket = (stip or 0) // HEIGHTS_PER_BUCKET
     targets = [("canonical_chain", tip_bucket),
-               ("canonical_stacks", stip_bucket)]
+               ("canonical_stacks", stip_bucket),
+               ("miner_partials", tip_bucket)]
     if warm_scoped:
         targets += [("mining_info", stip_bucket),
                     ("block_info", tip_bucket)]

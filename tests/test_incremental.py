@@ -203,6 +203,75 @@ class TestIncremental:
             assert got == canon_rows(builder(tables)), \
                 f"{name} kept phantom rows above the shrunken tip"
 
+    def test_mixed_warm_refresh_and_tick_keep_partials_consistent(
+            self, spark, tables, tmp_path, monkeypatch):
+        """The tick's merge assumes every sub-floor bucket holds
+        correct miner_partials. A warm refresh that advances the chain
+        WITHOUT maintaining partials breaks that invariant: a later
+        tick whose floor sits above the skipped blocks merges partials
+        that never saw them, silently dropping their stats from
+        miner_info. The reuse_gold refresh family therefore writes
+        partials under the same warm/cold split."""
+        monkeypatch.setattr(incremental, "HEIGHTS_PER_BUCKET", 1)
+
+        from mining_data_integration_spark.streaming import refresh_once
+
+        def extend(t, n):
+            """Append blocks 107..106+n (burn 106+k / stacks 6+k /
+            header 5+k) — extended_tables generalized."""
+            snaps, commits, headers = [], [], []
+            for k in range(1, n + 1):
+                tx = TX[4 - (k % 3)]
+                snaps.append(Row(
+                    block_height=106 + k,
+                    burn_header_hash=_h("ab", 106 + k),
+                    parent_burn_header_hash=(
+                        BH[106] if k == 1 else _h("ab", 105 + k)),
+                    consensus_hash=_h("cc", 106 + k), pox_valid=1,
+                    total_burn=str(25000 + 1000 * k),
+                    winning_block_txid=tx,
+                    stacks_block_height=6 + k))
+                commits.append(Row(
+                    burn_header_hash=_h("ab", 106 + k), txid=tx,
+                    burn_fee=str(4000 + 100 * k), key_block_ptr=100,
+                    key_vtxindex=2, apparent_sender="s"))
+                headers.append(Row(
+                    burn_header_hash=_h("ab", 106 + k),
+                    block_hash=_h("5b", 5 + k),
+                    parent_block=_h("5b", 4 + k),
+                    consensus_hash=_h("cc", 106 + k),
+                    block_height=5 + k))
+            out = dict(t)
+            out["snapshots"] = S.cast_amounts(
+                "snapshots", t["snapshots"].unionByName(
+                    spark.createDataFrame(snaps, S.SNAPSHOTS)))
+            out["block_commits"] = S.cast_amounts(
+                "block_commits", t["block_commits"].unionByName(
+                    spark.createDataFrame(commits, S.BLOCK_COMMITS)))
+            out["block_headers"] = t["block_headers"].unionByName(
+                spark.createDataFrame(headers, S.BLOCK_HEADERS))
+            return out
+
+        gold = str(tmp_path / "gold")
+        # bootstrap via the TICK (partials current to stacks tip 6)
+        incremental.incremental_refresh(
+            spark, tables, gold, reorg_depth=10**9)
+        # a WARM refresh advances the chain by TWO blocks (stacks 7, 8)
+        assert refresh_once(extend(tables, 2), gold, reuse_gold=True,
+                            reorg_depth=3) == "warm"
+        # a TICK consumes a third block with a window floor at stacks
+        # 8 — ABOVE the warm refresh's first block (stacks 7): if the
+        # warm refresh skipped partials, that block's stats are gone
+        ext3 = extend(tables, 3)
+        info = incremental.incremental_refresh(
+            spark, ext3, gold, reorg_depth=1)
+        assert info["mode"] == "windowed"
+        assert info["lo_height"] == 8    # the gap (7) is sub-floor
+        got = canon_rows(spark.read.parquet(f"{gold}/miner_info"))
+        assert got == canon_rows(core.miner_info(ext3)), \
+            "a block advanced past by the warm refresh vanished " \
+            "from the tick's partials merge"
+
     def test_refresh_once_default_stays_reference_faithful(
             self, spark, tables, tmp_path):
         """Without reuse_gold the body is the reference's full
