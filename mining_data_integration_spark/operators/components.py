@@ -271,8 +271,14 @@ def read_star_forest(spark, state_dir: str,
     exclude_gen drops one delta generation from the fold — a RETRIED
     micro-batch must compute against the state as it was BEFORE its
     own earlier partial write, or the retry would fold its own output
-    (partition-pruned: gen is the delta partition column). Returns
-    None when no state exists yet."""
+    (partition-pruned: gen is the delta partition column). One path
+    escapes the exclusion: if a compaction already folded the retried
+    generation into the base, the retry computes against POST-attempt
+    state. The result is still correct — CC relabeling over an
+    already-folded forest is a fixed point, so the recompute yields
+    the same labels and the anti-join emits an empty delta — i.e. the
+    retry is idempotent via fixed-point there, not via exclusion.
+    Returns None when no state exists yet."""
     import os
 
     frames = []
@@ -380,8 +386,20 @@ def compact_star_forest(spark, state_dir: str) -> None:
     if not gens:
         return
     G = gens[-1]
-    forest = read_star_forest(spark, state_dir)
     new_name = f"base-g{G}"
+    cur_base = _forest_base_dir(state_dir)
+    if cur_base is not None and os.path.basename(cur_base) == new_name:
+        # The only deltas left are <= the generation the current base
+        # already folded (a retried micro-batch recreated gen=G after
+        # BASE -> base-gG). Rewriting base-gG here would overwrite the
+        # very directory the fold is lazily reading; and by the
+        # crash-safety argument below those deltas fold to identical
+        # labels anyway — so just prune them and keep the base as-is.
+        for g in gens:
+            shutil.rmtree(os.path.join(state_dir, "delta", f"gen={g}"),
+                          ignore_errors=True)
+        return
+    forest = read_star_forest(spark, state_dir)
     (forest.withColumn("gen", F.lit(G).cast("long"))
      .write.mode("overwrite")
      .parquet(os.path.join(state_dir, new_name)))

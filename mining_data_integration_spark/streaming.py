@@ -152,7 +152,7 @@ def _write_gold_with_state(tables: dict[str, DataFrame], gold_dir: str,
     # a dir last written flat (reuse_gold=False) gets a full rewrite
     warm_scoped = mode == "warm" and all(
         _is_bucket_partitioned(f"{gold_dir}/{n}")
-        for n in ("mining_info", "block_info"))
+        for n in ("mining_info", "block_info", "miner_partials"))
     if warm_scoped:
         lo_bucket = prepared["aligned_floor"] // HEIGHTS_PER_BUCKET
         affected = F.col("hbucket") >= lo_bucket

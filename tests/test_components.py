@@ -284,3 +284,44 @@ class TestIncrementalDeltaState:
         assert not os.path.exists(os.path.join(state, "base-g2"))
         got = C.read_star_forest(spark, state)
         assert got.filter("node = 302").collect()[0].component == 300
+
+    def test_compaction_same_generation_skips_rewrite(
+            self, spark, tmp_path):
+        """A retried delta that recreates the generation the current
+        base already folded must NOT make compaction overwrite the
+        directory it is lazily reading (ADVICE r11): the stray delta
+        is pruned, the base is left byte-identical, and the fold is
+        unchanged."""
+        import os
+
+        from mining_data_integration_spark.operators import (
+            components as C)
+
+        all_e = self._graph(spark)
+        state = str(tmp_path / "st")
+        C.incremental_components_tick(
+            all_e.filter("u < 60"), state, gen=1, compact_every=2)
+        C.incremental_components_tick(
+            all_e.filter("u >= 60"), state, gen=2, compact_every=2)
+        base = C._forest_base_dir(state)
+        assert base.endswith("base-g2") and C._delta_gens(state) == []
+        before = sorted(
+            (r.node, r.component)
+            for r in C.read_star_forest(spark, state).collect())
+        base_mtimes = {n: os.stat(os.path.join(base, n)).st_mtime_ns
+                       for n in os.listdir(base)}
+        # simulate the retry: recreate gen=2 as a delta (its labels
+        # are by construction identical to what the base folded)
+        (spark.read.parquet(base).select("node", "component")
+         .write.mode("overwrite")
+         .parquet(os.path.join(state, "delta", "gen=2")))
+        C.compact_star_forest(spark, state)
+        assert C._forest_base_dir(state) == base          # not rewritten
+        assert C._delta_gens(state) == []                 # stray pruned
+        after_mtimes = {n: os.stat(os.path.join(base, n)).st_mtime_ns
+                        for n in os.listdir(base)}
+        assert after_mtimes == base_mtimes                # byte-stable
+        after = sorted(
+            (r.node, r.component)
+            for r in C.read_star_forest(spark, state).collect())
+        assert after == before

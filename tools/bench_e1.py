@@ -40,9 +40,14 @@ def main() -> None:
 
     # median-of-3 (round-8 discipline, matching bench.py): single-run
     # values on this box swing +-40% and masquerade as regressions
-    def med3(fn) -> float:
+    def med3(fn, pre=None) -> float:
+        """`pre` runs before each iteration OUTSIDE the timed span —
+        cold runs use it for the state rmtree so the cold wall times
+        the same work as the warm wall (bench.py's discipline)."""
         runs = []
         for _ in range(3):
+            if pre is not None:
+                pre()
             t0 = time.perf_counter()
             fn()
             runs.append(round(time.perf_counter() - t0, 2))
@@ -56,14 +61,16 @@ def main() -> None:
     gold_c = "/tmp/bench_e1_gold_cold"
     cold_st: dict = {}
 
-    def one_cold() -> None:
+    def cold_pre() -> None:
         shutil.rmtree(gold_c, ignore_errors=True)   # no state -> cold
         cold_st.clear()
+
+    def one_cold() -> None:
         mode = streaming.refresh_once(tables, gold_c, reuse_gold=True,
                                       stage_timings=cold_st)
         assert mode == "cold", mode
 
-    wall = med3(one_cold)
+    wall = med3(one_cold, pre=cold_pre)
     counts = {
         name: spark.read.parquet(f"{gold_c}/{name}").count()
         for name in ("miner_info", "mining_info", "block_info")}
