@@ -948,3 +948,73 @@ def _dd17_oracle() -> str:
 
 
 ORACLES["dd17_star_dedup_clusters"] = _dd17_oracle()
+
+
+def dd18_index_tombstone_probe(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """DELETE lifecycle of the persisted near-dup index (round-10
+    VERDICT #1 — takedown / right-to-be-forgotten without a rebuild):
+    the even-doc corpus index receives a tombstone delete of every
+    doc_id % 8 == 0 document (delete_from_minhash_index — an O(delete
+    batch) tombstone append, the band buckets untouched), and the odd
+    ingest batch probes TWO artifacts staged from that state:
+
+      phase 1  the tombstoned index itself — the probe's broadcast
+               tombstone anti-join excludes the deleted docs;
+      phase 2  a compacted sibling — compact_minhash_index physically
+               purged the tombstoned rows into a fresh buckets
+               generation behind the BUCKETS pointer flip.
+
+    Both phases must emit the IDENTICAL candidate set (deletion is
+    semantically a rebuild without the deleted docs, whether served
+    logically or physically), which is exactly what the oracle
+    replays: the dd15 band-bucket join with corpus ids % 8 != 0,
+    cross-joined with the two phase tags. Builds are staged under a
+    scratch path and renamed in (dd16's discipline); maintenance runs
+    under the kv.maintenance_lease."""
+    import os
+    import shutil
+
+    path = _lsh_index_path(sf_dir, tag="tombstone")
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    if not os.path.exists(os.path.join(path, "tomb", "meta")):
+        staging = f"{path}.staging-{os.getpid()}"
+        shutil.rmtree(staging, ignore_errors=True)
+        tomb = os.path.join(staging, "tomb")
+        D.save_minhash_index(docs.filter(F.col("doc_id") % 2 == 0),
+                             tomb, n=3, num_hashes=16, bands=4)
+        D.delete_from_minhash_index(
+            docs.filter(F.col("doc_id") % 8 == 0).select("doc_id"),
+            tomb)
+        purged = os.path.join(staging, "purged")
+        shutil.copytree(tomb, purged)
+        D.compact_minhash_index(spark, purged)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            if not os.path.exists(os.path.join(path, "tomb", "meta")):
+                raise
+            shutil.rmtree(staging, ignore_errors=True)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    out = None
+    for phase, sub in ((1, "tomb"), (2, "purged")):
+        pairs = D.probe_minhash_index(batch, os.path.join(path, sub)) \
+            .select(F.lit(phase).cast("long").alias("phase"),
+                    "new_id", "corpus_id")
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.orderBy("phase", "new_id", "corpus_id")
+
+
+QUERIES["dd18_index_tombstone_probe"] = dd18_index_tombstone_probe
+
+ORACLES["dd18_index_tombstone_probe"] = _lsh_probe_sql(3, 16, 4, tail="""
+        , pairs AS (
+            SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
+            FROM stacked n JOIN stacked c
+              ON n.bucket = c.bucket
+            WHERE n.id % 2 = 1 AND c.id % 2 = 0 AND c.id % 8 <> 0
+        )
+        SELECT CAST(p.phase AS BIGINT) AS phase, new_id, corpus_id
+        FROM pairs CROSS JOIN (SELECT unnest([1, 2]) AS phase) p
+        ORDER BY phase, new_id, corpus_id
+    """)

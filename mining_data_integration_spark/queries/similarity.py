@@ -1576,3 +1576,75 @@ QUERIES["sim25_ivfpq_rebalanced_probe"] = sim25_ivfpq_rebalanced_probe
 
 ORACLES["sim25_ivfpq_rebalanced_probe"] = _int_ivfpq_sql(
     _DIM, 4, 2, 4, 4, 4, 5, 3)
+
+
+def sim26_ivfpq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE lifecycle of the persisted ANN index (round-10 VERDICT
+    #1, the sim-family twin of dd18 — FAISS remove_ids parity):
+    every vec_id % 5 == 0 vector is tombstoned out of a full-corpus
+    index (delete_from_ivfpq_index — an O(delete batch) tombstone
+    append; cells/codebooks/codes untouched, deletion never retrains
+    a quantizer), then the queries probe TWO artifacts staged from
+    that state:
+
+      phase 1  the tombstoned index — load_ivfpq_index anti-joins the
+               broadcast tombstone set over the codes scan, composing
+               with the static cell pruning;
+      phase 2  a compacted sibling — compact_ivfpq_index physically
+               purged the tombstoned codes into a fresh codes-g2
+               generation behind the CODES pointer flip.
+
+    Both phases must emit the IDENTICAL top-5 (deletion is a
+    permanent pre-filter: the ranking runs over the surviving
+    candidates of the probed cells). The DuckDB oracle replays
+    train+probe via the _int_ivfpq_sql tail hook, re-ranks the scored
+    candidates with vec_id % 5 <> 0, and cross-joins the two phase
+    tags. Builds stage under a scratch path and rename in (dd16's
+    discipline); maintenance runs under kv.maintenance_lease."""
+    import os
+    import shutil
+
+    path = _ivfpq_index_path(sf_dir, tag="tombstone")
+    if not os.path.exists(os.path.join(path, "tomb", "meta")):
+        emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+        staging = f"{path}.staging-{os.getpid()}"
+        shutil.rmtree(staging, ignore_errors=True)
+        tomb = os.path.join(staging, "tomb")
+        S.save_ivfpq_index(emb, tomb, n_cells=4, m=4, kc=4, iters=2,
+                           dim=_DIM)
+        S.delete_from_ivfpq_index(
+            emb.filter(F.col("vec_id") % 5 == 0).select("vec_id"),
+            tomb)
+        purged = os.path.join(staging, "purged")
+        shutil.copytree(tomb, purged)
+        S.compact_ivfpq_index(spark, purged)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            if not os.path.exists(os.path.join(path, "tomb", "meta")):
+                raise
+            shutil.rmtree(staging, ignore_errors=True)
+    q = _queries_df(spark, sf_dir)
+    out = None
+    for phase, sub in ((1, "tomb"), (2, "purged")):
+        idx = S.load_ivfpq_index(spark, os.path.join(path, sub))
+        res = S.ivfpq_probe_topk(idx, q, k=5, n_probe=3) \
+            .select(F.lit(phase).cast("long").alias("phase"),
+                    "q_id", "vec_id", "ip_q8", "rk")
+        out = res if out is None else out.unionByName(res)
+    return out.orderBy("phase", "q_id", "rk")
+
+
+QUERIES["sim26_ivfpq_delete"] = sim26_ivfpq_delete
+
+ORACLES["sim26_ivfpq_delete"] = _int_ivfpq_sql(
+    _DIM, 4, 3, 4, 4, 2, 5, 3, tail=""", fr AS (
+        SELECT q_id, vec_id, ip_q8,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY ip_q8 DESC, vec_id) AS rk
+        FROM scored WHERE vec_id % 5 <> 0
+    )
+    SELECT CAST(p.phase AS BIGINT) AS phase, q_id, vec_id, ip_q8,
+           CAST(rk AS BIGINT) AS rk
+    FROM fr CROSS JOIN (SELECT unnest([1, 2]) AS phase) p
+    WHERE rk <= 5 ORDER BY phase, q_id, rk""")
