@@ -58,6 +58,9 @@ EXTENDED = [
     "g4_star_components",        # r9: O(log n) star contraction CC
     "dd16_lsh_index_append_probe",  # r9: index append+compact+probe
     "sim24_ivfpq_cell_occupancy",   # r9: occupancy audit off index
+    "dd18_index_tombstone_probe",   # r11: delete lifecycle, band index
+    "sim26_ivfpq_delete",           # r11: delete lifecycle, IVF-PQ
+    "st12_stream_ann_probe",        # r11: streaming ANN ingest probe
 ]
 
 

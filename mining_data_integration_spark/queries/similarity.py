@@ -1648,3 +1648,66 @@ ORACLES["sim26_ivfpq_delete"] = _int_ivfpq_sql(
            CAST(rk AS BIGINT) AS rk
     FROM fr CROSS JOIN (SELECT unnest([1, 2]) AS phase) p
     WHERE rk <= 5 ORDER BY phase, q_id, rk""")
+
+
+def st12_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN ingest probe — the sim-family analog of st9,
+    closing the last day-2 asymmetry between the two persisted index
+    families (round-10 VERDICT #6): the full-corpus sim19 IVF-PQ
+    artifact is built once; six ingest vectors (vec_id 3..8) arrive
+    as a FILE STREAM in two parquet files processed as separate
+    micro-batches (maxFilesPerTrigger=1), and each batch probes the
+    index via foreachBatch (streaming.stream_probe_ann) — O(batch)
+    per trigger, cells/codebooks loaded once as driver literals, the
+    codes scan statically pruned to the probed cells, the corpus
+    never re-encoded. The returned DataFrame reads the per-vector
+    top-5 neighbor report the stream wrote, so the driver
+    hash-compares an actual Structured Streaming run against the
+    DuckDB train+probe replay (n_q widened to 9, tail keeps the
+    streamed q_ids) — stream/batch parity, the st9 discipline."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import stream_probe_ann
+
+    path = _ivfpq_index_path(sf_dir)
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    if not os.path.exists(os.path.join(path, "meta")):
+        S.save_ivfpq_index(emb, path, n_cells=4, m=4, kc=4, iters=2,
+                           dim=_DIM)
+    run = tempfile.mkdtemp(prefix="sg_st12_")
+    try:
+        src = os.path.join(run, "incoming")
+        # two ingest files -> two genuine micro-batches
+        (emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 6))
+         .coalesce(1).write.mode("append").parquet(src))
+        (emb.filter((F.col("vec_id") >= 6) & (F.col("vec_id") < 9))
+         .coalesce(1).write.mode("append").parquet(src))
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out_dir = os.path.join(run, "report")
+        q = (stream_probe_ann(stream, path, out_dir, k=5, n_probe=3)
+             .option("checkpointLocation", os.path.join(run, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        # eager-and-clean (u6 discipline): the report is bounded
+        # (6 vectors x top-5); batch_id is the sink's idempotency
+        # partition column, not part of the report schema
+        out = (spark.read.parquet(out_dir).drop("batch_id")
+               .orderBy("q_id", "rk"))
+        rows = out.collect()
+        schema_out = out.schema
+    finally:
+        shutil.rmtree(run, ignore_errors=True)
+    return spark.createDataFrame(rows, schema_out) \
+        .orderBy("q_id", "rk")
+
+
+QUERIES["st12_stream_ann_probe"] = st12_stream_ann_probe
+
+ORACLES["st12_stream_ann_probe"] = _int_ivfpq_sql(
+    _DIM, 4, 3, 4, 4, 2, 5, 9, tail="""
+    SELECT q_id, vec_id, ip_q8, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5 AND q_id >= 3 ORDER BY q_id, rk""")

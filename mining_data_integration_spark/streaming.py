@@ -505,3 +505,43 @@ def stream_ingest_dedup(stream_docs: DataFrame, index_path: str,
             os.path.join(out_dir, f"batch_id={batch_id}"))
 
     return stream_docs.writeStream.foreachBatch(batch_fn)
+
+
+def stream_probe_ann(stream_vecs: DataFrame, index_path: str,
+                     out_dir: str, k: int = 5, n_probe: int = 3,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding"):
+    """Streaming ANN ingest probe against the PERSISTED IVF-PQ index
+    (operators/similarity.save_ivfpq_index — the sim19 artifact): each
+    micro-batch of incoming vectors probes the index via foreachBatch
+    and appends a per-vector top-k neighbor report to `out_dir`:
+
+        (q_id, vec_id, ip_q8, rk)   — rk=1 is the nearest neighbor
+
+    The sim-family twin of stream_ingest_dedup (st9), closing the
+    index families' day-2 symmetry (round-10 VERDICT #6): the
+    corpus-sized train+encode pass happened ONCE at index build; the
+    stream pays O(batch) per trigger — cells/codebooks are loaded ONCE
+    as driver literals (bounded collects) when the writer is built,
+    never per batch, the corpus is touched only through the
+    cell-partitioned codes scan statically pruned to the probed cells
+    (the |Q| x n_probe bounded collect inside ivfpq_probe_topk, |Q| =
+    batch size), and nothing is ever re-encoded. Each batch's report
+    lands under `batch_id=<id>` with mode=overwrite — idempotent per
+    batch id, the st9 sink discipline. Returns the DataStreamWriter —
+    caller picks the trigger and checkpoint."""
+    import os
+
+    from .operators.similarity import ivfpq_probe_topk, load_ivfpq_index
+
+    spark = stream_vecs.sparkSession
+    idx = load_ivfpq_index(spark, index_path)   # once, not per batch
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        q = batch_df.select(F.col(id_col).alias("q_id"),
+                            F.col(vec_col).alias("q_emb"))
+        report = ivfpq_probe_topk(idx, q, k=k, n_probe=n_probe)
+        report.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}"))
+
+    return stream_vecs.writeStream.foreachBatch(batch_fn)

@@ -2262,3 +2262,48 @@ class TestMaintenanceLease:
         idx_ids = {r.id for r in spark.read.parquet(
             D._buckets_dir(path)).select("id").distinct().collect()}
         assert {i for i, _ in new_rows} <= idx_ids
+
+
+class TestStreamAnnProbe:
+    """st12's operator: streaming ANN ingest probe over the persisted
+    IVF-PQ index — the streamed per-batch reports must equal one
+    batch probe over the union of the streamed vectors (stream/batch
+    parity, st9's discipline applied to the sim family)."""
+
+    def test_stream_report_equals_batch_probe(self, spark, tmp_path):
+        from mining_data_integration_spark.streaming import (
+            stream_probe_ann)
+
+        rows = [(i, [float(((i * 7 + j * 3) % 11) - 5)
+                     for j in range(8)]) for i in range(40)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        path = str(tmp_path / "idx")
+        S.save_ivfpq_index(emb, path, n_cells=2, m=2, kc=2, iters=2,
+                           dim=8)
+        src = str(tmp_path / "incoming")
+        emb.filter("vec_id in (10, 11)").coalesce(1) \
+            .write.mode("append").parquet(src)
+        emb.filter("vec_id in (20, 21)").coalesce(1) \
+            .write.mode("append").parquet(src)
+        stream = (spark.readStream.schema(emb.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = str(tmp_path / "report")
+        q = (stream_probe_ann(stream, path, out, k=3, n_probe=1)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        report = spark.read.parquet(out)
+        # two genuine micro-batches, each writing its own partition
+        assert {r.batch_id for r in
+                report.select("batch_id").distinct().collect()} \
+            == {0, 1}
+        got = sorted(tuple(r) for r in
+                     report.drop("batch_id").collect())
+        idx = S.load_ivfpq_index(spark, path)
+        batch_q = emb.filter("vec_id in (10, 11, 20, 21)").select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"))
+        want = sorted(tuple(r) for r in S.ivfpq_probe_topk(
+            idx, batch_q, k=3, n_probe=1).collect())
+        assert got == want and len(got) == 12    # 4 vecs x top-3

@@ -361,3 +361,39 @@ class TestCosineTopkRewrite:
         top1 = {(r.q_id, r.vec_id)
                 for r in df.filter(F.col("rk") == 1).collect()}
         assert top1 == {(i, i) for i in range(3)}
+
+
+class TestTombstonedProbePlan:
+    def test_tombstoned_probe_keeps_partition_pruning(self, spark,
+                                                      tmp_path):
+        """The delete lifecycle must not pay for itself at probe time:
+        the tombstone anti-join is a BROADCAST of the bounded takedown
+        set, and the static _cell IN (...) PartitionFilter still
+        reaches the codes scan THROUGH the anti-join (a left-side
+        deterministic filter pushes through left_anti), so a probe of
+        a tombstoned index reads n_probe cells, not the whole index."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        from mining_data_integration_spark.operators import (
+            similarity as S)
+
+        rows = [(i, [float(((i * 7 + j * 3) % 11) - 5)
+                     for j in range(8)]) for i in range(40)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        path = str(tmp_path / "idx")
+        S.save_ivfpq_index(emb, path, n_cells=2, m=2, kc=2, iters=2,
+                           dim=8)
+        S.delete_from_ivfpq_index(
+            emb.filter("vec_id % 5 = 0").select("vec_id"), path)
+        idx = S.load_ivfpq_index(spark, path)
+        q = emb.filter("vec_id < 2").select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"))
+        df = S.ivfpq_probe_topk(idx, q, k=3, n_probe=1)
+        plan = plans.formatted_plan(df)
+        assert re.search(r"PartitionFilters:.*_cell#\d+ IN \(", plan)
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        assert "SortMergeJoin" not in plan

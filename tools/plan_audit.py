@@ -253,8 +253,11 @@ def main() -> int:
         "FlatMapGroupsInPandas": "FlatMapGroupsInPandas",
         "Exchange SinglePartition": "Arguments: SinglePartition",
     }
+    name_filters = sys.argv[2:]
     failures = []
     for name, fn in sorted(e.queries().items()):
+        if name_filters and not any(f in name for f in name_filters):
+            continue
         try:
             plan = plans.formatted_plan(fn(spark, SF_DIR))
         except Exception as ex:
