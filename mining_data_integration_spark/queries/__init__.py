@@ -36,60 +36,16 @@ from . import dedup, e1, graph, multimodal, pipeline_q, similarity, text
 _MODULES = (aggregates, dedup, e1, graph, joins, multimodal, pipeline_q,
             scalars, scans, similarity, text, windows)
 
-# Queries that must be (re-)verified before anything else (trimmed each
-# round to: output changed since last verdict, or never driver-checked,
-# then the longest-unverified tail). Round-6 head:
-#  * new: e1_miner_info / e1_mining_info (E1 DAG through the oracle for
-#    the first time), mm9 (baseline-JPEG decode);
-#  * restructured outputs: a16 / sim4 / sim9 (exact companions + bounds
-#    verdicts — previously permanent no_oracle rows), a26 (decimal sums
-#    + moments_safe), u5 (negative insert-key domain), w23 (alarm-lane
-#    guard in lane_safe), x18 (non-object malformed alignment);
-#  * plan-changed (output identical, re-pin anyway): w1.
-# The remainder is the r1-verified tail — green status least recently
-# re-established (driver samples 50/round; the rest of the sample
-# window falls through to registry order).
-_REVERIFY_FIRST = (
-    # round-9 head: new queries (g4 star contraction, dd16 index
-    # append+compact, sim24 occupancy audit) + queries whose
-    # internals changed this round (st9 eager-and-clean + idempotent
-    # batch_id sink; st10 retry marker; dd15 shares the tagged index
-    # path helper; dd-family keep-min now rides the star kernel)
-    "g4_star_components", "dd16_lsh_index_append_probe",
-    "sim24_ivfpq_cell_occupancy", "dd17_star_dedup_clusters",
-    "sim25_ivfpq_rebalanced_probe", "a4_win_totals",
-    "st11_stream_components",
-    "st9_stream_ingest_dedup", "st10_stream_index_append",
-    "dd15_persisted_lsh_probe", "dd6_dup_clusters", "dd14_survivorship",
-    # round-8 head continues (sim17 routes through the shared
-    # _ivfpq_train/_ivfpq_probe halves that sim19 persists)
-    "sim22_ivfpq_refined_topk", "mm13_mjpeg_avi_decode",
-    "j20_bucketed_colocated_join",
-    "g3_label_components", "u7_schema_evolution",
-    "sim23_ivfpq_filtered_topk", "tx22_bigram_surprisal",
-    "sim19_ivfpq_persisted_topk", "sim20_ivfpq_append_probe",
-    "sim21_ivfpq_recall_eval",
-    "dd15_persisted_lsh_probe", "dd3_minhash_lsh",
-    "sim17_int_ivfpq_topk", "mm11_adpcm_decode",
-    "mm12_codec_dispatch",
-    "e1_miner_info", "e1_mining_info", "mm9_jpeg_decode",
-    "sim16_int_pq_topk",
-    "g2_triangle_census", "dp21_chunked_pack",
-    "st8_stream_outer_band_join", "a28_ddsketch_quantiles",
-    "mm10_gif_decode", "tx20_zipf_octaves", "tx21_heaps_growth",
-    "dd14_survivorship", "w28_autocorrelation", "u6_format_roundtrip",
-    "sim18_binary_hamming_topk",
-    "a16_approx_stats", "sim4_ivf_topk", "sim9_pq_topk",
-    "a26_mergeable_moments", "u5_changelog_apply",
-    "w23_cusum_alarms", "x18_json_shred_stats", "w1_trailing_mean",
-    "e2_burn_fee_area", "f3_range_filter", "f8_prefix_until_sentinel",
-    "j10_scalar_enrichment", "j11_semi_join", "j12_anti_join",
-    "j13_left_outer_count", "j16_recursive_cte_walk",
-    "j8_computed_key_join", "o3_argmax", "s11_filtered_scan",
-    "s12_filtered_top1", "u1_set_ops", "u2_unpivot", "u3_upsert",
-    "w15_range_frame", "w2_cumulative_sum", "w3_keep_last",
-    "w4_forward_fill", "w6_lag_delta", "w9_topk_per_group",
-)
+# Queries that must be (re-)verified before anything else: new this
+# round, then queries whose code (or any symbol their call chain
+# references) changed since the round boundary, then the
+# longest-unverified tail. MECHANICALLY DERIVED since round 11
+# (round-10 VERDICT #1: the hand-maintained head went stale and the
+# driver sample skipped a changed query) — regenerate after the
+# round's last code change with `python tools/gen_reverify.py`;
+# `--check` (pinned in tests/test_driver_contract.py) fails when a
+# changed/new query is missing from the committed head.
+from ._reverify import _REVERIFY_FIRST
 
 
 def registry() -> tuple[

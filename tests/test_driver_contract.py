@@ -97,3 +97,23 @@ def test_headline_single_partition_exchange_counts_pinned(spark):
     expected["o7_offset_pagination"] = 1   # O(shards) offset table
     expected["w14_scalable_cumsum"] = 1    # O(shards) offset table
     assert counts == expected, counts
+
+
+def test_reverify_head_is_fresh():
+    """Round-10 VERDICT #1: the driver re-verification head went stale
+    by hand-maintenance and the round's changed query was never
+    driver-sampled. The head is now generated (tools/gen_reverify.py);
+    this gate re-derives the changed/new query set from the round
+    boundary's git diff and fails if any is missing from the committed
+    head — 'changed queries re-verify first, never last' as CI."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    git = subprocess.run(["git", "rev-parse", "--git-dir"], cwd=repo,
+                         capture_output=True, text=True)
+    if git.returncode != 0:
+        pytest.skip("not a git checkout")
+    proc = subprocess.run(
+        [sys.executable, "tools/gen_reverify.py", "--check"],
+        cwd=repo, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"stale _REVERIFY_FIRST:\n{proc.stdout}\n{proc.stderr[-2000:]}")
