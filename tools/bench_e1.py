@@ -40,10 +40,16 @@ def main() -> None:
 
     # median-of-3 (round-8 discipline, matching bench.py): single-run
     # values on this box swing +-40% and masquerade as regressions
-    def med3(fn, pre=None) -> float:
+    all_runs: dict[str, list[float]] = {}
+
+    def med3(fn, pre=None, tag: str | None = None) -> float:
         """`pre` runs before each iteration OUTSIDE the timed span —
         cold runs use it for the state rmtree so the cold wall times
-        the same work as the warm wall (bench.py's discipline)."""
+        the same work as the warm wall (bench.py's discipline).
+        `tag` records the full run list in the output JSON (round-11:
+        report median + spread, not a single stage snapshot — a
+        median whose runs span 2x is a different claim than one whose
+        runs agree)."""
         runs = []
         for _ in range(3):
             if pre is not None:
@@ -51,6 +57,8 @@ def main() -> None:
             t0 = time.perf_counter()
             fn()
             runs.append(round(time.perf_counter() - t0, 2))
+        if tag is not None:
+            all_runs[tag] = runs
         return sorted(runs)[1]
 
     # COLD full refresh including all gold + state writes (round-10
@@ -70,7 +78,14 @@ def main() -> None:
                                       stage_timings=cold_st)
         assert mode == "cold", mode
 
-    wall = med3(one_cold, pre=cold_pre)
+    # one discarded warm-up first (bench.py's discipline — round 11:
+    # its absence HERE is what made the r10 500k cold medians swing
+    # 2x between invocations: each fresh JVM's first cold run pays
+    # one-off codegen/JIT/scan-metadata costs that are process
+    # warm-up, not cold-state work)
+    cold_pre()
+    one_cold()
+    wall = med3(one_cold, pre=cold_pre, tag="cold")
     counts = {
         name: spark.read.parquet(f"{gold_c}/{name}").count()
         for name in ("miner_info", "mining_info", "block_info")}
@@ -90,14 +105,14 @@ def main() -> None:
                                       stage_timings=warm_st)
         assert mode == "warm", mode
 
-    warm_wall = med3(one_warm)
+    warm_wall = med3(one_warm, tag="warm")
 
     # steady-state incremental tick: bootstrap the partitioned gold,
     # then time bounded-reorg refreshes (the production cadence)
     gold_dir = "/tmp/bench_e1_gold"
     incremental_refresh(spark, tables, gold_dir, reorg_depth=10 ** 12)
     inc_wall = med3(lambda: incremental_refresh(
-        spark, tables, gold_dir, reorg_depth=1000))
+        spark, tables, gold_dir, reorg_depth=1000), tag="tick")
 
     # same tick against height-bucketed bronze commits: the commits
     # scan partition-prunes to the reorg window
@@ -114,7 +129,7 @@ def main() -> None:
         incremental_refresh(spark, t2, gold2, reorg_depth=1000,
                             stage_timings=tick_st)
 
-    inc_bb_wall = med3(one_tick_bb)
+    inc_bb_wall = med3(one_tick_bb, tag="tick_bucketed")
 
     print(json.dumps({
         "metric": "e1_refresh_wall", "value": wall, "unit": "sec",
@@ -129,7 +144,7 @@ def main() -> None:
         "incremental_tick_sec": inc_wall,
         "incremental_tick_bucketed_bronze_sec": inc_bb_wall,
         "tick_stage_walk_sec": tick_st.get("walk"),
-        "runs": 3,
+        "runs": 3, "run_spreads": all_runs,
         "n_blocks": n_blocks, "commits_per_block": cpb,
         "budget_sec": 120, "gold_rows": counts,
     }))
