@@ -545,7 +545,8 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
 
 def edit_distance_nn(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", prefix_len: int = 4,
-                     len_bucket: int = 64) -> DataFrame:
+                     len_bucket: int = 64, max_block: int | None = None,
+                     refine_prefix_len: int = 12) -> DataFrame:
     """Blocked fuzzy nearest neighbor by Levenshtein edit distance:
     for each document, the closest OTHER document inside its block,
     where a block is (normalized-text prefix, length bucket). The
@@ -558,23 +559,42 @@ def edit_distance_nn(df: DataFrame, text_col: str = "text",
     blocks) — the standard recall/cost trade; widen with multiple
     passes (different prefixes) when recall matters more.
 
-    At 100 TB: the block key is the shuffle key — a length bucket plus
-    a short prefix keeps buckets bounded and uniformly spread for
-    natural-language corpora (first words follow Zipf but the length
-    dimension splits heavy prefixes). For production use cap the DP
-    with levenshtein's threshold argument (Spark >= 3.5) so non-dup
-    pairs exit early; left plain here because the DuckDB oracle has no
-    threshold form.
+    At 100 TB: the block key is the shuffle key, and pairwise work is
+    sum(block^2) — a fixed key's cost grows QUADRATICALLY with corpus
+    density (measured at the r11 sf1 tier: 10x docs -> 95x pairs on a
+    low-prefix-entropy corpus). `max_block` turns on ADAPTIVE
+    blocking, the production cap: blocks whose size exceeds it are
+    re-keyed with the longer `refine_prefix_len` prefix (one
+    refinement level), and a block STILL above the cap after
+    refinement is skipped entirely — its docs emit no row, bounding
+    worst-case pairs at max_block x docs; route such degenerate
+    prefix-cliques to the LSH family, which is built for them. When
+    every level-1 block is already within the cap the output is
+    byte-identical to the uncapped operator (the small-tier case,
+    sweep-pinned). For production also cap the DP with levenshtein's
+    threshold argument (Spark >= 3.5) so non-dup pairs exit early;
+    left plain here because the DuckDB oracle has no threshold form.
     """
     norm = normalize_text(F.col(text_col))
-    keyed = df.select(F.col(id_col).alias("id"), norm.alias("norm")).withColumn(
-        "block",
-        F.concat_ws(
-            "|",
-            F.substring("norm", 1, prefix_len),
-            (F.length("norm") / len_bucket).cast("long").cast("string"),
-        ),
-    )
+    lb = (F.length("norm") / len_bucket).cast("long").cast("string")
+    keyed = df.select(F.col(id_col).alias("id"), norm.alias("norm")) \
+        .withColumn("block", F.concat_ws(
+            "|", F.substring("norm", 1, prefix_len), lb))
+    if max_block is not None:
+        sizes = keyed.groupBy("block").agg(F.count("*").alias("_c1"))
+        keyed = (
+            keyed.join(sizes, "block")
+            .withColumn("block", F.when(
+                F.col("_c1") <= max_block,
+                F.concat(F.lit("1:"), F.col("block"))
+            ).otherwise(F.concat(
+                F.lit("2:"), F.concat_ws(
+                    "|", F.substring("norm", 1, refine_prefix_len),
+                    lb))))
+            .drop("_c1"))
+        sizes2 = keyed.groupBy("block").agg(F.count("*").alias("_c2"))
+        keyed = keyed.join(sizes2, "block") \
+            .filter(F.col("_c2") <= max_block).drop("_c2")
     a = keyed.select(F.col("id").alias("id1"), F.col("norm").alias("n1"), "block")
     b = keyed.select(F.col("id").alias("id2"), F.col("norm").alias("n2"), "block")
     pairs = (

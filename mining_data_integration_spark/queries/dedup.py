@@ -154,9 +154,19 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dd7_edit_distance_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy NN: per doc, the closest other doc in its
-    (prefix, length-bucket) block by Levenshtein distance."""
+    (prefix, length-bucket) block by Levenshtein distance — with
+    ADAPTIVE blocking (round 11): a block larger than 64 docs is
+    re-keyed with a 12-char prefix, and a still-oversized block is
+    skipped, so pairwise work is bounded at 64 x docs instead of
+    growing quadratically with corpus density (the uncapped key hit
+    10M pairs at the sf1 tier — 95x sf0.1 — because the synthetic
+    vocabulary's 4-char prefix entropy is low). At every driver tier
+    all level-1 blocks are within the cap, so the output equals the
+    uncapped operator's; the oracle replays the same two-level
+    scheme."""
     docs = spread(t(spark, sf_dir, "documents"), "doc_id")
-    return D.edit_distance_nn(docs, prefix_len=4, len_bucket=64).orderBy("doc_id")
+    return D.edit_distance_nn(docs, prefix_len=4, len_bucket=64,
+                              max_block=64).orderBy("doc_id")
 
 
 QUERIES = {
@@ -171,11 +181,25 @@ QUERIES = {
 
 ORACLES = {
     "dd7_edit_distance_nn": f"""
-        WITH k AS (
+        WITH k1 AS (
             SELECT doc_id AS id, norm,
                    substring(norm, 1, 4) || '|'
-                       || CAST(len(norm) // 64 AS VARCHAR) AS block
+                       || CAST(len(norm) // 64 AS VARCHAR) AS b1,
+                   substring(norm, 1, 12) || '|'
+                       || CAST(len(norm) // 64 AS VARCHAR) AS b2
             FROM (SELECT doc_id, {_NORM} AS norm FROM documents)
+        ),
+        s1 AS (SELECT b1, count(*) AS c1 FROM k1 GROUP BY b1),
+        k2 AS (
+            SELECT k1.id, k1.norm,
+                   CASE WHEN s1.c1 <= 64 THEN '1:' || k1.b1
+                        ELSE '2:' || k1.b2 END AS block
+            FROM k1 JOIN s1 ON k1.b1 = s1.b1
+        ),
+        s2 AS (SELECT block, count(*) AS c2 FROM k2 GROUP BY block),
+        k AS (
+            SELECT k2.id, k2.norm, k2.block
+            FROM k2 JOIN s2 ON k2.block = s2.block WHERE s2.c2 <= 64
         ),
         pairs AS (
             SELECT a.id AS id1, b.id AS id2,

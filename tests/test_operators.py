@@ -457,6 +457,38 @@ class TestEditDistanceNN:
         assert out[3][1] > 5            # nearest is still far
         assert 4 not in out             # no block-mate -> no row
 
+    def test_adaptive_cap_refines_and_skips(self, spark):
+        """Round 11: max_block turns on adaptive blocking. An
+        oversized level-1 block is re-keyed by the longer prefix (its
+        sub-blocks still pair up); a block STILL oversized after
+        refinement is skipped entirely (bounded pairwise work); and
+        when every level-1 block is within the cap the output is
+        byte-identical to the uncapped operator."""
+        from mining_data_integration_spark.operators.dedup import (
+            edit_distance_nn)
+
+        # 6 docs share the 4-char prefix 'same' (one level-1 block);
+        # refinement by 12-char prefix splits them 3 + 3. Another 4
+        # docs share BOTH prefixes -> still oversized at level 2 with
+        # cap 3 -> skipped.
+        rows = [(i, f"same group{g} word tail{i} filler text")
+                for g, base in ((1, 0), (2, 3)) for i in range(base, base + 3)]
+        rows += [(10 + i, f"same clique fixed stem tail{i}")
+                 for i in range(4)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r.nn_id for r in edit_distance_nn(
+            docs, prefix_len=4, len_bucket=512, max_block=3).collect()}
+        assert set(out) == set(range(6))          # clique skipped
+        assert all(out[i] in {0, 1, 2} - {i} for i in range(3))
+        assert all(out[i] in {3, 4, 5} - {i} for i in range(3, 6))
+        # small blocks: cap irrelevant, equals the uncapped answer
+        small = docs.filter("doc_id < 3")
+        capped = sorted(tuple(r) for r in edit_distance_nn(
+            small, prefix_len=4, len_bucket=512, max_block=64).collect())
+        plain = sorted(tuple(r) for r in edit_distance_nn(
+            small, prefix_len=4, len_bucket=512).collect())
+        assert capped == plain and capped
+
     def test_bloom_has_no_false_negatives(self, spark):
         import __spark_entry__ as e
         row = e.queries()["j17_bloom_prune"](
