@@ -29,7 +29,9 @@ LOGS = os.path.join(REPO, "logs")
 
 def read(path: str) -> str:
     with open(path, errors="replace") as f:
-        return f.read()
+        # Spark progress bars emit \r-terminated frames; a status line
+        # glued behind one would escape every ^-anchored count
+        return f.read().replace("\r", "\n")
 
 
 def plan_audit_row(path: str) -> str:
