@@ -72,17 +72,30 @@ def sweep_rows(prefix: str) -> list[tuple[str, str]]:
             total_fail += len(re.findall(r"(?m)^FAIL ", txt))
             gate &= re.search(r"(?m)^0 failures\s*$", txt) is not None
         verdict = "SWEEP PASS" if (gate and total_fail == 0) else "SWEEP FAIL"
+        detail = ("all shards 0 failures" if gate
+                  else "a shard missing 0-failures line")
+        # a multi-attempt sweep (re-run shards) carries its verdict in
+        # the by-name coverage log (tools/check_sweep_coverage.py) —
+        # per-shard count arithmetic cannot see recovered queries
+        cov = os.path.join(LOGS, f"{prefix}_{tag}_coverage.log")
+        if os.path.exists(cov):
+            ctxt = read(cov)
+            m = re.search(r"(?m)^registry .*$", ctxt)
+            cverdict = ("COVERAGE PASS" if "COVERAGE PASS" in ctxt
+                        else "COVERAGE FAIL")
+            verdict = cverdict
+            detail += f"; by-name: {m.group(0) if m else '?'}"
         rows.append((f"sweep {tag} ({len(files)} shards)",
                      f"{verdict}: {total_pass} PASS / {total_fail} FAIL "
-                     f"({'all shards 0 failures' if gate else 'a shard missing 0-failures line'})",
-                     ))
+                     f"attempt-lines ({detail})"))
     return rows
 
 
 def bench_rows(prefix: str) -> list[tuple[str, str]]:
     rows = []
     for fn in sorted(os.listdir(LOGS)):
-        if not (fn.startswith(prefix + "_bench") and fn.endswith(".json")):
+        if not (fn.startswith(prefix + "_bench")
+                and (fn.endswith(".json") or fn.endswith(".log"))):
             continue
         txt = read(os.path.join(LOGS, fn)).strip().splitlines()
         line = next((ln for ln in reversed(txt)
@@ -110,12 +123,15 @@ def verdict_rows(prefix: str) -> list[tuple[str, str]]:
     for fn in sorted(os.listdir(LOGS)):
         if not fn.startswith(prefix + "_") or not fn.endswith(".log"):
             continue
-        if re.search(r"_(s\d+|driver)\.log$", fn) or "_bench" in fn \
+        if re.search(r"_(s\d+|driver|coverage)\.log$", fn) \
+                or "_bench" in fn \
                 or "plan_audit" in fn or "pytest" in fn:
             continue
         txt = read(os.path.join(LOGS, fn))
         n_pass = len(re.findall(r"(?m)^.*\bPASS\b", txt))
         n_fail = len(re.findall(r"(?m)^.*\bFAIL\b", txt))
+        if n_pass == 0 and n_fail == 0 and "{" not in txt:
+            continue          # chain/driver noise log, nothing to count
         jl = next((ln for ln in reversed(txt.splitlines())
                    if ln.startswith("{")), None)
         extra = ""
