@@ -1042,3 +1042,75 @@ ORACLES["dd18_index_tombstone_probe"] = _lsh_probe_sql(3, 16, 4, tail="""
         FROM pairs CROSS JOIN (SELECT unnest([1, 2]) AS phase) p
         ORDER BY phase, new_id, corpus_id
     """)
+
+
+def st13_stream_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING takedown — the delete lifecycle driven by the real
+    micro-batch engine, completing the streaming x maintenance matrix
+    (st9 probes, st10 appends, st12 ANN-probes, st13 DELETES): a copy
+    of the dd15 even-corpus index receives takedown requests as a FILE
+    STREAM in two parquet files processed as separate micro-batches
+    (doc_id % 12 == 0, then % 12 == 6 — together every % 6 == 0
+    corpus doc), each batch applied via foreachBatch with
+    delete_from_minhash_index — an O(batch) tombstone append under the
+    maintenance lease, with an applied-batch marker so a retried
+    micro-batch is a no-op (the st10 idempotency discipline; the
+    tombstone anti-join additionally dedups ids, so even the residual
+    at-least-once window cannot change a probe). After the stream
+    drains, the odd ingest batch probes the tombstoned index; the
+    DuckDB oracle replays the dd15 band-bucket join with the streamed
+    takedowns excluded. Run scratch is eager-and-clean (u6)."""
+    import os
+    import shutil
+    import tempfile
+
+    base = _lsh_index_path(sf_dir)
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    if not os.path.exists(os.path.join(base, "meta")):
+        D.save_minhash_index(docs.filter(F.col("doc_id") % 2 == 0),
+                             base, n=3, num_hashes=16, bands=4)
+    run = tempfile.mkdtemp(prefix="sg_st13_")
+    try:
+        idx = os.path.join(run, "idx")
+        shutil.copytree(base, idx)
+        src = os.path.join(run, "takedowns")
+        # two takedown files -> two genuine micro-batches
+        (docs.filter(F.col("doc_id") % 12 == 0).select("doc_id")
+         .coalesce(1).write.mode("append").parquet(src))
+        (docs.filter(F.col("doc_id") % 12 == 6).select("doc_id")
+         .coalesce(1).write.mode("append").parquet(src))
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+
+        def batch_fn(batch_df, batch_id: int) -> None:
+            marker = os.path.join(run, f"applied-{batch_id}")
+            if os.path.exists(marker):
+                return
+            D.delete_from_minhash_index(batch_df, idx)
+            open(marker, "w").close()
+
+        q = (stream.writeStream.foreachBatch(batch_fn)
+             .option("checkpointLocation", os.path.join(run, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        out = D.probe_minhash_index(
+            docs.filter(F.col("doc_id") % 2 == 1), idx
+        ).orderBy("new_id", "corpus_id")
+        rows = out.collect()
+        schema_out = out.schema
+    finally:
+        shutil.rmtree(run, ignore_errors=True)
+    return spark.createDataFrame(rows, schema_out) \
+        .orderBy("new_id", "corpus_id")
+
+
+QUERIES["st13_stream_index_delete"] = st13_stream_index_delete
+
+ORACLES["st13_stream_index_delete"] = _lsh_probe_sql(3, 16, 4, tail="""
+        SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
+        FROM stacked n JOIN stacked c
+          ON n.bucket = c.bucket
+        WHERE n.id % 2 = 1 AND c.id % 2 = 0 AND c.id % 6 <> 0
+        ORDER BY new_id, corpus_id
+    """)
