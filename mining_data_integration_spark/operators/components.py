@@ -323,7 +323,16 @@ def incremental_components_tick(batch_edges: DataFrame, state_dir: str,
     Every `compact_every` generations the deltas are folded into a
     fresh base behind an atomic pointer flip (single-writer — exactly
     foreachBatch's serial-batch guarantee). Returns the number of
-    delta rows written."""
+    delta rows written.
+
+    Scope note: batches ADD edges only. Edge deletion (decremental
+    connectivity) can split a component and invalidate labels the
+    forest cannot repair locally — it needs different machinery
+    (Holm/de Lichtenberg/Thorup-style dynamic trees, or a periodic
+    full recompute over the surviving edge set); the round-11
+    takedown lifecycle deliberately lives in the INDEX layer
+    (dd18/sim26/st13 tombstones), where a delete is an anti-join,
+    not a graph cut."""
     import os
 
     spark = batch_edges.sparkSession
