@@ -335,7 +335,16 @@ def delete_from_minhash_index(ids: DataFrame, path: str,
     one cycle later. Tombstones stay small by construction: every
     compaction drains them, so the anti-join's broadcast side is
     bounded by one compaction cycle's takedowns. Takes the
-    maintenance lease (writers serialize; probes never wait)."""
+    maintenance lease (writers serialize; probes never wait).
+
+    Id-reuse contract: a tombstoned id stays dead until its tombstone
+    is physically retired (TWO compaction cycles: purge, then folded-
+    set prune) — appending a new document under a previously-deleted
+    id inside that window is anti-joined away, then resurfaces when
+    the tombstone ages out. Re-use is therefore undefined behavior;
+    takedown-then-replace flows must mint a fresh id (what every
+    append caller's "new ids must not already be in the index"
+    contract already implies)."""
     import os
 
     from ..sources.kv import maintenance_lease

@@ -1036,7 +1036,10 @@ def delete_from_ivfpq_index(ids: DataFrame, path: str,
     anti-joins the tombstone set, and the next compact_ivfpq_index
     physically purges the tombstoned codes. The tombstone set stays
     bounded by one compaction cycle's takedowns. Takes the maintenance
-    lease (writers serialize; probes never wait)."""
+    lease (writers serialize; probes never wait). Id-reuse contract:
+    same as delete_from_minhash_index — a tombstoned id stays dead
+    until its tombstone is retired (two compaction cycles), so
+    re-appending under a deleted id is undefined; mint fresh ids."""
     import os
 
     from ..sources.kv import maintenance_lease
