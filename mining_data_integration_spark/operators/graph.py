@@ -196,3 +196,55 @@ def min_label_components(edges: DataFrame, iterations: int = 6) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame,
+             rounds: int = 6) -> DataFrame:
+    """Multi-source BFS hop distances over an undirected edge list,
+    bounded BSP rounds — the traversal kernel the suite lacked next
+    to pagerank (g1), triangles (g2), and the two CC kernels (g3/g4):
+    "how far is every node from a seed set" is the reachability /
+    blast-radius / contamination-spread question a supply-chain or
+    corpus-lineage report asks.
+
+    edges: (u bigint, v bigint), one row per undirected edge.
+    seeds: (n bigint) — hop-0 nodes.
+    Returns (n, hops) for every node within `rounds` hops of any
+    seed; unreached nodes are absent (the graph genuinely fragments,
+    so absence is signal). hops is the TRUE minimum distance for all
+    emitted rows — a node is emitted in the first round that reaches
+    it — and the row set at any fixed `rounds` is deterministic, so a
+    SQL oracle can replay the rounds as chained CTEs (the g3 recipe;
+    no recursive CTE, so the oracle stays cheap at every tier).
+
+    Scale shape: frontier-based — each round expands ONLY the newest
+    frontier (one shuffle-join frontier x edges, a distinct, and an
+    anti-join against the settled set), so total work is
+    O(sum of frontier edge cuts) = O(E) over the whole walk, not
+    O(E x rounds) like full relaxation; localCheckpoint(eager=False)
+    truncates lineage per round (the g1/g3 discipline). An empty
+    frontier makes every later round a no-op on empty inputs."""
+    sym = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"),
+                            F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dist = (
+        seeds.select(F.col("n").cast("long").alias("n")).distinct()
+        .withColumn("hops", F.lit(0).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist.select("n")
+    for i in range(1, rounds + 1):
+        nxt = (
+            frontier.join(sym, frontier["n"] == sym["u"])
+            .select(F.col("v").alias("n")).distinct()
+            .join(dist.select("n"), "n", "left_anti")
+            .withColumn("hops", F.lit(i).cast("long"))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.union(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("n")
+    return dist

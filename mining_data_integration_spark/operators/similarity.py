@@ -340,19 +340,21 @@ def int_ivf_centroids(emb_q: DataFrame, n_centroids: int = 4,
     return cents
 
 
-def int_ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
-                 n_centroids: int = 4, n_probe: int = 2, iters: int = 2,
-                 id_col: str = "vec_id", vec_col: str = "embedding",
-                 q_id_col: str = "q_id",
-                 q_vec_col: str = "q_emb") -> DataFrame:
-    """IVF approximate top-k with the integer coarse quantizer — the
-    hash-checked sibling of ivf_topk (sim4): int8-quantize the corpus,
+def _int_ivf_pairs(emb: DataFrame, queries: DataFrame,
+                   n_centroids: int = 4, n_probe: int = 2,
+                   iters: int = 2,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   q_id_col: str = "q_id",
+                   q_vec_col: str = "q_emb") -> DataFrame:
+    """Shared candidate-scoring chain of the integer-IVF family
+    (int_ivf_topk / int_ivf_range_search): int8-quantize the corpus,
     integer k-means for cells, each query probes its n_probe nearest
     cells (exact-int distance, lowest-cid ties) and scores candidates
     with exact integer dot products; only the final norm division is
     floating (single IEEE op — bit-identical across engines, the sim7
-    precedent). Same scale shape as sim4: cell id is the partition/
-    prune key, probes read n_probe/k of the corpus."""
+    precedent). Returns the scored candidate pairs
+    (q_id, vec_id, cos_sim_q8) — callers rank (top-k) or filter
+    (range search)."""
     emb_q = emb.select(
         F.col(id_col), int8_quantize(F.col(vec_col)).alias("_qv"))
     cents = int_ivf_centroids(emb_q, n_centroids, iters, id_col, "_qv")
@@ -378,17 +380,59 @@ def int_ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                     F.sqrt(idot(F.col("_qq"), F.col("_qq"))
                            .cast("double")))
     )
-    pairs = data.join(F.broadcast(q_probed), "_cid").select(
+    return data.join(F.broadcast(q_probed), "_cid").select(
         F.col(q_id_col), F.col(id_col),
         (idot(F.col("_qq"), F.col("_qv")).cast("double")
          / (F.col("_qnorm") * F.col("_vnorm"))).alias("cos_sim_q8"),
     )
+
+
+def int_ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                 n_centroids: int = 4, n_probe: int = 2, iters: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 q_id_col: str = "q_id",
+                 q_vec_col: str = "q_emb") -> DataFrame:
+    """IVF approximate top-k with the integer coarse quantizer — the
+    hash-checked sibling of ivf_topk (sim4); the scoring chain is
+    _int_ivf_pairs, then a per-query rank. Same scale shape as sim4:
+    cell id is the partition/prune key, probes read n_probe/k of the
+    corpus."""
+    pairs = _int_ivf_pairs(emb, queries, n_centroids, n_probe, iters,
+                           id_col, vec_col, q_id_col, q_vec_col)
     w = Window.partitionBy(q_id_col).orderBy(
         F.desc("cos_sim_q8"), F.col(id_col))
     return (
         pairs.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )
+
+
+def int_ivf_range_search(emb: DataFrame, queries: DataFrame,
+                         tau: float = 0.1,
+                         n_centroids: int = 4, n_probe: int = 2,
+                         iters: int = 2,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         q_id_col: str = "q_id",
+                         q_vec_col: str = "q_emb") -> DataFrame:
+    """IVF RANGE search (radius/threshold search) with the integer
+    coarse quantizer — the ANN operation the top-k ladder lacked:
+    return EVERY probed vector with cosine >= tau, not a fixed k
+    ("all documents at least this similar" is the retrieval shape of
+    takedown sweeps, near-dup audits, and recall-bounded RAG filters,
+    where k is unknowable a priori). Rides _int_ivf_pairs, so every
+    arithmetic step is engine-exact (the sim11 property) and the hit
+    set is fully hash-checkable against a SQL replay.
+
+    Scale shape: STRICTLY CHEAPER than top-k — the threshold filter
+    is applied map-side on the probe join's output, so unlike
+    int_ivf_topk there is no per-query rank window and no second
+    shuffle: probe join -> filter, done. The tau cut also bounds the
+    result before any exchange, which is what makes radius search
+    the right primitive when k would be set to "huge, then trim"."""
+    pairs = _int_ivf_pairs(emb, queries, n_centroids, n_probe, iters,
+                           id_col, vec_col, q_id_col, q_vec_col)
+    return pairs.filter(F.col("cos_sim_q8") >= F.lit(float(tau)))
 
 
 def int8_quantize(vec: Column) -> Column:

@@ -491,3 +491,91 @@ QUERIES["st11_stream_components"] = st11_stream_components
 # the claim IS that the streamed fold equals the batch contraction,
 # so the oracle is exactly the g4 batch replay
 ORACLES["st11_stream_components"] = _g4_oracle()
+
+
+G5_ROUNDS = 6
+
+
+def g5_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances over the g3 part-supplier supply
+    graph (operators/graph.bfs_hops, 6 frontier rounds): seeds are
+    the s_suppkey % 7 = 1 suppliers (scale-proportional and non-empty
+    at every tier, unlike a nation filter), hops walk shared-part
+    links — "how many supply links away is every part and supplier
+    from the seeded supplier base", the blast-radius traversal g1-g4
+    lacked. Output
+    is the per-hop rollup (node counts split by part/supplier side,
+    id range). Deterministic at ANY round bound — a node's emitted
+    hop is its true min distance — so the DuckDB oracle replays the
+    rounds as chained MATERIALIZED CTEs (the g3 recipe, no recursive
+    CTE: stays hash-checked at every tier, unlike the j9/j16
+    recursive walks)."""
+    from ..operators.graph import bfs_hops
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = (
+        li.filter((F.col("l_partkey") * 7 + F.col("l_suppkey")) % 5 == 0)
+        .select((F.col("l_partkey").cast("long") * 2).alias("u"),
+                (F.col("l_suppkey").cast("long") * 2 + 1).alias("v"))
+        .distinct()
+    )
+    seeds = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 7 == 1)
+        .select((F.col("s_suppkey").cast("long") * 2 + 1).alias("n"))
+    )
+    dist = bfs_hops(edges, seeds, rounds=G5_ROUNDS)
+    return (
+        dist.groupBy("hops")
+        .agg(F.count("*").cast("long").alias("n_nodes"),
+             F.sum((F.col("n") % 2 == 0).cast("long")).alias("n_parts"),
+             F.sum((F.col("n") % 2 == 1).cast("long"))
+             .alias("n_suppliers"),
+             F.min("n").cast("long").alias("min_node"),
+             F.max("n").cast("long").alias("max_node"))
+        .orderBy("hops")
+    )
+
+
+QUERIES["g5_bfs_hops"] = g5_bfs_hops
+
+
+def _g5_oracle() -> str:
+    steps = []
+    prev = "d0"
+    for i in range(1, G5_ROUNDS + 1):
+        steps.append(f"""
+    , d{i} AS MATERIALIZED (
+        SELECT n, min(hops) AS hops FROM (
+            SELECT n, hops FROM {prev}
+            UNION ALL
+            SELECT s.v AS n, r.hops + 1 AS hops
+            FROM sym s JOIN {prev} r ON s.u = r.n
+        ) GROUP BY n
+    )""")
+        prev = f"d{i}"
+    return f"""
+    WITH edges AS MATERIALIZED (
+        SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS u,
+               CAST(l_suppkey AS BIGINT) * 2 + 1 AS v
+        FROM lineitem
+        WHERE (l_partkey * 7 + l_suppkey) % 5 = 0
+    ), sym AS MATERIALIZED (
+        SELECT u, v FROM edges UNION SELECT v, u FROM edges
+    ), d0 AS MATERIALIZED (
+        SELECT DISTINCT CAST(s_suppkey AS BIGINT) * 2 + 1 AS n,
+               CAST(0 AS BIGINT) AS hops
+        FROM supplier WHERE s_suppkey % 7 = 1
+    ){''.join(steps)}
+    SELECT hops, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(CASE WHEN n % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_parts,
+           CAST(sum(CASE WHEN n % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_suppliers,
+           CAST(min(n) AS BIGINT) AS min_node,
+           CAST(max(n) AS BIGINT) AS max_node
+    FROM {prev} GROUP BY hops ORDER BY hops
+"""
+
+
+ORACLES["g5_bfs_hops"] = _g5_oracle()

@@ -199,6 +199,23 @@ def sim11_int_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "rk")
 
 
+def sim27_int_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF RANGE search (radius search) with the integer coarse
+    quantizer — every probed vector with cos >= 0.12 for 8 query
+    vectors, not a fixed top-k (operators/similarity.
+    int_ivf_range_search). The retrieval shape of takedown sweeps and
+    near-dup audits where k is unknowable a priori; strictly cheaper
+    than top-k (the threshold filter is map-side on the probe join —
+    no per-query rank window, no second shuffle). Every arithmetic
+    step is engine-exact (the sim11 property), so the hit set is
+    fully hash-checked against the _int_ivf_range_sql replay."""
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    return S.int_ivf_range_search(
+        emb, _queries_df(spark, sf_dir, n=8), tau=0.12,
+        n_centroids=4, n_probe=2, iters=2,
+    ).orderBy("q_id", "vec_id")
+
+
 def sim9_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization approximate top-5 (m=8 subspaces, 16 codes
     each, deterministic per-subspace Lloyd; asymmetric-distance
@@ -265,17 +282,20 @@ QUERIES = {
     "sim2_ann_lsh_topk": sim2_ann_lsh_topk,
     "sim3_embedding_near_dups": sim3_embedding_near_dups,
     "sim11_int_ivf_topk": sim11_int_ivf_topk,
+    "sim27_int_range_search": sim27_int_range_search,
 }
 
 
-def _int_ivf_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
-                 n_probe: int = 2, topk: int = 5, n_q: int = 3) -> str:
-    """DuckDB replay of operators.similarity.int_ivf_topk: sim7's int8
-    quantization, then each Lloyd iteration as three CTEs (assign by
-    exact-int squared L2 with lowest-cid ties / per-dim truncating-div
-    means / centroid update keeping empty cells), then the n_probe
-    probe and exact-int scoring. `//` and Spark's `div` both truncate
-    toward zero, so the centroid updates are bit-identical."""
+def _int_ivf_scored_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
+                        n_probe: int = 2, n_q: int = 3) -> str:
+    """DuckDB replay of operators.similarity._int_ivf_pairs — the CTE
+    chain shared by the int-IVF oracles (sim11 top-k, sim27 range):
+    sim7's int8 quantization, then each Lloyd iteration as three CTEs
+    (assign by exact-int squared L2 with lowest-cid ties / per-dim
+    truncating-div means / centroid update keeping empty cells), then
+    the n_probe probe and exact-int scoring, ending at the `scored`
+    CTE (q_id, vec_id, cos_sim_q8). `//` and Spark's `div` both
+    truncate toward zero, so the centroid updates are bit-identical."""
     d2 = lambda v, c: (
         f"list_sum(list_transform(range(1, {dim + 1}), "
         f"i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])))")
@@ -344,18 +364,38 @@ def _int_ivf_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
                    i -> p.qvec[i]*a.q[i])) AS DOUBLE)
                    / (p.qnrm * {norm2('a.q')}) AS cos_sim_q8
         FROM probe p JOIN af a ON p.cid = a.cid
-    ), ranked AS (
+    )""")
+    return "".join(parts)
+
+
+def _int_ivf_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
+                 n_probe: int = 2, topk: int = 5, n_q: int = 3) -> str:
+    """DuckDB replay of operators.similarity.int_ivf_topk: the shared
+    _int_ivf_scored_sql chain plus the per-query rank tail."""
+    return _int_ivf_scored_sql(dim, k_cent, iters, n_probe, n_q) + f"""
+    , ranked AS (
         SELECT q_id, vec_id, cos_sim_q8,
                row_number() OVER (PARTITION BY q_id
                    ORDER BY cos_sim_q8 DESC, vec_id) AS rk
         FROM scored
     )
     SELECT q_id, vec_id, cos_sim_q8, CAST(rk AS BIGINT) AS rk
-    FROM ranked WHERE rk <= {topk} ORDER BY q_id, rk""")
-    return "".join(parts)
+    FROM ranked WHERE rk <= {topk} ORDER BY q_id, rk"""
+
+
+def _int_ivf_range_sql(tau: float, dim: int = 64, k_cent: int = 4,
+                       iters: int = 2, n_probe: int = 2,
+                       n_q: int = 3) -> str:
+    """DuckDB replay of operators.similarity.int_ivf_range_search: the
+    shared _int_ivf_scored_sql chain plus the threshold tail (no rank
+    window — the point of range search)."""
+    return _int_ivf_scored_sql(dim, k_cent, iters, n_probe, n_q) + f"""
+    SELECT q_id, vec_id, cos_sim_q8 FROM scored
+    WHERE cos_sim_q8 >= {tau!r} ORDER BY q_id, vec_id"""
 
 
 ORACLES["sim11_int_ivf_topk"] = _int_ivf_sql()
+ORACLES["sim27_int_range_search"] = _int_ivf_range_sql(0.12, n_q=8)
 
 # sim6 is exactness-preserving over sim1 (local top-k pre-reduce only
 # discards rows provably outside the global top-k) — same oracle

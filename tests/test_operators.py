@@ -55,6 +55,36 @@ class TestIvf:
                                n_centroids=4, n_probe=3).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, again))
 
+    def test_int_ivf_range_search_matches_unbounded_topk(self, spark):
+        """sim27's radius search must equal 'top-k with k=infinity,
+        then threshold' over the SAME probe parameters (the rank
+        window changes presentation, never membership), include every
+        query's own vector (cos=1 >= tau), and rerun bit-identical
+        under a different partitioning (the sim11 property that makes
+        the raw hit set hash-checkable)."""
+        from pyspark.sql import functions as F
+        from mining_data_integration_spark.io import read_table
+        from mining_data_integration_spark.operators import similarity as S
+
+        emb = read_table(spark, "/root/testdata/sf0.001", "embeddings") \
+            .repartition(8, "vec_id")
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+        tau = 0.12
+        got = S.int_ivf_range_search(emb, q, tau=tau,
+                                     n_centroids=4, n_probe=2).collect()
+        rng = {(r.q_id, r.vec_id, r.cos_sim_q8) for r in got}
+        big = S.int_ivf_topk(emb, q, k=1_000_000,
+                             n_centroids=4, n_probe=2).collect()
+        want = {(r.q_id, r.vec_id, r.cos_sim_q8)
+                for r in big if r.cos_sim_q8 >= tau}
+        assert rng == want and rng
+        assert {(i, i) for i in range(5)} <= {(a, b) for a, b, _ in rng}
+        again = S.int_ivf_range_search(emb.repartition(3, "vec_id"), q,
+                                       tau=tau, n_centroids=4,
+                                       n_probe=2).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
 from pyspark.sql import functions as F
 
 from mining_data_integration_spark.operators import dedup as D
@@ -1338,6 +1368,55 @@ def test_g3_six_rounds_converge_on_registered_graph(spark):
     l7 = {(r.n, r.comp)
           for r in min_label_components(edges, iterations=7).collect()}
     assert l6 == l7 and l6
+
+
+def test_bfs_hops_hand_checked(spark):
+    """Path 1-2-3-4-5 seeded at {1}: hops are the path positions;
+    the disconnected edge 10-11 stays absent (fragmentation is
+    signal). Seeding BOTH ends {1, 5} makes every hop the MIN over
+    seeds — node 3 sits at 2 from either end."""
+    from mining_data_integration_spark.operators.graph import bfs_hops
+
+    raw = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]
+    edges = spark.createDataFrame(raw, "u long, v long")
+    one = spark.createDataFrame([(1,)], "n long")
+    got = {(r.n, r.hops) for r in bfs_hops(edges, one, rounds=6).collect()}
+    assert got == {(1, 0), (2, 1), (3, 2), (4, 3), (5, 4)}
+    both = spark.createDataFrame([(1,), (5,)], "n long")
+    got2 = {(r.n, r.hops)
+            for r in bfs_hops(edges, both, rounds=6).collect()}
+    assert got2 == {(1, 0), (5, 0), (2, 1), (4, 1), (3, 2)}
+
+
+def test_bfs_hops_partition_invariant_on_registered_graph(spark):
+    """The g5 traversal is deterministic at any fixed round bound —
+    bit-identical reruns under a different partitioning (what makes
+    the chained-CTE oracle hash-checkable), and hop layers nest: the
+    round-4 row set is exactly the round-6 rows with hops <= 4."""
+    from pyspark.sql import functions as F
+
+    from mining_data_integration_spark.operators.graph import bfs_hops
+    from mining_data_integration_spark.queries._util import t
+
+    li = t(spark, "/root/testdata/sf0.001", "lineitem")
+    edges = (
+        li.filter((F.col("l_partkey") * 7 + F.col("l_suppkey")) % 5 == 0)
+        .select((F.col("l_partkey").cast("long") * 2).alias("u"),
+                (F.col("l_suppkey").cast("long") * 2 + 1).alias("v"))
+        .distinct()
+    )
+    seeds = (
+        t(spark, "/root/testdata/sf0.001", "supplier")
+        .filter(F.col("s_suppkey") % 7 == 1)
+        .select((F.col("s_suppkey").cast("long") * 2 + 1).alias("n"))
+    )
+    d6 = {(r.n, r.hops) for r in bfs_hops(edges, seeds, rounds=6).collect()}
+    again = {(r.n, r.hops)
+             for r in bfs_hops(edges.repartition(3, "u"), seeds,
+                               rounds=6).collect()}
+    assert d6 == again and d6
+    d4 = {(r.n, r.hops) for r in bfs_hops(edges, seeds, rounds=4).collect()}
+    assert d4 == {(n, h) for (n, h) in d6 if h <= 4}
 
 
 def test_triangle_stats_hand_checked(spark):
