@@ -2278,6 +2278,100 @@ class TestIndexTombstones:
         assert total0 == 40 and total1 == 20
 
 
+class TestCrashRecovery:
+    """Round-11: a compaction killed MID-WRITE (after staging its new
+    generation directory, before the pointer flip, lease file left
+    behind by the dead process) must leave the index fully usable:
+    probes keep reading the still-pointed old generation, and the
+    NEXT maintenance run takes over the stale lease, overwrites the
+    dead generation, and completes — the recovery story the compact
+    docstrings claim ('a dead buckets-g<N+1> is overwritten next
+    time'), pinned here for both persisted indexes."""
+
+    @staticmethod
+    def _dead_pid():
+        import subprocess
+
+        p = subprocess.Popen(["true"])
+        p.wait()
+        return p.pid
+
+    @staticmethod
+    def _plant_crash(path, dead_gen_name):
+        """Simulate the kill: a partial, garbage generation dir that
+        never got the pointer flip, plus the dead holder's lease."""
+        import os
+        import time
+
+        dead = os.path.join(path, dead_gen_name)
+        os.makedirs(dead, exist_ok=True)
+        with open(os.path.join(dead, "part-00000.parquet"), "wb") as f:
+            f.write(b"\x00not a parquet file")  # torn mid-write
+        with open(os.path.join(path, ".maintenance-lease"), "w") as f:
+            f.write(f"{TestCrashRecovery._dead_pid()} {time.time()}")
+
+    def _docs(self, spark):
+        base = "the quick brown fox jumps over the lazy dog tonight"
+        rows = [(i, base.replace("dog", f"pet{i}")) for i in range(0, 8, 2)]
+        rows += [(i, base.replace("dog", f"pet{i-1}"))
+                 for i in range(1, 8, 2)]
+        return docs_df(spark, rows)
+
+    def test_minhash_compaction_recovers_from_crashed_predecessor(
+            self, spark, tmp_path):
+        import os
+
+        docs = self._docs(spark)
+        path = str(tmp_path / "crashidx")
+        D.save_minhash_index(docs.filter("doc_id % 2 = 0"), path,
+                             n=3, num_hashes=16, bands=4)
+        batch = docs.filter("doc_id % 2 = 1")
+        want = sorted((r.new_id, r.corpus_id) for r in
+                      D.probe_minhash_index(batch, path).collect())
+        assert want
+        self._plant_crash(path, "buckets-g2")
+        # probes never see the dead generation (pointer untouched)
+        got = sorted((r.new_id, r.corpus_id) for r in
+                     D.probe_minhash_index(batch, path).collect())
+        assert got == want
+        # next compaction: stale-lease takeover + overwrite of the
+        # dead dir; afterwards the pointer lands on the recovered gen
+        D.compact_minhash_index(spark, path)
+        assert os.path.basename(D._buckets_dir(path)) == "buckets-g2"
+        got = sorted((r.new_id, r.corpus_id) for r in
+                     D.probe_minhash_index(batch, path).collect())
+        assert got == want
+
+    def test_ivfpq_compaction_recovers_from_crashed_predecessor(
+            self, spark, tmp_path):
+        import os
+
+        from mining_data_integration_spark.operators import (
+            similarity as S)
+
+        rows = [(i, [float(((i * 7 + j * 3) % 11) - 5)
+                     for j in range(8)]) for i in range(40)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        q = emb.filter("vec_id < 2").select(
+            emb.vec_id.alias("q_id"), emb.embedding.alias("q_emb"))
+        path = str(tmp_path / "crashann")
+        S.save_ivfpq_index(emb, path, n_cells=2, m=2, kc=2,
+                           iters=2, dim=8)
+        want = sorted(tuple(r) for r in S.ivfpq_probe_topk(
+            S.load_ivfpq_index(spark, path), q, k=3, n_probe=2).collect())
+        assert want
+        self._plant_crash(path, "codes-g2")
+        got = sorted(tuple(r) for r in S.ivfpq_probe_topk(
+            S.load_ivfpq_index(spark, path), q, k=3, n_probe=2).collect())
+        assert got == want
+        S.compact_ivfpq_index(spark, path)
+        assert os.path.basename(S._codes_dir(path)) == "codes-g2"
+        got = sorted(tuple(r) for r in S.ivfpq_probe_topk(
+            S.load_ivfpq_index(spark, path), q, k=3, n_probe=2).collect())
+        assert got == want
+
+
 class TestMaintenanceLease:
     """Round-11: the single-writer lease serializing index
     maintenance (append/compact/delete) — a concurrent append+compact
