@@ -61,6 +61,8 @@ EXTENDED = [
     "dd18_index_tombstone_probe",   # r11: delete lifecycle, band index
     "sim26_ivfpq_delete",           # r11: delete lifecycle, IVF-PQ
     "st12_stream_ann_probe",        # r11: streaming ANN ingest probe
+    "g5_bfs_hops",                  # r11: multi-source frontier BFS
+    "sim27_int_range_search",       # r11: IVF radius search, no rank
 ]
 
 
