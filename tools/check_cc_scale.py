@@ -92,6 +92,63 @@ def check(spark, con, name: str, n_nodes: int, span: int,
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def check_bfs(spark, con, name: str, n_nodes: int, span: int,
+              rounds: int) -> bool:
+    """Closed-form BFS certification (round 11, the g5 kernel): seed
+    the minimum of every NON-bridged block (blocks are disconnected
+    from each other, and skipping the bridged ones keeps every
+    reached distance pure arithmetic): node i in a seeded block is
+    reached iff i % span <= rounds, at hops = i % span. Certifies the
+    frontier kernel at depth `rounds` with thousands of concurrent
+    seeds and no round replay."""
+    from mining_data_integration_spark.operators.graph import bfs_hops
+
+    edges = build_edges(n_nodes, span)
+    tmp = tempfile.mkdtemp(prefix="sg_bfs_scale_")
+    try:
+        path = f"{tmp}/edges.parquet"
+        spark.createDataFrame(edges, "u long, v long") \
+            .repartition(32).write.mode("overwrite").parquet(path)
+        want = con.execute(f"""
+            SELECT n, n % {span} AS hops FROM (
+                SELECT DISTINCT n FROM (
+                    SELECT u AS n FROM read_parquet('{path}/*.parquet')
+                    UNION ALL
+                    SELECT v FROM read_parquet('{path}/*.parquet')
+                )
+            )
+            WHERE (n // {span}) % 7 != 0 AND n % {span} <= {rounds}
+            ORDER BY n
+        """).fetchall()
+        want_hash = hashlib.sha256(
+            "\n".join(f"{n}|{h}" for n, h in want).encode()).hexdigest()
+        t0 = time.time()
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+        seeds = (
+            df.select(F.col("u").alias("n"))
+            .union(df.select(F.col("v").alias("n"))).distinct()
+            .filter((F.col("n") % span == 0)
+                    & ((F.col("n") / span).cast("long") % 7 != 0))
+        )
+        try:
+            got = sorted((r.n, r.hops) for r in
+                         bfs_hops(df, seeds, rounds=rounds).collect())
+        except Exception as ex:
+            print(f"FAIL  {name}: {type(ex).__name__}: {ex}")
+            return False
+        got_hash = hashlib.sha256(
+            "\n".join(f"{n}|{h}" for n, h in got).encode()).hexdigest()
+        ok = got_hash == want_hash
+        print(f"{'PASS' if ok else 'FAIL'}  {name}: {len(got)} reached, "
+              f"{len(edges)} edges, span {span}, depth {rounds}, "
+              f"hash={'match' if ok else 'MISMATCH'} "
+              f"({time.time() - t0:.1f}s)")
+        return ok
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> int:
     import duckdb
 
@@ -119,6 +176,10 @@ def main() -> int:
     # mid case: span-40 (min-label converges < its 50-round cap)
     ok &= check(spark, con, "star_mid", n_nodes, 40, star)
     ok &= check(spark, con, "minlabel_mid", n_nodes, 40, minlabel)
+    # BFS (g5 kernel): depth-40 walk down 1500-span paths, and the
+    # shallow many-seed case
+    ok &= check_bfs(spark, con, "bfs_deep", n_nodes, 1500, 40)
+    ok &= check_bfs(spark, con, "bfs_shallow", n_nodes, 4, 3)
     print("ALL PASS" if ok else "FAILURES PRESENT")
     return 0 if ok else 1
 
