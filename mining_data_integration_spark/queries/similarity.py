@@ -1751,3 +1751,80 @@ ORACLES["st12_stream_ann_probe"] = _int_ivfpq_sql(
     _DIM, 4, 3, 4, 4, 2, 5, 9, tail="""
     SELECT q_id, vec_id, ip_q8, CAST(rk AS BIGINT) AS rk
     FROM ranked WHERE rk <= 5 AND q_id >= 3 ORDER BY q_id, rk""")
+
+
+def st14_stream_ann_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN takedown — the sim-family twin of st13,
+    completing BOTH delete cells of the streaming x maintenance
+    matrix (st9/st13 probe+delete the band index, st12/st14 the
+    IVF-PQ index): a copy of the full-corpus sim19 artifact receives
+    takedown requests as a FILE STREAM in two parquet files processed
+    as separate micro-batches (vec_id % 10 == 0, then % 10 == 5 —
+    together every % 5 == 0 vector, the sim26 delete set), each batch
+    applied via foreachBatch with delete_from_ivfpq_index — an
+    O(batch) tombstone append under the maintenance lease,
+    cells/codebooks/codes untouched (deletion never retrains a
+    quantizer), with an applied-batch marker so a retried micro-batch
+    is a no-op (the st10/st13 idempotency discipline; the tombstone
+    anti-join additionally dedups ids). After the stream drains, the
+    standard queries probe the tombstoned index; the DuckDB oracle
+    replays train+probe via the _int_ivfpq_sql tail hook and re-ranks
+    the scored candidates with vec_id % 5 <> 0 — exactly sim26's
+    phase-1 ranking, now produced by a genuine Structured Streaming
+    takedown run. Run scratch is eager-and-clean (u6)."""
+    import os
+    import shutil
+    import tempfile
+
+    base = _ivfpq_index_path(sf_dir)
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    if not os.path.exists(os.path.join(base, "meta")):
+        S.save_ivfpq_index(emb, base, n_cells=4, m=4, kc=4, iters=2,
+                           dim=_DIM)
+    run = tempfile.mkdtemp(prefix="sg_st14_")
+    try:
+        idx = os.path.join(run, "idx")
+        shutil.copytree(base, idx)
+        src = os.path.join(run, "takedowns")
+        # two takedown files -> two genuine micro-batches
+        (emb.filter(F.col("vec_id") % 10 == 0).select("vec_id")
+         .coalesce(1).write.mode("append").parquet(src))
+        (emb.filter(F.col("vec_id") % 10 == 5).select("vec_id")
+         .coalesce(1).write.mode("append").parquet(src))
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+
+        def batch_fn(batch_df, batch_id: int) -> None:
+            marker = os.path.join(run, f"applied-{batch_id}")
+            if os.path.exists(marker):
+                return
+            S.delete_from_ivfpq_index(batch_df, idx)
+            open(marker, "w").close()
+
+        q = (stream.writeStream.foreachBatch(batch_fn)
+             .option("checkpointLocation", os.path.join(run, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        out = S.ivfpq_probe_topk(
+            S.load_ivfpq_index(spark, idx),
+            _queries_df(spark, sf_dir), k=5, n_probe=3,
+        ).select("q_id", "vec_id", "ip_q8", "rk").orderBy("q_id", "rk")
+        rows = out.collect()
+        schema_out = out.schema
+    finally:
+        shutil.rmtree(run, ignore_errors=True)
+    return spark.createDataFrame(rows, schema_out).orderBy("q_id", "rk")
+
+
+QUERIES["st14_stream_ann_delete"] = st14_stream_ann_delete
+
+ORACLES["st14_stream_ann_delete"] = _int_ivfpq_sql(
+    _DIM, 4, 3, 4, 4, 2, 5, 3, tail=""", fr AS (
+        SELECT q_id, vec_id, ip_q8,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY ip_q8 DESC, vec_id) AS rk
+        FROM scored WHERE vec_id % 5 <> 0
+    )
+    SELECT q_id, vec_id, ip_q8, CAST(rk AS BIGINT) AS rk
+    FROM fr WHERE rk <= 5 ORDER BY q_id, rk""")
