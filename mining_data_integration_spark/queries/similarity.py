@@ -1828,3 +1828,82 @@ ORACLES["st14_stream_ann_delete"] = _int_ivfpq_sql(
     )
     SELECT q_id, vec_id, ip_q8, CAST(rk AS BIGINT) AS rk
     FROM fr WHERE rk <= 5 ORDER BY q_id, rk""")
+
+
+def st15_stream_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN ingest append — the sim-family twin of st10,
+    completing the streaming x maintenance MATRIX for both persisted
+    indexes (probe st9/st12, append st10/st15, delete st13/st14): a
+    copy of an index TRAINED on the even half of the corpus receives
+    the odd half as a FILE STREAM in two parquet files processed as
+    separate micro-batches (vec_id % 4 == 1, then % 4 == 3), each
+    batch applied via foreachBatch with append_to_ivfpq_index — FAISS
+    add() semantics: the frozen cells/codebooks only ENCODE the batch
+    (O(batch) per trigger, no retraining — the sim20 no-training pin
+    covers the shared path), under the maintenance lease, with an
+    applied-batch marker so a retried micro-batch is a no-op. After
+    the stream drains the standard queries probe the combined index;
+    the result must equal sim20's one-shot build+append probe, so the
+    DuckDB oracle is exactly sim20's replay (training CTEs filtered
+    to even ids, encoding/probe over every vector). Run scratch is
+    eager-and-clean (u6)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    base = _ivfpq_index_path(sf_dir, tag="train-even-base")
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    if not os.path.exists(os.path.join(base, "meta")):
+        scratch = f"{base}.stage-{uuid.uuid4().hex[:12]}"
+        S.save_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 0),
+                           scratch, n_cells=4, m=4, kc=4, iters=2,
+                           dim=_DIM)
+        try:
+            os.rename(scratch, base)
+        except OSError:
+            if not os.path.exists(os.path.join(base, "meta")):
+                raise
+            shutil.rmtree(scratch, ignore_errors=True)
+    run = tempfile.mkdtemp(prefix="sg_st15_")
+    try:
+        idx = os.path.join(run, "idx")
+        shutil.copytree(base, idx)
+        src = os.path.join(run, "incoming")
+        # two ingest files -> two genuine micro-batches
+        (emb.filter(F.col("vec_id") % 4 == 1)
+         .coalesce(1).write.mode("append").parquet(src))
+        (emb.filter(F.col("vec_id") % 4 == 3)
+         .coalesce(1).write.mode("append").parquet(src))
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+
+        def batch_fn(batch_df, batch_id: int) -> None:
+            marker = os.path.join(run, f"applied-{batch_id}")
+            if os.path.exists(marker):
+                return
+            S.append_to_ivfpq_index(batch_df, idx)
+            open(marker, "w").close()
+
+        q = (stream.writeStream.foreachBatch(batch_fn)
+             .option("checkpointLocation", os.path.join(run, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        out = S.ivfpq_probe_topk(
+            S.load_ivfpq_index(spark, idx),
+            _queries_df(spark, sf_dir), k=5, n_probe=2,
+        ).orderBy("q_id", "rk")
+        rows = out.collect()
+        schema_out = out.schema
+    finally:
+        shutil.rmtree(run, ignore_errors=True)
+    return spark.createDataFrame(rows, schema_out).orderBy("q_id", "rk")
+
+
+QUERIES["st15_stream_ann_append"] = st15_stream_ann_append
+
+# the claim IS sim20 parity: a streamed append equals the one-shot
+# build+append, so the oracle is exactly sim20's split-trained replay
+ORACLES["st15_stream_ann_append"] = _int_ivfpq_sql(
+    _DIM, 4, 2, 4, 4, 2, 5, 3, train_pred="vec_id % 2 = 0")
