@@ -493,6 +493,49 @@ def probe_minhash_index(new_docs: DataFrame, path: str,
     )
 
 
+def audit_minhash_buckets(spark, path: str,
+                          hot_milli: int = 50) -> DataFrame:
+    """Bucket-occupancy audit of the persisted band index — the
+    dedup-family sibling of ivfpq_cell_occupancy (sim24): per band,
+    the live row and bucket counts, the largest bucket with its EXACT
+    milli-share (size * 1000 div rows — `div` matches DuckDB `//` on
+    the non-negative counts), and how many buckets meet the hot_milli
+    bound. A hot bucket is the LSH skew risk: every probe that lands
+    in it pays its full size, and a degenerate bucket (boilerplate
+    shingles, near-empty docs) is how a band-bucket join blows up at
+    100 TB — this is the report an operator reads before deciding to
+    raise bands/num_hashes or quarantine a bucket, closing the
+    audit half of the audit->maintain loop the ANN index already has.
+    Reads the pointer-resolved generation and anti-joins live
+    tombstones — exactly the view a probe joins against. One shuffle
+    on (band, bh) + a band-partitioned window (band is the partition
+    key at any scale, never a single-partition window)."""
+    from pyspark.sql import Window
+
+    rows = spark.read.parquet(_buckets_dir(path)).select("id", "band", "bh")
+    ts = _read_tombstones(spark, path)
+    if ts is not None:
+        rows = rows.join(F.broadcast(ts), "id", "left_anti")
+    per_bucket = (
+        rows.groupBy(F.col("band").cast("long").alias("band"), "bh")
+        .agg(F.count("*").alias("sz"))
+        .withColumn("n_rows",
+                    F.sum("sz").over(Window.partitionBy("band")))
+    )
+    return (
+        per_bucket.groupBy("band")
+        .agg(F.max("n_rows").cast("long").alias("n_rows"),
+             F.count("*").cast("long").alias("n_buckets"),
+             F.max("sz").cast("long").alias("max_bucket"),
+             F.sum((F.expr("sz * 1000 div n_rows") >= hot_milli)
+                   .cast("long")).alias("n_hot"))
+        .withColumn("max_milli",
+                    F.expr("max_bucket * 1000 div n_rows").cast("long"))
+        .select("band", "n_rows", "n_buckets", "max_bucket",
+                "max_milli", "n_hot")
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             n: int = 2, bits: int = 32) -> DataFrame:
     """SimHash fingerprint: per-bit weighted majority over shingle

@@ -851,6 +851,56 @@ def _lsh_probe_sql(n: int = 3, num_hashes: int = 16,
 ORACLES["dd15_persisted_lsh_probe"] = _lsh_probe_sql(3, 16, 4)
 
 
+DD19_HOT_MILLI = 50
+
+
+def dd19_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-occupancy audit of the dd15 persisted band index — the
+    dedup twin of sim24's cell-occupancy audit (operators/dedup.
+    audit_minhash_buckets): per band, live rows/buckets, the largest
+    bucket with its exact milli-share, and the count of buckets at or
+    above 50 milli (the hot-bucket bound a band-bucket join's skew
+    guard watches). All-integer arithmetic, so the report is fully
+    hash-checked: the DuckDB oracle replays the even-corpus band
+    buckets via _lsh_probe_sql's tail hook and re-derives the same
+    rollup."""
+    import os
+
+    path = _lsh_index_path(sf_dir)
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    if not os.path.exists(os.path.join(path, "meta")):
+        D.save_minhash_index(docs.filter(F.col("doc_id") % 2 == 0),
+                             path, n=3, num_hashes=16, bands=4)
+    return D.audit_minhash_buckets(
+        spark, path, hot_milli=DD19_HOT_MILLI).orderBy("band")
+
+
+QUERIES["dd19_lsh_bucket_audit"] = dd19_lsh_bucket_audit
+
+ORACLES["dd19_lsh_bucket_audit"] = _lsh_probe_sql(3, 16, 4, tail=f"""
+        , ev AS (
+            SELECT id, bucket FROM stacked WHERE id % 2 = 0
+        ), pb AS (
+            SELECT CAST(split_part(bucket, ':', 1) AS BIGINT) AS band,
+                   bucket, CAST(count(*) AS BIGINT) AS sz
+            FROM ev GROUP BY band, bucket
+        ), bs AS (
+            SELECT band, CAST(sum(sz) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(max(sz) AS BIGINT) AS max_bucket
+            FROM pb GROUP BY band
+        )
+        SELECT b.band, b.n_rows, b.n_buckets, b.max_bucket,
+               CAST(b.max_bucket * 1000 // b.n_rows AS BIGINT)
+                   AS max_milli,
+               (SELECT CAST(count(*) AS BIGINT) FROM pb p
+                WHERE p.band = b.band
+                  AND p.sz * 1000 // b.n_rows >= {DD19_HOT_MILLI})
+                   AS n_hot
+        FROM bs b ORDER BY band
+    """)
+
+
 def dd16_lsh_index_append_probe(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Day-2 near-dup index lifecycle (round-9 VERDICT #3 — the sim20
