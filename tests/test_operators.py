@@ -2180,6 +2180,31 @@ class TestIndexTombstones:
                      D.probe_minhash_index(batch, path).collect())
         assert got == want
 
+    def test_bucket_audit_reflects_deletes(self, spark, tmp_path):
+        """dd19's audit must report the PROBE's view: tombstoned docs
+        leave the live row counts immediately (before any compaction),
+        per-band totals stay internally consistent, and milli-shares
+        are the exact integer floor."""
+        docs = self._docs(spark)
+        path = str(tmp_path / "auditidx")
+        D.save_minhash_index(docs, path, n=3, num_hashes=16, bands=4)
+        before = {r.band: r for r in
+                  D.audit_minhash_buckets(spark, path).collect()}
+        assert set(before) == {0, 1, 2, 3}
+        n_docs = docs.count()
+        for r in before.values():
+            assert r.n_rows == n_docs      # one bucket row per doc/band
+            assert r.max_milli == r.max_bucket * 1000 // r.n_rows
+            assert r.n_buckets <= r.n_rows
+        D.delete_from_minhash_index(
+            docs.filter("doc_id % 2 = 0").select("doc_id"), path)
+        after = {r.band: r for r in
+                 D.audit_minhash_buckets(spark, path).collect()}
+        n_kept = docs.filter("doc_id % 2 = 1").count()
+        for r in after.values():
+            assert r.n_rows == n_kept      # tombstones excluded live
+            assert r.max_milli == r.max_bucket * 1000 // r.n_rows
+
     def test_minhash_delete_version_gate(self, spark, tmp_path):
         from unittest import mock
 
