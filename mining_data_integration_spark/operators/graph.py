@@ -217,18 +217,26 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame,
     SQL oracle can replay the rounds as chained CTEs (the g3 recipe;
     no recursive CTE, so the oracle stays cheap at every tier).
 
-    Scale shape: frontier-based — each round expands ONLY the newest
-    frontier (one shuffle-join frontier x edges, a distinct, and an
-    anti-join against the settled set), so total work is
-    O(sum of frontier edge cuts) = O(E) over the whole walk, not
-    O(E x rounds) like full relaxation; localCheckpoint(eager=False)
-    truncates lineage per round (the g1/g3 discipline). An empty
-    frontier makes every later round a no-op on empty inputs."""
+    Scale shape (round-12 ADVICE correction): frontier-based — each
+    round expands ONLY the newest frontier, so the rows PROBED are
+    O(sum of frontier edge cuts) <= O(E) over the whole walk; but the
+    SHUFFLE volume is per-round, not amortized: the edge side of the
+    frontier join is hash-partitioned on u ONCE (the repartition below
+    + localCheckpoint pins the exchange, which every round then
+    reuses — without it each round re-shuffles all of sym, O(E x
+    rounds)), so a round pays O(frontier) to shuffle the probe side,
+    O(new nodes) for the distinct, and O(settled + new) for the
+    anti-join against the settled set — O(V) per round worst case,
+    the standard BSP-BFS bound, NOT O(E) total. localCheckpoint
+    (eager=False) truncates lineage per round (the g1/g3 discipline).
+    An empty frontier makes every later round a no-op on empty
+    inputs."""
     sym = (
         edges.select("u", "v")
         .union(edges.select(F.col("v").alias("u"),
                             F.col("u").alias("v")))
         .distinct()
+        .repartition("u")  # pin the edge-side exchange; rounds reuse it
         .localCheckpoint(eager=False)
     )
     dist = (

@@ -1148,12 +1148,22 @@ def compact_ivfpq_index(spark, path: str) -> None:
 
 def append_to_ivfpq_index(emb_new: DataFrame, path: str,
                           id_col: str = "vec_id",
-                          vec_col: str = "embedding") -> None:
+                          vec_col: str = "embedding",
+                          skip_existing: bool = False) -> None:
     """Day-2 index maintenance: encode NEW vectors with the index's
     FROZEN cells and codebooks (no k-means runs — FAISS add() parity)
     and append their codes to the cell partitions. Caller contract:
     the new ids must not already be in the index (dedup belongs to
-    the dd-family upstream). Visibility caveat, documented: parquet
+    the dd-family upstream) — UNLESS skip_existing=True, which
+    anti-joins the batch against the live codes' id column INSIDE the
+    lease, making the call IDEMPOTENT: re-appending a batch whose ids
+    already landed is a no-op. That is the retry contract streaming
+    ingest needs (st15: a foreachBatch retried after the append but
+    before its applied-batch marker must not double-insert codes —
+    round-11 ADVICE). Cost of the idempotent path: one column-pruned
+    scan of the current codes generation's id column per call — fine
+    for micro-batches; bulk loaders that guarantee fresh ids keep the
+    default and skip the scan. Visibility caveat, documented: parquet
     append is file-granular, so a probe racing an append may see a
     prefix of the new files — callers needing an atomic flip should
     stage the whole build+append under a scratch path and rename
@@ -1171,6 +1181,13 @@ def append_to_ivfpq_index(emb_new: DataFrame, path: str,
     if id_col != meta["id_col"]:  # persisted schema wins
         codes_new = codes_new.withColumnRenamed(id_col, meta["id_col"])
     with maintenance_lease(path):
+        if skip_existing:
+            # resolve the codes dir INSIDE the lease so the anti-join
+            # and the append target the same generation
+            existing = (spark.read.parquet(_codes_dir(path))
+                        .select(meta["id_col"]))
+            codes_new = codes_new.join(existing, meta["id_col"],
+                                       "left_anti")
         codes_new.write.mode("append").partitionBy("_cell") \
             .parquet(_codes_dir(path))
 

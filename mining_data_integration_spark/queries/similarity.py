@@ -1841,7 +1841,11 @@ def st15_stream_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     add() semantics: the frozen cells/codebooks only ENCODE the batch
     (O(batch) per trigger, no retraining — the sim20 no-training pin
     covers the shared path), under the maintenance lease, with an
-    applied-batch marker so a retried micro-batch is a no-op. After
+    applied-batch marker PLUS skip_existing=True so a retried
+    micro-batch is a no-op in BOTH retry windows: post-marker retries
+    short-circuit on the marker, and a retry landing between the
+    append and its marker write anti-joins against the already-landed
+    ids instead of double-inserting codes (round-11 ADVICE). After
     the stream drains the standard queries probe the combined index;
     the result must equal sim20's one-shot build+append probe, so the
     DuckDB oracle is exactly sim20's replay (training CTEs filtered
@@ -1883,7 +1887,11 @@ def st15_stream_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             marker = os.path.join(run, f"applied-{batch_id}")
             if os.path.exists(marker):
                 return
-            S.append_to_ivfpq_index(batch_df, idx)
+            # skip_existing makes the append itself idempotent: a
+            # retry that fires AFTER the append but BEFORE the marker
+            # write (the round-11 ADVICE window) anti-joins away the
+            # already-landed ids instead of double-inserting codes
+            S.append_to_ivfpq_index(batch_df, idx, skip_existing=True)
             open(marker, "w").close()
 
         q = (stream.writeStream.foreachBatch(batch_fn)

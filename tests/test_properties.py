@@ -4,7 +4,7 @@ on Spark."""
 
 from __future__ import annotations
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import assume, given, settings, strategies as st
 
 from mining_data_integration_spark import addresses as ad
 from mining_data_integration_spark.operators import skew
@@ -495,7 +495,14 @@ class TestAdpcmProperties:
                     checked += 1
                 else:
                     assert err <= abs(delta), (err, delta)
-        assert checked > 0  # the in-range branch is really exercised
+        # Branch-coverage requirement, NOT a per-example property: a
+        # pathological input can keep every delta in slope overload
+        # (e.g. [-642,0,0,0,0,0,523,1880,-1032] — first jump holds each
+        # later delta exactly 1 beyond maxdiff), which says nothing
+        # about the codec. assume() discards such examples instead of
+        # failing; hypothesis still errors out if the in-range branch
+        # were never exercised across the run (all-filtered -> Unsatisfied).
+        assume(checked > 0)
 
 
 class TestCodecDispatch:

@@ -129,7 +129,10 @@ def check_bfs(spark, con, name: str, n_nodes: int, span: int,
             df.select(F.col("u").alias("n"))
             .union(df.select(F.col("v").alias("n"))).distinct()
             .filter((F.col("n") % span == 0)
-                    & ((F.col("n") / span).cast("long") % 7 != 0))
+                    # integer div: matches the oracle's // closed form
+                    # by construction (double-division rounding could
+                    # cross an integer boundary for large n)
+                    & (F.expr(f"n div {span}") % 7 != 0))
         )
         try:
             got = sorted((r.n, r.hops) for r in
