@@ -362,14 +362,23 @@ def delete_from_minhash_index(ids: DataFrame, path: str,
 
 def append_to_minhash_index(new_docs: DataFrame, path: str,
                             text_col: str = "text",
-                            id_col: str = "doc_id") -> None:
+                            id_col: str = "doc_id",
+                            skip_existing: bool = False) -> None:
     """Day-2 index maintenance for the near-dup index (the sim20
     move applied to dedup): shingle/sign the NEW documents with the
     index's RECORDED signature parameters (meta — an append can never
     hash differently than the build did) and append their band
     buckets into the band-partitioned layout. Caller contract: the
     new ids must not already be in the index (dedup-of-the-dedup-
-    input belongs upstream). Parquet append is file-granular, so each
+    input belongs upstream) — UNLESS skip_existing=True, which
+    anti-joins the batch ids against the live buckets' id column
+    inside the lease, making the call IDEMPOTENT for at-least-once
+    callers (st10's foreachBatch retry window — the round-11 ADVICE
+    hazard on the IVF-PQ twin; probes were already replay-safe via
+    their final distinct, but a replayed raw append inflates the
+    dd19 occupancy audit until the next compaction folds it).
+    Cost: one column-pruned id scan per call. Parquet append is
+    file-granular, so each
     append adds one fragment per band partition — run
     `compact_minhash_index` periodically to merge fragments; probes
     are correct either way (the bucket scan reads all fragments),
@@ -390,6 +399,12 @@ def append_to_minhash_index(new_docs: DataFrame, path: str,
     rows = band_bucket_rows(new_docs, text_col, id_col, meta.n,
                             meta.num_hashes, meta.bands)
     with maintenance_lease(path):
+        if skip_existing:
+            # resolve the buckets dir INSIDE the lease so the
+            # anti-join and the append target the same generation
+            existing = (spark.read.parquet(_buckets_dir(path))
+                        .select("id").distinct())
+            rows = rows.join(existing, "id", "left_anti")
         rows.write.mode("append").partitionBy("band") \
             .parquet(_buckets_dir(path))
 

@@ -1502,14 +1502,15 @@ def st10_stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         def batch_fn(batch_df, batch_id: int) -> None:
             # idempotency guard: foreachBatch is at-least-once, and a
             # retried micro-batch would append its codes twice. The
-            # marker makes re-delivery of an already-applied batch a
-            # no-op (file-granular, matching availableNow local runs;
-            # a crash between append and marker is the residual
-            # at-least-once window, documented here).
+            # marker short-circuits re-delivery of an already-applied
+            # batch; skip_existing=True closes the residual pre-marker
+            # window (a crash between append and marker — the retry
+            # anti-joins away the landed ids instead of duplicating).
             marker = os.path.join(run, f"applied-{batch_id}")
             if os.path.exists(marker):
                 return
-            S.append_to_ivfpq_index(batch_df, idx_path)
+            S.append_to_ivfpq_index(batch_df, idx_path,
+                                    skip_existing=True)
             open(marker, "w").close()
 
         q = (stream.writeStream.foreachBatch(batch_fn)

@@ -2494,6 +2494,136 @@ class TestMaintenanceLease:
         assert {i for i, _ in new_rows} <= idx_ids
 
 
+class TestBatchReplayIdempotency:
+    """Round-12 (VERDICT #7 + ADVICE): exactly-once for the streaming
+    maintenance matrix under CRASH-REPLAY. Structured Streaming's
+    foreachBatch contract is at-least-once: a batch can be re-run
+    after the mutation landed but BEFORE its applied-batch marker was
+    written (the st15 retry window). Both mutation kinds must
+    converge under that replay:
+
+      - append: skip_existing=True anti-joins the batch against the
+        live codes inside the lease -> the replay inserts NOTHING,
+        the index equals the clean single-application state, and
+        probes never rank a duplicate code.
+      - delete: tombstones are append-only but every reader
+        distincts the tombstone set -> a replayed delete is
+        absorbed; probe results equal the single-application run.
+    """
+
+    @staticmethod
+    def _emb(spark, n=40):
+        rows = [(i, [float(((i * 7 + j * 3) % 11) - 5)
+                     for j in range(8)]) for i in range(n)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    @staticmethod
+    def _q(emb):
+        from pyspark.sql import functions as F
+
+        return emb.filter("vec_id < 3").select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"))
+
+    def _probe(self, spark, path, q):
+        from mining_data_integration_spark.operators import (
+            similarity as S)
+
+        return sorted(tuple(r) for r in S.ivfpq_probe_topk(
+            S.load_ivfpq_index(spark, path), q, k=5,
+            n_probe=2).collect())
+
+    def test_append_replay_converges_and_probes_see_no_dupes(
+            self, spark, tmp_path):
+        import os
+        import shutil
+
+        from mining_data_integration_spark.operators import (
+            similarity as S)
+
+        emb = self._emb(spark)
+        batch = emb.filter("vec_id % 2 = 1")
+        clean = str(tmp_path / "clean")
+        S.save_ivfpq_index(emb.filter("vec_id % 2 = 0"), clean,
+                           n_cells=2, m=2, kc=2, iters=2, dim=8)
+        crashed = str(tmp_path / "crashed")
+        shutil.copytree(clean, crashed)
+        # clean run: marker written -> batch applied exactly once
+        S.append_to_ivfpq_index(batch, clean, skip_existing=True)
+        want = self._probe(spark, clean, self._q(emb))
+        # crashed run: append committed, process dies before the
+        # marker write; the retried foreachBatch re-applies the batch
+        S.append_to_ivfpq_index(batch, crashed, skip_existing=True)
+        S.append_to_ivfpq_index(batch, crashed, skip_existing=True)
+        codes = spark.read.parquet(S._codes_dir(crashed))
+        assert codes.count() == 40                       # no dupes
+        assert codes.select("vec_id").distinct().count() == 40
+        assert self._probe(spark, crashed, self._q(emb)) == want
+        assert not os.path.exists(
+            os.path.join(crashed, ".maintenance-lease"))  # released
+
+    def test_append_without_skip_existing_documents_the_hazard(
+            self, spark, tmp_path):
+        """The contract boundary: the DEFAULT bulk-load path trusts
+        the caller's fresh-ids guarantee, so a raw double-append DOES
+        duplicate — pinning that the idempotence lives in
+        skip_existing, not in some accidental dedup downstream."""
+        from mining_data_integration_spark.operators import (
+            similarity as S)
+
+        emb = self._emb(spark)
+        path = str(tmp_path / "rawidx")
+        S.save_ivfpq_index(emb.filter("vec_id % 2 = 0"), path,
+                           n_cells=2, m=2, kc=2, iters=2, dim=8)
+        batch = emb.filter("vec_id % 2 = 1")
+        S.append_to_ivfpq_index(batch, path)
+        S.append_to_ivfpq_index(batch, path)
+        assert spark.read.parquet(S._codes_dir(path)).count() == 60
+
+    def test_minhash_append_replay_converges(self, spark, tmp_path):
+        """The band-index twin: probes were already replay-safe (the
+        final distinct), but a replayed raw append doubles the bucket
+        rows the dd19 occupancy audit counts — skip_existing keeps
+        the physical index identical to the single-application run."""
+        base = "the quick brown fox jumps over the lazy dog tonight"
+        docs = docs_df(spark, [
+            (i, base.replace("dog", f"pet{i // 2}")) for i in range(20)])
+        path = str(tmp_path / "mhidx")
+        D.save_minhash_index(docs.filter("doc_id % 2 = 0"), path,
+                             n=3, num_hashes=16, bands=4)
+        batch = docs.filter("doc_id % 2 = 1")
+        D.append_to_minhash_index(batch, path, skip_existing=True)
+        n_once = spark.read.parquet(D._buckets_dir(path)).count()
+        D.append_to_minhash_index(batch, path, skip_existing=True)
+        assert spark.read.parquet(D._buckets_dir(path)).count() == n_once
+        ids = {r.id for r in spark.read.parquet(D._buckets_dir(path))
+               .select("id").distinct().collect()}
+        assert ids == set(range(20))
+
+    def test_delete_replay_converges(self, spark, tmp_path):
+        from mining_data_integration_spark.operators import (
+            similarity as S)
+
+        emb = self._emb(spark)
+        ids = emb.filter("vec_id % 5 = 0").select("vec_id")
+        clean = str(tmp_path / "dclean")
+        S.save_ivfpq_index(emb, clean, n_cells=2, m=2, kc=2,
+                           iters=2, dim=8)
+        S.delete_from_ivfpq_index(ids, clean)
+        want = self._probe(spark, clean, self._q(emb))
+        crashed = str(tmp_path / "dcrashed")
+        S.save_ivfpq_index(emb, crashed, n_cells=2, m=2, kc=2,
+                           iters=2, dim=8)
+        S.delete_from_ivfpq_index(ids, crashed)
+        S.delete_from_ivfpq_index(ids, crashed)          # the replay
+        assert self._probe(spark, crashed, self._q(emb)) == want
+        # and the NEXT compaction folds the duplicated tombstones
+        # away without resurrecting or double-purging anything
+        S.compact_ivfpq_index(spark, crashed)
+        assert self._probe(spark, crashed, self._q(emb)) == want
+
+
 class TestStreamAnnProbe:
     """st12's operator: streaming ANN ingest probe over the persisted
     IVF-PQ index — the streamed per-batch reports must equal one
