@@ -224,17 +224,37 @@ def main() -> None:
     # round-5 extension ops (skippable: SPARK_GRAFT_EXTENDED=0);
     # median-of-3 since round 8 — see the EXTENDED comment
     if os.environ.get("SPARK_GRAFT_EXTENDED", "1") != "0":
+        from mining_data_integration_spark import stages
+
         ext: dict[str, float] = {}
+        splits: dict[str, dict] = {}
         for name in EXTENDED:
             fn = queries[name]
             fn(spark, sf_dir).count()  # warm
             times = []
+            last_stages: dict[str, float] = {}
             for _ in range(3):
+                stages.set_current(name)
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()
                 times.append(time.perf_counter() - t0)
-            ext[name] = round(sorted(times)[1], 3)
+                last_stages = stages.snapshot(name)
+                stages.set_current(None)
+            med = round(sorted(times)[1], 3)
+            ext[name] = med
+            if last_stages:
+                # round-12 VERDICT #5: lifecycle queries pay their
+                # artifact's train/build/maintain inside the query —
+                # split those EAGER stages out so r-over-r compares
+                # probe-to-probe. probe_residual = the lazy query side
+                # (total minus attributed eager stages, last run).
+                eager = round(sum(last_stages.values()), 3)
+                last_stages["probe_residual"] = round(
+                    max(times[-1] - eager, 0.0), 3)
+                splits[name] = last_stages
         out["extended_queries"] = ext
+        if splits:
+            out["extended_stage_splits"] = splits
 
     # mining-domain operational parity (skippable: SPARK_GRAFT_E1_BLOCKS=0)
     e1_blocks = int(os.environ.get("SPARK_GRAFT_E1_BLOCKS", "50000"))

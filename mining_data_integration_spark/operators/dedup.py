@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .similarity import _staged
+
 ZERO_WIDTH = r"\s+"
 
 
@@ -231,6 +233,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 MINHASH_INDEX_VERSION = 1
 
 
+@_staged("build_index")
 def save_minhash_index(docs: DataFrame, path: str, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3,
                        num_hashes: int = 16, bands: int = 4) -> None:
@@ -322,6 +325,7 @@ def _read_tombstones(spark, path: str):
     return spark.read.parquet(*dirs).select("id").distinct()
 
 
+@_staged("delete")
 def delete_from_minhash_index(ids: DataFrame, path: str,
                               id_col: str = "doc_id") -> None:
     """Delete documents from the persisted near-dup index WITHOUT a
@@ -360,6 +364,7 @@ def delete_from_minhash_index(ids: DataFrame, path: str,
         rows.write.mode("append").parquet(os.path.join(path, "tombstones"))
 
 
+@_staged("append")
 def append_to_minhash_index(new_docs: DataFrame, path: str,
                             text_col: str = "text",
                             id_col: str = "doc_id",
@@ -409,6 +414,7 @@ def append_to_minhash_index(new_docs: DataFrame, path: str,
             .parquet(_buckets_dir(path))
 
 
+@_staged("compact")
 def compact_minhash_index(spark, path: str) -> None:
     """Merge appended fragments into one fresh GENERATION and flip the
     pointer (round-9 VERDICT #1 / round-10: the sources/kv.py

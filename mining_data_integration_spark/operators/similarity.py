@@ -17,10 +17,26 @@ these operators oracle-checkable.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _staged(stage: str):
+    """Attribute a lifecycle operation's wall to a named bench stage
+    (stages.py — a no-op unless a bench set_current() is active), so
+    BENCH extended entries split build/maintain from probe (round-12
+    VERDICT #5)."""
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrap(*a, **k):
+            from ..stages import timed
+            with timed(stage):
+                return fn(*a, **k)
+        return wrap
+    return deco
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -355,9 +371,15 @@ def _int_ivf_pairs(emb: DataFrame, queries: DataFrame,
     precedent). Returns the scored candidate pairs
     (q_id, vec_id, cos_sim_q8) — callers rank (top-k) or filter
     (range search)."""
+    from ..stages import timed as _timed_stage
+
     emb_q = emb.select(
         F.col(id_col), int8_quantize(F.col(vec_col)).alias("_qv"))
-    cents = int_ivf_centroids(emb_q, n_centroids, iters, id_col, "_qv")
+    # training is driver-eager (k-means collects) — attribute it so
+    # the bench can split train from the lazy probe side (VERDICT #5)
+    with _timed_stage("train"):
+        cents = int_ivf_centroids(emb_q, n_centroids, iters, id_col,
+                                  "_qv")
     data = int_assign_centroid(emb_q, cents, "_qv").withColumn(
         "_vnorm", F.sqrt(idot(F.col("_qv"), F.col("_qv")).cast("double")))
     qs = queries.select(
@@ -1069,6 +1091,7 @@ def _read_vec_tombstones(spark, path: str):
     return spark.read.parquet(*dirs).select("id").distinct()
 
 
+@_staged("delete")
 def delete_from_ivfpq_index(ids: DataFrame, path: str,
                             id_col: str = "vec_id") -> None:
     """Delete vectors from the persisted ANN index WITHOUT a rebuild —
@@ -1099,6 +1122,7 @@ def delete_from_ivfpq_index(ids: DataFrame, path: str,
         rows.write.mode("append").parquet(os.path.join(path, "tombstones"))
 
 
+@_staged("compact")
 def compact_ivfpq_index(spark, path: str) -> None:
     """Merge appended code fragments into one fresh GENERATION —
     physically purging tombstoned vectors — and flip the CODES pointer
@@ -1146,6 +1170,7 @@ def compact_ivfpq_index(spark, path: str) -> None:
                               ignore_errors=True)
 
 
+@_staged("append")
 def append_to_ivfpq_index(emb_new: DataFrame, path: str,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
@@ -1300,6 +1325,7 @@ def int_ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
 IVFPQ_INDEX_VERSION = 1
 
 
+@_staged("build_index")
 def save_ivfpq_index(emb: DataFrame, path: str, n_cells: int = 4,
                      m: int = 4, kc: int = 4, iters: int = 2,
                      dim: int = 64, id_col: str = "vec_id",

@@ -1717,22 +1717,26 @@ def st12_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(path, "meta")):
         S.save_ivfpq_index(emb, path, n_cells=4, m=4, kc=4, iters=2,
                            dim=_DIM)
+    from ..stages import timed as _timed_stage
+
     run = tempfile.mkdtemp(prefix="sg_st12_")
     try:
-        src = os.path.join(run, "incoming")
-        # two ingest files -> two genuine micro-batches
-        (emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 6))
-         .coalesce(1).write.mode("append").parquet(src))
-        (emb.filter((F.col("vec_id") >= 6) & (F.col("vec_id") < 9))
-         .coalesce(1).write.mode("append").parquet(src))
+        with _timed_stage("setup"):
+            src = os.path.join(run, "incoming")
+            # two ingest files -> two genuine micro-batches
+            (emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 6))
+             .coalesce(1).write.mode("append").parquet(src))
+            (emb.filter((F.col("vec_id") >= 6) & (F.col("vec_id") < 9))
+             .coalesce(1).write.mode("append").parquet(src))
         schema = spark.read.parquet(src).schema
         stream = (spark.readStream.schema(schema)
                   .option("maxFilesPerTrigger", 1).parquet(src))
         out_dir = os.path.join(run, "report")
-        q = (stream_probe_ann(stream, path, out_dir, k=5, n_probe=3)
-             .option("checkpointLocation", os.path.join(run, "ckpt"))
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
+        with _timed_stage("stream_probe"):
+            q = (stream_probe_ann(stream, path, out_dir, k=5, n_probe=3)
+                 .option("checkpointLocation", os.path.join(run, "ckpt"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
         # eager-and-clean (u6 discipline): the report is bounded
         # (6 vectors x top-5); batch_id is the sink's idempotency
         # partition column, not part of the report schema

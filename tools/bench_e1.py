@@ -131,8 +131,75 @@ def main() -> None:
 
     inc_bb_wall = med3(one_tick_bb, tag="tick_bucketed")
 
+    # --- walk-engine shoot-out (round-12 VERDICT #4): the three chain
+    # walks on the same synthetic chain, at FULL depth and on the
+    # depth-1000 reorg window (the recursive-CTE domain). WITH
+    # RECURSIVE materializes one level per chain link, so its
+    # full-depth row is only attempted at <= 3000 blocks — the wall
+    # cliff pinned in logs/r8_walk_scale_150k.log; at production
+    # tiers the window row is its tier. Engines are cross-checked for
+    # member-count agreement inside the bench.
+    from pyspark.sql import functions as F
+
+    from mining_data_integration_spark.chain import (
+        chain_members, chain_members_rcte, chain_members_segmented)
+
+    snaps = tables["snapshots"].filter(F.col("pox_valid") == 1)
+    edges = snaps.select("burn_header_hash", "parent_burn_header_hash",
+                         "block_height").localCheckpoint(eager=True)
+    tip_row = snaps.orderBy(F.desc("block_height")) \
+        .select("burn_header_hash", "block_height").first()
+    tip, tip_h = tip_row.burn_header_hash, tip_row.block_height
+    win_edges = edges.filter(
+        F.col("block_height") > tip_h - 1000).localCheckpoint(eager=True)
+    walk_engines: dict = {}
+
+    def tips_df():
+        return spark.createDataFrame([(tip,)], "burn_header_hash string")
+
+    def bench_walk(tag: str, fn, edf, expect: int,
+                   runs: int = 3) -> None:
+        # correctness cross-check, untimed: engines agree on the
+        # member set INTERSECTED with real nodes (pointer doubling
+        # also emits the walk's terminal parent hash when genesis
+        # isn't the ZERO64 sentinel — this synth world's case —
+        # which is correct for membership tests and irrelevant here)
+        got = fn().join(edf, "burn_header_hash", "semi").count()
+        assert got == expect, (tag, got, expect)
+        if runs == 1:
+            t0 = time.perf_counter()
+            fn().count()
+            walk_engines[tag] = round(time.perf_counter() - t0, 2)
+            all_runs[f"walk_{tag}"] = [walk_engines[tag]]
+        else:
+            walk_engines[tag] = med3(lambda: fn().count(),
+                                     tag=f"walk_{tag}")
+
+    for tier, edf, expect in (("full", edges, n_blocks),
+                              ("window1k", win_edges, 1000)):
+        bench_walk(f"doubling_{tier}", lambda e=edf: chain_members(
+            e, tips_df(), "burn_header_hash",
+            "parent_burn_header_hash"), edf, expect)
+        bench_walk(f"segmented_{tier}", lambda e=edf:
+                   chain_members_segmented(
+                       e, tip, "burn_header_hash",
+                       "parent_burn_header_hash", "block_height"),
+                   edf, expect)
+        # WITH RECURSIVE: ~0.1 s PER LEVEL (one join per chain link),
+        # so the window row runs ONCE (a 100x loser needs no median)
+        # and the full row only at toy depth
+        if tier == "window1k" or n_blocks <= 3000:
+            bench_walk(f"rcte_{tier}", lambda e=edf: chain_members_rcte(
+                e, tip, "burn_header_hash",
+                "parent_burn_header_hash"), edf, expect, runs=1)
+        else:
+            walk_engines[f"rcte_{tier}"] = \
+                "skipped: one join per link, cliff at ~3k depth " \
+                "(logs/r8_walk_scale_150k.log)"
+
     print(json.dumps({
         "metric": "e1_refresh_wall", "value": wall, "unit": "sec",
+        "walk_engines": walk_engines,
         "warm_full_refresh_sec": warm_wall,
         "warm_stage_walk_sec": warm_st.get("walk"),
         "warm_stage_window_walk_sec": warm_st.get("window_walk"),

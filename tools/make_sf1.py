@@ -75,12 +75,78 @@ def main() -> int:
           ORDER BY vec_id
         ) TO '{OUT}/embeddings.parquet' (FORMAT parquet)
     """)
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events"):
+    # Round-12 (VERDICT #2): the sweep now covers ALL families at sf1,
+    # so the TPC-H-ish fact tables are scaled 10x too — previously
+    # symlinked, which made a "sf1" scan/join/agg/window run identical
+    # to sf0.1. Scaling is TPC-H-faithful: every fact AND its
+    # dimension replicate together with key offsets (replica k of an
+    # order references replica k of its customer), so per-key group
+    # sizes, join fan-outs, and chain depths stay CONSTANT while row
+    # counts grow 10x — the shape that stresses shuffles without
+    # changing per-group semantics. region/nation stay fixed (TPC-H
+    # keeps them constant at every sf). k=0 keeps the original rows.
+    maxes = {}
+    for t, key in (("orders", "o_orderkey"), ("customer", "c_custkey"),
+                   ("supplier", "s_suppkey"), ("part", "p_partkey"),
+                   ("events", "event_id")):
+        maxes[t] = con.execute(
+            f"SELECT max({key}) + 1 FROM "
+            f"read_parquet('{SRC}/{t}.parquet')").fetchone()[0]
+    max_user = con.execute(
+        f"SELECT max(user_id) + 1 FROM "
+        f"read_parquet('{SRC}/events.parquet')").fetchone()[0]
+    ks = f"(SELECT unnest(range({REPLICAS})) AS k) t"
+    scaled = {
+        "customer": f"""
+            SELECT c_custkey + k * {maxes['customer']} AS c_custkey,
+                   c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM read_parquet('{SRC}/customer.parquet') CROSS JOIN {ks}
+            ORDER BY c_custkey""",
+        "supplier": f"""
+            SELECT s_suppkey + k * {maxes['supplier']} AS s_suppkey,
+                   s_name, s_nationkey, s_acctbal
+            FROM read_parquet('{SRC}/supplier.parquet') CROSS JOIN {ks}
+            ORDER BY s_suppkey""",
+        "part": f"""
+            SELECT p_partkey + k * {maxes['part']} AS p_partkey,
+                   p_name, p_brand, p_type, p_size, p_retailprice
+            FROM read_parquet('{SRC}/part.parquet') CROSS JOIN {ks}
+            ORDER BY p_partkey""",
+        "orders": f"""
+            SELECT o_orderkey + k * {maxes['orders']} AS o_orderkey,
+                   o_custkey + k * {maxes['customer']} AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate,
+                   o_orderpriority
+            FROM read_parquet('{SRC}/orders.parquet') CROSS JOIN {ks}
+            ORDER BY o_orderkey""",
+        "lineitem": f"""
+            SELECT l_orderkey + k * {maxes['orders']} AS l_orderkey,
+                   l_partkey + k * {maxes['part']} AS l_partkey,
+                   l_suppkey + k * {maxes['supplier']} AS l_suppkey,
+                   l_linenumber, l_quantity, l_extendedprice,
+                   l_discount, l_tax, l_returnflag, l_linestatus,
+                   l_shipdate
+            FROM read_parquet('{SRC}/lineitem.parquet') CROSS JOIN {ks}
+            ORDER BY l_orderkey, l_linenumber""",
+        "events": f"""
+            SELECT event_id + k * {maxes['events']} AS event_id,
+                   ts, user_id + k * {max_user} AS user_id,
+                   event_type, value, props
+            FROM read_parquet('{SRC}/events.parquet') CROSS JOIN {ks}
+            ORDER BY event_id""",
+    }
+    for t, sql in scaled.items():
+        dst = os.path.join(OUT, f"{t}.parquet")
+        if os.path.islink(dst):
+            os.unlink(dst)          # upgrade a pre-round-12 sf1 dir
+        if not os.path.exists(dst):
+            con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT parquet)")
+    for t in ("region", "nation"):
         dst = os.path.join(OUT, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(SRC, f"{t}.parquet"), dst)
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "orders", "lineitem",
+              "events"):
         n = con.execute(f"SELECT count(*) FROM "
                         f"read_parquet('{OUT}/{t}.parquet')").fetchone()[0]
         print(f"{t}: {n} rows")
