@@ -63,6 +63,7 @@ EXTENDED = [
     "st12_stream_ann_probe",        # r11: streaming ANN ingest probe
     "g5_bfs_hops",                  # r11: multi-source frontier BFS
     "sim27_int_range_search",       # r11: IVF radius search, no rank
+    "sim28_nsw_beam_search",        # r12: graph ANN, BSP beam search
 ]
 
 

@@ -457,6 +457,140 @@ def int_ivf_range_search(emb: DataFrame, queries: DataFrame,
     return pairs.filter(F.col("cos_sim_q8") >= F.lit(float(tau)))
 
 
+def nsw_adjacency(emb: DataFrame, k_nbrs: int = 6,
+                  n_centroids: int = 4, n_probe: int = 2,
+                  iters: int = 2, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """k-NN GRAPH build for graph-based ANN (sim28) — the offline half
+    of an NSW/DiskANN-style index: every vector's k_nbrs most-similar
+    neighbors as an edge list (src, dst, cos_sim_q8, nrk).
+
+    Candidate generation is CELL-BOUNDED, never all-pairs (the dd/sim
+    invariant): vectors are assigned to integer-k-means cells once
+    (the sim11 coarse quantizer — engine-exact, so the whole build is
+    hash-checkable), and each vector generates candidates only inside
+    its n_probe nearest cells via a SHUFFLE equi-join on the cell id —
+    both sides repartitioned by _cid, no corpus broadcast (unlike the
+    query-side probe joins, both sides here are the corpus). Per-src
+    top-k_nbrs is a window partitioned by src — bounded per key at any
+    scale. At 100 TB this is one shuffle on _cid with fan-out bounded
+    by cell occupancy x n_probe, then one shuffle for the per-src rank;
+    production DiskANN builds refine exactly such a bucketed candidate
+    graph rather than exact k-NN."""
+    emb_q = emb.select(
+        F.col(id_col), int8_quantize(F.col(vec_col)).alias("_qv"))
+    cents = int_ivf_centroids(emb_q, n_centroids, iters, id_col, "_qv")
+    data = int_assign_centroid(emb_q, cents, "_qv").withColumn(
+        "_vnorm",
+        F.sqrt(idot(F.col("_qv"), F.col("_qv")).cast("double")))
+    d2s = []
+    for i, c in enumerate(cents):
+        carr = F.array(*[F.lit(int(v)).cast("bigint") for v in c])
+        diff = F.zip_with(F.col("_qv"), carr,
+                          lambda a, b: (a - b) * (a - b))
+        d2s.append(F.struct(
+            F.aggregate(diff, F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x).alias("d"),
+            F.lit(i).alias("i")))
+    probes = F.slice(F.array_sort(F.array(*d2s)), 1, n_probe)
+    src = (
+        emb_q.withColumn("_p", F.explode(probes))
+        .select(F.col(id_col).alias("_src"),
+                F.col("_qv").alias("_sv"),
+                F.col("_p.i").alias("_cid"))
+        .withColumn("_snorm",
+                    F.sqrt(idot(F.col("_sv"), F.col("_sv"))
+                           .cast("double")))
+    )
+    pairs = (
+        src.repartition("_cid").join(data.repartition("_cid"), "_cid")
+        .filter(F.col("_src") != F.col(id_col))
+        .select(F.col("_src").alias("src"),
+                F.col(id_col).alias("dst"),
+                (idot(F.col("_sv"), F.col("_qv")).cast("double")
+                 / (F.col("_snorm") * F.col("_vnorm")))
+                .alias("cos_sim_q8"))
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.desc("cos_sim_q8"), F.col("dst"))
+    return (
+        pairs.withColumn("nrk", F.row_number().over(w).cast("long"))
+        .filter(F.col("nrk") <= k_nbrs)
+        .select("src", "dst", "cos_sim_q8", "nrk")
+    )
+
+
+def nsw_beam_search(adj: DataFrame, emb: DataFrame, queries: DataFrame,
+                    k: int = 5, beam: int = 4, rounds: int = 3,
+                    n_entries: int = 2, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    q_id_col: str = "q_id",
+                    q_vec_col: str = "q_emb") -> DataFrame:
+    """Graph-ANN BEAM SEARCH over an nsw_adjacency edge list (sim28) —
+    the query half of the NSW/DiskANN shape, as deterministic BSP
+    rounds (the g5 frontier discipline applied to ANN): every query
+    starts from the n_entries lowest-id vectors, and each round
+    expands the current beam's out-neighbors, scores them with the
+    exact integer dot products (sim11 property — hash-checkable), and
+    re-ranks the visited set to the top-`beam`. Fixed `rounds` keeps
+    the traversal deterministic, so a SQL oracle replays the rounds
+    as chained CTEs (no recursion, the g3/g5 recipe).
+
+    Scale shape: per-query state is bounded — visited grows to at most
+    n_entries + rounds x beam x k_nbrs rows per query — and each round
+    is one join of the (|Q| x beam)-row beam against the adjacency
+    list partitioned on src, plus a per-query rank window (partitioned
+    by q_id, never global). The corpus is touched only through the
+    adjacency edges and the scored candidates; nothing rescans it."""
+    emb_q = emb.select(
+        F.col(id_col), int8_quantize(F.col(vec_col)).alias("_qv")) \
+        .withColumn("_vnorm",
+                    F.sqrt(idot(F.col("_qv"), F.col("_qv"))
+                           .cast("double")))
+    qs = queries.select(
+        F.col(q_id_col), int8_quantize(F.col(q_vec_col)).alias("_qq")) \
+        .withColumn("_qnorm",
+                    F.sqrt(idot(F.col("_qq"), F.col("_qq"))
+                           .cast("double")))
+    entries = emb_q.orderBy(id_col).limit(n_entries)
+
+    def score(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(q_id_col), F.col(id_col),
+            (idot(F.col("_qq"), F.col("_qv")).cast("double")
+             / (F.col("_qnorm") * F.col("_vnorm")))
+            .alias("cos_sim_q8"))
+
+    visited = score(qs.crossJoin(F.broadcast(entries)))
+    wb = Window.partitionBy(q_id_col).orderBy(
+        F.desc("cos_sim_q8"), F.col(id_col))
+    for _ in range(rounds):
+        beam_df = (
+            visited.withColumn("_rk", F.row_number().over(wb))
+            .filter(F.col("_rk") <= beam).select(q_id_col, id_col)
+        )
+        cand = (
+            beam_df.join(adj, beam_df[id_col] == adj["src"])
+            .select(F.col(q_id_col), F.col("dst").alias(id_col))
+            .distinct()
+        )
+        scored = score(
+            cand.join(emb_q, id_col).join(F.broadcast(qs), q_id_col))
+        # dedup by key: the score per (q, vec) is deterministic, so
+        # max() just collapses re-visits to the one value
+        visited = (
+            visited.unionByName(scored)
+            .groupBy(q_id_col, id_col)
+            .agg(F.max("cos_sim_q8").alias("cos_sim_q8"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        visited.withColumn("rk", F.row_number().over(wb).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(q_id_col, id_col, "cos_sim_q8", "rk")
+    )
+
+
 def int8_quantize(vec: Column) -> Column:
     """Symmetric per-vector int8 quantization: q_i = round-half-up(
     x_i * 127 / max|x|). The memory-side of a quantized ANN index —

@@ -216,6 +216,109 @@ def sim27_int_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "vec_id")
 
 
+def sim28_nsw_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-based ANN (round-12 VERDICT #8 — the HNSW-class family
+    that completes the quantization ladder): build a k-NN graph over
+    the corpus with CELL-BOUNDED candidates (operators/similarity.
+    nsw_adjacency — integer k-means cells, shuffle equi-join on the
+    cell id, never all-pairs), then answer the standard queries with
+    deterministic BSP BEAM SEARCH over that graph (nsw_beam_search —
+    fixed entry points, `rounds` frontier expansions, per-query
+    top-`beam` re-rank each round; the g5 frontier discipline applied
+    to ANN). Every arithmetic step is engine-exact (sim11 property),
+    and the fixed round count makes the traversal deterministic, so
+    the DuckDB oracle replays graph build AND search as chained CTEs
+    (_nsw_sql) and the final top-5 is fully hash-checked. Recall vs
+    the exact top-k is pinned in tests/test_operators.py
+    (TestNswGraphAnn) with the measured floor documented there."""
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    adj = S.nsw_adjacency(emb, k_nbrs=6, n_centroids=4, n_probe=2,
+                          iters=2)
+    return S.nsw_beam_search(
+        adj, emb, _queries_df(spark, sf_dir), k=5, beam=4, rounds=3,
+        n_entries=2,
+    ).orderBy("q_id", "rk")
+
+
+def _nsw_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
+             n_probe: int = 2, k_nbrs: int = 6, n_entries: int = 2,
+             beam: int = 4, rounds: int = 3, k: int = 5,
+             n_q: int = 3) -> str:
+    """DuckDB replay of sim28: the _int_cells_sql quantize+Lloyd
+    prefix, then the k-NN graph (every vector probes its n_probe
+    nearest cells; candidates share a cell; per-src top-k_nbrs), then
+    each beam-search round as chained CTEs (beam -> neighbor expand ->
+    score -> dedup'd visited re-rank) — deterministic at the fixed
+    round count, so no recursive CTE (the g3/g5 oracle recipe)."""
+    d2 = _d2_sql(dim)
+    norm2 = _norm2_sql(dim)
+    last = f"c{iters}"
+    dot = lambda a, b: (
+        f"CAST(list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> {a}[i]*{b}[i])) AS DOUBLE)")
+    parts = [_int_cells_sql(dim, k_cent, iters) + f""", nrm AS (
+        SELECT vec_id, q, {norm2('q')} AS nrm FROM qv
+    ), aprobe AS (
+        SELECT vec_id, q, nrm, cid FROM (
+            SELECT n.vec_id, n.q, n.nrm, c.cid,
+                   row_number() OVER (PARTITION BY n.vec_id
+                       ORDER BY {d2('n.q', 'c.cent')}, c.cid) AS rn
+            FROM nrm n CROSS JOIN {last} c
+        ) WHERE rn <= {n_probe}
+    ), gcand AS (
+        SELECT p.vec_id AS src, a.vec_id AS dst,
+               {dot('p.q', 'a.q')} / (p.nrm * n2.nrm) AS cs
+        FROM aprobe p
+        JOIN af a ON p.cid = a.cid AND p.vec_id <> a.vec_id
+        JOIN nrm n2 ON n2.vec_id = a.vec_id
+    ), adj AS (
+        SELECT src, dst FROM (
+            SELECT src, dst, row_number() OVER (PARTITION BY src
+                ORDER BY cs DESC, dst) AS nrk
+            FROM gcand
+        ) WHERE nrk <= {k_nbrs}
+    ), qq AS (
+        SELECT vec_id AS q_id, q AS qvec, nrm AS qnrm
+        FROM nrm WHERE vec_id < {n_q}
+    ), ent AS (
+        SELECT vec_id, q, nrm FROM nrm ORDER BY vec_id
+        LIMIT {n_entries}
+    ), v0 AS (
+        SELECT q.q_id, e.vec_id,
+               {dot('q.qvec', 'e.q')} / (q.qnrm * e.nrm) AS cos_sim_q8
+        FROM qq q CROSS JOIN ent e
+    )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""", b{r} AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+                ORDER BY cos_sim_q8 DESC, vec_id) AS rk
+            FROM v{r - 1}
+        ) WHERE rk <= {beam}
+    ), s{r} AS (
+        SELECT DISTINCT b.q_id, a.dst AS vec_id
+        FROM b{r} b JOIN adj a ON b.vec_id = a.src
+    ), sv{r} AS (
+        SELECT s.q_id, s.vec_id,
+               {dot('q.qvec', 'n.q')} / (q.qnrm * n.nrm) AS cos_sim_q8
+        FROM s{r} s
+        JOIN nrm n ON n.vec_id = s.vec_id
+        JOIN qq q ON q.q_id = s.q_id
+    ), v{r} AS (
+        SELECT q_id, vec_id, max(cos_sim_q8) AS cos_sim_q8
+        FROM (SELECT * FROM v{r - 1} UNION ALL SELECT * FROM sv{r})
+        GROUP BY q_id, vec_id
+    )""")
+    parts.append(f"""
+    SELECT q_id, vec_id, cos_sim_q8, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT q_id, vec_id, cos_sim_q8,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos_sim_q8 DESC, vec_id) AS rk
+        FROM v{rounds}
+    ) WHERE rk <= {k} ORDER BY q_id, rk""")
+    return "".join(parts)
+
+
 def sim9_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization approximate top-5 (m=8 subspaces, 16 codes
     each, deterministic per-subspace Lloyd; asymmetric-distance
@@ -283,25 +386,33 @@ QUERIES = {
     "sim3_embedding_near_dups": sim3_embedding_near_dups,
     "sim11_int_ivf_topk": sim11_int_ivf_topk,
     "sim27_int_range_search": sim27_int_range_search,
+    "sim28_nsw_beam_search": sim28_nsw_beam_search,
 }
 
 
-def _int_ivf_scored_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
-                        n_probe: int = 2, n_q: int = 3) -> str:
-    """DuckDB replay of operators.similarity._int_ivf_pairs — the CTE
-    chain shared by the int-IVF oracles (sim11 top-k, sim27 range):
-    sim7's int8 quantization, then each Lloyd iteration as three CTEs
-    (assign by exact-int squared L2 with lowest-cid ties / per-dim
-    truncating-div means / centroid update keeping empty cells), then
-    the n_probe probe and exact-int scoring, ending at the `scored`
-    CTE (q_id, vec_id, cos_sim_q8). `//` and Spark's `div` both
-    truncate toward zero, so the centroid updates are bit-identical."""
-    d2 = lambda v, c: (
+def _d2_sql(dim: int):
+    return lambda v, c: (
         f"list_sum(list_transform(range(1, {dim + 1}), "
         f"i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])))")
-    norm2 = lambda v: (
+
+
+def _norm2_sql(dim: int):
+    return lambda v: (
         f"sqrt(CAST(list_sum(list_transform(range(1, {dim + 1}), "
         f"i -> {v}[i]*{v}[i])) AS DOUBLE))")
+
+
+def _int_cells_sql(dim: int = 64, k_cent: int = 4,
+                   iters: int = 2) -> str:
+    """Shared CTE prefix of every integer-quantizer oracle: sim7's
+    int8 quantization (`qv`), each Lloyd iteration as three CTEs
+    (assign by exact-int squared L2 with lowest-cid ties / per-dim
+    truncating-div means / centroid update keeping empty cells), and
+    the final one-cell-per-vector assignment (`af`). `//` and Spark's
+    `div` both truncate toward zero, so the centroid updates are
+    bit-identical. Ends after `af` so callers append their own
+    probe/scoring tails (_int_ivf_scored_sql, _nsw_sql)."""
+    d2 = _d2_sql(dim)
     parts = [f"""
     WITH base AS MATERIALIZED (
         SELECT vec_id, embedding,
@@ -348,7 +459,21 @@ def _int_ivf_scored_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
                        ORDER BY {d2('v.q', 'c.cent')}, c.cid) AS rn
             FROM qv v CROSS JOIN {last} c
         ) WHERE rn = 1
-    ), qq AS (
+    )""")
+    return "".join(parts)
+
+
+def _int_ivf_scored_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
+                        n_probe: int = 2, n_q: int = 3) -> str:
+    """DuckDB replay of operators.similarity._int_ivf_pairs — the CTE
+    chain shared by the int-IVF oracles (sim11 top-k, sim27 range):
+    the _int_cells_sql quantize+Lloyd prefix, then the n_probe probe
+    and exact-int scoring, ending at the `scored` CTE
+    (q_id, vec_id, cos_sim_q8)."""
+    d2 = _d2_sql(dim)
+    norm2 = _norm2_sql(dim)
+    last = f"c{iters}"
+    return _int_cells_sql(dim, k_cent, iters) + f""", qq AS (
         SELECT vec_id AS q_id, q AS qvec, {norm2('q')} AS qnrm
         FROM qv WHERE vec_id < {n_q}
     ), probe AS (
@@ -364,8 +489,7 @@ def _int_ivf_scored_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
                    i -> p.qvec[i]*a.q[i])) AS DOUBLE)
                    / (p.qnrm * {norm2('a.q')}) AS cos_sim_q8
         FROM probe p JOIN af a ON p.cid = a.cid
-    )""")
-    return "".join(parts)
+    )"""
 
 
 def _int_ivf_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
@@ -396,6 +520,7 @@ def _int_ivf_range_sql(tau: float, dim: int = 64, k_cent: int = 4,
 
 ORACLES["sim11_int_ivf_topk"] = _int_ivf_sql()
 ORACLES["sim27_int_range_search"] = _int_ivf_range_sql(0.12, n_q=8)
+ORACLES["sim28_nsw_beam_search"] = _nsw_sql()
 
 # sim6 is exactness-preserving over sim1 (local top-k pre-reduce only
 # discards rows provably outside the global top-k) — same oracle
