@@ -469,8 +469,10 @@ def nsw_adjacency(emb: DataFrame, k_nbrs: int = 6,
     invariant): vectors are assigned to integer-k-means cells once
     (the sim11 coarse quantizer — engine-exact, so the whole build is
     hash-checkable), and each vector generates candidates only inside
-    its n_probe nearest cells via a SHUFFLE equi-join on the cell id —
-    both sides repartitioned by _cid, no corpus broadcast (unlike the
+    its n_probe nearest cells via a SALTED shuffle equi-join on the
+    cell id (operators/skew.salted_join — _cid alone has n_centroids
+    distinct values, so salting is what keeps pair-scoring parallelism
+    independent of the cell count; no corpus broadcast — unlike the
     query-side probe joins, both sides here are the corpus). Per-src
     top-k_nbrs is a window partitioned by src — bounded per key at any
     scale. At 100 TB this is one shuffle on _cid with fan-out bounded
@@ -502,8 +504,18 @@ def nsw_adjacency(emb: DataFrame, k_nbrs: int = 6,
                     F.sqrt(idot(F.col("_sv"), F.col("_sv"))
                            .cast("double")))
     )
+    # SALT the cell join (the a15/j18 machinery): _cid alone has only
+    # n_centroids distinct values, so an unsalted equi-join bounds the
+    # pair-scoring parallelism by the CELL count — at sf1 that put
+    # 200M integer-dot rows in <=4 partitions (the round-12 straggler
+    # that surfaced in the first sf1 run). Salting from the src id
+    # splits every cell's work across buckets; the data side pays the
+    # standard |corpus| x buckets replication, dwarfed by the pair
+    # fan-out it parallelizes.
+    from .skew import salted_join
+
     pairs = (
-        src.repartition("_cid").join(data.repartition("_cid"), "_cid")
+        salted_join(src, data, "_cid", buckets=32, salt_from="_src")
         .filter(F.col("_src") != F.col(id_col))
         .select(F.col("_src").alias("src"),
                 F.col(id_col).alias("dst"),
