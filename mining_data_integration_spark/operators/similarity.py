@@ -479,9 +479,13 @@ def nsw_adjacency(emb: DataFrame, k_nbrs: int = 6,
     by cell occupancy x n_probe, then one shuffle for the per-src rank;
     production DiskANN builds refine exactly such a bucketed candidate
     graph rather than exact k-NN."""
+    from ..stages import timed as _timed_stage
+
     emb_q = emb.select(
         F.col(id_col), int8_quantize(F.col(vec_col)).alias("_qv"))
-    cents = int_ivf_centroids(emb_q, n_centroids, iters, id_col, "_qv")
+    with _timed_stage("train"):
+        cents = int_ivf_centroids(emb_q, n_centroids, iters, id_col,
+                                  "_qv")
     data = int_assign_centroid(emb_q, cents, "_qv").withColumn(
         "_vnorm",
         F.sqrt(idot(F.col("_qv"), F.col("_qv")).cast("double")))
