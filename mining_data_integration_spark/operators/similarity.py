@@ -569,6 +569,12 @@ def nsw_beam_search(adj: DataFrame, emb: DataFrame, queries: DataFrame,
                     F.sqrt(idot(F.col("_qq"), F.col("_qq"))
                            .cast("double")))
     entries = emb_q.orderBy(id_col).limit(n_entries)
+    # every round joins the SAME adjacency; without the checkpoint an
+    # in-query-built graph (sim28's shape) would re-run its pair
+    # scoring + rank once per round — materialize it on first use and
+    # let rounds 2..R reuse the blocks (the g1/g3 iterative
+    # discipline; a persisted adjacency just reloads parquet here)
+    adj = adj.select("src", "dst").localCheckpoint(eager=False)
 
     def score(df: DataFrame) -> DataFrame:
         return df.select(
