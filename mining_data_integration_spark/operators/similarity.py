@@ -536,6 +536,70 @@ def nsw_adjacency(emb: DataFrame, k_nbrs: int = 6,
     )
 
 
+NSW_INDEX_VERSION = 1
+
+
+@_staged("build_index")
+def save_nsw_index(emb: DataFrame, path: str, k_nbrs: int = 6,
+                   n_centroids: int = 4, n_probe: int = 2,
+                   iters: int = 2, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> None:
+    """Persist the k-NN graph ONCE (build once / probe many — the
+    sim19 lifecycle move applied to the graph-ANN family): the
+    nsw_adjacency edge list lands as parquet under `path`
+    (`adj/` + 1-row `meta/`), staged in a scratch dir and atomically
+    os.rename'd in (the kv.py discipline — readers never see a
+    half-built graph; racing builders are harmless because the build
+    is fully deterministic). No-op if `path` is complete.
+
+    Day-2 contract, documented rather than faked: APPEND to a k-NN
+    graph is NOT the frozen-quantizer O(batch) encode the IVF-PQ
+    index gets — inserting a vector requires a search to find its
+    neighbors AND back-edge updates on the nodes it displaces (what
+    HNSW insert does). Until that lands, ingest goes to the IVF-PQ
+    index and the graph is rebuilt on the gold cadence; DELETE is
+    cheap if needed (anti-join src/dst against tombstones) but is
+    deferred with append for a symmetric lifecycle."""
+    import os
+    import shutil
+    import uuid
+
+    if os.path.exists(os.path.join(path, "meta")):
+        return
+    adj = nsw_adjacency(emb, k_nbrs, n_centroids, n_probe, iters,
+                        id_col, vec_col)
+    spark = emb.sparkSession
+    tmp = f"{path.rstrip('/')}.build-{uuid.uuid4().hex[:12]}"
+    adj.write.mode("overwrite").parquet(f"{tmp}/adj")
+    spark.createDataFrame(
+        [(NSW_INDEX_VERSION, k_nbrs, n_centroids, n_probe, iters,
+          id_col)],
+        "version int, k_nbrs int, n_centroids int, n_probe int, "
+        "iters int, id_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/meta")
+    os.makedirs(os.path.dirname(path.rstrip("/")) or ".",
+                exist_ok=True)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if not os.path.exists(os.path.join(path, "meta")):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def load_nsw_index(spark, path: str) -> dict:
+    """Load a save_nsw_index artifact: the adjacency stays a LAZY
+    parquet scan (the O(n x k_nbrs) part — never collected); meta is
+    a 1-row bounded collect."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    if meta.version != NSW_INDEX_VERSION:
+        raise ValueError(
+            f"nsw index version {meta.version} at {path}; "
+            f"this build reads version {NSW_INDEX_VERSION}")
+    return {"adj": spark.read.parquet(f"{path}/adj"),
+            "meta": meta.asDict()}
+
+
 def nsw_beam_search(adj: DataFrame, emb: DataFrame, queries: DataFrame,
                     k: int = 5, beam: int = 4, rounds: int = 3,
                     n_entries: int = 2, id_col: str = "vec_id",

@@ -2563,6 +2563,53 @@ class TestNswGraphAnn:
         rb = sorted(tuple(r) for r in b.collect())
         assert ra == rb
 
+    def test_persisted_index_roundtrip_and_poisoned_edge_pin(
+            self, spark, tmp_path):
+        """sim29: probing the persisted graph equals the in-query
+        build (deterministic graph), AND the probe really READS the
+        artifact — poisoning a saved edge changes the result (the
+        sim19 no-training pin applied to graphs: a probe that rebuilt
+        the graph would silently ignore the poison)."""
+        import os
+
+        from pyspark.sql import functions as F2
+
+        emb = self._emb(spark)
+        q = self._q(emb)
+        path = str(tmp_path / "nswidx")
+        S.save_nsw_index(emb, path, k_nbrs=6)
+        assert os.path.exists(os.path.join(path, "meta"))
+        S.save_nsw_index(emb, path, k_nbrs=6)      # idempotent no-op
+        idx = S.load_nsw_index(spark, path)
+        want = sorted(tuple(r) for r in S.nsw_beam_search(
+            S.nsw_adjacency(emb, k_nbrs=6), emb, q).collect())
+        got = sorted(tuple(r) for r in S.nsw_beam_search(
+            idx["adj"], emb, q).collect())
+        assert got == want
+        # poison: drop every edge out of the entry points — a probe
+        # reading the artifact must now go nowhere past the entries
+        poisoned = str(tmp_path / "poisoned")
+        adj = idx["adj"].filter(~F2.col("src").isin([0, 1]))
+        adj.write.parquet(os.path.join(poisoned, "adj"))
+        spark.read.parquet(os.path.join(path, "meta")) \
+            .write.parquet(os.path.join(poisoned, "meta"))
+        pidx = S.load_nsw_index(spark, poisoned)
+        pgot = S.nsw_beam_search(pidx["adj"], emb, q, k=5, beam=4,
+                                 rounds=3, n_entries=2)
+        # only the two entry vectors are reachable per query
+        assert pgot.count() == q.count() * 2
+        # version guard
+        import pytest as _pytest
+        bad = str(tmp_path / "badver")
+        idx["adj"].write.parquet(os.path.join(bad, "adj"))
+        spark.createDataFrame(
+            [(99, 6, 4, 2, 2, "vec_id")],
+            "version int, k_nbrs int, n_centroids int, n_probe int, "
+            "iters int, id_col string",
+        ).write.parquet(os.path.join(bad, "meta"))
+        with _pytest.raises(ValueError, match="version"):
+            S.load_nsw_index(spark, bad)
+
     def test_visited_state_is_bounded(self, spark):
         """Scale-shape pin: per-query visited never exceeds
         n_entries + rounds * beam * k_nbrs."""
