@@ -64,6 +64,7 @@ EXTENDED = [
     "g5_bfs_hops",                  # r11: multi-source frontier BFS
     "sim27_int_range_search",       # r11: IVF radius search, no rank
     "sim28_nsw_beam_search",        # r12: graph ANN, BSP beam search
+    "sim29_nsw_persisted_probe",    # r12: persisted-graph probe side
 ]
 
 
