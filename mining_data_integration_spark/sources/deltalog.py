@@ -45,12 +45,21 @@ Semantics carried over from the pointer-swap store, now format-native:
   vacuum(retain_versions=n).
 
 The JSON commit lines are protocol-faithful (a real delta-spark reader
-replays a pure-JSON log without checkpoints); the checkpoint parquet is
-protocol-SHAPED (struct columns protocol/metaData/add/remove, map
-partitionValues) — sufficient for this reader and replaced wholesale by
-the native writer when delta-spark is on the classpath. DeltaGoldStore
-at the bottom is interface-compatible with kv.GoldStore, so serving
-code switches backends without touching query code.
+replays a pure-JSON log without checkpoints; add actions carry
+per-file `stats` with numRecords from the parquet footer). The
+checkpoint parquet carries every top-level spec column
+(txn/add/remove/metaData/protocol structs, add.stats + add.tags,
+metaData.format/configuration, map-typed partitionValues) — shaped
+against PROTOCOL.md's checkpoint-schema section; validated against the
+spec TEXT, not a live delta-spark reader (no delta jars ship in this
+sandbox — interop risk is confined to checkpoints, since pure-JSON
+replay needs none). Appends enforce schema compatibility
+(SchemaMismatchError — only overwrite may replace the schema), and
+vacuum honors a modification-time retention window (default 7 days,
+Delta's own) so it can never delete an in-flight writer's
+staged-but-uncommitted files. DeltaGoldStore at the bottom is
+interface-compatible with kv.GoldStore, so serving code switches
+backends without touching query code.
 """
 
 from __future__ import annotations
@@ -71,6 +80,13 @@ CHECKPOINT_INTERVAL = 10
 class CommitConflictError(RuntimeError):
     """Optimistic-concurrency retries exhausted (pathological writer
     storm) — the caller sees a clean refusal, never a lost update."""
+
+
+class SchemaMismatchError(ValueError):
+    """append() with a schema different from the table's — the Delta
+    protocol enforces schema compatibility on append (only overwrite
+    may replace the schema); silently committing a replacement
+    metaData would null out old files' missing columns on read."""
 
 
 def _now_ms() -> int:
@@ -122,13 +138,21 @@ class DeltaLogTable:
                 md = dict(row["metaData"])
                 md["partitionColumns"] = list(
                     md.get("partitionColumns") or [])
+                # pyarrow map -> list of (k, v) tuples, back to dict
+                md["configuration"] = dict(md.get("configuration") or [])
+                if md.get("format"):
+                    fmt = dict(md["format"])
+                    fmt["options"] = dict(fmt.get("options") or [])
+                    md["format"] = fmt
                 state["metaData"] = md
             if row.get("add"):
                 add = dict(row["add"])
                 pv = add.get("partitionValues") or []
-                # pyarrow map -> list of (k, v) tuples
                 add["partitionValues"] = dict(pv) if not isinstance(
                     pv, dict) else pv
+                tags = add.get("tags")
+                if tags is not None and not isinstance(tags, dict):
+                    add["tags"] = dict(tags)
                 state["live"][add["path"]] = add
         return state
 
@@ -192,9 +216,18 @@ class DeltaLogTable:
                 .option("basePath", self.path).parquet(*paths))
 
     def history(self) -> list[dict]:
-        """commitInfo per version, oldest first (DESCRIBE HISTORY)."""
+        """commitInfo per version, oldest first. On a checkpoint-
+        truncated log (pre-checkpoint JSONs expired) this returns a
+        PARTIAL history — only versions whose commit JSON survives —
+        exactly what DESCRIBE HISTORY does after log retention, rather
+        than FileNotFoundError on the expired prefix."""
+        try:
+            names = os.listdir(self.log_dir)
+        except FileNotFoundError:
+            return []
         out = []
-        for v in range(self.version() + 1):
+        for v in sorted(int(n[:-5]) for n in names
+                        if n.endswith(".json") and n[:-5].isdigit()):
             fp = os.path.join(self.log_dir, f"{v:020d}.json")
             info = {}
             with open(fp) as f:
@@ -241,10 +274,19 @@ class DeltaLogTable:
                 os.rename(src, dst)
                 st = os.stat(dst)
                 rel = os.path.relpath(dst, self.path)
+                # per-file stats from the parquet footer (one local
+                # metadata read, no data scan) — numRecords is what a
+                # native reader's stats-based pruning expects at
+                # minimum (PROTOCOL.md Per-file Statistics)
+                import pyarrow.parquet as _pq
+
+                n_rec = _pq.ParquetFile(dst).metadata.num_rows
                 adds.append({"path": rel, "partitionValues": pv,
                              "size": st.st_size,
                              "modificationTime": _now_ms(),
-                             "dataChange": True})
+                             "dataChange": True,
+                             "stats": json.dumps(
+                                 {"numRecords": int(n_rec)})})
         shutil.rmtree(stage, ignore_errors=True)
         return adds
 
@@ -297,6 +339,22 @@ class DeltaLogTable:
             else:
                 snap = self.snapshot(latest)
                 if snap["metaData"]["schemaString"] != new_schema:
+                    if mode == "append":
+                        # protocol rule: append may not change the
+                        # schema (a replacement metaData would make
+                        # to_df null-fill every old file's missing
+                        # columns); drop the staged files so the
+                        # refusal leaves no garbage behind
+                        for a in adds:
+                            try:
+                                os.unlink(os.path.join(
+                                    self.path, a["path"]))
+                            except OSError:
+                                pass
+                        raise SchemaMismatchError(
+                            f"append schema differs from table schema "
+                            f"at {self.path}; use overwrite to "
+                            f"replace the schema")
                     actions.append(self._meta_action(df, partition_by))
                 if mode == "overwrite":
                     ts = _now_ms()
@@ -355,35 +413,67 @@ class DeltaLogTable:
             version = self.version()
         snap = self.snapshot(version)
         pv_type = pa.map_(pa.string(), pa.string())
+        # PROTOCOL.md checkpoint schema: one column per action kind
+        # (txn/add/remove/metaData/protocol), each the action's full
+        # struct — add carries stats + tags, metaData carries
+        # name/description/format/configuration — so a native reader
+        # that replays checkpoints finds every spec column present
+        # (nulls where this writer has nothing to say, e.g. txn).
         schema = pa.schema([
-            pa.field("protocol", pa.struct([
-                ("minReaderVersion", pa.int32()),
-                ("minWriterVersion", pa.int32())])),
-            pa.field("metaData", pa.struct([
-                ("id", pa.string()), ("schemaString", pa.string()),
-                ("partitionColumns", pa.list_(pa.string())),
-                ("createdTime", pa.int64())])),
+            pa.field("txn", pa.struct([
+                ("appId", pa.string()), ("version", pa.int64()),
+                ("lastUpdated", pa.int64())])),
             pa.field("add", pa.struct([
                 ("path", pa.string()), ("partitionValues", pv_type),
                 ("size", pa.int64()), ("modificationTime", pa.int64()),
-                ("dataChange", pa.bool_())])),
+                ("dataChange", pa.bool_()), ("stats", pa.string()),
+                ("tags", pv_type)])),
+            pa.field("remove", pa.struct([
+                ("path", pa.string()),
+                ("deletionTimestamp", pa.int64()),
+                ("dataChange", pa.bool_()),
+                ("extendedFileMetadata", pa.bool_()),
+                ("partitionValues", pv_type), ("size", pa.int64())])),
+            pa.field("metaData", pa.struct([
+                ("id", pa.string()), ("name", pa.string()),
+                ("description", pa.string()),
+                ("format", pa.struct([
+                    ("provider", pa.string()), ("options", pv_type)])),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", pv_type),
+                ("createdTime", pa.int64())])),
+            pa.field("protocol", pa.struct([
+                ("minReaderVersion", pa.int32()),
+                ("minWriterVersion", pa.int32())])),
         ])
         md = snap["metaData"]
+        fmt = md.get("format") or {"provider": "parquet", "options": {}}
         rows = [
-            {"protocol": PROTOCOL, "metaData": None, "add": None},
-            {"protocol": None, "add": None, "metaData": {
-                "id": md["id"], "schemaString": md["schemaString"],
+            {"protocol": PROTOCOL},
+            {"metaData": {
+                "id": md["id"], "name": md.get("name"),
+                "description": md.get("description"),
+                "format": {
+                    "provider": fmt.get("provider", "parquet"),
+                    "options": list(
+                        dict(fmt.get("options") or {}).items())},
+                "schemaString": md["schemaString"],
                 "partitionColumns": md["partitionColumns"],
+                "configuration": list(
+                    dict(md.get("configuration") or {}).items()),
                 "createdTime": md.get("createdTime")}},
         ]
         for add in snap["live"].values():
-            rows.append({"protocol": None, "metaData": None, "add": {
+            rows.append({"add": {
                 "path": add["path"],
                 "partitionValues": list(
                     (add.get("partitionValues") or {}).items()),
                 "size": add.get("size"),
                 "modificationTime": add.get("modificationTime"),
-                "dataChange": False}})
+                "dataChange": False,
+                "stats": add.get("stats"),
+                "tags": list(dict(add.get("tags") or {}).items())}})
         table = pa.Table.from_pylist(rows, schema=schema)
         cp = os.path.join(self.log_dir,
                           f"{version:020d}.checkpoint.parquet")
@@ -396,19 +486,30 @@ class DeltaLogTable:
             json.dump({"version": version, "size": len(rows)}, f)
         os.replace(tmp, lc)
 
-    def vacuum(self, retain_versions: int = 1) -> int:
+    def vacuum(self, retain_versions: int = 1,
+               retention_seconds: float = 7 * 24 * 3600.0) -> int:
         """Delete data files referenced by NO retained snapshot: keeps
         the live set of the latest `retain_versions + 1` versions (the
         pointer-swap store's keep-one-behind pruning, generalized) and
         removes everything else — tombstoned files past retention AND
         torn pre-commit garbage a dead writer left. Returns the number
-        of files deleted."""
+        of files deleted.
+
+        `retention_seconds` (default 7 days, Delta's own
+        deletedFileRetentionDuration default) protects IN-FLIGHT
+        writers: _stage_files renames data files into the table dir
+        BEFORE the commit attempt, so an unguarded vacuum racing a
+        live writer would delete its not-yet-committed files and the
+        subsequently-committed snapshot would reference missing
+        parquet. Files younger than the window are never touched —
+        pass 0 only under writer quiescence (tests, offline GC)."""
         latest = self.version()
         if latest < 0:
             return 0
         keep: set[str] = set()
         for v in range(max(0, latest - retain_versions), latest + 1):
             keep.update(self.snapshot(v)["live"])
+        cutoff = time.time() - retention_seconds
         deleted = 0
         for dirpath, dirs, files in os.walk(self.path):
             if os.path.basename(dirpath) == "_delta_log":
@@ -421,7 +522,12 @@ class DeltaLogTable:
                 fp = os.path.join(dirpath, name)
                 rel = os.path.relpath(fp, self.path)
                 if rel not in keep and name.endswith(".parquet"):
-                    os.unlink(fp)
+                    try:
+                        if os.path.getmtime(fp) > cutoff:
+                            continue        # possibly in-flight
+                        os.unlink(fp)
+                    except FileNotFoundError:
+                        continue            # racing vacuum got it
                     deleted += 1
         return deleted
 
@@ -457,8 +563,10 @@ class DeltaGoldStore:
     def history(self, key: str) -> list[dict]:
         return self._table(key).history()
 
-    def vacuum(self, key: str, retain_versions: int = 1) -> int:
-        return self._table(key).vacuum(retain_versions)
+    def vacuum(self, key: str, retain_versions: int = 1,
+               retention_seconds: float = 7 * 24 * 3600.0) -> int:
+        return self._table(key).vacuum(retain_versions,
+                                       retention_seconds)
 
 
 def gold_store(root: str, backend: str = "pointer"):

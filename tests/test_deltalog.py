@@ -120,9 +120,11 @@ class TestDeltaLogTable:
         # and the next real writer is unaffected
         t.overwrite(spark.range(7))
         assert t.to_df(spark).count() == 7
-        # vacuum collects the orphaned garbage
+        # vacuum collects the orphaned garbage (retention 0 — this
+        # test IS writer quiescence; the default window is tested in
+        # test_vacuum_retention_protects_inflight_writer)
         before = sum(len(fs) for _, _, fs in os.walk(t.path))
-        assert t.vacuum(retain_versions=1) > 0
+        assert t.vacuum(retain_versions=1, retention_seconds=0) > 0
         after = sum(len(fs) for _, _, fs in os.walk(t.path))
         assert after < before
         assert t.to_df(spark).count() == 7
@@ -204,11 +206,102 @@ class TestDeltaLogTable:
         t = DeltaLogTable(str(tmp_path / "t"))
         for i in (5, 6, 7, 8):
             t.overwrite(spark.range(i))
-        assert t.vacuum(retain_versions=1) > 0
+        assert t.vacuum(retain_versions=1, retention_seconds=0) > 0
         assert t.to_df(spark).count() == 8          # current intact
         assert t.to_df(spark, version=2).count() == 7   # retained
         with pytest.raises(Exception):
             t.to_df(spark, version=0).collect()     # vacuumed away
+
+    def test_vacuum_retention_protects_inflight_writer(self, spark,
+                                                       tmp_path):
+        """ADVICE r12: data files land in the table dir BEFORE the
+        commit, so a vacuum racing an in-flight writer must not delete
+        its fresh staged-but-uncommitted files — the default
+        modification-time window (Delta's deletedFileRetentionDuration
+        shape) is what protects them."""
+        t = DeltaLogTable(str(tmp_path / "t"))
+        t.overwrite(spark.range(5))
+        adds = t._stage_files(spark.range(100), None)  # in-flight
+        assert t.vacuum(retain_versions=0) == 0        # default window
+        for a in adds:
+            assert os.path.exists(os.path.join(t.path, a["path"]))
+        # the in-flight writer can still commit its staged files
+        assert t._try_commit(1, [{"commitInfo": {}}]
+                             + [{"add": a} for a in adds])
+        assert t.to_df(spark).count() == 105
+        # quiescent GC still collects true garbage
+        t._stage_files(spark.range(3), None)
+        assert t.vacuum(retain_versions=0, retention_seconds=0) > 0
+        assert t.to_df(spark).count() == 105
+
+    def test_append_schema_mismatch_raises(self, spark, tmp_path):
+        """ADVICE r12: the protocol enforces schema compatibility on
+        append — a differing schema must refuse, not silently commit a
+        replacement metaData that null-fills old files on read."""
+        from pyspark.sql import functions as F
+
+        from mining_data_integration_spark.sources.deltalog import (
+            SchemaMismatchError)
+
+        t = DeltaLogTable(str(tmp_path / "t"))
+        t.overwrite(spark.range(4))
+        wide = spark.range(4, 6).withColumn("s", F.lit("x"))
+        with pytest.raises(SchemaMismatchError):
+            t.append(wide)
+        # refused append leaves no garbage and no new version
+        assert t.version() == 0
+        assert t.vacuum(retain_versions=0, retention_seconds=0) == 0
+        assert t.to_df(spark).count() == 4
+        # overwrite MAY replace the schema; appends then conform
+        t.overwrite(wide)
+        t.append(spark.range(6, 8).withColumn("s", F.lit("y")))
+        assert t.to_df(spark).count() == 4
+
+    def test_history_survives_log_truncation(self, spark, tmp_path):
+        """ADVICE r12: DESCRIBE HISTORY on a checkpoint-truncated log
+        returns the surviving suffix, not FileNotFoundError."""
+        t = DeltaLogTable(str(tmp_path / "t"), checkpoint_interval=4)
+        for i in range(1, 8):
+            t.overwrite(spark.range(i))
+        for v in range(4):
+            os.unlink(os.path.join(t.log_dir, f"{v:020d}.json"))
+        assert [h["version"] for h in t.history()] == [4, 5, 6]
+
+    def test_add_stats_and_checkpoint_spec_columns(self, spark,
+                                                   tmp_path):
+        """Round-13 fidelity pass: add actions carry footer-derived
+        stats (numRecords), and the checkpoint parquet has every
+        top-level PROTOCOL.md column with the spec's add/metaData
+        struct fields."""
+        import pyarrow.parquet as pq
+
+        t = DeltaLogTable(str(tmp_path / "t"), checkpoint_interval=2)
+        t.overwrite(spark.range(10).coalesce(1))
+        snap = t.snapshot()
+        n_recs = [json.loads(a["stats"])["numRecords"]
+                  for a in snap["live"].values()]
+        assert sum(n_recs) == 10
+        t.overwrite(spark.range(6).coalesce(1))
+        t.overwrite(spark.range(7).coalesce(1))     # v2 -> checkpoint
+        cp = pq.read_table(os.path.join(
+            t.log_dir, f"{2:020d}.checkpoint.parquet"))
+        assert set(cp.schema.names) >= {
+            "txn", "add", "remove", "metaData", "protocol"}
+        add_fields = {f.name for f in cp.schema.field("add").type}
+        assert add_fields >= {"path", "partitionValues", "size",
+                              "modificationTime", "dataChange",
+                              "stats", "tags"}
+        md_fields = {f.name for f in cp.schema.field("metaData").type}
+        assert md_fields >= {"id", "name", "description", "format",
+                             "schemaString", "partitionColumns",
+                             "configuration", "createdTime"}
+        # checkpoint replay preserves stats and still reads clean
+        for v in (0, 1):
+            os.unlink(os.path.join(t.log_dir, f"{v:020d}.json"))
+        snap = t.snapshot()
+        assert sum(json.loads(a["stats"])["numRecords"]
+                   for a in snap["live"].values()) == 7
+        assert t.to_df(spark).count() == 7
 
 
 class TestDeltaGoldStore:
