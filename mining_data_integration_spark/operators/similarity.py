@@ -384,16 +384,7 @@ def _int_ivf_pairs(emb: DataFrame, queries: DataFrame,
         "_vnorm", F.sqrt(idot(F.col("_qv"), F.col("_qv")).cast("double")))
     qs = queries.select(
         F.col(q_id_col), int8_quantize(F.col(q_vec_col)).alias("_qq"))
-    d2s = []
-    for i, c in enumerate(cents):
-        carr = F.array(*[F.lit(int(v)).cast("bigint") for v in c])
-        diff = F.zip_with(F.col("_qq"), carr,
-                          lambda a, b: (a - b) * (a - b))
-        d2s.append(F.struct(
-            F.aggregate(diff, F.lit(0).cast("bigint"),
-                        lambda acc, x: acc + x).alias("d"),
-            F.lit(i).alias("i")))
-    probes = F.slice(F.array_sort(F.array(*d2s)), 1, n_probe)
+    probes = _nearest_cells(F.col("_qq"), cents, n_probe)
     q_probed = (
         qs.withColumn("_p", F.explode(probes))
         .select(F.col(q_id_col), F.col("_qq"),
@@ -457,48 +448,104 @@ def int_ivf_range_search(emb: DataFrame, queries: DataFrame,
     return pairs.filter(F.col("cos_sim_q8") >= F.lit(float(tau)))
 
 
-def nsw_adjacency(emb: DataFrame, k_nbrs: int = 6,
-                  n_centroids: int = 4, n_probe: int = 2,
-                  iters: int = 2, id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
-    """k-NN GRAPH build for graph-based ANN (sim28) — the offline half
-    of an NSW/DiskANN-style index: every vector's k_nbrs most-similar
-    neighbors as an edge list (src, dst, cos_sim_q8, nrk).
+NSW_TARGET_OCCUPANCY = 256
+NSW_MAX_CENTROIDS = 512
 
-    Candidate generation is CELL-BOUNDED, never all-pairs (the dd/sim
-    invariant): vectors are assigned to integer-k-means cells once
-    (the sim11 coarse quantizer — engine-exact, so the whole build is
-    hash-checkable), and each vector generates candidates only inside
-    its n_probe nearest cells via a SALTED shuffle equi-join on the
-    cell id (operators/skew.salted_join — _cid alone has n_centroids
-    distinct values, so salting is what keeps pair-scoring parallelism
-    independent of the cell count; no corpus broadcast — unlike the
-    query-side probe joins, both sides here are the corpus). Per-src
-    top-k_nbrs is a window partitioned by src — bounded per key at any
-    scale. At 100 TB this is one shuffle on _cid with fan-out bounded
-    by cell occupancy x n_probe, then one shuffle for the per-src rank;
-    production DiskANN builds refine exactly such a bucketed candidate
-    graph rather than exact k-NN."""
-    from ..stages import timed as _timed_stage
 
-    emb_q = emb.select(
-        F.col(id_col), int8_quantize(F.col(vec_col)).alias("_qv"))
-    with _timed_stage("train"):
-        cents = int_ivf_centroids(emb_q, n_centroids, iters, id_col,
-                                  "_qv")
-    data = int_assign_centroid(emb_q, cents, "_qv").withColumn(
-        "_vnorm",
-        F.sqrt(idot(F.col("_qv"), F.col("_qv")).cast("double")))
+def derive_nsw_centroids(n: int,
+                         target_occupancy: int = NSW_TARGET_OCCUPANCY,
+                         floor: int = 4,
+                         cap: int = NSW_MAX_CENTROIDS) -> int:
+    """Cell count for the k-NN graph build, DERIVED from corpus size
+    (round-12 VERDICT #1): candidate-pair work in nsw_adjacency is
+    O(n x occupancy x n_probe), so a FIXED cell count makes occupancy
+    n/c and the build effectively quadratic — the rule c =
+    ceil(n / target_occupancy) holds occupancy (and therefore per-
+    vector pair work) CONSTANT as the corpus grows, which is what
+    keeps total pair count ~linear in n (pinned in
+    tests/test_operators TestNswGraphAnn and
+    tools/check_index_scale.py).
+
+    The cap exists because this build's quantizer keeps centroids
+    driver-side as codegen literals (int_assign_centroid is O(c x dim)
+    expression nodes) — fine to a few hundred cells, wrong shape
+    beyond. Past cap x target_occupancy vectors (~131k at defaults)
+    per graph, the production move is the sharded DiskANN build: a
+    two-level quantizer (or the persisted IVF-PQ cells) partitions the
+    corpus into ~target_occupancy-sized shards and each shard builds
+    its sub-graph independently — same pair-work bound, no giant
+    literal plan. Documented in SCALE.md (graph-ANN section)."""
+    import math
+
+    return max(floor, min(cap, math.ceil(n / max(1, target_occupancy))))
+
+
+def _nearest_cells(vec: Column, cents: list[list[int]],
+                   n_probe: int) -> Column:
+    """The n_probe nearest integer centroids of `vec` (exact int64
+    squared L2, lowest-cid ties) as an array of {d, i} structs —
+    the probe expression shared by the query-side IVF joins and the
+    graph build's candidate generation."""
     d2s = []
     for i, c in enumerate(cents):
         carr = F.array(*[F.lit(int(v)).cast("bigint") for v in c])
-        diff = F.zip_with(F.col("_qv"), carr,
-                          lambda a, b: (a - b) * (a - b))
+        diff = F.zip_with(vec, carr, lambda a, b: (a - b) * (a - b))
         d2s.append(F.struct(
             F.aggregate(diff, F.lit(0).cast("bigint"),
                         lambda acc, x: acc + x).alias("d"),
             F.lit(i).alias("i")))
-    probes = F.slice(F.array_sort(F.array(*d2s)), 1, n_probe)
+    return F.slice(F.array_sort(F.array(*d2s)), 1, n_probe)
+
+
+def _nsw_quantize_and_train(emb: DataFrame, n_centroids: int | None,
+                            n_probe: int, iters: int, id_col: str,
+                            vec_col: str, target_occupancy: int):
+    """Shared front half of the graph build: quantize, derive the
+    cell count when the caller didn't pin one (one bounded count()
+    aggregate — a second corpus pass, paid once per offline build),
+    train the integer quantizer. Returns (emb_q, cents, c)."""
+    from ..stages import timed as _timed_stage
+
+    emb_q = emb.select(
+        F.col(id_col), int8_quantize(F.col(vec_col)).alias("_qv"))
+    c = n_centroids
+    if c is None:
+        c = derive_nsw_centroids(emb_q.count(), target_occupancy)
+    with _timed_stage("train"):
+        cents = int_ivf_centroids(emb_q, c, iters, id_col, "_qv")
+    return emb_q, cents, c
+
+
+def nsw_candidate_pairs(emb: DataFrame, n_centroids: int | None = None,
+                        n_probe: int = 2, iters: int = 2,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        target_occupancy: int = NSW_TARGET_OCCUPANCY
+                        ) -> DataFrame:
+    """Scored candidate pairs (src, dst, cos_sim_q8) of the k-NN graph
+    build — nsw_adjacency minus the per-src rank, exposed so the scale
+    harness can count the pair work directly. Candidate generation is
+    CELL-BOUNDED, never all-pairs (the dd/sim invariant): vectors are
+    assigned to integer-k-means cells once (the sim11 coarse
+    quantizer — engine-exact, so the whole build is hash-checkable),
+    and each vector generates candidates only inside its n_probe
+    nearest cells via a SALTED shuffle equi-join on the cell id
+    (operators/skew.salted_join — _cid alone has n_centroids distinct
+    values, so salting is what keeps pair-scoring parallelism
+    independent of the cell count; no corpus broadcast — unlike the
+    query-side probe joins, both sides here are the corpus).
+
+    n_centroids=None derives the cell count from corpus size
+    (derive_nsw_centroids — occupancy-targeted, so pair work stays
+    ~linear in n); explicit values remain for the oracle-deterministic
+    registry entries, whose SQL replay fixes the cell count."""
+    emb_q, cents, _c = _nsw_quantize_and_train(
+        emb, n_centroids, n_probe, iters, id_col, vec_col,
+        target_occupancy)
+    data = int_assign_centroid(emb_q, cents, "_qv").withColumn(
+        "_vnorm",
+        F.sqrt(idot(F.col("_qv"), F.col("_qv")).cast("double")))
+    probes = _nearest_cells(F.col("_qv"), cents, n_probe)
     src = (
         emb_q.withColumn("_p", F.explode(probes))
         .select(F.col(id_col).alias("_src"),
@@ -518,7 +565,7 @@ def nsw_adjacency(emb: DataFrame, k_nbrs: int = 6,
     # fan-out it parallelizes.
     from .skew import salted_join
 
-    pairs = (
+    return (
         salted_join(src, data, "_cid", buckets=32, salt_from="_src")
         .filter(F.col("_src") != F.col(id_col))
         .select(F.col("_src").alias("src"),
@@ -527,6 +574,27 @@ def nsw_adjacency(emb: DataFrame, k_nbrs: int = 6,
                  / (F.col("_snorm") * F.col("_vnorm")))
                 .alias("cos_sim_q8"))
     )
+
+
+def nsw_adjacency(emb: DataFrame, k_nbrs: int = 6,
+                  n_centroids: int | None = None, n_probe: int = 2,
+                  iters: int = 2, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  target_occupancy: int = NSW_TARGET_OCCUPANCY
+                  ) -> DataFrame:
+    """k-NN GRAPH build for graph-based ANN (sim28) — the offline half
+    of an NSW/DiskANN-style index: every vector's k_nbrs most-similar
+    neighbors as an edge list (src, dst, cos_sim_q8, nrk). Candidate
+    generation is nsw_candidate_pairs (cell-bounded, salted, never
+    all-pairs; n_centroids=None derives the cell count from corpus
+    size so pair work stays ~linear — derive_nsw_centroids). Per-src
+    top-k_nbrs is a window partitioned by src — bounded per key at any
+    scale. At 100 TB this is one shuffle on _cid with fan-out bounded
+    by cell occupancy x n_probe, then one shuffle for the per-src rank;
+    production DiskANN builds refine exactly such a bucketed candidate
+    graph rather than exact k-NN."""
+    pairs = nsw_candidate_pairs(emb, n_centroids, n_probe, iters,
+                                id_col, vec_col, target_occupancy)
     w = Window.partitionBy("src").orderBy(
         F.desc("cos_sim_q8"), F.col("dst"))
     return (
@@ -536,14 +604,52 @@ def nsw_adjacency(emb: DataFrame, k_nbrs: int = 6,
     )
 
 
+def nsw_build_stats(emb: DataFrame, n_centroids: int | None = None,
+                    n_probe: int = 2, iters: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    target_occupancy: int = NSW_TARGET_OCCUPANCY
+                    ) -> dict:
+    """ANALYTIC cost model of the graph build, computed WITHOUT
+    materializing the pair join: candidate pairs = sum over cells of
+    (probe assignments into the cell) x (cell occupancy), minus the
+    self-pairs (a vector probing its own cell meets itself once).
+    All collects are O(n_centroids) rows. This is the pre-flight
+    "how big is this build" answer an operator wants before spending
+    cluster hours, and the instrument the linearity pin uses
+    (equality with the real join's count() is itself pinned at small
+    n in tests)."""
+    emb_q, cents, c = _nsw_quantize_and_train(
+        emb, n_centroids, n_probe, iters, id_col, vec_col,
+        target_occupancy)
+    data = int_assign_centroid(emb_q, cents, "_qv")
+    probed = data.withColumn(
+        "_pid", F.explode(_nearest_cells(F.col("_qv"), cents,
+                                         n_probe)["i"]))
+    occ = {r["_cid"]: r["n"] for r in
+           data.groupBy("_cid").agg(F.count("*").alias("n")).collect()}
+    probes_per_cell = {r["_pid"]: r["n"] for r in
+                       probed.groupBy("_pid")
+                       .agg(F.count("*").alias("n")).collect()}
+    self_hits = probed.filter(F.col("_pid") == F.col("_cid")).count()
+    pair_count = sum(n_p * occ.get(cid, 0)
+                     for cid, n_p in probes_per_cell.items()) - self_hits
+    n = sum(occ.values())
+    return {"n": n, "n_centroids": c, "n_probe": n_probe,
+            "pair_count": int(pair_count),
+            "max_occupancy": max(occ.values(), default=0),
+            "mean_pairs_per_vector": pair_count / n if n else 0.0}
+
+
 NSW_INDEX_VERSION = 1
 
 
 @_staged("build_index")
 def save_nsw_index(emb: DataFrame, path: str, k_nbrs: int = 6,
-                   n_centroids: int = 4, n_probe: int = 2,
+                   n_centroids: int | None = None, n_probe: int = 2,
                    iters: int = 2, id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> None:
+                   vec_col: str = "embedding",
+                   target_occupancy: int = NSW_TARGET_OCCUPANCY
+                   ) -> None:
     """Persist the k-NN graph ONCE (build once / probe many — the
     sim19 lifecycle move applied to the graph-ANN family): the
     nsw_adjacency edge list lands as parquet under `path`
@@ -566,6 +672,9 @@ def save_nsw_index(emb: DataFrame, path: str, k_nbrs: int = 6,
 
     if os.path.exists(os.path.join(path, "meta")):
         return
+    if n_centroids is None:
+        n_centroids = derive_nsw_centroids(emb.count(),
+                                           target_occupancy)
     adj = nsw_adjacency(emb, k_nbrs, n_centroids, n_probe, iters,
                         id_col, vec_col)
     spark = emb.sparkSession
@@ -587,17 +696,137 @@ def save_nsw_index(emb: DataFrame, path: str, k_nbrs: int = 6,
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def load_nsw_index(spark, path: str) -> dict:
+def _nsw_adj_dir(path: str) -> str:
+    """Resolve the live adjacency directory via the ADJ pointer file
+    (the CODES/BUCKETS pointer-swap discipline) — compactions write
+    immutable `adj-g<N>/` generations and flip the pointer, so a probe
+    racing a compaction always resolves one complete directory."""
+    import os
+
+    ptr = os.path.join(path, "ADJ")
+    try:
+        with open(ptr) as f:
+            return os.path.join(path, f.read().strip())
+    except OSError:
+        return os.path.join(path, "adj")
+
+
+def load_nsw_index(spark, path: str,
+                   expect: dict | None = None) -> dict:
     """Load a save_nsw_index artifact: the adjacency stays a LAZY
-    parquet scan (the O(n x k_nbrs) part — never collected); meta is
-    a 1-row bounded collect."""
+    parquet scan (the O(n x k_nbrs) part — never collected) with the
+    tombstone set anti-joined over BOTH endpoints (a deleted node
+    must vanish as a source — its own neighbor list — AND as a
+    destination in everyone else's); meta is a 1-row bounded collect.
+    `expect` (ADVICE r12: parameter-drift guard) validates persisted
+    build hyperparameters against the caller's — a probe that
+    silently reads a graph built with OTHER parameters is an oracle
+    mismatch waiting to happen, so mismatches refuse loudly here
+    instead."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     if meta.version != NSW_INDEX_VERSION:
         raise ValueError(
             f"nsw index version {meta.version} at {path}; "
             f"this build reads version {NSW_INDEX_VERSION}")
-    return {"adj": spark.read.parquet(f"{path}/adj"),
-            "meta": meta.asDict()}
+    md = meta.asDict()
+    for k, v in (expect or {}).items():
+        if md.get(k) != v:
+            raise ValueError(
+                f"nsw index at {path} was built with {k}="
+                f"{md.get(k)!r}, caller expects {v!r} — rebuild the "
+                f"artifact or fix the probe parameters")
+    adj = spark.read.parquet(_nsw_adj_dir(path))
+    ts = _read_vec_tombstones(spark, path)
+    if ts is not None:
+        adj = (adj.join(F.broadcast(ts.withColumnRenamed("id", "src")),
+                        "src", "left_anti")
+               .join(F.broadcast(ts.withColumnRenamed("id", "dst")),
+                     "dst", "left_anti")
+               .select("src", "dst", "cos_sim_q8", "nrk"))
+    return {"adj": adj, "meta": md}
+
+
+@_staged("delete")
+def delete_from_nsw_index(ids: DataFrame, path: str,
+                          id_col: str = "vec_id") -> None:
+    """TAKEDOWN on the persisted k-NN graph — the cheap half of the
+    day-2 contract save_nsw_index documents (round-12 VERDICT #2; the
+    append half stays a rebuild because HNSW insert needs
+    search+relink). Appends the ids as a TOMBSTONE parquet fragment
+    (O(delete batch); the stored edge list is untouched); every load
+    anti-joins the tombstones over both edge endpoints, and the next
+    compact_nsw_index physically purges them. Removing a node's
+    in-edges leaves its former neighbors with < k_nbrs out-edges —
+    recall degrades LOCALLY around heavy takedowns until the
+    gold-cadence rebuild relinks; that asymmetry is the honest
+    difference from the IVF-PQ delete (codes are independent rows,
+    graph edges are not). Takes the maintenance lease (writers
+    serialize; probes never wait). Id-reuse contract: as
+    delete_from_minhash_index — tombstoned ids stay dead until their
+    tombstone retires; mint fresh ids."""
+    import os
+
+    from ..sources.kv import maintenance_lease
+
+    spark = ids.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    if meta.version != NSW_INDEX_VERSION:
+        raise ValueError(
+            f"nsw index version {meta.version} at {path}; "
+            f"this build writes version {NSW_INDEX_VERSION}")
+    rows = ids.select(F.col(id_col).cast("long").alias("id")).distinct()
+    with maintenance_lease(path):
+        rows.write.mode("append").parquet(
+            os.path.join(path, "tombstones"))
+
+
+@_staged("compact")
+def compact_nsw_index(spark, path: str) -> None:
+    """Physically purge tombstoned nodes from the stored edge list
+    into a fresh immutable `adj-g<N>/` generation and flip the ADJ
+    pointer (identical discipline to compact_ivfpq_index: superseded
+    generation and freshly-folded tombstones each kept one cycle for
+    in-flight readers, pruned on the NEXT compaction). Holds the
+    maintenance lease against other deletes/compactions."""
+    import os
+    import shutil
+
+    from ..sources.kv import maintenance_lease
+
+    with maintenance_lease(path):
+        cur = _nsw_adj_dir(path)
+        cur_name = os.path.basename(cur)
+        gen = 1 if cur_name == "adj" \
+            else int(cur_name.rsplit("-g", 1)[1])
+        new_name = f"adj-g{gen + 1}"
+        rows = spark.read.parquet(cur)
+        ts = _read_vec_tombstones(spark, path)
+        if ts is not None:
+            rows = (rows.join(
+                        F.broadcast(ts.withColumnRenamed("id", "src")),
+                        "src", "left_anti")
+                    .join(F.broadcast(
+                        ts.withColumnRenamed("id", "dst")),
+                        "dst", "left_anti")
+                    .select("src", "dst", "cos_sim_q8", "nrk"))
+        rows.write.mode("overwrite").parquet(
+            os.path.join(path, new_name))
+        ptr = os.path.join(path, "ADJ")
+        tmp = f"{ptr}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(new_name)
+        os.replace(tmp, ptr)  # atomic: loads see old or new, never none
+        live = os.path.join(path, "tombstones")
+        if os.path.isdir(live):
+            os.rename(live, os.path.join(
+                path, f"tombstones-folded-g{gen + 1}"))
+        folded_keep = f"tombstones-folded-g{gen + 1}"
+        for name in os.listdir(path):
+            if (name == "adj" or name.startswith("adj-g")
+                    or name.startswith("tombstones-folded-g")) \
+                    and name not in (cur_name, new_name, folded_keep):
+                shutil.rmtree(os.path.join(path, name),
+                              ignore_errors=True)
 
 
 def nsw_beam_search(adj: DataFrame, emb: DataFrame, queries: DataFrame,

@@ -240,17 +240,26 @@ def sim28_nsw_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rk")
 
 
-def _nsw_index_path(sf_dir: str) -> str:
+_NSW_BUILD_PARAMS = dict(k_nbrs=6, n_centroids=4, n_probe=2, iters=2)
+
+
+def _nsw_index_path(sf_dir: str, tag: str = "") -> str:
     """Deterministic per-corpus graph-index location — the
     _ivfpq_index_path fingerprint discipline (source path/size/mtime
-    + format version, one os.stat)."""
+    + format version, one os.stat). The BUILD HYPERPARAMETERS are part
+    of the fingerprint (ADVICE r12): save_nsw_index no-ops on an
+    existing artifact, so without them a parameter change would
+    silently probe a graph built with the old values; load_nsw_index's
+    `expect` check is the second, belt-and-braces guard."""
     import hashlib
     import os
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
+    params = ",".join(f"{k}={v}" for k, v in
+                      sorted(_NSW_BUILD_PARAMS.items()))
     fp = hashlib.sha256(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}|nsw|"
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|nsw|{tag}|{params}|"
         f"v{S.NSW_INDEX_VERSION}".encode()).hexdigest()[:16]
     return f"/tmp/sg_nsw_index/{fp}"
 
@@ -273,25 +282,90 @@ def sim29_nsw_persisted_probe(spark: SparkSession,
     gold cadence."""
     path = _nsw_index_path(sf_dir)
     emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
-    S.save_nsw_index(emb, path, k_nbrs=6, n_centroids=4, n_probe=2,
-                     iters=2)
-    idx = S.load_nsw_index(spark, path)
+    S.save_nsw_index(emb, path, **_NSW_BUILD_PARAMS)
+    idx = S.load_nsw_index(spark, path, expect=_NSW_BUILD_PARAMS)
     return S.nsw_beam_search(
         idx["adj"], emb, _queries_df(spark, sf_dir), k=5, beam=4,
         rounds=3, n_entries=2,
     ).orderBy("q_id", "rk")
 
 
+def sim30_nsw_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE lifecycle of the persisted GRAPH index (round-13
+    VERDICT #2 — the cheap half of the day-2 contract save_nsw_index
+    documents; the dd18/sim26 shape applied to graphs): every
+    vec_id % 7 == 3 node is tombstoned out of a full-corpus k-NN
+    graph (delete_from_nsw_index — an O(delete batch) tombstone
+    append; the stored edge list untouched, deletion never re-ranks
+    or relinks), then the queries beam-search TWO artifacts staged
+    from that state:
+
+      phase 1  the tombstoned graph — load_nsw_index anti-joins the
+               broadcast tombstone set over BOTH edge endpoints (a
+               deleted node vanishes as src and as dst);
+      phase 2  a compacted sibling — compact_nsw_index physically
+               purged the tombstoned edges into a fresh adj-g2
+               generation behind the ADJ pointer flip.
+
+    Both phases must emit the IDENTICAL top-5 (deletion is a
+    permanent edge pre-filter over the build-time ranking). The
+    DuckDB oracle replays build+traversal via _nsw_sql's adj_where
+    hook and cross-joins the two phase tags. Builds stage under a
+    scratch path and rename in (dd16's discipline); maintenance runs
+    under kv.maintenance_lease. The entry points (lowest-id vectors
+    0, 1) survive the delete predicate by construction — takedowns
+    hitting entry points need the rebuild path, documented in
+    delete_from_nsw_index."""
+    import os
+    import shutil
+
+    path = _nsw_index_path(sf_dir, tag="tombstone")
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    if not os.path.exists(os.path.join(path, "tomb", "meta")):
+        staging = f"{path}.staging-{os.getpid()}"
+        shutil.rmtree(staging, ignore_errors=True)
+        tomb = os.path.join(staging, "tomb")
+        S.save_nsw_index(emb, tomb, **_NSW_BUILD_PARAMS)
+        S.delete_from_nsw_index(
+            emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"),
+            tomb)
+        purged = os.path.join(staging, "purged")
+        shutil.copytree(tomb, purged)
+        S.compact_nsw_index(spark, purged)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            if not os.path.exists(os.path.join(path, "tomb", "meta")):
+                raise
+            shutil.rmtree(staging, ignore_errors=True)
+    q = _queries_df(spark, sf_dir)
+    out = None
+    for phase, sub in ((1, "tomb"), (2, "purged")):
+        idx = S.load_nsw_index(spark, os.path.join(path, sub),
+                               expect=_NSW_BUILD_PARAMS)
+        res = S.nsw_beam_search(
+            idx["adj"], emb, q, k=5, beam=4, rounds=3, n_entries=2,
+        ).select(F.lit(phase).cast("long").alias("phase"),
+                 "q_id", "vec_id", "cos_sim_q8", "rk")
+        out = res if out is None else out.unionByName(res)
+    return out.orderBy("phase", "q_id", "rk")
+
+
 def _nsw_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
              n_probe: int = 2, k_nbrs: int = 6, n_entries: int = 2,
              beam: int = 4, rounds: int = 3, k: int = 5,
-             n_q: int = 3) -> str:
+             n_q: int = 3, adj_where: str = "",
+             phases: int = 0) -> str:
     """DuckDB replay of sim28: the _int_cells_sql quantize+Lloyd
     prefix, then the k-NN graph (every vector probes its n_probe
     nearest cells; candidates share a cell; per-src top-k_nbrs), then
     each beam-search round as chained CTEs (beam -> neighbor expand ->
     score -> dedup'd visited re-rank) — deterministic at the fixed
-    round count, so no recursive CTE (the g3/g5 oracle recipe)."""
+    round count, so no recursive CTE (the g3/g5 oracle recipe).
+    `adj_where` filters the STORED edge list (sim30's tombstone
+    semantics: the per-src rank ran at build time, deletion never
+    re-ranks); `phases` cross-joins phase tags for the
+    tombstoned-vs-compacted parity shape (the sim26 recipe)."""
     d2 = _d2_sql(dim)
     norm2 = _norm2_sql(dim)
     last = f"c{iters}"
@@ -313,12 +387,14 @@ def _nsw_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
         FROM aprobe p
         JOIN af a ON p.cid = a.cid AND p.vec_id <> a.vec_id
         JOIN nrm n2 ON n2.vec_id = a.vec_id
-    ), adj AS (
+    ), adj0 AS (
         SELECT src, dst FROM (
             SELECT src, dst, row_number() OVER (PARTITION BY src
                 ORDER BY cs DESC, dst) AS nrk
             FROM gcand
         ) WHERE nrk <= {k_nbrs}
+    ), adj AS (
+        SELECT * FROM adj0 {adj_where}
     ), qq AS (
         SELECT vec_id AS q_id, q AS qvec, nrm AS qnrm
         FROM nrm WHERE vec_id < {n_q}
@@ -351,7 +427,19 @@ def _nsw_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
         FROM (SELECT * FROM v{r - 1} UNION ALL SELECT * FROM sv{r})
         GROUP BY q_id, vec_id
     )""")
-    parts.append(f"""
+    if phases:
+        tags = ", ".join(str(i) for i in range(1, phases + 1))
+        parts.append(f"""
+    SELECT CAST(p.phase AS BIGINT) AS phase, q_id, vec_id,
+           cos_sim_q8, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT q_id, vec_id, cos_sim_q8,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos_sim_q8 DESC, vec_id) AS rk
+        FROM v{rounds}
+    ) CROSS JOIN (SELECT unnest([{tags}]) AS phase) p
+    WHERE rk <= {k} ORDER BY phase, q_id, rk""")
+    else:
+        parts.append(f"""
     SELECT q_id, vec_id, cos_sim_q8, CAST(rk AS BIGINT) AS rk FROM (
         SELECT q_id, vec_id, cos_sim_q8,
                row_number() OVER (PARTITION BY q_id
@@ -564,6 +652,11 @@ def _int_ivf_range_sql(tau: float, dim: int = 64, k_cent: int = 4,
 ORACLES["sim11_int_ivf_topk"] = _int_ivf_sql()
 ORACLES["sim27_int_range_search"] = _int_ivf_range_sql(0.12, n_q=8)
 ORACLES["sim28_nsw_beam_search"] = _nsw_sql()
+
+QUERIES["sim30_nsw_delete"] = sim30_nsw_delete
+
+ORACLES["sim30_nsw_delete"] = _nsw_sql(
+    adj_where="WHERE src % 7 <> 3 AND dst % 7 <> 3", phases=2)
 # the persisted probe must equal the in-query build exactly — same replay
 ORACLES["sim29_nsw_persisted_probe"] = _nsw_sql()
 

@@ -2610,6 +2610,109 @@ class TestNswGraphAnn:
         with _pytest.raises(ValueError, match="version"):
             S.load_nsw_index(spark, bad)
 
+    def test_build_stats_match_real_pair_join(self, spark):
+        """The analytic cost model (nsw_build_stats) must equal the
+        real candidate join's cardinality — otherwise the linearity
+        pin below would be measuring a fiction."""
+        emb = self._emb(spark)
+        stats = S.nsw_build_stats(emb, n_centroids=4, n_probe=2,
+                                  iters=2)
+        real = S.nsw_candidate_pairs(emb, n_centroids=4, n_probe=2,
+                                     iters=2).count()
+        assert stats["pair_count"] == real
+        assert stats["n"] == emb.count()
+
+    def _lattice_emb(self, spark, n, dim=16):
+        """Deterministic synthetic corpus sized to order — vec_id
+        arithmetic mod a lattice, no RNG (Date.now/np.random are
+        banned in oracle-replayable paths and unneeded here)."""
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda d: (F.pmod(F.col("id") * (d * 7 + 3)
+                                  + d * d, F.lit(199)) - 99
+                           ).cast("double")).alias("embedding"),
+        ).repartition(16, "vec_id")
+
+    def test_derived_cell_count_keeps_pair_work_linear(self, spark):
+        """Round-13 VERDICT #1 done-bar: with the occupancy-targeted
+        derived cell count, total candidate-pair work grows ~linearly
+        when the corpus grows 10x — vs the fixed-cell build whose
+        occupancy (and so per-vector work) grows with n. Measured via
+        the analytic model (equality with the real join pinned
+        above), so no 100M-row join materializes in CI."""
+        small = self._lattice_emb(spark, 1_500)
+        big = self._lattice_emb(spark, 15_000)
+        d_small = S.nsw_build_stats(small, target_occupancy=128)
+        d_big = S.nsw_build_stats(big, target_occupancy=128)
+        assert d_small["n_centroids"] >= 8       # derivation engaged
+        assert d_big["n_centroids"] >= 8 * d_small["n_centroids"] // 2
+        ratio = d_big["pair_count"] / max(1, d_small["pair_count"])
+        assert ratio <= 25, (
+            f"pair work grew {ratio:.1f}x for 10x corpus "
+            f"(want ~linear): {d_small} -> {d_big}")
+        # the fixed-cell contrast: same corpus, n_centroids pinned at
+        # 4 — occupancy is n/4, pair work superlinear
+        f_big = S.nsw_build_stats(big, n_centroids=4,
+                                  target_occupancy=128)
+        assert f_big["pair_count"] > 5 * d_big["pair_count"], (
+            f"fixed-cell build should dominate: {f_big} vs {d_big}")
+
+    def test_load_expect_mismatch_raises(self, spark, tmp_path):
+        """ADVICE r12: probing a persisted graph with different build
+        parameters than it was saved with must refuse, not silently
+        return stale-parameter results."""
+        import pytest as _pytest
+
+        emb = self._emb(spark)
+        path = str(tmp_path / "nswidx")
+        S.save_nsw_index(emb, path, k_nbrs=6)
+        idx = S.load_nsw_index(spark, path,
+                               expect={"k_nbrs": 6, "n_probe": 2})
+        assert idx["meta"]["k_nbrs"] == 6
+        with _pytest.raises(ValueError, match="k_nbrs"):
+            S.load_nsw_index(spark, path, expect={"k_nbrs": 8})
+
+    def test_delete_tombstone_vs_compact_parity(self, spark, tmp_path):
+        """sim30's contract as a unit: tombstoned and compacted
+        graphs answer identically; deleted nodes vanish from BOTH
+        edge endpoints; compaction physically purges into a fresh
+        generation behind the ADJ pointer flip."""
+        import os
+
+        emb = self._emb(spark)
+        q = self._q(emb)
+        path = str(tmp_path / "idx")
+        S.save_nsw_index(emb, path, k_nbrs=6)
+        dead = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+        n_dead = dead.count()
+        assert n_dead > 0
+        S.delete_from_nsw_index(dead, path)
+        idx = S.load_nsw_index(spark, path)
+        assert idx["adj"].filter(
+            (F.col("src") % 7 == 3) | (F.col("dst") % 7 == 3)
+        ).count() == 0
+        got_t = sorted(tuple(r) for r in S.nsw_beam_search(
+            idx["adj"], emb, q).collect())
+        assert all(r[1] % 7 != 3 for r in got_t)   # vec_id col
+        S.compact_nsw_index(spark, path)
+        with open(os.path.join(path, "ADJ")) as f:
+            assert f.read().strip() == "adj-g2"
+        raw = spark.read.parquet(os.path.join(path, "adj-g2"))
+        assert raw.filter(
+            (F.col("src") % 7 == 3) | (F.col("dst") % 7 == 3)
+        ).count() == 0
+        idx2 = S.load_nsw_index(spark, path)
+        got_c = sorted(tuple(r) for r in S.nsw_beam_search(
+            idx2["adj"], emb, q).collect())
+        assert got_c == got_t
+        # second compaction retires the folded tombstones + old gen
+        S.compact_nsw_index(spark, path)
+        names = set(os.listdir(path))
+        assert "adj-g3" in names and "adj" not in names
+        assert "tombstones-folded-g2" not in names
+
     def test_visited_state_is_bounded(self, spark):
         """Scale-shape pin: per-query visited never exceeds
         n_entries + rounds * beam * k_nbrs."""

@@ -190,6 +190,52 @@ def lsh_side(spark) -> None:
           f"on {FACTOR}x buckets")
 
 
+def nsw_side(spark) -> None:
+    """Round-13 VERDICT #1: the k-NN graph build's candidate-pair work
+    must stay ~LINEAR when the corpus grows 10x, because the derived
+    cell count (derive_nsw_centroids) holds occupancy constant — the
+    fixed-cell build is the quadratic anti-shape (sf1's 680 s build
+    was its measured symptom). Pair counts come from the analytic
+    model (nsw_build_stats); the model itself is pinned against the
+    real join's cardinality at the small size."""
+    tocc = 640   # keeps the derived count under the literal-plan cap
+    stats, walls = {}, {}
+    for tag, n in (("small", SMALL_N), ("large", LARGE_N)):
+        t0 = time.perf_counter()
+        st = S.nsw_build_stats(synth_emb(spark, n),
+                               target_occupancy=tocc)
+        walls[tag] = time.perf_counter() - t0
+        stats[tag] = st
+        check(f"nsw/{tag}/derived-cells-track-n/occupancy",
+              st["n_centroids"] >= min(S.NSW_MAX_CENTROIDS,
+                                       n // tocc),
+              f"c={st['n_centroids']} for n={n} at occupancy {tocc}")
+        print(f"  nsw/{tag}: n={n} c={st['n_centroids']} "
+              f"pairs={st['pair_count']:,} "
+              f"max_occ={st['max_occupancy']} "
+              f"stats_wall={walls[tag]:.1f}s")
+    ratio = (stats["large"]["pair_count"]
+             / max(1, stats["small"]["pair_count"]))
+    check("nsw/pair-work-~linear-at-10x",
+          ratio <= 2.5 * FACTOR,
+          f"pairs grew {ratio:.1f}x on {FACTOR}x corpus "
+          f"({stats['small']['pair_count']:,} -> "
+          f"{stats['large']['pair_count']:,})")
+    # the fixed-cell contrast: 8 cells pinned on the large corpus --
+    # occupancy n/8, pair work superlinear (this is what the derived
+    # default replaces; kept cheap because the model never joins)
+    fx = S.nsw_build_stats(synth_emb(spark, LARGE_N), n_centroids=8)
+    check("nsw/fixed-cells-are-the-superlinear-contrast",
+          fx["pair_count"] > 3 * stats["large"]["pair_count"],
+          f"fixed-8-cell pairs {fx['pair_count']:,} vs derived "
+          f"{stats['large']['pair_count']:,}")
+    real = S.nsw_candidate_pairs(synth_emb(spark, SMALL_N),
+                                 target_occupancy=tocc).count()
+    check("nsw/analytic-model-equals-real-join",
+          real == stats["small"]["pair_count"],
+          f"model {stats['small']['pair_count']:,} vs join {real:,}")
+
+
 def main() -> int:
     shutil.rmtree(ROOT, ignore_errors=True)
     spark = get_spark("index-scale")
@@ -197,6 +243,7 @@ def main() -> int:
           f"({FACTOR}x), dim={DIM}")
     ivfpq_side(spark)
     lsh_side(spark)
+    nsw_side(spark)
     print("ALL PASS" if not failures else f"FAILURES: {failures}")
     shutil.rmtree(ROOT, ignore_errors=True)
     return 1 if failures else 0

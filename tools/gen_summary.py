@@ -34,14 +34,35 @@ def read(path: str) -> str:
         return f.read().replace("\r", "\n")
 
 
+def _live_registry_size() -> int | None:
+    """Size of the CURRENT queries() registry — the audit-parity
+    baseline. None if the entry module can't import here."""
+    try:
+        sys.path.insert(0, os.path.dirname(LOGS))
+        import __spark_entry__ as e
+        return len(e.queries())
+    except Exception:
+        return None
+
+
 def plan_audit_row(path: str) -> str:
     txt = read(path)
     ok = len(re.findall(r"(?m)^ok   ", txt))
     okw = len(re.findall(r"(?m)^ok\* ", txt))
     fail = len(re.findall(r"(?m)^(FAIL|ERROR)", txt))
     final = re.search(r"(?m)^(\d+) failures", txt)
-    return (f"{ok + okw + fail} queries: {ok} ok + {okw} whitelisted ok* "
-            f"+ {fail} FAIL; final line: {final.group(0) if final else 'MISSING'}")
+    row = (f"{ok + okw + fail} queries: {ok} ok + {okw} whitelisted ok* "
+           f"+ {fail} FAIL; final line: "
+           f"{final.group(0) if final else 'MISSING'}")
+    # count-parity gate (round-12 judge hygiene #1): the audit log must
+    # cover the registry AS IT STANDS NOW — a query registered after
+    # the audit ran (sim29's r12 slip) shows up as audited < live here
+    live = _live_registry_size()
+    if live is not None:
+        audited = ok + okw + fail
+        row += (f"; AUDIT-PARITY {'OK' if audited >= live else 'FAIL'} "
+                f"({audited} audited vs {live} registered)")
+    return row
 
 
 def pytest_row(path: str) -> str:
