@@ -65,6 +65,8 @@ EXTENDED = [
     "sim27_int_range_search",       # r11: IVF radius search, no rank
     "sim28_nsw_beam_search",        # r12: graph ANN, BSP beam search
     "sim29_nsw_persisted_probe",    # r12: persisted-graph probe side
+    "sim30_nsw_delete",             # r13: graph delete lifecycle
+    "sim31_nsw_recall_eval",        # r13: high-recall point report
 ]
 
 

@@ -355,7 +355,7 @@ def _nsw_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
              n_probe: int = 2, k_nbrs: int = 6, n_entries: int = 2,
              beam: int = 4, rounds: int = 3, k: int = 5,
              n_q: int = 3, adj_where: str = "",
-             phases: int = 0) -> str:
+             phases: int = 0, tail: str = "") -> str:
     """DuckDB replay of sim28: the _int_cells_sql quantize+Lloyd
     prefix, then the k-NN graph (every vector probes its n_probe
     nearest cells; candidates share a cell; per-src top-k_nbrs), then
@@ -365,7 +365,10 @@ def _nsw_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
     `adj_where` filters the STORED edge list (sim30's tombstone
     semantics: the per-src rank ran at build time, deletion never
     re-ranks); `phases` cross-joins phase tags for the
-    tombstoned-vs-compacted parity shape (the sim26 recipe)."""
+    tombstoned-vs-compacted parity shape (the sim26 recipe); `tail`
+    exposes the ranked beam result as a `beam` CTE and appends the
+    caller's own final statement (the _int_ivfpq_sql hook — sim31's
+    recall join rides it)."""
     d2 = _d2_sql(dim)
     norm2 = _norm2_sql(dim)
     last = f"c{iters}"
@@ -427,7 +430,17 @@ def _nsw_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
         FROM (SELECT * FROM v{r - 1} UNION ALL SELECT * FROM sv{r})
         GROUP BY q_id, vec_id
     )""")
-    if phases:
+    if tail:
+        parts.append(f""", beam AS (
+        SELECT q_id, vec_id, cos_sim_q8, CAST(rk AS BIGINT) AS rk
+        FROM (
+            SELECT q_id, vec_id, cos_sim_q8,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos_sim_q8 DESC, vec_id) AS rk
+            FROM v{rounds}
+        ) WHERE rk <= {k}
+    )""" + tail)
+    elif phases:
         tags = ", ".join(str(i) for i in range(1, phases + 1))
         parts.append(f"""
     SELECT CAST(p.phase AS BIGINT) AS phase, q_id, vec_id,
@@ -657,6 +670,87 @@ QUERIES["sim30_nsw_delete"] = sim30_nsw_delete
 
 ORACLES["sim30_nsw_delete"] = _nsw_sql(
     adj_where="WHERE src % 7 <> 3 AND dst % 7 <> 3", phases=2)
+
+
+def sim31_nsw_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 REPORT for the graph-ANN path at its HIGH-RECALL
+    parameter point (round-13 VERDICT #3 — the sim21 report shape
+    applied to sim28's family): beam search over a denser graph
+    (k_nbrs=12, beam=12, rounds=3, n_entries=8) against the exact
+    int8-cosine top-5. Measured recall@5 on the near-orthogonal
+    synthetic corpus: 0.95 / 1.00 / 1.00 at sf0.001 / 0.01 / 0.1
+    (sweep: the registry default k_nbrs=6/beam=4/rounds=3/ents=2
+    scores 0.475-0.60; 8/8/3/4 -> 0.775; 12/8/3/4 -> 0.975;
+    12/12/3/8 saturates) — the knob is GRAPH DENSITY first, beam
+    width second; near-orthogonal vectors make sparse k-NN graphs
+    poorly navigable, so k_nbrs is the recall lever and costs only
+    build-side work (the stored edge list doubles; probe work grows
+    with beam x k_nbrs). Both sides are exact integer arithmetic, so
+    the per-query hit counts AND the aggregate recall_milli are fully
+    hash-checked — the DuckDB oracle replays build + traversal +
+    exact ranking + the recall join in one statement (_nsw_sql's tail
+    hook). Visited state stays bounded: 8 + 3 x 12 x 12 = 440 rows
+    per query at ANY corpus size."""
+    from pyspark.sql import Window
+
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    q = _queries_df(spark, sf_dir, n=8)
+    adj = S.nsw_adjacency(emb, k_nbrs=12, n_centroids=4, n_probe=2,
+                          iters=2)
+    approx = S.nsw_beam_search(
+        adj, emb, q, k=5, beam=12, rounds=3, n_entries=8,
+    ).select("q_id", "vec_id").withColumn("_hit", F.lit(1))
+    emb_q = emb.select(
+        "vec_id", S.int8_quantize(F.col("embedding")).alias("_qv")) \
+        .withColumn("_n", F.sqrt(S.idot(F.col("_qv"), F.col("_qv"))
+                                 .cast("double")))
+    qq = emb_q.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("_qv").alias("_qq"),
+        F.col("_n").alias("_qn"))
+    pairs = emb_q.crossJoin(F.broadcast(qq)).select(
+        "q_id", "vec_id",
+        (S.idot(F.col("_qq"), F.col("_qv")).cast("double")
+         / (F.col("_qn") * F.col("_n"))).alias("cs"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cs"),
+                                           F.col("vec_id"))
+    exact = (pairs.withColumn("xrk", F.row_number().over(w))
+             .filter(F.col("xrk") <= 5).select("q_id", "vec_id"))
+    hits = (exact.join(approx, ["q_id", "vec_id"], "left")
+            .groupBy("q_id")
+            .agg(F.count("_hit").cast("long").alias("n_hits")))
+    tot = hits.agg(F.expr("(1000 * sum(n_hits)) div 40")
+                   .cast("long").alias("recall_milli"))
+    return (hits.crossJoin(F.broadcast(tot))
+            .select("q_id", "n_hits", "recall_milli")
+            .orderBy("q_id"))
+
+
+QUERIES["sim31_nsw_recall_eval"] = sim31_nsw_recall_eval
+
+_SIM31_DOT = ("CAST(list_sum(list_transform(range(1, 65), "
+              "i -> q.qvec[i]*n.q[i])) AS DOUBLE)")
+
+ORACLES["sim31_nsw_recall_eval"] = _nsw_sql(
+    k_nbrs=12, beam=12, rounds=3, n_entries=8, n_q=8, k=5,
+    tail=f""", xs AS (
+        SELECT q.q_id, n.vec_id,
+               row_number() OVER (PARTITION BY q.q_id
+                   ORDER BY {_SIM31_DOT} / (q.qnrm * n.nrm) DESC,
+                            n.vec_id) AS xrk
+        FROM qq q CROSS JOIN nrm n
+    ), xtop AS (
+        SELECT q_id, vec_id FROM xs WHERE xrk <= 5
+    ), hits AS (
+        SELECT x.q_id, count(b.vec_id) AS n_hits
+        FROM xtop x LEFT JOIN beam b
+          ON b.q_id = x.q_id AND b.vec_id = x.vec_id
+        GROUP BY x.q_id
+    ), tot AS (
+        SELECT (1000 * sum(n_hits)) // 40 AS recall_milli FROM hits
+    )
+    SELECT h.q_id, CAST(h.n_hits AS BIGINT) AS n_hits,
+           CAST(t.recall_milli AS BIGINT) AS recall_milli
+    FROM hits h CROSS JOIN tot t ORDER BY q_id""")
 # the persisted probe must equal the in-query build exactly — same replay
 ORACLES["sim29_nsw_persisted_probe"] = _nsw_sql()
 
