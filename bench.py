@@ -265,6 +265,24 @@ def main() -> None:
     if e1_blocks > 0:
         out["e1_refresh"] = e1_refresh_bench(spark, e1_blocks)
 
+    # UNIFIED stage schema (round-13 VERDICT #8): one
+    # {scenario: {stage: sec}} map covering the extended lifecycle
+    # splits AND the e1 refresh stages — tools/bench_e1.py emits the
+    # same key, so gen_summary renders both from one structure and
+    # round-over-round stage diffs are mechanical. The legacy keys
+    # (extended_stage_splits, e1_refresh.*_stages) stay for driver
+    # continuity.
+    unified: dict[str, dict] = dict(out.get("extended_stage_splits",
+                                            {}))
+    e1 = out.get("e1_refresh", {})
+    for scen, key in (("e1_cold", "full_stages"),
+                      ("e1_warm", "warm_stages"),
+                      ("e1_tick", "tick_stages")):
+        if e1.get(key):
+            unified[scen] = e1[key]
+    if unified:
+        out["stages"] = unified
+
     print(json.dumps(out))
 
 

@@ -2192,6 +2192,75 @@ ORACLES["st14_stream_ann_delete"] = _int_ivfpq_sql(
     FROM fr WHERE rk <= 5 ORDER BY q_id, rk""")
 
 
+def st16_stream_graph_delete(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """STREAMING GRAPH takedown — the graph-index cell of the
+    streaming x maintenance matrix (round 13; st13 deletes the band
+    index, st14 the IVF-PQ index, st16 the k-NN graph): a copy of the
+    sim29 full-corpus graph artifact receives takedown requests as a
+    FILE STREAM in two parquet files processed as separate
+    micro-batches (vec_id % 14 == 3, then % 14 == 10 — together every
+    % 7 == 3 node, the sim30 delete set), each batch applied via
+    foreachBatch with delete_from_nsw_index — an O(batch) tombstone
+    append under the maintenance lease, the stored edge list
+    untouched, with an applied-batch marker so a retried micro-batch
+    is a no-op (the st10/st13 idempotency discipline; the tombstone
+    anti-join additionally dedups ids). After the stream drains, the
+    standard queries beam-search the tombstoned graph; the DuckDB
+    oracle replays build + traversal with the deleted edges filtered
+    (_nsw_sql adj_where) — exactly sim30's phase-1 ranking, now
+    produced by a genuine Structured Streaming takedown run. Run
+    scratch is eager-and-clean (u6)."""
+    import os
+    import shutil
+    import tempfile
+
+    base = _nsw_index_path(sf_dir)
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    S.save_nsw_index(emb, base, **_NSW_BUILD_PARAMS)
+    run = tempfile.mkdtemp(prefix="sg_st16_")
+    try:
+        idx = os.path.join(run, "idx")
+        shutil.copytree(base, idx)
+        src = os.path.join(run, "takedowns")
+        # two takedown files -> two genuine micro-batches
+        (emb.filter(F.col("vec_id") % 14 == 3).select("vec_id")
+         .coalesce(1).write.mode("append").parquet(src))
+        (emb.filter(F.col("vec_id") % 14 == 10).select("vec_id")
+         .coalesce(1).write.mode("append").parquet(src))
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+
+        def batch_fn(batch_df, batch_id: int) -> None:
+            marker = os.path.join(run, f"applied-{batch_id}")
+            if os.path.exists(marker):
+                return
+            S.delete_from_nsw_index(batch_df, idx)
+            open(marker, "w").close()
+
+        q = (stream.writeStream.foreachBatch(batch_fn)
+             .option("checkpointLocation", os.path.join(run, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        loaded = S.load_nsw_index(spark, idx, expect=_NSW_BUILD_PARAMS)
+        out = S.nsw_beam_search(
+            loaded["adj"], emb, _queries_df(spark, sf_dir),
+            k=5, beam=4, rounds=3, n_entries=2,
+        ).orderBy("q_id", "rk")
+        rows = out.collect()
+        schema_out = out.schema
+    finally:
+        shutil.rmtree(run, ignore_errors=True)
+    return spark.createDataFrame(rows, schema_out).orderBy("q_id", "rk")
+
+
+QUERIES["st16_stream_graph_delete"] = st16_stream_graph_delete
+
+ORACLES["st16_stream_graph_delete"] = _nsw_sql(
+    adj_where="WHERE src % 7 <> 3 AND dst % 7 <> 3")
+
+
 def st15_stream_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING ANN ingest append — the sim-family twin of st10,
     completing the streaming x maintenance MATRIX for both persisted

@@ -93,20 +93,60 @@ def refresh_once(tables: dict[str, DataFrame], gold_dir: str,
     _t0 = _pc()
     try:
         if reuse_gold:
-            _write_gold_with_state(tables, gold_dir, prepared, mode)
+            _write_gold_with_state(tables, gold_dir, prepared, mode,
+                                   stage_timings=stage_timings)
         else:
             for name, builder in (
                 ("miner_info", core.miner_info),
                 ("mining_info", core.mining_info),
                 ("block_info", core.block_info),
             ):
+                _tw = _pc()
                 write_gold(builder(tables, prepared=prepared),
                            f"{gold_dir}/{name}")
+                if stage_timings is not None:
+                    stage_timings[f"gw_{name}"] = round(_pc() - _tw, 3)
         if stage_timings is not None:
             stage_timings["gold_writes"] = round(_pc() - _t0, 3)
     finally:
         prepared["enriched"].unpersist()
     return mode
+
+
+def refresh_once_store(tables: dict[str, DataFrame], store,
+                       stage_timings: dict | None = None) -> None:
+    """The ST1 batch body writing through a GoldStore BACKEND
+    (sources.deltalog.gold_store: 'pointer' or 'deltalog') instead of
+    raw parquet dirs — round-13 VERDICT #7. Each tick SETs the three
+    gold outputs: an atomic snapshot replace per key on either
+    backend. What the deltalog backend changes operationally: the
+    single-writer assumption disappears — two refresh processes
+    racing a tick BOTH commit via the optimistic log protocol (the
+    racing-writer tests in test_deltalog), so a misconfigured double
+    scheduler degrades to wasted work instead of corrupt gold, and
+    every superseded tick stays time-travelable. The maintenance
+    LEASE remains the right tool for the persisted-index artifacts
+    (multi-directory parquet fragments with pointer files — not
+    log-structured tables); the gold tick is where the log replaces
+    it."""
+    from time import perf_counter as _pc
+
+    _t0 = _pc()
+    prepared = core.prepare(tables)
+    try:
+        for name, builder in (
+            ("miner_info", core.miner_info),
+            ("mining_info", core.mining_info),
+            ("block_info", core.block_info),
+        ):
+            _tw = _pc()
+            store.set(name, builder(tables, prepared=prepared))
+            if stage_timings is not None:
+                stage_timings[f"gw_{name}"] = round(_pc() - _tw, 3)
+        if stage_timings is not None:
+            stage_timings["gold_writes"] = round(_pc() - _t0, 3)
+    finally:
+        prepared["enriched"].unpersist()
 
 
 def _is_bucket_partitioned(path: str) -> bool:
@@ -119,7 +159,8 @@ def _is_bucket_partitioned(path: str) -> bool:
 
 
 def _write_gold_with_state(tables: dict[str, DataFrame], gold_dir: str,
-                           prepared: dict, mode: str) -> None:
+                           prepared: dict, mode: str,
+                           stage_timings: dict | None = None) -> None:
     """Gold + chain-state writes for the reuse_gold refresh family.
 
     mining_info / block_info are per-height outputs partitioned by
@@ -150,22 +191,37 @@ def _write_gold_with_state(tables: dict[str, DataFrame], gold_dir: str,
     pt = miner_partials(prepared)
     # a warm write can only be partition-scoped onto an hbucket layout:
     # a dir last written flat (reuse_gold=False) gets a full rewrite
+    from time import perf_counter as _pc
+
+    def _timed_write(name: str, fn) -> None:
+        # per-table attribution (round-13 VERDICT #6): the driver-vs-
+        # builder gold_writes delta was undiagnosable from one number
+        _tw = _pc()
+        fn()
+        if stage_timings is not None:
+            stage_timings[f"gw_{name}"] = round(_pc() - _tw, 3)
+
     warm_scoped = mode == "warm" and all(
         _is_bucket_partitioned(f"{gold_dir}/{n}")
         for n in ("mining_info", "block_info", "miner_partials"))
     if warm_scoped:
         lo_bucket = prepared["aligned_floor"] // HEIGHTS_PER_BUCKET
         affected = F.col("hbucket") >= lo_bucket
-        _write_dynamic(mi.filter(affected), f"{gold_dir}/mining_info")
-        _write_dynamic(bi.filter(affected), f"{gold_dir}/block_info")
-        _write_dynamic(pt.filter(affected), f"{gold_dir}/miner_partials")
+        _timed_write("mining_info", lambda: _write_dynamic(
+            mi.filter(affected), f"{gold_dir}/mining_info"))
+        _timed_write("block_info", lambda: _write_dynamic(
+            bi.filter(affected), f"{gold_dir}/block_info"))
+        _timed_write("miner_partials", lambda: _write_dynamic(
+            pt.filter(affected), f"{gold_dir}/miner_partials"))
     else:
         for df, name in ((mi, "mining_info"), (bi, "block_info"),
                          (pt, "miner_partials")):
-            (df.repartition("hbucket").write.mode("overwrite")
-             .partitionBy("hbucket").parquet(f"{gold_dir}/{name}"))
-    write_gold(core.miner_info(tables, prepared=prepared),
-               f"{gold_dir}/miner_info")
+            _timed_write(name, lambda df=df, name=name: (
+                df.repartition("hbucket").write.mode("overwrite")
+                .partitionBy("hbucket").parquet(f"{gold_dir}/{name}")))
+    _timed_write("miner_info", lambda: write_gold(
+        core.miner_info(tables, prepared=prepared),
+        f"{gold_dir}/miner_info"))
 
     # maintain the chain state so the next refresh is warm: warm mode
     # touches only the window's buckets, cold mode (wchain = full
@@ -175,8 +231,9 @@ def _write_gold_with_state(tables: dict[str, DataFrame], gold_dir: str,
     if mode == "cold":
         reset_state_for_layout(gold_dir)
     chain_df, stacks_df = chain_state_frames(prepared)
-    _write_dynamic(chain_df, f"{gold_dir}/canonical_chain")
-    _write_dynamic(stacks_df, f"{gold_dir}/canonical_stacks")
+    _timed_write("chain_state", lambda: (
+        _write_dynamic(chain_df, f"{gold_dir}/canonical_chain"),
+        _write_dynamic(stacks_df, f"{gold_dir}/canonical_stacks")))
     if mode == "cold":
         mark_state_layout(gold_dir)
 
@@ -188,28 +245,33 @@ def _write_gold_with_state(tables: dict[str, DataFrame], gold_dir: str,
     # HEADER tip (which can sit below it) bounds mining_info/
     # canonical_stacks. Bounded 1-row aggs.
     from .incremental import _prune_buckets_above
-    tip = prepared.get("tip_stacks")
-    if tip is None:
-        tip = prepared["snap"].agg(
-            F.max("stacks_block_height")).collect()[0][0]
-    stip = prepared["wstacks"].agg(
-        F.max("block_height")).collect()[0][0]
-    tip_bucket = (tip or 0) // HEIGHTS_PER_BUCKET
-    stip_bucket = (stip or 0) // HEIGHTS_PER_BUCKET
-    targets = [("canonical_chain", tip_bucket),
-               ("canonical_stacks", stip_bucket),
-               ("miner_partials", tip_bucket)]
-    if warm_scoped:
-        targets += [("mining_info", stip_bucket),
-                    ("block_info", tip_bucket)]
-    for p, b in targets:
-        _prune_buckets_above(f"{gold_dir}/{p}", b)
+
+    def _prune() -> None:
+        tip = prepared.get("tip_stacks")
+        if tip is None:
+            tip = prepared["snap"].agg(
+                F.max("stacks_block_height")).collect()[0][0]
+        stip = prepared["wstacks"].agg(
+            F.max("block_height")).collect()[0][0]
+        tip_bucket = (tip or 0) // HEIGHTS_PER_BUCKET
+        stip_bucket = (stip or 0) // HEIGHTS_PER_BUCKET
+        targets = [("canonical_chain", tip_bucket),
+                   ("canonical_stacks", stip_bucket),
+                   ("miner_partials", tip_bucket)]
+        if warm_scoped:
+            targets += [("mining_info", stip_bucket),
+                        ("block_info", tip_bucket)]
+        for p, b in targets:
+            _prune_buckets_above(f"{gold_dir}/{p}", b)
+
+    _timed_write("prune", _prune)
 
 
 def stream_refresh(spark: SparkSession, bronze_dir: str, gold_dir: str,
                    read_tables, interval: str = "120 seconds",
                    checkpoint: str | None = None,
-                   mode: str = "full", reorg_depth: int = 100):
+                   mode: str = "full", reorg_depth: int = 100,
+                   backend: str | None = None):
     """ST1/ST2: the reference's setInterval as a processing-time
     trigger. The snapshots bronze directory is watched as a file
     stream purely as a tick source; each tick re-reads ALL bronze
@@ -225,15 +287,27 @@ def stream_refresh(spark: SparkSession, bronze_dir: str, gold_dir: str,
 
     `read_tables(spark) -> dict[str, DataFrame]` supplies fresh batch
     reads per tick (so new files are picked up via normal parquet
-    listing)."""
+    listing).
+
+    `backend` (round 13): None keeps the raw-parquet gold layout
+    (warm/incremental machinery needs it); 'pointer' / 'deltalog'
+    routes each tick's gold writes through the corresponding
+    GoldStore (refresh_once_store) — with 'deltalog', racing refresh
+    processes both commit and every tick is time-travelable."""
     ticks = (
         spark.readStream.format("parquet")
         .schema(spark.read.parquet(f"{bronze_dir}/snapshots").schema)
         .load(f"{bronze_dir}/snapshots")
     )
+    store = None
+    if backend is not None:
+        from .sources.deltalog import gold_store
+        store = gold_store(gold_dir, backend)
 
     def batch_fn(_batch_df: DataFrame, batch_id: int) -> None:
-        if mode == "incremental":
+        if store is not None:
+            refresh_once_store(read_tables(spark), store)
+        elif mode == "incremental":
             from .incremental import incremental_refresh
             depth = 10 ** 12 if batch_id == 0 else reorg_depth
             incremental_refresh(spark, read_tables(spark), gold_dir,

@@ -326,6 +326,55 @@ class TestDeltaGoldStore:
             gold_store(str(tmp_path / "c"), "redis")
 
     @pytest.mark.parametrize("backend", ["pointer", "deltalog"])
+    def test_stream_refresh_through_backend(self, spark, tables,
+                                            tmp_path, backend):
+        """Round-13 VERDICT #7: the st-family foreachBatch gold tick
+        parameterized over BOTH GoldStore backends — a real
+        Structured Streaming run whose per-tick writes go through
+        store.set, outputs equal to the direct compute; the deltalog
+        backend additionally versions every tick (time travel) and
+        replaces the single-writer discipline with optimistic
+        commits."""
+        import time
+
+        from mining_data_integration_spark import streaming
+        from mining_data_integration_spark.streaming import (
+            e1_gold_tables, refresh_once_store)
+
+        bronze = str(tmp_path / "bronze")
+        gold = str(tmp_path / "gold")
+        tables["snapshots"].write.parquet(f"{bronze}/snapshots")
+        store = gold_store(gold, backend)
+        q = streaming.stream_refresh(
+            spark, bronze, gold, lambda s: tables,
+            interval="1 seconds",
+            checkpoint=str(tmp_path / "ckpt"), backend=backend)
+        try:
+            deadline = time.time() + 60
+            got = None
+            while time.time() < deadline:
+                try:
+                    got = store.get(spark, "miner_info")
+                    got.count()
+                    break
+                except Exception:
+                    time.sleep(1)
+            assert got is not None, "no gold tick landed"
+        finally:
+            q.stop()
+        want = e1_gold_tables(tables)
+        for name, df in want.items():
+            assert rows_of(store.get(spark, name)) == rows_of(df), name
+        if backend == "deltalog":
+            # a second tick (same batch body the stream runs) bumps
+            # the version; the first tick stays time-travelable
+            refresh_once_store(tables, store)
+            hist = store.history("miner_info")
+            assert len(hist) >= 2
+            assert rows_of(store.get(spark, "miner_info", version=0)) \
+                == rows_of(want["miner_info"])
+
+    @pytest.mark.parametrize("backend", ["pointer", "deltalog"])
     def test_e1_gold_outputs_roundtrip_per_backend(self, spark, tables,
                                                    tmp_path, backend):
         """The VERDICT done-bar: the e1 gold outputs written and read

@@ -98,8 +98,16 @@ class TestIncremental:
         mode = refresh_once(ext, gold, reuse_gold=True, reorg_depth=3,
                             stage_timings=st)
         assert mode == "warm"
-        assert set(st) == {"walk", "gold_writes", "window_walk",
+        # core stages plus the round-13 per-table gold-write splits
+        # (gw_*, VERDICT #6) — the splits must cover the gold_writes
+        # aggregate they decompose
+        assert set(st) >= {"walk", "gold_writes", "window_walk",
                            "history_materialize"}
+        gw = {k: v for k, v in st.items() if k.startswith("gw_")}
+        assert set(gw) == {"gw_mining_info", "gw_block_info",
+                           "gw_miner_partials", "gw_miner_info",
+                           "gw_chain_state", "gw_prune"}
+        assert sum(gw.values()) <= st["gold_writes"] + 0.05
         for name, builder in (("mining_info", core.mining_info),
                               ("block_info", core.block_info),
                               ("miner_info", core.miner_info)):

@@ -197,9 +197,17 @@ def main() -> None:
                 "skipped: one join per link, cliff at ~3k depth " \
                 "(logs/r8_walk_scale_150k.log)"
 
+    # unified stage schema (round-13 VERDICT #8) — same
+    # {scenario: {stage: sec}} key bench.py emits, so gen_summary
+    # renders both files with one structure
+    unified = {"e1_cold": cold_st, "e1_warm": warm_st,
+               "e1_tick": tick_st,
+               "walk_engines": {k: v for k, v in walk_engines.items()
+                                if isinstance(v, (int, float))}}
     print(json.dumps({
         "metric": "e1_refresh_wall", "value": wall, "unit": "sec",
         "walk_engines": walk_engines,
+        "stages": {k: v for k, v in unified.items() if v},
         "warm_full_refresh_sec": warm_wall,
         "warm_stage_walk_sec": warm_st.get("walk"),
         "warm_stage_window_walk_sec": warm_st.get("window_walk"),

@@ -135,6 +135,13 @@ def bench_rows(prefix: str) -> list[tuple[str, str]]:
             rows.append((fn, f"headline {d.get('value')} s "
                          f"(sf {d.get('sf')}, "
                          f"sp_exchanges {d.get('single_partition_exchanges')})"))
+        # unified stage schema (round 13): every bench JSON —
+        # bench.py and tools/bench_e1.py alike — carries one
+        # {scenario: {stage: sec}} map, rendered here identically so
+        # round-over-round stage diffs come from ONE structure
+        for scen, st in sorted((d.get("stages") or {}).items()):
+            detail = " ".join(f"{k}={v}" for k, v in sorted(st.items()))
+            rows.append((f"{fn} stages/{scen}", detail))
     return rows
 
 

@@ -44,6 +44,10 @@ ALLOWED: dict[str, dict[str, str]] = {
         "sim6_scalable_topk": "3-row query-vector set broadcast",
         "sim7_quantized_topk": "3-row query-vector set broadcast",
         "sim9_pq_topk": "3-row query LUT broadcast (ADC probe pattern)",
+        "sim31_nsw_recall_eval": "8-row query-vector broadcast (the "
+                                 "exact side of the recall report — "
+                                 "sim1's probe pattern) + 1-row "
+                                 "recall-total broadcast",
         "sim4_ivf_topk": "3-row query-vector set broadcast (IVF probe "
                          "+ brute-force verdict companion) and 1-row "
                          "verdict aggregates",
@@ -133,6 +137,9 @@ ALLOWED: dict[str, dict[str, str]] = {
                          "(broadcast back over O(queries) rows)",
         "sim9_pq_topk": "1-row recall/total verdict aggregates "
                         "(broadcast back over O(queries) rows)",
+        "sim31_nsw_recall_eval": "1-row recall_milli total aggregate "
+                                 "(broadcast back over O(queries) "
+                                 "rows — the sim9 verdict pattern)",
         "o3_argmax": "single max row",
         "s12_filtered_top1": "top-1",
         "f8_prefix_until_sentinel": "top-10 prefix scan",
