@@ -281,14 +281,9 @@ def _buckets_dir(path: str) -> str:
     a tiny `BUCKETS` pointer file (the sources/kv.py pointer-swap
     discipline), so a probe racing a compaction always resolves one
     complete directory — never a hole."""
-    import os
+    from ..sources.kv import resolve_pointer
 
-    ptr = os.path.join(path, "BUCKETS")
-    try:
-        with open(ptr) as f:
-            return os.path.join(path, f.read().strip())
-    except OSError:
-        return os.path.join(path, "buckets")
+    return resolve_pointer(path, "BUCKETS", "buckets")
 
 
 def _prune_bucket_generations(path: str, keep: set[str]) -> None:
@@ -310,7 +305,11 @@ def _read_tombstones(spark, path: str):
     buckets generation — anti-joining an already-purged id is a no-op,
     so reading folded sets is always safe and closes the race where a
     probe resolves the old generation just before a compaction flips
-    the pointer and retires the live set)."""
+    the pointer and retires the live set). ignoreMissingFiles: a
+    tombstone file can only vanish mid-scan by RETIRE
+    (kv.fold_tombstones_reader_safe), one full cycle after its fold —
+    by then its ids are physically purged from every generation a
+    racing reader can still resolve."""
     import os
 
     dirs = []
@@ -322,7 +321,8 @@ def _read_tombstones(spark, path: str):
                 dirs.append(d)
     if not dirs:
         return None
-    return spark.read.parquet(*dirs).select("id").distinct()
+    return (spark.read.option("ignoreMissingFiles", "true")
+            .parquet(*dirs).select("id").distinct())
 
 
 @_staged("delete")
@@ -472,11 +472,11 @@ def compact_minhash_index(spark, path: str) -> None:
         with open(tmp, "w") as f:
             f.write(new_name)
         os.replace(tmp, ptr)  # atomic: probes see old or new, never none
-        live = os.path.join(path, "tombstones")
-        if os.path.isdir(live):
-            os.rename(live, os.path.join(
-                path, f"tombstones-folded-g{gen + 1}"))
-        folded_keep = f"tombstones-folded-g{gen + 1}"
+        # reader-safe fold (round-13 review): hard-link live
+        # tombstones into the folded set so a racing reader's
+        # captured live paths keep their bytes one more cycle
+        from ..sources.kv import fold_tombstones_reader_safe
+        folded_keep = fold_tombstones_reader_safe(path, gen + 1)
         for name in os.listdir(path):
             if name.startswith("tombstones-folded-g") \
                     and name != folded_keep:

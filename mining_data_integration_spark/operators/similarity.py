@@ -701,14 +701,9 @@ def _nsw_adj_dir(path: str) -> str:
     (the CODES/BUCKETS pointer-swap discipline) — compactions write
     immutable `adj-g<N>/` generations and flip the pointer, so a probe
     racing a compaction always resolves one complete directory."""
-    import os
+    from ..sources.kv import resolve_pointer
 
-    ptr = os.path.join(path, "ADJ")
-    try:
-        with open(ptr) as f:
-            return os.path.join(path, f.read().strip())
-    except OSError:
-        return os.path.join(path, "adj")
+    return resolve_pointer(path, "ADJ", "adj")
 
 
 def load_nsw_index(spark, path: str,
@@ -816,11 +811,11 @@ def compact_nsw_index(spark, path: str) -> None:
         with open(tmp, "w") as f:
             f.write(new_name)
         os.replace(tmp, ptr)  # atomic: loads see old or new, never none
-        live = os.path.join(path, "tombstones")
-        if os.path.isdir(live):
-            os.rename(live, os.path.join(
-                path, f"tombstones-folded-g{gen + 1}"))
-        folded_keep = f"tombstones-folded-g{gen + 1}"
+        # reader-safe fold (round-13 review): hard-link live
+        # tombstones into the folded set so a racing reader's
+        # captured live paths keep their bytes one more cycle
+        from ..sources.kv import fold_tombstones_reader_safe
+        folded_keep = fold_tombstones_reader_safe(path, gen + 1)
         for name in os.listdir(path):
             if (name == "adj" or name.startswith("adj-g")
                     or name.startswith("tombstones-folded-g")) \
@@ -904,6 +899,34 @@ def nsw_beam_search(adj: DataFrame, emb: DataFrame, queries: DataFrame,
         .filter(F.col("rk") <= k)
         .select(q_id_col, id_col, "cos_sim_q8", "rk")
     )
+
+
+def int8_exact_cosine_topk(emb: DataFrame, n_q: int, k: int,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Exact int8-cosine top-k where the queries are the n_q lowest-id
+    corpus vectors (the registry's standard query set) — the
+    GROUND-TRUTH side of every graph/quantizer recall report (sim31,
+    the recall pins in tests). One shared implementation so the
+    tie-break (score desc, then id) and the quantize/norm recipe
+    cannot drift between report and pin. Broadcast the n_q queries,
+    score map-side with exact integer dots, rank per query — the
+    brute_force_topk shape."""
+    emb_q = emb.select(
+        F.col(id_col), int8_quantize(F.col(vec_col)).alias("_qv")) \
+        .withColumn("_n", F.sqrt(idot(F.col("_qv"), F.col("_qv"))
+                                 .cast("double")))
+    qq = emb_q.filter(F.col(id_col) < n_q).select(
+        F.col(id_col).alias("q_id"), F.col("_qv").alias("_qq"),
+        F.col("_n").alias("_qn"))
+    pairs = emb_q.crossJoin(F.broadcast(qq)).select(
+        "q_id", F.col(id_col),
+        (idot(F.col("_qq"), F.col("_qv")).cast("double")
+         / (F.col("_qn") * F.col("_n"))).alias("cs"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cs"),
+                                           F.col(id_col))
+    return (pairs.withColumn("xrk", F.row_number().over(w))
+            .filter(F.col("xrk") <= k))
 
 
 def int8_quantize(vec: Column) -> Column:
@@ -1509,23 +1532,24 @@ def _codes_dir(path: str) -> str:
     pointer-swap discipline, mirroring the minhash index's BUCKETS
     pointer), so a probe racing a compaction always resolves one
     complete directory — never a hole."""
-    import os
+    from ..sources.kv import resolve_pointer
 
-    ptr = os.path.join(path, "CODES")
-    try:
-        with open(ptr) as f:
-            return os.path.join(path, f.read().strip())
-    except OSError:
-        return os.path.join(path, "codes")
+    return resolve_pointer(path, "CODES", "codes")
 
 
 def _read_vec_tombstones(spark, path: str):
-    """All tombstoned vector ids of a persisted IVF-PQ index, or None:
+    """All tombstoned vector ids of a persisted index, or None:
     live `tombstones/` UNION `tombstones-folded-g<N>/` (already purged
     from generation N's codes but kept one compaction cycle for probes
     still reading the previous generation — anti-joining an
-    already-purged id is a no-op). Same race argument as the dedup
-    index's _read_tombstones."""
+    already-purged id is a no-op; the reader-safe fold hard-links, so
+    live paths keep their bytes one cycle too). ignoreMissingFiles:
+    a tombstone file can only vanish mid-scan by RETIRE
+    (kv.fold_tombstones_reader_safe), which happens one full cycle
+    after its fold — by then its ids are physically purged from every
+    generation a racing reader can still resolve, so skipping the
+    missing file never unmasks a deleted row. Same race argument as
+    the dedup index's _read_tombstones."""
     import os
 
     dirs = []
@@ -1537,7 +1561,8 @@ def _read_vec_tombstones(spark, path: str):
                 dirs.append(d)
     if not dirs:
         return None
-    return spark.read.parquet(*dirs).select("id").distinct()
+    return (spark.read.option("ignoreMissingFiles", "true")
+            .parquet(*dirs).select("id").distinct())
 
 
 @_staged("delete")
@@ -1606,11 +1631,11 @@ def compact_ivfpq_index(spark, path: str) -> None:
         with open(tmp, "w") as f:
             f.write(new_name)
         os.replace(tmp, ptr)  # atomic: loads see old or new, never none
-        live = os.path.join(path, "tombstones")
-        if os.path.isdir(live):
-            os.rename(live, os.path.join(
-                path, f"tombstones-folded-g{gen + 1}"))
-        folded_keep = f"tombstones-folded-g{gen + 1}"
+        # reader-safe fold (round-13 review): hard-link live
+        # tombstones into the folded set so a racing reader's
+        # captured live paths keep their bytes one more cycle
+        from ..sources.kv import fold_tombstones_reader_safe
+        folded_keep = fold_tombstones_reader_safe(path, gen + 1)
         for name in os.listdir(path):
             if (name == "codes" or name.startswith("codes-g")
                     or name.startswith("tombstones-folded-g")) \

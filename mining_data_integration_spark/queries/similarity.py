@@ -691,8 +691,6 @@ def sim31_nsw_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact ranking + the recall join in one statement (_nsw_sql's tail
     hook). Visited state stays bounded: 8 + 3 x 12 x 12 = 440 rows
     per query at ANY corpus size."""
-    from pyspark.sql import Window
-
     emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
     q = _queries_df(spark, sf_dir, n=8)
     adj = S.nsw_adjacency(emb, k_nbrs=12, n_centroids=4, n_probe=2,
@@ -700,21 +698,8 @@ def sim31_nsw_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = S.nsw_beam_search(
         adj, emb, q, k=5, beam=12, rounds=3, n_entries=8,
     ).select("q_id", "vec_id").withColumn("_hit", F.lit(1))
-    emb_q = emb.select(
-        "vec_id", S.int8_quantize(F.col("embedding")).alias("_qv")) \
-        .withColumn("_n", F.sqrt(S.idot(F.col("_qv"), F.col("_qv"))
-                                 .cast("double")))
-    qq = emb_q.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("q_id"), F.col("_qv").alias("_qq"),
-        F.col("_n").alias("_qn"))
-    pairs = emb_q.crossJoin(F.broadcast(qq)).select(
-        "q_id", "vec_id",
-        (S.idot(F.col("_qq"), F.col("_qv")).cast("double")
-         / (F.col("_qn") * F.col("_n"))).alias("cs"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cs"),
-                                           F.col("vec_id"))
-    exact = (pairs.withColumn("xrk", F.row_number().over(w))
-             .filter(F.col("xrk") <= 5).select("q_id", "vec_id"))
+    exact = S.int8_exact_cosine_topk(emb, n_q=8, k=5) \
+        .select("q_id", "vec_id")
     hits = (exact.join(approx, ["q_id", "vec_id"], "left")
             .groupBy("q_id")
             .agg(F.count("_hit").cast("long").alias("n_hits")))

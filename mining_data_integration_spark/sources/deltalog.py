@@ -93,6 +93,30 @@ def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
+def _schema_compatible_for_append(existing_json: str,
+                                  new_json: str) -> bool:
+    """Append-compatibility between the table schema and incoming
+    data: same field names and types in order, with Delta's
+    nullability rule — non-nullable data appends into a nullable
+    column fine, but nullable data may NOT append into a non-null
+    column (it could violate the constraint). Raw schemaString
+    equality is too strict: a structurally identical DataFrame whose
+    lineage made a column nullable (joins, aggregations) is a
+    legitimate append. Top-level fields only — nested-struct
+    nullability drift still refuses via the type-equality compare,
+    the conservative direction."""
+    ex = json.loads(existing_json)["fields"]
+    nw = json.loads(new_json)["fields"]
+    if len(ex) != len(nw):
+        return False
+    for e, n in zip(ex, nw):
+        if e["name"] != n["name"] or e["type"] != n["type"]:
+            return False
+        if n.get("nullable", True) and not e.get("nullable", True):
+            return False
+    return True
+
+
 class DeltaLogTable:
     """One table under the Delta transaction-log protocol."""
 
@@ -340,22 +364,32 @@ class DeltaLogTable:
                 snap = self.snapshot(latest)
                 if snap["metaData"]["schemaString"] != new_schema:
                     if mode == "append":
-                        # protocol rule: append may not change the
-                        # schema (a replacement metaData would make
-                        # to_df null-fill every old file's missing
-                        # columns); drop the staged files so the
-                        # refusal leaves no garbage behind
-                        for a in adds:
-                            try:
-                                os.unlink(os.path.join(
-                                    self.path, a["path"]))
-                            except OSError:
-                                pass
-                        raise SchemaMismatchError(
-                            f"append schema differs from table schema "
-                            f"at {self.path}; use overwrite to "
-                            f"replace the schema")
-                    actions.append(self._meta_action(df, partition_by))
+                        if _schema_compatible_for_append(
+                                snap["metaData"]["schemaString"],
+                                new_schema):
+                            # nullability-compatible drift: the TABLE
+                            # schema wins, no metaData replacement
+                            pass
+                        else:
+                            # protocol rule: append may not change
+                            # the schema (a replacement metaData
+                            # would make to_df null-fill every old
+                            # file's missing columns); drop the
+                            # staged files so the refusal leaves no
+                            # garbage behind
+                            for a in adds:
+                                try:
+                                    os.unlink(os.path.join(
+                                        self.path, a["path"]))
+                                except OSError:
+                                    pass
+                            raise SchemaMismatchError(
+                                f"append schema incompatible with "
+                                f"table schema at {self.path}; use "
+                                f"overwrite to replace the schema")
+                    else:
+                        actions.append(
+                            self._meta_action(df, partition_by))
                 if mode == "overwrite":
                     ts = _now_ms()
                     removes = [{"remove": {"path": p,

@@ -160,3 +160,71 @@ def maintenance_lease(path: str, name: str = ".maintenance-lease",
             os.unlink(lease)
         except OSError:
             pass
+
+
+def resolve_pointer(path: str, ptr_name: str, default: str) -> str:
+    """Resolve a versioned-generation directory via its pointer file
+    (the BUCKETS/CODES/ADJ discipline, shared since round 13): the
+    pointer names ONE immutable directory, swapped with os.replace,
+    so a reader racing a compaction resolves either the old or the
+    new generation — never a hole."""
+    ptr = os.path.join(path, ptr_name)
+    try:
+        with open(ptr) as f:
+            return os.path.join(path, f.read().strip())
+    except OSError:
+        return os.path.join(path, default)
+
+
+def fold_tombstones_reader_safe(path: str, new_gen: int) -> str:
+    """READER-SAFE tombstone fold at compaction time (round-13 review:
+    the old os.rename fold moved the live `tombstones/` dir out from
+    under a racing reader whose lazy scan had already captured those
+    file paths — FileNotFoundException at execute time, violating the
+    kept-one-cycle contract the superseded data generation honors).
+
+    Two steps, writers serialized by the caller's maintenance lease:
+
+      1. RETIRE — for every older `tombstones-folded-g<K>` (which the
+         caller prunes after this call), unlink the same-NAMED files
+         from live `tombstones/`: their bytes were folded one full
+         cycle ago, so no in-flight reader can still hold them.
+      2. FOLD — hard-link every live tombstone file into
+         `tombstones-folded-g<new_gen>/` (copy on filesystems without
+         links). The LIVE paths keep their bytes one more cycle, so a
+         reader that captured them pre-compaction still executes; the
+         union readers take over live + folded dirs makes the
+         double-presence a distinct() no-op, and anti-joining an
+         already-purged id is itself a no-op.
+
+    Crash-safe at any point: a partial retire leaves ids present in
+    the (still unpruned) folded dir; a partial fold leaves them live;
+    either way the next compaction converges. Returns the folded dir
+    NAME the caller must keep this cycle."""
+    import shutil
+
+    folded_keep = f"tombstones-folded-g{new_gen}"
+    live = os.path.join(path, "tombstones")
+    for name in sorted(os.listdir(path)):
+        if (name.startswith("tombstones-folded-g")
+                and name != folded_keep
+                and os.path.isdir(os.path.join(path, name))):
+            for f in os.listdir(os.path.join(path, name)):
+                try:
+                    os.unlink(os.path.join(live, f))
+                except OSError:
+                    pass
+    if os.path.isdir(live):
+        files = [f for f in os.listdir(live) if f.endswith(".parquet")]
+        if files:
+            dst_dir = os.path.join(path, folded_keep)
+            os.makedirs(dst_dir, exist_ok=True)
+            for f in files:
+                src, dst = os.path.join(live, f), os.path.join(dst_dir, f)
+                if os.path.exists(dst):
+                    continue
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+    return folded_keep

@@ -133,6 +133,11 @@ def refresh_once_store(tables: dict[str, DataFrame], store,
 
     _t0 = _pc()
     prepared = core.prepare(tables)
+    if stage_timings is not None:
+        # same stage axes as refresh_once: prepare = walk,
+        # gold_writes = writes only (gw_* splits cover it)
+        stage_timings["walk"] = round(_pc() - _t0, 3)
+    _t0 = _pc()
     try:
         for name, builder in (
             ("miner_info", core.miner_info),
@@ -301,6 +306,12 @@ def stream_refresh(spark: SparkSession, bronze_dir: str, gold_dir: str,
     )
     store = None
     if backend is not None:
+        if mode == "incremental":
+            raise ValueError(
+                "backend= routes ticks through a GoldStore snapshot "
+                "replace — the incremental reorg-window machinery "
+                "needs the raw-parquet hbucket layout; pass one or "
+                "the other")
         from .sources.deltalog import gold_store
         store = gold_store(gold_dir, backend)
 

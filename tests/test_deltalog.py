@@ -257,6 +257,31 @@ class TestDeltaLogTable:
         t.append(spark.range(6, 8).withColumn("s", F.lit("y")))
         assert t.to_df(spark).count() == 4
 
+    def test_append_nullability_compatibility(self, spark, tmp_path):
+        """Raw schemaString equality is too strict (review r13):
+        non-nullable data appends into a nullable column (table
+        schema wins, no metaData replacement); nullable data into a
+        non-null column refuses."""
+        from pyspark.sql import functions as F
+
+        from mining_data_integration_spark.sources.deltalog import (
+            SchemaMismatchError)
+
+        nullable_id = F.when(F.col("id") >= 0,
+                             F.col("id")).alias("id")
+        t = DeltaLogTable(str(tmp_path / "t"))
+        t.overwrite(spark.range(3).select(nullable_id))
+        t.append(spark.range(3, 5))            # non-null into nullable
+        assert t.to_df(spark).count() == 5
+        # no metaData replacement happened: schema is still nullable
+        assert json.loads(
+            t.snapshot()["metaData"]["schemaString"]
+        )["fields"][0]["nullable"] is True
+        t2 = DeltaLogTable(str(tmp_path / "t2"))
+        t2.overwrite(spark.range(3))            # id non-nullable
+        with pytest.raises(SchemaMismatchError):
+            t2.append(spark.range(3, 5).select(nullable_id))
+
     def test_history_survives_log_truncation(self, spark, tmp_path):
         """ADVICE r12: DESCRIBE HISTORY on a checkpoint-truncated log
         returns the surviving suffix, not FileNotFoundError."""
@@ -354,7 +379,10 @@ class TestDeltaGoldStore:
             got = None
             while time.time() < deadline:
                 try:
-                    got = store.get(spark, "miner_info")
+                    # poll for the LAST table the tick writes —
+                    # stopping on the first would kill the batch
+                    # mid-tick and flake the three-table assert below
+                    got = store.get(spark, "block_info")
                     got.count()
                     break
                 except Exception:

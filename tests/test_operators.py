@@ -2155,9 +2155,15 @@ class TestIndexTombstones:
         new_rows = spark.read.parquet(new_gen)
         assert new_rows.filter("id % 4 = 0").count() == 0
         assert new_rows.count() < rows_before
-        # live tombstones retired to a folded set (kept one cycle)
-        assert not os.path.isdir(os.path.join(path, "tombstones"))
-        assert os.path.isdir(os.path.join(path, "tombstones-folded-g2"))
+        # reader-safe fold (round 13): the live tombstone FILES keep
+        # their bytes one more cycle (hard-linked into the folded
+        # set, not renamed) so a racing reader's captured scan still
+        # executes; the folded set carries the same names
+        live_files = set(os.listdir(os.path.join(path, "tombstones")))
+        folded = set(os.listdir(
+            os.path.join(path, "tombstones-folded-g2")))
+        assert {f for f in live_files if f.endswith(".parquet")} \
+            <= folded
         got = sorted((r.new_id, r.corpus_id) for r in
                      D.probe_minhash_index(batch, path).collect())
         assert got == want
@@ -2173,9 +2179,13 @@ class TestIndexTombstones:
         with open(os.path.join(path, "BUCKETS"), "w") as f:
             f.write(os.path.basename(new_gen))
         # next compaction retires the folded set with the generation
+        # AND removes the now-expired names from the live dir
         D.compact_minhash_index(spark, path)
         assert not os.path.isdir(
             os.path.join(path, "tombstones-folded-g2"))
+        remaining = [f for f in os.listdir(
+            os.path.join(path, "tombstones")) if f.endswith(".parquet")]
+        assert not remaining
         got = sorted((r.new_id, r.corpus_id) for r in
                      D.probe_minhash_index(batch, path).collect())
         assert got == want
@@ -2258,8 +2268,12 @@ class TestIndexTombstones:
         new_rows = spark.read.parquet(new_gen)
         assert new_rows.filter("vec_id % 5 = 0").count() == 0
         assert new_rows.count() < rows_before
-        assert not os.path.isdir(os.path.join(path, "tombstones"))
-        assert os.path.isdir(os.path.join(path, "tombstones-folded-g2"))
+        # reader-safe fold (round 13): live tombstone files keep
+        # their bytes one cycle (hard-linked into the folded set)
+        live_files = {f for f in os.listdir(
+            os.path.join(path, "tombstones")) if f.endswith(".parquet")}
+        assert live_files <= set(os.listdir(
+            os.path.join(path, "tombstones-folded-g2")))
         idx2 = S.load_ivfpq_index(spark, path)
         post = sorted(tuple(r) for r in S.ivfpq_probe_topk(
             idx2, q, k=3, n_probe=2).collect())
@@ -2566,22 +2580,7 @@ class TestNswGraphAnn:
         adj = S.nsw_adjacency(emb, k_nbrs=12)
         got = S.nsw_beam_search(adj, emb, q, k=5, beam=12, rounds=3,
                                 n_entries=8)
-        emb_q = emb.select(
-            "vec_id", S.int8_quantize(F.col("embedding")).alias("_qv")
-        ).withColumn("_n", F.sqrt(S.idot(F.col("_qv"), F.col("_qv"))
-                                  .cast("double")))
-        qq = emb_q.filter(F.col("vec_id") < 5).select(
-            F.col("vec_id").alias("q_id"), F.col("_qv").alias("_qq"),
-            F.col("_n").alias("_qn"))
-        pairs = emb_q.crossJoin(F.broadcast(qq)).select(
-            "q_id", "vec_id",
-            (S.idot(F.col("_qq"), F.col("_qv")).cast("double")
-             / (F.col("_qn") * F.col("_n"))).alias("cs"))
-        from pyspark.sql import Window as W2
-        w = W2.partitionBy("q_id").orderBy(F.desc("cs"),
-                                           F.col("vec_id"))
-        exact = (pairs.withColumn("xrk", F.row_number().over(w))
-                 .filter(F.col("xrk") <= 5).select("q_id", "vec_id"))
+        exact = S.int8_exact_cosine_topk(emb, n_q=5, k=5)
         ex = {(r.q_id, r.vec_id) for r in exact.collect()}
         ap = {(r.q_id, r.vec_id) for r in got.collect()}
         recall = len(ex & ap) / len(ex)
