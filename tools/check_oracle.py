@@ -67,6 +67,14 @@ def main() -> int:
                       shuffle_partitions=os.environ.get(
                           "ORACLE_SHUFFLE_PARTITIONS"))
     con = duckdb.connect()
+    # DuckDB defaults its memory_limit to ~80% of PHYSICAL RAM — four
+    # sharded sweeps each replaying a graph-build oracle at sf1 hit
+    # 4 x ~100 GB and the kernel OOM-killer took the whole battery
+    # down (round 13). Cap per-process and give it a disk spill dir;
+    # ORACLE_DUCKDB_MEM overrides for single-process runs.
+    con.execute(f"SET memory_limit='"
+                f"{os.environ.get('ORACLE_DUCKDB_MEM', '20GB')}'")
+    con.execute("SET temp_directory='/tmp/sg_duckdb_spill'")
     for name in TABLES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM "
