@@ -67,6 +67,7 @@ EXTENDED = [
     "sim29_nsw_persisted_probe",    # r12: persisted-graph probe side
     "sim30_nsw_delete",             # r13: graph delete lifecycle
     "sim31_nsw_recall_eval",        # r13: high-recall point report
+    "sim32_nsw_distributed_build",  # r13: df quantizer engine, c=32
 ]
 
 

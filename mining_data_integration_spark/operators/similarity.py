@@ -448,6 +448,99 @@ def int_ivf_range_search(emb: DataFrame, queries: DataFrame,
     return pairs.filter(F.col("cos_sim_q8") >= F.lit(float(tau)))
 
 
+# ---------------------------------------------------------------
+# DataFrame-native integer quantizer (round 13): the literal-path
+# quantizer (int_assign_centroid / int_ivf_centroids) embeds every
+# centroid as codegen expression trees, which is why the NSW build
+# caps its cell count (NSW_MAX_CENTROIDS) — an O(c x dim) literal
+# plan stops being a plan at a few hundred cells. This engine keeps
+# the centroid set as DATA: a one-row broadcast DataFrame holding
+# array<struct<i,cent>>, attached to the corpus with a 1-row
+# cross-join, with assignment/probing as ONE higher-order-function
+# expression. Plan size is O(1) in the cell count, training is fully
+# distributed (centroids never leave the cluster), and every step is
+# the same exact int64 arithmetic — the two engines are BIT-IDENTICAL
+# (pinned in tests TestNswGraphAnn), so the SQL oracle replay is
+# engine-agnostic.
+# ---------------------------------------------------------------
+
+
+def _cents_column(cents_df: DataFrame) -> DataFrame:
+    """Fold the (cid, cent) centroid table into ONE row holding the
+    whole set as a cid-sorted array<struct<i,cent>> column. The
+    single-partition aggregate is bounded by the CELL count (rows =
+    c, never the corpus), and downstream it rides a 1-row broadcast
+    cross-join — the j10/scalar-enrichment plan shape."""
+    return cents_df.agg(F.array_sort(F.collect_list(
+        F.struct(F.col("cid").cast("int").alias("i"),
+                 F.col("cent").alias("cent")))).alias("_cents"))
+
+
+def _scored_cells_df(vec: Column, cents_col: Column) -> Column:
+    """array<struct<d,i>> of exact int64 squared L2 distances from
+    `vec` to every centroid in the broadcast set — the shared kernel
+    of the DataFrame engine: F.array_min = assignment (lexicographic
+    struct min == lowest-d2 with lowest-cid ties, the SAME rule as
+    int_assign_centroid's literal structs), sorted slice = the
+    n_probe nearest cells (== _nearest_cells)."""
+    return F.transform(cents_col, lambda c: F.struct(
+        F.aggregate(F.zip_with(vec, c["cent"],
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x).alias("d"),
+        c["i"].alias("i")))
+
+
+def int_assign_centroid_df(df: DataFrame, cents_df: DataFrame,
+                           vec_col: str) -> DataFrame:
+    """int_assign_centroid with the centroids as broadcast DATA
+    instead of codegen literals: same exact-int argmin, same
+    lowest-cid tie rule, plan size independent of the cell count.
+    No extra shuffle — the 1-row cross-join is map-side."""
+    return (df.crossJoin(F.broadcast(_cents_column(cents_df)))
+            .withColumn("_cid", F.array_min(
+                _scored_cells_df(F.col(vec_col), F.col("_cents")))["i"])
+            .drop("_cents"))
+
+
+def int_ivf_centroids_df(emb_q: DataFrame, n_centroids: int,
+                         iters: int = 2, id_col: str = "vec_id",
+                         vec_col: str = "_qv") -> DataFrame:
+    """Distributed integer Lloyd's k-means — bit-identical to
+    int_ivf_centroids (same seeds, assignment, truncating-div update,
+    empty-cell keep) but the centroids are a (cid, cent) DataFrame
+    end to end: seeds come from a bounded rank over the n_centroids
+    lowest-id vectors (the SQL replay's row_number()-1 numbering —
+    the global window's input is already LIMITed to c rows), each
+    update is one groupBy over (cid, pos), and no centroid ever
+    lands driver-side as an expression literal. localCheckpoint per
+    iteration cuts the lineage (c rows — cheap) exactly where the
+    literal path pays its per-iteration collect."""
+    seeds = emb_q.orderBy(id_col).limit(n_centroids) \
+        .select(id_col, vec_col)
+    w = Window.orderBy(id_col)  # bounded: only n_centroids rows rank
+    cents = seeds.select(
+        (F.row_number().over(w) - 1).alias("cid"),
+        F.col(vec_col).alias("cent")).localCheckpoint()
+    for _ in range(iters):
+        means = (
+            int_assign_centroid_df(emb_q, cents, vec_col)
+            .select("_cid",
+                    F.posexplode(F.col(vec_col)).alias("pos", "val"))
+            .groupBy("_cid", "pos")
+            .agg(F.expr("sum(val) div count(*)").alias("m"))
+            .groupBy("_cid")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("pos", "m"))).alias("a"))
+            .select(F.col("_cid").alias("cid"),
+                    F.transform("a", lambda s: s["m"]).alias("new"))
+        )
+        cents = (cents.join(means, "cid", "left")
+                 .select("cid", F.coalesce("new", "cent").alias("cent"))
+                 .localCheckpoint())
+    return cents
+
+
 NSW_TARGET_OCCUPANCY = 256
 NSW_MAX_CENTROIDS = 512
 
@@ -455,7 +548,7 @@ NSW_MAX_CENTROIDS = 512
 def derive_nsw_centroids(n: int,
                          target_occupancy: int = NSW_TARGET_OCCUPANCY,
                          floor: int = 4,
-                         cap: int = NSW_MAX_CENTROIDS) -> int:
+                         cap: int | None = NSW_MAX_CENTROIDS) -> int:
     """Cell count for the k-NN graph build, DERIVED from corpus size
     (round-12 VERDICT #1): candidate-pair work in nsw_adjacency is
     O(n x occupancy x n_probe), so a FIXED cell count makes occupancy
@@ -466,18 +559,21 @@ def derive_nsw_centroids(n: int,
     tests/test_operators TestNswGraphAnn and
     tools/check_index_scale.py).
 
-    The cap exists because this build's quantizer keeps centroids
-    driver-side as codegen literals (int_assign_centroid is O(c x dim)
-    expression nodes) — fine to a few hundred cells, wrong shape
-    beyond. Past cap x target_occupancy vectors (~131k at defaults)
-    per graph, the production move is the sharded DiskANN build: a
-    two-level quantizer (or the persisted IVF-PQ cells) partitions the
-    corpus into ~target_occupancy-sized shards and each shard builds
-    its sub-graph independently — same pair-work bound, no giant
-    literal plan. Documented in SCALE.md (graph-ANN section)."""
+    The cap exists because the LITERAL quantizer engine keeps
+    centroids driver-side as codegen literals (int_assign_centroid is
+    O(c x dim) expression nodes) — fine to a few hundred cells, wrong
+    shape beyond. Round 13 LIFTS the cap with the DataFrame engine
+    (quantizer="df": int_ivf_centroids_df / int_assign_centroid_df —
+    centroids as a one-row broadcast array column, plan size O(1) in
+    c), so past cap x target_occupancy vectors (~131k at defaults)
+    the build auto-switches engines instead of letting occupancy
+    grow (quantizer="auto" in nsw_adjacency/save_nsw_index); pass
+    cap=None to get the uncapped derivation the df engine uses.
+    Documented in SCALE.md (graph-ANN section)."""
     import math
 
-    return max(floor, min(cap, math.ceil(n / max(1, target_occupancy))))
+    c = max(floor, math.ceil(n / max(1, target_occupancy)))
+    return c if cap is None else min(cap, c)
 
 
 def _nearest_cells(vec: Column, cents: list[list[int]],
@@ -497,31 +593,55 @@ def _nearest_cells(vec: Column, cents: list[list[int]],
     return F.slice(F.array_sort(F.array(*d2s)), 1, n_probe)
 
 
+def _resolve_nsw_quantizer(quantizer: str, c: int) -> str:
+    """'auto' picks the codegen-literal engine while the cell count
+    fits a literal plan and the DataFrame engine past it — the switch
+    that makes derive_nsw_centroids' uncapped rule safe at any corpus
+    size. Explicit 'literal'/'df' are for pins and benchmarks."""
+    if quantizer == "auto":
+        return "df" if c > NSW_MAX_CENTROIDS else "literal"
+    if quantizer not in ("literal", "df"):
+        raise ValueError(f"unknown quantizer engine {quantizer!r} "
+                         "(expected 'auto', 'literal' or 'df')")
+    return quantizer
+
+
 def _nsw_quantize_and_train(emb: DataFrame, n_centroids: int | None,
                             n_probe: int, iters: int, id_col: str,
-                            vec_col: str, target_occupancy: int):
+                            vec_col: str, target_occupancy: int,
+                            quantizer: str = "auto"):
     """Shared front half of the graph build: quantize, derive the
     cell count when the caller didn't pin one (one bounded count()
-    aggregate — a second corpus pass, paid once per offline build),
-    train the integer quantizer. Returns (emb_q, cents, c)."""
+    aggregate — a second corpus pass, paid once per offline build;
+    UNCAPPED — the engine switch below is what keeps big c viable),
+    resolve the quantizer engine, train. Returns
+    (emb_q, cents, c, engine) where cents is a Python list under the
+    literal engine and a (cid, cent) DataFrame under the df engine —
+    both trainings are bit-identical (TestNswGraphAnn pin)."""
     from ..stages import timed as _timed_stage
 
     emb_q = emb.select(
         F.col(id_col), int8_quantize(F.col(vec_col)).alias("_qv"))
     c = n_centroids
     if c is None:
-        c = derive_nsw_centroids(emb_q.count(), target_occupancy)
+        c = derive_nsw_centroids(emb_q.count(), target_occupancy,
+                                 cap=None)
+    engine = _resolve_nsw_quantizer(quantizer, c)
     with _timed_stage("train"):
-        cents = int_ivf_centroids(emb_q, c, iters, id_col, "_qv")
-    return emb_q, cents, c
+        if engine == "df":
+            cents = int_ivf_centroids_df(emb_q, c, iters, id_col,
+                                         "_qv")
+        else:
+            cents = int_ivf_centroids(emb_q, c, iters, id_col, "_qv")
+    return emb_q, cents, c, engine
 
 
 def nsw_candidate_pairs(emb: DataFrame, n_centroids: int | None = None,
                         n_probe: int = 2, iters: int = 2,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        target_occupancy: int = NSW_TARGET_OCCUPANCY
-                        ) -> DataFrame:
+                        target_occupancy: int = NSW_TARGET_OCCUPANCY,
+                        quantizer: str = "auto") -> DataFrame:
     """Scored candidate pairs (src, dst, cos_sim_q8) of the k-NN graph
     build — nsw_adjacency minus the per-src rank, exposed so the scale
     harness can count the pair work directly. Candidate generation is
@@ -538,23 +658,46 @@ def nsw_candidate_pairs(emb: DataFrame, n_centroids: int | None = None,
     n_centroids=None derives the cell count from corpus size
     (derive_nsw_centroids — occupancy-targeted, so pair work stays
     ~linear in n); explicit values remain for the oracle-deterministic
-    registry entries, whose SQL replay fixes the cell count."""
-    emb_q, cents, _c = _nsw_quantize_and_train(
+    registry entries, whose SQL replay fixes the cell count.
+
+    `quantizer` picks the engine: "literal" inlines the centroids as
+    codegen expressions (fastest to a few hundred cells), "df" keeps
+    them as a one-row broadcast array column (plan size O(1) in the
+    cell count — the 100 TB build, where the derived c runs to
+    thousands), "auto" switches at NSW_MAX_CENTROIDS. The two engines
+    produce BIT-IDENTICAL pairs (same exact-int arithmetic, same tie
+    rules — pinned), so the oracle replay never cares which ran."""
+    emb_q, cents, _c, engine = _nsw_quantize_and_train(
         emb, n_centroids, n_probe, iters, id_col, vec_col,
-        target_occupancy)
-    data = int_assign_centroid(emb_q, cents, "_qv").withColumn(
+        target_occupancy, quantizer)
+    if engine == "df":
+        base = emb_q.crossJoin(F.broadcast(_cents_column(cents)))
+        scored = _scored_cells_df(F.col("_qv"), F.col("_cents"))
+        data = (base.withColumn("_cid", F.array_min(scored)["i"])
+                .drop("_cents"))
+        src = (
+            base.withColumn(
+                "_p", F.explode(F.slice(F.array_sort(scored), 1,
+                                        n_probe)))
+            .select(F.col(id_col).alias("_src"),
+                    F.col("_qv").alias("_sv"),
+                    F.col("_p.i").alias("_cid"))
+        )
+    else:
+        data = int_assign_centroid(emb_q, cents, "_qv")
+        probes = _nearest_cells(F.col("_qv"), cents, n_probe)
+        src = (
+            emb_q.withColumn("_p", F.explode(probes))
+            .select(F.col(id_col).alias("_src"),
+                    F.col("_qv").alias("_sv"),
+                    F.col("_p.i").alias("_cid"))
+        )
+    data = data.withColumn(
         "_vnorm",
         F.sqrt(idot(F.col("_qv"), F.col("_qv")).cast("double")))
-    probes = _nearest_cells(F.col("_qv"), cents, n_probe)
-    src = (
-        emb_q.withColumn("_p", F.explode(probes))
-        .select(F.col(id_col).alias("_src"),
-                F.col("_qv").alias("_sv"),
-                F.col("_p.i").alias("_cid"))
-        .withColumn("_snorm",
-                    F.sqrt(idot(F.col("_sv"), F.col("_sv"))
-                           .cast("double")))
-    )
+    src = src.withColumn(
+        "_snorm",
+        F.sqrt(idot(F.col("_sv"), F.col("_sv")).cast("double")))
     # SALT the cell join (the a15/j18 machinery): _cid alone has only
     # n_centroids distinct values, so an unsalted equi-join bounds the
     # pair-scoring parallelism by the CELL count — at sf1 that put
@@ -580,8 +723,8 @@ def nsw_adjacency(emb: DataFrame, k_nbrs: int = 6,
                   n_centroids: int | None = None, n_probe: int = 2,
                   iters: int = 2, id_col: str = "vec_id",
                   vec_col: str = "embedding",
-                  target_occupancy: int = NSW_TARGET_OCCUPANCY
-                  ) -> DataFrame:
+                  target_occupancy: int = NSW_TARGET_OCCUPANCY,
+                  quantizer: str = "auto") -> DataFrame:
     """k-NN GRAPH build for graph-based ANN (sim28) — the offline half
     of an NSW/DiskANN-style index: every vector's k_nbrs most-similar
     neighbors as an edge list (src, dst, cos_sim_q8, nrk). Candidate
@@ -592,9 +735,12 @@ def nsw_adjacency(emb: DataFrame, k_nbrs: int = 6,
     scale. At 100 TB this is one shuffle on _cid with fan-out bounded
     by cell occupancy x n_probe, then one shuffle for the per-src rank;
     production DiskANN builds refine exactly such a bucketed candidate
-    graph rather than exact k-NN."""
+    graph rather than exact k-NN. `quantizer` as nsw_candidate_pairs
+    (auto-switches to the broadcast-column engine past
+    NSW_MAX_CENTROIDS cells — identical output either way)."""
     pairs = nsw_candidate_pairs(emb, n_centroids, n_probe, iters,
-                                id_col, vec_col, target_occupancy)
+                                id_col, vec_col, target_occupancy,
+                                quantizer)
     w = Window.partitionBy("src").orderBy(
         F.desc("cos_sim_q8"), F.col("dst"))
     return (
@@ -607,8 +753,8 @@ def nsw_adjacency(emb: DataFrame, k_nbrs: int = 6,
 def nsw_build_stats(emb: DataFrame, n_centroids: int | None = None,
                     n_probe: int = 2, iters: int = 2,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    target_occupancy: int = NSW_TARGET_OCCUPANCY
-                    ) -> dict:
+                    target_occupancy: int = NSW_TARGET_OCCUPANCY,
+                    quantizer: str = "auto") -> dict:
     """ANALYTIC cost model of the graph build, computed WITHOUT
     materializing the pair join: candidate pairs = sum over cells of
     (probe assignments into the cell) x (cell occupancy), minus the
@@ -618,13 +764,22 @@ def nsw_build_stats(emb: DataFrame, n_centroids: int | None = None,
     cluster hours, and the instrument the linearity pin uses
     (equality with the real join's count() is itself pinned at small
     n in tests)."""
-    emb_q, cents, c = _nsw_quantize_and_train(
+    emb_q, cents, c, engine = _nsw_quantize_and_train(
         emb, n_centroids, n_probe, iters, id_col, vec_col,
-        target_occupancy)
-    data = int_assign_centroid(emb_q, cents, "_qv")
-    probed = data.withColumn(
-        "_pid", F.explode(_nearest_cells(F.col("_qv"), cents,
-                                         n_probe)["i"]))
+        target_occupancy, quantizer)
+    if engine == "df":
+        base = emb_q.crossJoin(F.broadcast(_cents_column(cents)))
+        scored = _scored_cells_df(F.col("_qv"), F.col("_cents"))
+        data = (base.withColumn("_cid", F.array_min(scored)["i"]))
+        probed = data.withColumn(
+            "_pid", F.explode(F.slice(F.array_sort(scored), 1,
+                                      n_probe)["i"])).drop("_cents")
+        data = data.drop("_cents")
+    else:
+        data = int_assign_centroid(emb_q, cents, "_qv")
+        probed = data.withColumn(
+            "_pid", F.explode(_nearest_cells(F.col("_qv"), cents,
+                                             n_probe)["i"]))
     occ = {r["_cid"]: r["n"] for r in
            data.groupBy("_cid").agg(F.count("*").alias("n")).collect()}
     probes_per_cell = {r["_pid"]: r["n"] for r in
@@ -648,8 +803,8 @@ def save_nsw_index(emb: DataFrame, path: str, k_nbrs: int = 6,
                    n_centroids: int | None = None, n_probe: int = 2,
                    iters: int = 2, id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   target_occupancy: int = NSW_TARGET_OCCUPANCY
-                   ) -> None:
+                   target_occupancy: int = NSW_TARGET_OCCUPANCY,
+                   quantizer: str = "auto") -> None:
     """Persist the k-NN graph ONCE (build once / probe many — the
     sim19 lifecycle move applied to the graph-ANN family): the
     nsw_adjacency edge list lands as parquet under `path`
@@ -673,10 +828,17 @@ def save_nsw_index(emb: DataFrame, path: str, k_nbrs: int = 6,
     if os.path.exists(os.path.join(path, "meta")):
         return
     if n_centroids is None:
+        # uncapped derivation — the auto engine switch (not a cap on
+        # the cell count) is what bounds the literal-plan risk, so
+        # occupancy stays at target at ANY corpus size
         n_centroids = derive_nsw_centroids(emb.count(),
-                                           target_occupancy)
+                                           target_occupancy, cap=None)
+    # quantizer is an EXECUTION choice, not a semantic parameter: the
+    # engines are bit-identical, so it is deliberately NOT part of the
+    # meta/fingerprint — an artifact built by either engine is THE
+    # graph for these (k_nbrs, n_centroids, n_probe, iters)
     adj = nsw_adjacency(emb, k_nbrs, n_centroids, n_probe, iters,
-                        id_col, vec_col)
+                        id_col, vec_col, quantizer=quantizer)
     spark = emb.sparkSession
     tmp = f"{path.rstrip('/')}.build-{uuid.uuid4().hex[:12]}"
     adj.write.mode("overwrite").parquet(f"{tmp}/adj")
