@@ -68,6 +68,7 @@ EXTENDED = [
     "sim30_nsw_delete",             # r13: graph delete lifecycle
     "sim31_nsw_recall_eval",        # r13: high-recall point report
     "sim32_nsw_distributed_build",  # r13: df quantizer engine, c=32
+    "sim33_nsw_append_probe",       # r13: graph append (search+relink)
 ]
 
 

@@ -868,6 +868,62 @@ def _nsw_adj_dir(path: str) -> str:
     return resolve_pointer(path, "ADJ", "adj")
 
 
+def _nsw_base_gen(path: str) -> tuple[str, int]:
+    """(live adjacency dir, its generation number). The initial build
+    is generation 1 (`adj/`); each compaction writes `adj-g<N>/`."""
+    import os
+
+    d = _nsw_adj_dir(path)
+    name = os.path.basename(d)
+    return d, (1 if name == "adj" else int(name.rsplit("-g", 1)[1]))
+
+
+def _nsw_fragments(path: str, gen: int) -> list[str]:
+    """Append-override fragments that apply to base generation `gen`,
+    in append order. Fragments are GENERATION-TAGGED
+    (`adj-frag-g<gen>-<n>`) so a reader always pairs the pointer's
+    base with exactly the fragments layered on it — a reader racing a
+    compaction resolves either (old base + old-tagged fragments) or
+    (new base, which already folded them), never a mix."""
+    import os
+
+    pre = f"adj-frag-g{gen}-"
+    try:
+        names = [n for n in os.listdir(path) if n.startswith(pre)]
+    except OSError:
+        return []
+    return [os.path.join(path, n)
+            for n in sorted(names, key=lambda n: int(n[len(pre):]))]
+
+
+def _merged_nsw_adj(spark, path: str) -> DataFrame:
+    """The live edge list: base generation with append fragments
+    layered PER-SOURCE — a fragment row set for src replaces that
+    node's whole stored neighbor list (append rewrites the affected
+    lists in full), and a later fragment supersedes an earlier one.
+    All fragment-side work is bounded by appends since the last
+    compaction; the base stays an untouched lazy parquet scan."""
+    import functools
+
+    base_dir, gen = _nsw_base_gen(path)
+    adj = spark.read.parquet(base_dir) \
+        .select("src", "dst", "cos_sim_q8", "nrk")
+    frags = _nsw_fragments(path, gen)
+    if not frags:
+        return adj
+    parts = [spark.read.parquet(p).withColumn("_g", F.lit(i))
+             for i, p in enumerate(frags)]
+    fall = functools.reduce(lambda a, b: a.unionByName(b), parts)
+    wg = Window.partitionBy("src")
+    fall = (fall.withColumn("_keep",
+                            F.col("_g") == F.max("_g").over(wg))
+            .filter(F.col("_keep"))
+            .select("src", "dst", "cos_sim_q8", "nrk"))
+    return (adj.join(F.broadcast(fall.select("src").distinct()),
+                     "src", "left_anti")
+            .unionByName(fall))
+
+
 def load_nsw_index(spark, path: str,
                    expect: dict | None = None) -> dict:
     """Load a save_nsw_index artifact: the adjacency stays a LAZY
@@ -892,7 +948,15 @@ def load_nsw_index(spark, path: str,
                 f"nsw index at {path} was built with {k}="
                 f"{md.get(k)!r}, caller expects {v!r} — rebuild the "
                 f"artifact or fix the probe parameters")
-    adj = spark.read.parquet(_nsw_adj_dir(path))
+    adj = _live_nsw_adj(spark, path)
+    return {"adj": adj, "meta": md}
+
+
+def _live_nsw_adj(spark, path: str) -> DataFrame:
+    """Merged base+fragment edge list with the tombstone set
+    anti-joined over BOTH endpoints — the adjacency every reader
+    (probe, append's insert-search, compaction) must see."""
+    adj = _merged_nsw_adj(spark, path)
     ts = _read_vec_tombstones(spark, path)
     if ts is not None:
         adj = (adj.join(F.broadcast(ts.withColumnRenamed("id", "src")),
@@ -900,7 +964,110 @@ def load_nsw_index(spark, path: str,
                .join(F.broadcast(ts.withColumnRenamed("id", "dst")),
                      "dst", "left_anti")
                .select("src", "dst", "cos_sim_q8", "nrk"))
-    return {"adj": adj, "meta": md}
+    return adj
+
+
+@_staged("append")
+def append_to_nsw_index(emb_new: DataFrame, corpus: DataFrame,
+                        path: str, beam: int = 8, rounds: int = 3,
+                        n_entries: int = 2,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        skip_existing: bool = False) -> None:
+    """Day-2 APPEND on the persisted k-NN graph — the search+relink
+    insert real HNSW implementations do, batched (round 13: the last
+    'rebuild on cadence' decline in the index family, now closed):
+
+      1. INSERT-SEARCH — every new vector beam-searches the LIVE
+         graph (merged fragments, tombstones excluded) for its
+         k_nbrs most-similar reachable nodes; those become its
+         out-edges. O(batch) searches, each with bounded visited
+         state — never a corpus rescan.
+      2. RELINK — each found neighbor v gets the new node as a
+         back-edge CANDIDATE (cosine is symmetric), and v's whole
+         neighbor list is re-ranked to the top-k_nbrs by
+         (cos desc, dst) — exactly the stored build-time rule, so a
+         new node that beats v's weakest edge displaces it. Affected
+         lists are bounded by |batch| x k_nbrs.
+      3. The new lists land as ONE override FRAGMENT
+         (`adj-frag-g<G>-<n>`, staged + atomic rename): a fragment
+         row set REPLACES that src's stored list at read time
+         (_merged_nsw_adj), later fragments supersede earlier ones,
+         and the next compaction folds them into a fresh base
+         generation. O(batch x k_nbrs) rows written; the stored
+         edge list is untouched.
+
+    `corpus` is the graph's CURRENT member vectors (what it was
+    built/maintained over, WITHOUT this batch) — the graph artifact
+    stores edges, not vectors, so scoring needs the caller's table
+    (same contract as nsw_beam_search's `emb`). Determinism: the
+    insert-search is the deterministic BSP beam search and every
+    score is exact-int, so the whole append replays as chained SQL
+    CTEs (sim33's oracle). Approximation contract, stated: the new
+    node's edges come from beam search (not exact k-NN) and
+    batch-internal edges are deferred to the gold-cadence rebuild —
+    the standard HNSW insert trade. skip_existing=True anti-joins
+    the batch against live src ids INSIDE the lease (the st-family
+    crash-replay contract: a replayed foreachBatch is a no-op).
+    Tombstone interaction, same id-reuse contract as the other two
+    indexes: a currently-tombstoned id is NOT seen by the anti-join
+    (it is not live), so re-appending it writes rows the tombstone
+    filter hides until the tombstone retires — tombstoned ids stay
+    dead; mint fresh ids."""
+    import os
+    import uuid
+
+    from ..sources.kv import maintenance_lease
+
+    spark = emb_new.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    if meta.version != NSW_INDEX_VERSION:
+        raise ValueError(
+            f"nsw index version {meta.version} at {path}; "
+            f"this build writes version {NSW_INDEX_VERSION}")
+    k_nbrs = int(meta.k_nbrs)
+    with maintenance_lease(path):
+        adj = _live_nsw_adj(spark, path)
+        batch = emb_new.select(F.col(id_col), F.col(vec_col))
+        if skip_existing:
+            live_src = adj.select(
+                F.col("src").alias(id_col)).distinct()
+            batch = batch.join(live_src, id_col, "left_anti")
+        qb = batch.select(F.col(id_col).alias("_uid"),
+                          F.col(vec_col).alias("_uvec"))
+        found = nsw_beam_search(
+            adj, corpus, qb, k=k_nbrs, beam=beam, rounds=rounds,
+            n_entries=n_entries, id_col=id_col, vec_col=vec_col,
+            q_id_col="_uid", q_vec_col="_uvec")
+        u_edges = found.select(
+            F.col("_uid").alias("src"),
+            F.col(id_col).alias("dst"),
+            "cos_sim_q8",
+            F.col("rk").alias("nrk"))
+        back = u_edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            "cos_sim_q8")
+        affected = back.select("src").distinct()
+        v_old = (adj.join(F.broadcast(affected), "src")
+                 .select("src", "dst", "cos_sim_q8"))
+        wv = Window.partitionBy("src").orderBy(
+            F.desc("cos_sim_q8"), F.col("dst"))
+        v_new = (v_old.unionByName(back)
+                 .withColumn("nrk",
+                             F.row_number().over(wv).cast("long"))
+                 .filter(F.col("nrk") <= k_nbrs))
+        frag = u_edges.unionByName(v_new) \
+            .select("src", "dst", "cos_sim_q8", "nrk")
+        rows = frag.localCheckpoint()   # bounded: O(batch x k_nbrs)
+        if rows.limit(1).count() == 0:
+            return                      # replayed/empty batch: no-op
+        _, gen = _nsw_base_gen(path)
+        frags = _nsw_fragments(path, gen)
+        nxt = 1 if not frags else 1 + max(
+            int(os.path.basename(p).rsplit("-", 1)[1]) for p in frags)
+        tmp = os.path.join(path, f".frag-tmp-{uuid.uuid4().hex[:12]}")
+        rows.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, os.path.join(path, f"adj-frag-g{gen}-{nxt}"))
 
 
 @_staged("delete")
@@ -951,21 +1118,13 @@ def compact_nsw_index(spark, path: str) -> None:
     from ..sources.kv import maintenance_lease
 
     with maintenance_lease(path):
-        cur = _nsw_adj_dir(path)
+        cur, gen = _nsw_base_gen(path)
         cur_name = os.path.basename(cur)
-        gen = 1 if cur_name == "adj" \
-            else int(cur_name.rsplit("-g", 1)[1])
         new_name = f"adj-g{gen + 1}"
-        rows = spark.read.parquet(cur)
-        ts = _read_vec_tombstones(spark, path)
-        if ts is not None:
-            rows = (rows.join(
-                        F.broadcast(ts.withColumnRenamed("id", "src")),
-                        "src", "left_anti")
-                    .join(F.broadcast(
-                        ts.withColumnRenamed("id", "dst")),
-                        "dst", "left_anti")
-                    .select("src", "dst", "cos_sim_q8", "nrk"))
+        # fold append fragments + tombstones into the new generation:
+        # _live_nsw_adj IS the reader contract, so compaction
+        # materializes exactly what probes currently see
+        rows = _live_nsw_adj(spark, path)
         rows.write.mode("overwrite").parquet(
             os.path.join(path, new_name))
         ptr = os.path.join(path, "ADJ")
@@ -978,8 +1137,19 @@ def compact_nsw_index(spark, path: str) -> None:
         # captured live paths keep their bytes one more cycle
         from ..sources.kv import fold_tombstones_reader_safe
         folded_keep = fold_tombstones_reader_safe(path, gen + 1)
+        # append fragments tagged with the JUST-SUPERSEDED generation
+        # were folded into adj-g<gen+1> above — like the superseded
+        # base, they stay one cycle for in-flight readers (a reader
+        # holding the old pointer still pairs old base + old-tagged
+        # fragments); fragments tagged OLDER than that were folded
+        # two cycles ago and retire now
+        keep_frag_pre = f"adj-frag-g{gen}-"
         for name in os.listdir(path):
-            if (name == "adj" or name.startswith("adj-g")
+            if name.startswith("adj-frag-g"):
+                if not name.startswith(keep_frag_pre):
+                    shutil.rmtree(os.path.join(path, name),
+                                  ignore_errors=True)
+            elif (name == "adj" or name.startswith("adj-g")
                     or name.startswith("tombstones-folded-g")) \
                     and name not in (cur_name, new_name, folded_keep):
                 shutil.rmtree(os.path.join(path, name),

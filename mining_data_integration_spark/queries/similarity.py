@@ -351,6 +351,54 @@ def sim30_nsw_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("phase", "q_id", "rk")
 
 
+def _idot_sql(dim: int):
+    """Exact integer dot product between two bigint-list SQL
+    expressions, cast to DOUBLE at the end — the scoring kernel every
+    NSW replay shares (bit-identical to operators/similarity.idot's
+    sequential fold: integer sums are order-free)."""
+    return lambda a, b: (
+        f"CAST(list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> {a}[i]*{b}[i])) AS DOUBLE)")
+
+
+def _beam_rounds_sql(dim: int, rounds: int, beam: int, tag: str,
+                     qq: str, adj: str, nrm: str) -> str:
+    """The BSP beam-search rounds as chained CTEs, parameterized over
+    the query/adjacency/corpus CTE names and a name-spacing tag —
+    round 13 factored this out of _nsw_sql verbatim so the APPEND
+    replay (_nsw_append_sql) can run TWO searches in one statement:
+    the insert-search of the new batch over the old graph (tag 'i')
+    and the standard probe over the merged graph (tag ''). Caller
+    provides the seed CTE {tag}v0; each round r emits {tag}b{r}
+    (beam cut) -> {tag}s{r} (neighbor expand) -> {tag}sv{r} (score)
+    -> {tag}v{r} (dedup'd visited union)."""
+    dot = _idot_sql(dim)
+    parts = []
+    for r in range(1, rounds + 1):
+        parts.append(f""", {tag}b{r} AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+                ORDER BY cos_sim_q8 DESC, vec_id) AS rk
+            FROM {tag}v{r - 1}
+        ) WHERE rk <= {beam}
+    ), {tag}s{r} AS (
+        SELECT DISTINCT b.q_id, a.dst AS vec_id
+        FROM {tag}b{r} b JOIN {adj} a ON b.vec_id = a.src
+    ), {tag}sv{r} AS (
+        SELECT s.q_id, s.vec_id,
+               {dot('q.qvec', 'n.q')} / (q.qnrm * n.nrm) AS cos_sim_q8
+        FROM {tag}s{r} s
+        JOIN {nrm} n ON n.vec_id = s.vec_id
+        JOIN {qq} q ON q.q_id = s.q_id
+    ), {tag}v{r} AS (
+        SELECT q_id, vec_id, max(cos_sim_q8) AS cos_sim_q8
+        FROM (SELECT * FROM {tag}v{r - 1}
+              UNION ALL SELECT * FROM {tag}sv{r})
+        GROUP BY q_id, vec_id
+    )""")
+    return "".join(parts)
+
+
 def _nsw_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
              n_probe: int = 2, k_nbrs: int = 6, n_entries: int = 2,
              beam: int = 4, rounds: int = 3, k: int = 5,
@@ -372,9 +420,7 @@ def _nsw_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
     d2 = _d2_sql(dim)
     norm2 = _norm2_sql(dim)
     last = f"c{iters}"
-    dot = lambda a, b: (
-        f"CAST(list_sum(list_transform(range(1, {dim + 1}), "
-        f"i -> {a}[i]*{b}[i])) AS DOUBLE)")
+    dot = _idot_sql(dim)
     parts = [_int_cells_sql(dim, k_cent, iters) + f""", nrm AS (
         SELECT vec_id, q, {norm2('q')} AS nrm FROM qv
     ), aprobe AS (
@@ -409,27 +455,8 @@ def _nsw_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
                {dot('q.qvec', 'e.q')} / (q.qnrm * e.nrm) AS cos_sim_q8
         FROM qq q CROSS JOIN ent e
     )"""]
-    for r in range(1, rounds + 1):
-        parts.append(f""", b{r} AS (
-        SELECT q_id, vec_id FROM (
-            SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-                ORDER BY cos_sim_q8 DESC, vec_id) AS rk
-            FROM v{r - 1}
-        ) WHERE rk <= {beam}
-    ), s{r} AS (
-        SELECT DISTINCT b.q_id, a.dst AS vec_id
-        FROM b{r} b JOIN adj a ON b.vec_id = a.src
-    ), sv{r} AS (
-        SELECT s.q_id, s.vec_id,
-               {dot('q.qvec', 'n.q')} / (q.qnrm * n.nrm) AS cos_sim_q8
-        FROM s{r} s
-        JOIN nrm n ON n.vec_id = s.vec_id
-        JOIN qq q ON q.q_id = s.q_id
-    ), v{r} AS (
-        SELECT q_id, vec_id, max(cos_sim_q8) AS cos_sim_q8
-        FROM (SELECT * FROM v{r - 1} UNION ALL SELECT * FROM sv{r})
-        GROUP BY q_id, vec_id
-    )""")
+    parts.append(_beam_rounds_sql(dim, rounds, beam, tag="",
+                                  qq="qq", adj="adj", nrm="nrm"))
     if tail:
         parts.append(f""", beam AS (
         SELECT q_id, vec_id, cos_sim_q8, CAST(rk AS BIGINT) AS rk
@@ -547,7 +574,7 @@ def _norm2_sql(dim: int):
 
 
 def _int_cells_sql(dim: int = 64, k_cent: int = 4,
-                   iters: int = 2) -> str:
+                   iters: int = 2, where: str = "") -> str:
     """Shared CTE prefix of every integer-quantizer oracle: sim7's
     int8 quantization (`qv`), each Lloyd iteration as three CTEs
     (assign by exact-int squared L2 with lowest-cid ties / per-dim
@@ -555,14 +582,16 @@ def _int_cells_sql(dim: int = 64, k_cent: int = 4,
     the final one-cell-per-vector assignment (`af`). `//` and Spark's
     `div` both truncate toward zero, so the centroid updates are
     bit-identical. Ends after `af` so callers append their own
-    probe/scoring tails (_int_ivf_scored_sql, _nsw_sql)."""
+    probe/scoring tails (_int_ivf_scored_sql, _nsw_sql). `where`
+    restricts the BUILD corpus (the append replay trains/builds on
+    the pre-batch corpus only)."""
     d2 = _d2_sql(dim)
     parts = [f"""
     WITH base AS MATERIALIZED (
         SELECT vec_id, embedding,
                list_max(list_transform(embedding,
                    x -> abs(CAST(x AS DOUBLE)))) AS mx
-        FROM embeddings
+        FROM embeddings{(' WHERE ' + where) if where else ''}
     ), qv AS (
         SELECT vec_id,
                CASE WHEN mx > 0 THEN list_transform(embedding,
@@ -770,6 +799,239 @@ def sim32_nsw_distributed_build(spark: SparkSession,
 
 QUERIES["sim32_nsw_distributed_build"] = sim32_nsw_distributed_build
 ORACLES["sim32_nsw_distributed_build"] = _nsw_sql(k_cent=32)
+
+
+_SIM33_BATCH_PRED = "vec_id % 97 = 13"
+
+
+def _nsw_append_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
+                    n_probe: int = 2, k_nbrs: int = 6,
+                    batch_pred: str = _SIM33_BATCH_PRED,
+                    i_beam: int = 8, i_rounds: int = 3,
+                    i_entries: int = 2, n_entries: int = 2,
+                    beam: int = 4, rounds: int = 3, k: int = 5,
+                    n_q: int = 3) -> str:
+    """DuckDB replay of the NSW APPEND lifecycle (sim33) in one
+    statement: build the graph on the PRE-BATCH corpus
+    (_int_cells_sql with the inverted batch predicate), run the
+    INSERT-SEARCH — the batch vectors beam-search the old graph
+    (_beam_rounds_sql tag 'i') and their top-k_nbrs visited become
+    u_edges — then RELINK (each found neighbor's list re-ranked with
+    the symmetric back-edge candidates, top-k_nbrs by cs desc/dst —
+    the stored build rule), merge (untouched lists + relinked lists +
+    new nodes' lists), and finally the standard probe over the MERGED
+    graph and full corpus (tag ''). Every score is the exact integer
+    dot, so the whole day-2 mutation is hash-checkable."""
+    d2 = _d2_sql(dim)
+    norm2 = _norm2_sql(dim)
+    dot = _idot_sql(dim)
+    last = f"c{iters}"
+    parts = [_int_cells_sql(dim, k_cent, iters,
+                            where=f"NOT ({batch_pred})") + f""", nrm AS (
+        SELECT vec_id, q, {norm2('q')} AS nrm FROM qv
+    ), aprobe AS (
+        SELECT vec_id, q, nrm, cid FROM (
+            SELECT n.vec_id, n.q, n.nrm, c.cid,
+                   row_number() OVER (PARTITION BY n.vec_id
+                       ORDER BY {d2('n.q', 'c.cent')}, c.cid) AS rn
+            FROM nrm n CROSS JOIN {last} c
+        ) WHERE rn <= {n_probe}
+    ), gcand AS (
+        SELECT p.vec_id AS src, a.vec_id AS dst,
+               {dot('p.q', 'a.q')} / (p.nrm * n2.nrm) AS cs
+        FROM aprobe p
+        JOIN af a ON p.cid = a.cid AND p.vec_id <> a.vec_id
+        JOIN nrm n2 ON n2.vec_id = a.vec_id
+    ), adj AS (
+        SELECT src, dst, cs FROM (
+            SELECT src, dst, cs, row_number() OVER (PARTITION BY src
+                ORDER BY cs DESC, dst) AS nrk
+            FROM gcand
+        ) WHERE nrk <= {k_nbrs}
+    ), bbase AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings WHERE {batch_pred}
+    ), bnrm AS (
+        SELECT vec_id, q, {norm2('q')} AS nrm FROM (
+            SELECT vec_id,
+                   CASE WHEN mx > 0 THEN list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE)
+                                 * (127.0 / mx) + 0.5) AS BIGINT))
+                        ELSE list_transform(embedding,
+                            x -> CAST(0 AS BIGINT)) END AS q
+            FROM bbase
+        )
+    ), iq AS (
+        SELECT vec_id AS q_id, q AS qvec, nrm AS qnrm FROM bnrm
+    ), ient AS (
+        SELECT vec_id, q, nrm FROM nrm ORDER BY vec_id
+        LIMIT {i_entries}
+    ), iv0 AS (
+        SELECT q.q_id, e.vec_id,
+               {dot('q.qvec', 'e.q')} / (q.qnrm * e.nrm) AS cos_sim_q8
+        FROM iq q CROSS JOIN ient e
+    )"""]
+    parts.append(_beam_rounds_sql(dim, i_rounds, i_beam, tag="i",
+                                  qq="iq", adj="adj", nrm="nrm"))
+    parts.append(f""", u_edges AS (
+        SELECT src, dst, cs FROM (
+            SELECT q_id AS src, vec_id AS dst, cos_sim_q8 AS cs,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos_sim_q8 DESC, vec_id) AS nrk
+            FROM iv{i_rounds}
+        ) WHERE nrk <= {k_nbrs}
+    ), back AS (
+        SELECT dst AS src, src AS dst, cs FROM u_edges
+    ), vaff AS (
+        SELECT DISTINCT src FROM back
+    ), v_new AS (
+        SELECT src, dst, cs FROM (
+            SELECT src, dst, cs,
+                   row_number() OVER (PARTITION BY src
+                       ORDER BY cs DESC, dst) AS nrk
+            FROM (
+                SELECT a.src, a.dst, a.cs FROM adj a
+                JOIN vaff f ON a.src = f.src
+                UNION ALL SELECT src, dst, cs FROM back
+            )
+        ) WHERE nrk <= {k_nbrs}
+    ), madj AS (
+        SELECT a.src, a.dst FROM adj a
+        WHERE a.src NOT IN (SELECT src FROM vaff)
+        UNION ALL SELECT src, dst FROM v_new
+        UNION ALL SELECT src, dst FROM u_edges
+    ), anrm AS (
+        SELECT vec_id, q, nrm FROM nrm
+        UNION ALL SELECT vec_id, q, nrm FROM bnrm
+    ), qq AS (
+        SELECT vec_id AS q_id, q AS qvec, nrm AS qnrm
+        FROM anrm WHERE vec_id < {n_q}
+    ), ent AS (
+        SELECT vec_id, q, nrm FROM anrm ORDER BY vec_id
+        LIMIT {n_entries}
+    ), v0 AS (
+        SELECT q.q_id, e.vec_id,
+               {dot('q.qvec', 'e.q')} / (q.qnrm * e.nrm) AS cos_sim_q8
+        FROM qq q CROSS JOIN ent e
+    )""")
+    parts.append(_beam_rounds_sql(dim, rounds, beam, tag="",
+                                  qq="qq", adj="madj", nrm="anrm"))
+    parts.append(f"""
+    SELECT q_id, vec_id, cos_sim_q8, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT q_id, vec_id, cos_sim_q8,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos_sim_q8 DESC, vec_id) AS rk
+        FROM v{rounds}
+    ) WHERE rk <= {k} ORDER BY q_id, rk""")
+    return "".join(parts)
+
+
+def sim33_nsw_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND lifecycle of the persisted graph index (round 13 — the
+    search+relink insert that closes the index family's LAST
+    'rebuild on cadence' decline; the st10/st15 shape applied to
+    graphs): the graph is built over the corpus MINUS the batch
+    (vec_id % 97 == 13), the batch is appended with
+    append_to_nsw_index — each new vector beam-searches the live
+    graph for its k_nbrs out-edges, found neighbors are RELINKED
+    (re-ranked with the symmetric back-edge candidates), and the new
+    lists land as one O(batch x k_nbrs) override fragment — then the
+    standard queries probe the MERGED graph over the full corpus.
+    Every step is exact-int and the insert-search is the
+    deterministic BSP beam, so the DuckDB oracle replays build +
+    insert-search + relink + merged probe as one chained-CTE
+    statement (_nsw_append_sql) and the top-5 is fully hash-checked.
+    skip_existing=True makes re-runs (and crash-replayed batches)
+    no-ops — the artifact converges to the same merged graph."""
+    path = _nsw_index_path(sf_dir, tag="append")
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    is_batch = F.col("vec_id") % 97 == 13
+    batch, old = emb.filter(is_batch), emb.filter(~is_batch)
+    S.save_nsw_index(old, path, **_NSW_BUILD_PARAMS)
+    S.append_to_nsw_index(batch, old, path, beam=8, rounds=3,
+                          n_entries=2, skip_existing=True)
+    idx = S.load_nsw_index(spark, path)
+    return S.nsw_beam_search(
+        idx["adj"], emb, _queries_df(spark, sf_dir), k=5, beam=4,
+        rounds=3, n_entries=2,
+    ).orderBy("q_id", "rk")
+
+
+QUERIES["sim33_nsw_append_probe"] = sim33_nsw_append_probe
+ORACLES["sim33_nsw_append_probe"] = _nsw_append_sql()
+
+
+def st17_stream_graph_append(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """STREAMING GRAPH ingest — the append cell that COMPLETES the
+    streaming x maintenance matrix for all three persisted indexes
+    (probe st9/st12, append st10/st15/st17, delete st13/st14/st16):
+    a graph built over the corpus minus the batch receives the batch
+    (vec_id % 97 == 13) as a file-stream micro-batch applied via
+    foreachBatch with append_to_nsw_index — search+relink under the
+    maintenance lease, an O(batch x k_nbrs) override fragment, with
+    an applied-batch marker PLUS skip_existing=True covering BOTH
+    retry windows (the st15 discipline). ONE micro-batch by design,
+    stated rather than fudged: unlike the frozen-codebook IVF-PQ
+    append (commutative — st15 streams two), graph appends COMPOSE
+    SEQUENTIALLY (batch 2's insert-search runs over the graph that
+    already contains batch 1), so a multi-file stream's result would
+    depend on FileStreamSource's file ordering; the deterministic
+    single-batch stream is what a SQL oracle can pin, and sequential
+    composition is unit-pinned instead (TestNswGraphAnn). After the
+    stream drains, the standard queries probe the merged graph —
+    the result must equal sim33's direct append exactly, so the
+    oracle IS sim33's replay (_nsw_append_sql) verbatim. Run scratch
+    is eager-and-clean (u6)."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    is_batch = F.col("vec_id") % 97 == 13
+    batch, old = emb.filter(is_batch), emb.filter(~is_batch)
+    base = _nsw_index_path(sf_dir, tag="append-stream-base")
+    S.save_nsw_index(old, base, **_NSW_BUILD_PARAMS)
+    run = tempfile.mkdtemp(prefix="sg_st17_")
+    try:
+        idx = os.path.join(run, "idx")
+        shutil.copytree(base, idx)
+        src = os.path.join(run, "ingest")
+        batch.coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+
+        def batch_fn(batch_df, batch_id: int) -> None:
+            marker = os.path.join(run, f"applied-{batch_id}")
+            if os.path.exists(marker):
+                return
+            S.append_to_nsw_index(batch_df, old, idx, beam=8,
+                                  rounds=3, n_entries=2,
+                                  skip_existing=True)
+            open(marker, "w").close()
+
+        q = (stream.writeStream.foreachBatch(batch_fn)
+             .option("checkpointLocation", os.path.join(run, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        loaded = S.load_nsw_index(spark, idx, expect=_NSW_BUILD_PARAMS)
+        out = S.nsw_beam_search(
+            loaded["adj"], emb, _queries_df(spark, sf_dir),
+            k=5, beam=4, rounds=3, n_entries=2,
+        ).orderBy("q_id", "rk")
+        rows = out.collect()
+        schema_out = out.schema
+    finally:
+        shutil.rmtree(run, ignore_errors=True)
+    return spark.createDataFrame(rows, schema_out).orderBy("q_id", "rk")
+
+
+QUERIES["st17_stream_graph_append"] = st17_stream_graph_append
+# the streamed append must equal sim33's direct append — same replay
+ORACLES["st17_stream_graph_append"] = _nsw_append_sql()
 
 # sim6 is exactness-preserving over sim1 (local top-k pre-reduce only
 # discards rows provably outside the global top-k) — same oracle

@@ -2758,6 +2758,90 @@ class TestNswGraphAnn:
         bound = 2 + 3 * 4 * 6
         assert all(r["count"] <= bound for r in per_q)
 
+    def test_append_search_relink_lifecycle(self, spark, tmp_path):
+        """sim33's contract as a unit (round 13 — the last day-2
+        decline closed): appended nodes get <= k_nbrs out-edges from
+        the insert-search, back-links displace weaker edges under the
+        stored re-rank rule (nrk stays contiguous per src), the
+        fragment is O(batch x k_nbrs), a skip_existing replay writes
+        NO second fragment, and compaction folds the fragment into
+        the next generation with the merged probe answer unchanged —
+        then retires it one cycle later."""
+        import os
+
+        emb = self._emb(spark)
+        is_batch = F.col("vec_id") % 97 == 13
+        batch, old = emb.filter(is_batch), emb.filter(~is_batch)
+        path = str(tmp_path / "idx")
+        S.save_nsw_index(old, path, k_nbrs=6)
+        S.append_to_nsw_index(batch, old, path, beam=8, rounds=3,
+                              n_entries=2)
+        idx = S.load_nsw_index(spark, path)
+        bids = {r.vec_id for r in batch.select("vec_id").collect()}
+        rows = idx["adj"].collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r.src, []).append(r.nrk)
+        assert bids <= set(per)                  # new nodes reachable
+        assert all(len(v) <= 6 for v in per.values())
+        assert any(r.dst in bids for r in rows)  # back-links landed
+        assert all(sorted(v) == list(range(1, len(v) + 1))
+                   for v in per.values())        # re-rank stayed sane
+        frag_dirs = [n for n in os.listdir(path)
+                     if n.startswith("adj-frag-g")]
+        assert len(frag_dirs) == 1
+        frows = spark.read.parquet(
+            os.path.join(path, frag_dirs[0])).count()
+        assert frows <= len(bids) * 6 * 7        # O(batch), never O(n)
+        q = self._q(emb)
+        r1 = sorted(tuple(r) for r in S.nsw_beam_search(
+            idx["adj"], emb, q).collect())
+        S.append_to_nsw_index(batch, old, path, skip_existing=True)
+        assert [n for n in os.listdir(path)
+                if n.startswith("adj-frag-g")] == frag_dirs
+        S.compact_nsw_index(spark, path)
+        idx2 = S.load_nsw_index(spark, path)
+        r2 = sorted(tuple(r) for r in S.nsw_beam_search(
+            idx2["adj"], emb, q).collect())
+        assert r2 == r1                          # fold is invisible
+        assert any(n.startswith("adj-frag-g1-")
+                   for n in os.listdir(path))    # kept one cycle
+        S.compact_nsw_index(spark, path)
+        assert not any(n.startswith("adj-frag-")
+                       for n in os.listdir(path))
+
+    def test_sequential_appends_compose(self, spark, tmp_path):
+        """Two sequential appends layer fragments: batch B's
+        insert-search runs over the graph that already contains
+        batch A (B can link to A nodes), a later fragment supersedes
+        an earlier one per src, and the merged view keeps every
+        member with <= k_nbrs contiguously-ranked edges. This is the
+        composition st17 deliberately does NOT stream multi-file
+        (sequential appends are order-sensitive; the stream pins one
+        deterministic batch, the unit pins the layering)."""
+        import os
+
+        emb = self._emb(spark)
+        pa = F.col("vec_id") % 97 == 13
+        pb = F.col("vec_id") % 97 == 31
+        a, b, old = emb.filter(pa), emb.filter(pb), emb.filter(~pa & ~pb)
+        path = str(tmp_path / "idx")
+        S.save_nsw_index(old, path, k_nbrs=6)
+        S.append_to_nsw_index(a, old, path)
+        S.append_to_nsw_index(b, emb.filter(~pb), path)
+        frags = sorted(n for n in os.listdir(path)
+                       if n.startswith("adj-frag-g1-"))
+        assert frags == ["adj-frag-g1-1", "adj-frag-g1-2"]
+        idx = S.load_nsw_index(spark, path)
+        per = {}
+        for r in idx["adj"].collect():
+            per.setdefault(r.src, []).append(r.nrk)
+        aids = {r.vec_id for r in a.select("vec_id").collect()}
+        bids = {r.vec_id for r in b.select("vec_id").collect()}
+        assert (aids | bids) <= set(per)
+        assert all(sorted(v) == list(range(1, len(v) + 1))
+                   and len(v) <= 6 for v in per.values())
+
     def test_df_quantizer_engine_is_bit_identical(self, spark):
         """Round-13 cap-lift: the DataFrame quantizer engine
         (int_ivf_centroids_df / int_assign_centroid_df — centroids as
