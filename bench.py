@@ -69,6 +69,7 @@ EXTENDED = [
     "sim31_nsw_recall_eval",        # r13: high-recall point report
     "sim32_nsw_distributed_build",  # r13: df quantizer engine, c=32
     "sim33_nsw_append_probe",       # r13: graph append (search+relink)
+    "sim35_int_ivf_bigc_topk",      # r13: df engine on query-side IVF
 ]
 
 

@@ -361,7 +361,8 @@ def _int_ivf_pairs(emb: DataFrame, queries: DataFrame,
                    iters: int = 2,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    q_id_col: str = "q_id",
-                   q_vec_col: str = "q_emb") -> DataFrame:
+                   q_vec_col: str = "q_emb",
+                   quantizer: str = "literal") -> DataFrame:
     """Shared candidate-scoring chain of the integer-IVF family
     (int_ivf_topk / int_ivf_range_search): int8-quantize the corpus,
     integer k-means for cells, each query probes its n_probe nearest
@@ -370,29 +371,61 @@ def _int_ivf_pairs(emb: DataFrame, queries: DataFrame,
     floating (single IEEE op — bit-identical across engines, the sim7
     precedent). Returns the scored candidate pairs
     (q_id, vec_id, cos_sim_q8) — callers rank (top-k) or filter
-    (range search)."""
+    (range search).
+
+    `quantizer` as the NSW build (round 13): "df" runs training,
+    assignment and query probing with the centroids as broadcast
+    DATA (int_ivf_centroids_df / _scored_cells_df — plan size O(1)
+    in the cell count, training fully distributed), bit-identical to
+    the literal engine, so the same SQL replay checks both. The cell
+    counts a 100 TB IVF wants (~sqrt n, tens of thousands) only fit
+    the df engine."""
     from ..stages import timed as _timed_stage
 
+    engine = _resolve_nsw_quantizer(quantizer, n_centroids)
     emb_q = emb.select(
         F.col(id_col), int8_quantize(F.col(vec_col)).alias("_qv"))
-    # training is driver-eager (k-means collects) — attribute it so
-    # the bench can split train from the lazy probe side (VERDICT #5)
+    # training is driver-eager (k-means collects / checkpoints) —
+    # attribute it so the bench can split train from the lazy probe
+    # side (VERDICT #5)
     with _timed_stage("train"):
-        cents = int_ivf_centroids(emb_q, n_centroids, iters, id_col,
-                                  "_qv")
-    data = int_assign_centroid(emb_q, cents, "_qv").withColumn(
-        "_vnorm", F.sqrt(idot(F.col("_qv"), F.col("_qv")).cast("double")))
+        if engine == "df":
+            cents = int_ivf_centroids_df(emb_q, n_centroids, iters,
+                                         id_col, "_qv")
+        else:
+            cents = int_ivf_centroids(emb_q, n_centroids, iters,
+                                      id_col, "_qv")
     qs = queries.select(
         F.col(q_id_col), int8_quantize(F.col(q_vec_col)).alias("_qq"))
-    probes = _nearest_cells(F.col("_qq"), cents, n_probe)
-    q_probed = (
-        qs.withColumn("_p", F.explode(probes))
-        .select(F.col(q_id_col), F.col("_qq"),
-                F.col("_p.i").alias("_cid"))
-        .withColumn("_qnorm",
-                    F.sqrt(idot(F.col("_qq"), F.col("_qq"))
-                           .cast("double")))
-    )
+    if engine == "df":
+        one = F.broadcast(_cents_column(cents))
+        data = (emb_q.crossJoin(one)
+                .withColumn("_cid", F.array_min(_scored_cells_df(
+                    F.col("_qv"), F.col("_cents")))["i"])
+                .drop("_cents"))
+        q_probed = (
+            qs.crossJoin(one)
+            .withColumn("_p", F.explode(F.slice(F.array_sort(
+                _scored_cells_df(F.col("_qq"), F.col("_cents"))),
+                1, n_probe)))
+            .drop("_cents")
+            .select(F.col(q_id_col), F.col("_qq"),
+                    F.col("_p.i").alias("_cid"))
+        )
+    else:
+        data = int_assign_centroid(emb_q, cents, "_qv")
+        probes = _nearest_cells(F.col("_qq"), cents, n_probe)
+        q_probed = (
+            qs.withColumn("_p", F.explode(probes))
+            .select(F.col(q_id_col), F.col("_qq"),
+                    F.col("_p.i").alias("_cid"))
+        )
+    data = data.withColumn(
+        "_vnorm", F.sqrt(idot(F.col("_qv"), F.col("_qv"))
+                         .cast("double")))
+    q_probed = q_probed.withColumn(
+        "_qnorm", F.sqrt(idot(F.col("_qq"), F.col("_qq"))
+                         .cast("double")))
     return data.join(F.broadcast(q_probed), "_cid").select(
         F.col(q_id_col), F.col(id_col),
         (idot(F.col("_qq"), F.col("_qv")).cast("double")
@@ -404,14 +437,16 @@ def int_ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                  n_centroids: int = 4, n_probe: int = 2, iters: int = 2,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  q_id_col: str = "q_id",
-                 q_vec_col: str = "q_emb") -> DataFrame:
+                 q_vec_col: str = "q_emb",
+                 quantizer: str = "literal") -> DataFrame:
     """IVF approximate top-k with the integer coarse quantizer — the
     hash-checked sibling of ivf_topk (sim4); the scoring chain is
     _int_ivf_pairs, then a per-query rank. Same scale shape as sim4:
     cell id is the partition/prune key, probes read n_probe/k of the
     corpus."""
     pairs = _int_ivf_pairs(emb, queries, n_centroids, n_probe, iters,
-                           id_col, vec_col, q_id_col, q_vec_col)
+                           id_col, vec_col, q_id_col, q_vec_col,
+                           quantizer)
     w = Window.partitionBy(q_id_col).orderBy(
         F.desc("cos_sim_q8"), F.col(id_col))
     return (
@@ -427,7 +462,8 @@ def int_ivf_range_search(emb: DataFrame, queries: DataFrame,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          q_id_col: str = "q_id",
-                         q_vec_col: str = "q_emb") -> DataFrame:
+                         q_vec_col: str = "q_emb",
+                         quantizer: str = "literal") -> DataFrame:
     """IVF RANGE search (radius/threshold search) with the integer
     coarse quantizer — the ANN operation the top-k ladder lacked:
     return EVERY probed vector with cosine >= tau, not a fixed k
@@ -444,7 +480,8 @@ def int_ivf_range_search(emb: DataFrame, queries: DataFrame,
     result before any exchange, which is what makes radius search
     the right primitive when k would be set to "huge, then trim"."""
     pairs = _int_ivf_pairs(emb, queries, n_centroids, n_probe, iters,
-                           id_col, vec_col, q_id_col, q_vec_col)
+                           id_col, vec_col, q_id_col, q_vec_col,
+                           quantizer)
     return pairs.filter(F.col("cos_sim_q8") >= F.lit(float(tau)))
 
 

@@ -806,28 +806,34 @@ _SIM33_BATCH_PRED = "vec_id % 97 = 13"
 
 def _nsw_append_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
                     n_probe: int = 2, k_nbrs: int = 6,
-                    batch_pred: str = _SIM33_BATCH_PRED,
+                    batch_preds: tuple = (_SIM33_BATCH_PRED,),
                     i_beam: int = 8, i_rounds: int = 3,
                     i_entries: int = 2, n_entries: int = 2,
                     beam: int = 4, rounds: int = 3, k: int = 5,
                     n_q: int = 3) -> str:
-    """DuckDB replay of the NSW APPEND lifecycle (sim33) in one
-    statement: build the graph on the PRE-BATCH corpus
-    (_int_cells_sql with the inverted batch predicate), run the
-    INSERT-SEARCH — the batch vectors beam-search the old graph
-    (_beam_rounds_sql tag 'i') and their top-k_nbrs visited become
-    u_edges — then RELINK (each found neighbor's list re-ranked with
-    the symmetric back-edge candidates, top-k_nbrs by cs desc/dst —
-    the stored build rule), merge (untouched lists + relinked lists +
-    new nodes' lists), and finally the standard probe over the MERGED
-    graph and full corpus (tag ''). Every score is the exact integer
-    dot, so the whole day-2 mutation is hash-checkable."""
+    """DuckDB replay of the NSW APPEND lifecycle (sim33 single batch,
+    sim34 sequential batches) in one statement: build the graph on
+    the PRE-BATCH corpus (_int_cells_sql with every batch predicate
+    inverted), then per batch j — INSERT-SEARCH (the batch vectors
+    beam-search the graph AS OF batch j-1, _beam_rounds_sql tag
+    'i{{j}}'; their top-k_nbrs visited become the new out-lists),
+    RELINK (each found neighbor's list re-ranked with the symmetric
+    back-edge candidates, top-k_nbrs by cs desc/dst — the stored
+    build rule), MERGE into madj{{j}} (untouched + relinked + new
+    lists, scores kept so batch j+1 can relink against them) and
+    grow the member norms anrm{{j}} — sequential composition is
+    exactly what append_to_nsw_index does batch-after-batch, so a
+    later batch can link INTO an earlier one. Finally the standard
+    probe runs over the last merged graph and the full corpus
+    (tag ''). Every score is the exact integer dot, so the whole
+    day-2 mutation chain is hash-checkable."""
     d2 = _d2_sql(dim)
     norm2 = _norm2_sql(dim)
     dot = _idot_sql(dim)
     last = f"c{iters}"
+    not_any = " AND ".join(f"NOT ({p})" for p in batch_preds)
     parts = [_int_cells_sql(dim, k_cent, iters,
-                            where=f"NOT ({batch_pred})") + f""", nrm AS (
+                            where=not_any) + f""", nrm AS (
         SELECT vec_id, q, {norm2('q')} AS nrm FROM qv
     ), aprobe AS (
         SELECT vec_id, q, nrm, cid FROM (
@@ -842,18 +848,18 @@ def _nsw_append_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
         FROM aprobe p
         JOIN af a ON p.cid = a.cid AND p.vec_id <> a.vec_id
         JOIN nrm n2 ON n2.vec_id = a.vec_id
-    ), adj AS (
+    ), madj0 AS MATERIALIZED (
         SELECT src, dst, cs FROM (
             SELECT src, dst, cs, row_number() OVER (PARTITION BY src
                 ORDER BY cs DESC, dst) AS nrk
             FROM gcand
         ) WHERE nrk <= {k_nbrs}
-    ), bbase AS (
-        SELECT vec_id, embedding,
-               list_max(list_transform(embedding,
-                   x -> abs(CAST(x AS DOUBLE)))) AS mx
-        FROM embeddings WHERE {batch_pred}
-    ), bnrm AS (
+    ), anrm0 AS MATERIALIZED (
+        SELECT vec_id, q, nrm FROM nrm
+    )"""]
+    for j, pred in enumerate(batch_preds, start=1):
+        pj, aj, tag = j - 1, j, f"i{j}"
+        parts.append(f""", bnrm{j} AS (
         SELECT vec_id, q, {norm2('q')} AS nrm FROM (
             SELECT vec_id,
                    CASE WHEN mx > 0 THEN list_transform(embedding,
@@ -861,55 +867,63 @@ def _nsw_append_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
                                  * (127.0 / mx) + 0.5) AS BIGINT))
                         ELSE list_transform(embedding,
                             x -> CAST(0 AS BIGINT)) END AS q
-            FROM bbase
+            FROM (
+                SELECT vec_id, embedding,
+                       list_max(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE)))) AS mx
+                FROM embeddings WHERE {pred}
+            )
         )
-    ), iq AS (
-        SELECT vec_id AS q_id, q AS qvec, nrm AS qnrm FROM bnrm
-    ), ient AS (
-        SELECT vec_id, q, nrm FROM nrm ORDER BY vec_id
+    ), {tag}q AS (
+        SELECT vec_id AS q_id, q AS qvec, nrm AS qnrm FROM bnrm{j}
+    ), {tag}ent AS (
+        SELECT vec_id, q, nrm FROM anrm{pj} ORDER BY vec_id
         LIMIT {i_entries}
-    ), iv0 AS (
+    ), {tag}v0 AS (
         SELECT q.q_id, e.vec_id,
                {dot('q.qvec', 'e.q')} / (q.qnrm * e.nrm) AS cos_sim_q8
-        FROM iq q CROSS JOIN ient e
-    )"""]
-    parts.append(_beam_rounds_sql(dim, i_rounds, i_beam, tag="i",
-                                  qq="iq", adj="adj", nrm="nrm"))
-    parts.append(f""", u_edges AS (
+        FROM {tag}q q CROSS JOIN {tag}ent e
+    )""")
+        parts.append(_beam_rounds_sql(dim, i_rounds, i_beam, tag=tag,
+                                      qq=f"{tag}q", adj=f"madj{pj}",
+                                      nrm=f"anrm{pj}"))
+        parts.append(f""", u{j} AS (
         SELECT src, dst, cs FROM (
             SELECT q_id AS src, vec_id AS dst, cos_sim_q8 AS cs,
                    row_number() OVER (PARTITION BY q_id
                        ORDER BY cos_sim_q8 DESC, vec_id) AS nrk
-            FROM iv{i_rounds}
+            FROM {tag}v{i_rounds}
         ) WHERE nrk <= {k_nbrs}
-    ), back AS (
-        SELECT dst AS src, src AS dst, cs FROM u_edges
-    ), vaff AS (
-        SELECT DISTINCT src FROM back
-    ), v_new AS (
+    ), bk{j} AS (
+        SELECT dst AS src, src AS dst, cs FROM u{j}
+    ), vaff{j} AS (
+        SELECT DISTINCT src FROM bk{j}
+    ), vn{j} AS (
         SELECT src, dst, cs FROM (
             SELECT src, dst, cs,
                    row_number() OVER (PARTITION BY src
                        ORDER BY cs DESC, dst) AS nrk
             FROM (
-                SELECT a.src, a.dst, a.cs FROM adj a
-                JOIN vaff f ON a.src = f.src
-                UNION ALL SELECT src, dst, cs FROM back
+                SELECT a.src, a.dst, a.cs FROM madj{pj} a
+                JOIN vaff{j} f ON a.src = f.src
+                UNION ALL SELECT src, dst, cs FROM bk{j}
             )
         ) WHERE nrk <= {k_nbrs}
-    ), madj AS (
-        SELECT a.src, a.dst FROM adj a
-        WHERE a.src NOT IN (SELECT src FROM vaff)
-        UNION ALL SELECT src, dst FROM v_new
-        UNION ALL SELECT src, dst FROM u_edges
-    ), anrm AS (
-        SELECT vec_id, q, nrm FROM nrm
-        UNION ALL SELECT vec_id, q, nrm FROM bnrm
-    ), qq AS (
+    ), madj{aj} AS MATERIALIZED (
+        SELECT a.src, a.dst, a.cs FROM madj{pj} a
+        WHERE a.src NOT IN (SELECT src FROM vaff{j})
+        UNION ALL SELECT src, dst, cs FROM vn{j}
+        UNION ALL SELECT src, dst, cs FROM u{j}
+    ), anrm{aj} AS MATERIALIZED (
+        SELECT vec_id, q, nrm FROM anrm{pj}
+        UNION ALL SELECT vec_id, q, nrm FROM bnrm{j}
+    )""")
+    jj = len(batch_preds)
+    parts.append(f""", qq AS (
         SELECT vec_id AS q_id, q AS qvec, nrm AS qnrm
-        FROM anrm WHERE vec_id < {n_q}
+        FROM anrm{jj} WHERE vec_id < {n_q}
     ), ent AS (
-        SELECT vec_id, q, nrm FROM anrm ORDER BY vec_id
+        SELECT vec_id, q, nrm FROM anrm{jj} ORDER BY vec_id
         LIMIT {n_entries}
     ), v0 AS (
         SELECT q.q_id, e.vec_id,
@@ -917,7 +931,8 @@ def _nsw_append_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
         FROM qq q CROSS JOIN ent e
     )""")
     parts.append(_beam_rounds_sql(dim, rounds, beam, tag="",
-                                  qq="qq", adj="madj", nrm="anrm"))
+                                  qq="qq", adj=f"madj{jj}",
+                                  nrm=f"anrm{jj}"))
     parts.append(f"""
     SELECT q_id, vec_id, cos_sim_q8, CAST(rk AS BIGINT) AS rk FROM (
         SELECT q_id, vec_id, cos_sim_q8,
@@ -1032,6 +1047,65 @@ def st17_stream_graph_append(spark: SparkSession,
 QUERIES["st17_stream_graph_append"] = st17_stream_graph_append
 # the streamed append must equal sim33's direct append — same replay
 ORACLES["st17_stream_graph_append"] = _nsw_append_sql()
+
+
+def sim34_nsw_sequential_append(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """SEQUENTIAL append composition, oracle-pinned (round 13 — the
+    order-sensitive half st17 deliberately keeps out of the stream):
+    two batches land one after the other (vec_id % 97 == 13, then
+    % 97 == 31), and batch B's insert-search runs over the graph
+    that ALREADY contains batch A — B can link into A's nodes, and
+    a B back-edge can displace an edge A just created (the second
+    fragment supersedes the first per src at read time). The DuckDB
+    oracle chains both append blocks in one statement
+    (_nsw_append_sql with two batch predicates: each block's search
+    runs over the previous block's merged graph and member set), so
+    the exact composed day-2 state — not just each step — is
+    hash-checked. skip_existing keeps re-runs convergent."""
+    path = _nsw_index_path(sf_dir, tag="append-seq")
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    pa = F.col("vec_id") % 97 == 13
+    pb = F.col("vec_id") % 97 == 31
+    old = emb.filter(~pa & ~pb)
+    S.save_nsw_index(old, path, **_NSW_BUILD_PARAMS)
+    S.append_to_nsw_index(emb.filter(pa), old, path, beam=8,
+                          rounds=3, n_entries=2, skip_existing=True)
+    S.append_to_nsw_index(emb.filter(pb), emb.filter(~pb), path,
+                          beam=8, rounds=3, n_entries=2,
+                          skip_existing=True)
+    idx = S.load_nsw_index(spark, path)
+    return S.nsw_beam_search(
+        idx["adj"], emb, _queries_df(spark, sf_dir), k=5, beam=4,
+        rounds=3, n_entries=2,
+    ).orderBy("q_id", "rk")
+
+
+QUERIES["sim34_nsw_sequential_append"] = sim34_nsw_sequential_append
+ORACLES["sim34_nsw_sequential_append"] = _nsw_append_sql(
+    batch_preds=("vec_id % 97 = 13", "vec_id % 97 = 31"))
+
+
+def sim35_int_ivf_bigc_topk(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """sim11's integer-IVF top-5 at a LARGE cell count on the
+    DISTRIBUTED quantizer engine (round 13 — the sim32 cap-lift
+    applied to the query-side IVF family): n_centroids=32 with
+    quantizer='df' trains, assigns and probes with the centroid set
+    as a one-row broadcast array column (int_ivf_centroids_df /
+    _scored_cells_df), so the plan carries ZERO centroid literals and
+    the same code runs at the tens-of-thousands of cells a 100 TB
+    IVF wants (~sqrt n). Engines are bit-identical (TestNswGraphAnn
+    pin), so the oracle is the standard engine-agnostic replay at
+    k_cent=32 — the hit set is fully hash-checked like sim11's."""
+    emb = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    return S.int_ivf_topk(emb, _queries_df(spark, sf_dir), k=5,
+                          n_centroids=32, n_probe=2, iters=2,
+                          quantizer="df").orderBy("q_id", "rk")
+
+
+QUERIES["sim35_int_ivf_bigc_topk"] = sim35_int_ivf_bigc_topk
+ORACLES["sim35_int_ivf_bigc_topk"] = _int_ivf_sql(k_cent=32)
 
 # sim6 is exactness-preserving over sim1 (local top-k pre-reduce only
 # discards rows provably outside the global top-k) — same oracle

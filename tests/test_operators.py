@@ -2865,6 +2865,13 @@ class TestNswGraphAnn:
         a_df = sorted(tuple(r) for r in S.nsw_adjacency(
             emb, k_nbrs=6, n_centroids=8, quantizer="df").collect())
         assert a_lit == a_df
+        # and the query-side IVF family (sim35 rides this)
+        q = self._q(emb)
+        t_lit = sorted(tuple(r) for r in S.int_ivf_topk(
+            emb, q, k=5, n_centroids=8, quantizer="literal").collect())
+        t_df = sorted(tuple(r) for r in S.int_ivf_topk(
+            emb, q, k=5, n_centroids=8, quantizer="df").collect())
+        assert t_lit == t_df
 
     def test_df_engine_plan_size_independent_of_cell_count(self, spark):
         """THE point of the df engine: the literal plan embeds

@@ -64,6 +64,11 @@ ALLOWED: dict[str, dict[str, str]] = {
                                   "range joins against the O(buckets) "
                                   "sketch / value-histogram tables",
         "sim10_centroid_classify": "n_labels-row centroid table broadcast",
+        "sim35_int_ivf_bigc_topk": "1-row broadcast of the folded "
+                                   "centroid-set column (the df "
+                                   "quantizer engine: centroids as "
+                                   "data, zero plan literals) + 3-row "
+                                   "query-vector broadcast",
         "dp9_source_mix": "1-row corpus token total broadcast",
         "a21_hll_distinct": "1-row register fold x 1-row exact-distinct "
                             "audit column",
@@ -140,6 +145,11 @@ ALLOWED: dict[str, dict[str, str]] = {
         "sim31_nsw_recall_eval": "1-row recall_milli total aggregate "
                                  "(broadcast back over O(queries) "
                                  "rows — the sim9 verdict pattern)",
+        "sim35_int_ivf_bigc_topk": "the centroid-set fold "
+                                   "(_cents_column): rows reaching "
+                                   "the single partition are the "
+                                   "CELL count (32 here), never the "
+                                   "corpus",
         "o3_argmax": "single max row",
         "s12_filtered_top1": "top-1",
         "f8_prefix_until_sentinel": "top-10 prefix scan",
