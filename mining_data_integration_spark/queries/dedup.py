@@ -644,9 +644,9 @@ def _lsh_calibration_oracle() -> str:
         for i, (a, b) in enumerate(uh_params(16))
     )
     return f"""
-    WITH cands AS ({pairs}),
-    sh0 AS ({_duck_shingles(3)}),
-    csh AS (
+    WITH cands AS MATERIALIZED ({pairs}),
+    sh0 AS MATERIALIZED ({_duck_shingles(3)}),
+    csh AS MATERIALIZED (
         SELECT id, shingle FROM sh0
         WHERE id IN (SELECT id1 FROM cands UNION SELECT id2 FROM cands)
     ),

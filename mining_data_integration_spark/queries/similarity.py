@@ -421,7 +421,7 @@ def _nsw_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
     norm2 = _norm2_sql(dim)
     last = f"c{iters}"
     dot = _idot_sql(dim)
-    parts = [_int_cells_sql(dim, k_cent, iters) + f""", nrm AS (
+    parts = [_int_cells_sql(dim, k_cent, iters) + f""", nrm AS MATERIALIZED (
         SELECT vec_id, q, {norm2('q')} AS nrm FROM qv
     ), aprobe AS (
         SELECT vec_id, q, nrm, cid FROM (
@@ -442,7 +442,7 @@ def _nsw_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
                 ORDER BY cs DESC, dst) AS nrk
             FROM gcand
         ) WHERE nrk <= {k_nbrs}
-    ), adj AS (
+    ), adj AS MATERIALIZED (
         SELECT * FROM adj0 {adj_where}
     ), qq AS (
         SELECT vec_id AS q_id, q AS qvec, nrm AS qnrm
@@ -592,7 +592,7 @@ def _int_cells_sql(dim: int = 64, k_cent: int = 4,
                list_max(list_transform(embedding,
                    x -> abs(CAST(x AS DOUBLE)))) AS mx
         FROM embeddings{(' WHERE ' + where) if where else ''}
-    ), qv AS (
+    ), qv AS MATERIALIZED (
         SELECT vec_id,
                CASE WHEN mx > 0 THEN list_transform(embedding,
                         x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx)
@@ -833,7 +833,7 @@ def _nsw_append_sql(dim: int = 64, k_cent: int = 4, iters: int = 2,
     last = f"c{iters}"
     not_any = " AND ".join(f"NOT ({p})" for p in batch_preds)
     parts = [_int_cells_sql(dim, k_cent, iters,
-                            where=not_any) + f""", nrm AS (
+                            where=not_any) + f""", nrm AS MATERIALIZED (
         SELECT vec_id, q, {norm2('q')} AS nrm FROM qv
     ), aprobe AS (
         SELECT vec_id, q, nrm, cid FROM (
