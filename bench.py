@@ -70,6 +70,8 @@ EXTENDED = [
     "sim32_nsw_distributed_build",  # r13: df quantizer engine, c=32
     "sim33_nsw_append_probe",       # r13: graph append (search+relink)
     "sim35_int_ivf_bigc_topk",      # r13: df engine on query-side IVF
+    "dl2_delta_table_changes",      # r13: delta CDC (file-level)
+    "dp22_importance_weights",      # r13: DSIR importance weighting
 ]
 
 

@@ -496,3 +496,55 @@ def token_budget_mix(df: DataFrame, strata_col: str, token_count: Column,
             F.col("_budget").alias("tok_budget"),
         )
     )
+
+
+def dsir_importance(docs: DataFrame, target: Column,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    milli: int = 1000) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling" — public
+    method): score every raw document by how much its unigram profile
+    resembles the TARGET subset's distribution relative to the raw
+    corpus, the classifier-free data-selection signal used to compose
+    pre-training mixtures from a small in-domain seed.
+
+    Integer-exact variant so the DuckDB oracle replays it bit-for-bit:
+    per-token weight is the add-one-smoothed count ratio in milli units
+
+        w(tok) = (milli * (cnt_target(tok) + 1)) DIV (cnt_raw(tok) + 1)
+
+    (the constant total-count normalizer of the true likelihood ratio
+    is dropped — it rescales every weight equally, so top-k selection
+    is unchanged), and a document's score is the weight sum over its
+    token occurrences; `per_token_milli = score DIV n_tokens` is the
+    length-debiased selection key.
+
+    Scale: tokenization is map-side; counting is one
+    groupBy(doc, tok) (pre-aggregation so the weight join moves
+    distinct pairs, not occurrences) + one groupBy(tok) each for the
+    raw/target vocabularies; the weight join shuffles on tok —
+    vocabulary-keyed, with AQE handling stopword skew — and the final
+    per-doc sum is a uniform doc_id groupBy. No collect, no windows,
+    no data-sized broadcast."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(T.tokens(F.col(text_col))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per_doc = toks.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    raw_cnt = per_doc.groupBy("tok").agg(F.sum("c").alias("cnt_r"))
+    tgt_ids = docs.filter(target).select(id_col)
+    tgt_cnt = (per_doc.join(tgt_ids, id_col)
+               .groupBy("tok").agg(F.sum("c").alias("cnt_t")))
+    w = (raw_cnt.join(tgt_cnt, "tok", "left")
+         .select("tok", F.expr(
+             f"({milli} * (coalesce(cnt_t, 0L) + 1)) DIV (cnt_r + 1)"
+         ).alias("wm")))
+    return (per_doc.join(w, "tok")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("c") * F.col("wm")).alias("score_milli"),
+                 F.sum("c").alias("n_tokens"))
+            .select(id_col,
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("score_milli").cast("long").alias("score_milli"),
+                    F.expr("score_milli DIV n_tokens")
+                    .alias("per_token_milli")))

@@ -30,11 +30,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import aggregates, joins, scans, scalars, windows
-from . import dedup, e1, graph, multimodal, pipeline_q, similarity, text
+from . import dedup, deltaq, e1, graph, multimodal, pipeline_q
+from . import similarity, text
 
 # stable, neutral ordering: alphabetical by module name
-_MODULES = (aggregates, dedup, e1, graph, joins, multimodal, pipeline_q,
-            scalars, scans, similarity, text, windows)
+_MODULES = (aggregates, dedup, deltaq, e1, graph, joins, multimodal,
+            pipeline_q, scalars, scans, similarity, text, windows)
 
 # Queries that must be (re-)verified before anything else: new this
 # round, then queries whose code (or any symbol their call chain

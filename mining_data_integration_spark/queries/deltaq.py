@@ -1,0 +1,251 @@
+"""Delta-log table-format queries (dl*): time travel, CDC, row diff.
+
+Round 12 built the from-scratch Delta-protocol adapter
+(sources/deltalog.py) as the gold-store backend a 100 TB deployment
+actually integrates; until now it was unit-tested only. This module
+makes the format's *query surface* first-class in the oracle gate, the
+way a lakehouse user consumes it:
+
+* dl1 — time travel: read every committed version of a table and
+  report per-version aggregates (`VERSION AS OF` semantics).
+* dl2 — change-data-capture: `table_changes(v_from, v_to)` file-level
+  insert/delete rows per commit (Delta CDF's non-CDF reconstruction).
+* dl3 — snapshot diff: exact row-level delta between two versions via
+  multiset EXCEPT — the audit query behind "what did this overwrite
+  actually change?".
+
+All three share ONE deterministic 4-version table built from the
+`events` parquet (built once per corpus fingerprint, staged + atomic
+rename so racing builders and sweep shards converge):
+
+    v0  overwrite  segment A  = event_id % 10 in 0..5   (first load)
+    v1  append     segment B  = event_id % 10 in 6..7   (daily ingest)
+    v2  append     segment C  = event_id % 10 = 8       (daily ingest)
+    v3  overwrite  (A∪B∪C where cents >= 500) ∪ E       (compacting
+                   E = event_id % 10 = 9                 rewrite: purge
+                                                         low-value rows,
+                                                         land a new
+                                                         segment)
+
+Everything the queries output is a pure function of the events rows
+(never of physical file layout), so the DuckDB oracle replays the
+version states as set algebra over `events` — the same way the j9
+oracle replays the chain walk. `cents = floor(value*100)` keeps the
+money integer-exact in both engines.
+
+Reference: the reference's gold store is a Redis pointer swap
+(server.js:295-299) with no history; this family is the extension
+surface a real deployment needs the day it asks "what changed between
+yesterday's snapshot and today's?".
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.deltalog import DeltaLogTable
+from ._util import t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+# bump to invalidate persisted script tables when the build script or
+# the adapter's row-visible behavior changes
+DELTA_SCRIPT_VERSION = 1
+
+_KEEP_CENTS = 500
+
+
+def _script_path(sf_dir: str) -> str:
+    """Deterministic per-corpus table location, fingerprinted by the
+    events parquet's (path, size, mtime) — the dd15/sim19 staleness
+    rule applied to the delta-script artifact."""
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|"
+        f"v{DELTA_SCRIPT_VERSION}".encode()).hexdigest()[:16]
+    return f"/tmp/sg_delta_script/{fp}"
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") % 10).alias("_m"))
+
+
+def _delta_table(spark: SparkSession, sf_dir: str) -> DeltaLogTable:
+    """Build (once) and open the shared 4-version script table.
+    Staged build + atomic directory rename: concurrent sweep shards
+    either win the rename or discard their stage — readers only ever
+    see a COMPLETE 4-version log (and the log contents are a
+    deterministic function of the corpus, so every builder writes the
+    same row sets)."""
+    path = _script_path(sf_dir)
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        stage = f"{path}.build-{os.getpid()}"
+        shutil.rmtree(stage, ignore_errors=True)
+        tbl = DeltaLogTable(stage)
+        base = _base(spark, sf_dir)
+        seg = lambda lo, hi: (base.filter(F.col("_m").between(lo, hi))
+                              .drop("_m"))
+        tbl.overwrite(seg(0, 5))                              # v0
+        tbl.append(seg(6, 7))                                 # v1
+        tbl.append(seg(8, 8))                                 # v2
+        v2_state = tbl.to_df(spark, version=2)
+        tbl.overwrite(                                        # v3
+            v2_state.filter(F.col("cents") >= _KEEP_CENTS)
+            .unionByName(seg(9, 9)))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            os.rename(stage, path)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)  # lost the race
+    return DeltaLogTable(path)
+
+
+def _version_agg(df: DataFrame, version: int) -> DataFrame:
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("cents").alias("cents_sum"),
+    ).select(F.lit(version).cast("long").alias("version"), "*")
+
+
+def dl1_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: `VERSION AS OF v` reads of all four committed
+    versions of the script table, reported as per-version aggregates.
+    Pins that overwrite/append commits layer correctly and that every
+    historical snapshot stays readable (the adapter's log replay +
+    checkpoint path). Each version's read is an O(files-at-v) parquet
+    scan with the log's schema — no full-table history scan."""
+    tbl = _delta_table(spark, sf_dir)
+    out = _version_agg(tbl.to_df(spark, version=0), 0)
+    for v in (1, 2, 3):
+        out = out.unionByName(
+            _version_agg(tbl.to_df(spark, version=v), v))
+    return out.orderBy("version")
+
+
+QUERIES["dl1_delta_time_travel"] = dl1_delta_time_travel
+
+
+def dl2_delta_table_changes(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Change-data-capture over commits 2..3: `table_changes` replays
+    each commit's dataChange add/remove actions as insert/delete rows
+    (file-level — exact row CDC for the append at v2; the v3 overwrite
+    surfaces as delete-of-state + insert-of-state, which is precisely
+    what the protocol records). Grouped per (commit, change type) so
+    the output is O(commits), not O(rows)."""
+    tbl = _delta_table(spark, sf_dir)
+    return (tbl.table_changes(spark, 2, 3)
+            .groupBy(F.col("_commit_version").alias("commit_version"),
+                     F.col("_change_type").alias("change_type"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("cents").alias("cents_sum"),
+                 F.min("event_id").alias("min_event_id"),
+                 F.max("event_id").alias("max_event_id"))
+            .orderBy("commit_version", "change_type"))
+
+
+QUERIES["dl2_delta_table_changes"] = dl2_delta_table_changes
+
+
+def dl3_delta_snapshot_diff(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Row-level audit of the v3 compacting overwrite: multiset
+    EXCEPT between version 3 and version 2 in both directions — what
+    the rewrite inserted (the new E segment) and what it purged (the
+    low-value rows). This is the semantic diff dl2's file-level CDC
+    cannot see through an overwrite; at fleet scale it's one
+    shuffle-on-all-columns per direction (Spark's hash-based
+    ExceptAll), bounded by the two snapshots. Grouped per (change
+    type, event type)."""
+    tbl = _delta_table(spark, sf_dir)
+    new = tbl.to_df(spark, version=3)
+    old = tbl.to_df(spark, version=2)
+    diff = (new.exceptAll(old)
+            .select("*", F.lit("insert").alias("change_type"))
+            .unionByName(
+                old.exceptAll(new)
+                .select("*", F.lit("delete").alias("change_type"))))
+    return (diff.groupBy("change_type", "event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum("cents").alias("cents_sum"))
+            .orderBy("change_type", "event_type"))
+
+
+QUERIES["dl3_delta_snapshot_diff"] = dl3_delta_snapshot_diff
+
+
+# ---- oracles ------------------------------------------------------------
+
+_SCRIPT_CTES = f"""
+    WITH base AS MATERIALIZED (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               event_id % 10 AS m
+        FROM events
+    ), v2_state AS MATERIALIZED (
+        SELECT event_id, user_id, event_type, cents
+        FROM base WHERE m BETWEEN 0 AND 8
+    ), v3_state AS MATERIALIZED (
+        SELECT * FROM v2_state WHERE cents >= {_KEEP_CENTS}
+        UNION ALL
+        SELECT event_id, user_id, event_type, cents
+        FROM base WHERE m = 9
+    )
+"""
+
+_VAGG = ("CAST(count(*) AS BIGINT) AS n_rows, "
+         "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+         "CAST(sum(cents) AS BIGINT) AS cents_sum")
+
+ORACLES["dl1_delta_time_travel"] = f"""
+    {_SCRIPT_CTES}
+    SELECT CAST(0 AS BIGINT) AS version, {_VAGG}
+    FROM base WHERE m BETWEEN 0 AND 5
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), {_VAGG} FROM base WHERE m BETWEEN 0 AND 7
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), {_VAGG} FROM v2_state
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), {_VAGG} FROM v3_state
+    ORDER BY version
+"""
+
+_CAGG = ("CAST(count(*) AS BIGINT) AS n_rows, "
+         "CAST(sum(cents) AS BIGINT) AS cents_sum, "
+         "CAST(min(event_id) AS BIGINT) AS min_event_id, "
+         "CAST(max(event_id) AS BIGINT) AS max_event_id")
+
+ORACLES["dl2_delta_table_changes"] = f"""
+    {_SCRIPT_CTES}
+    SELECT CAST(2 AS BIGINT) AS commit_version,
+           'insert' AS change_type, {_CAGG}
+    FROM base WHERE m = 8
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'delete', {_CAGG} FROM v2_state
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'insert', {_CAGG} FROM v3_state
+    ORDER BY commit_version, change_type
+"""
+
+ORACLES["dl3_delta_snapshot_diff"] = f"""
+    {_SCRIPT_CTES}
+    SELECT 'insert' AS change_type, event_type, {_VAGG}
+    FROM base WHERE m = 9 GROUP BY event_type
+    UNION ALL
+    SELECT 'delete' AS change_type, event_type, {_VAGG}
+    FROM v2_state WHERE cents < {_KEEP_CENTS} OR cents IS NULL
+    GROUP BY event_type
+    ORDER BY change_type, event_type
+"""

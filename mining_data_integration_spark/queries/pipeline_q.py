@@ -1087,3 +1087,62 @@ ORACLES["dp21_chunked_pack"] = f"""
            CAST(start % {PACK_BUDGET} AS BIGINT) AS pack_offset
     FROM cum ORDER BY doc_id, chunk_idx
 """
+
+
+def dp22_importance_weights(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection (pipelines.dsir_importance):
+    weight every document's unigram profile by the add-one-smoothed
+    target/raw count ratio — target = the English subset, the
+    classic "look like the in-domain seed" setup — and report the
+    top-20 documents by length-debiased per-token score. Integer milli
+    weights end to end, so the oracle replays the whole chain
+    (tokenize, count, smooth, weight-sum, rank) exactly. The sanity
+    property the rows exhibit: the selected set skews hard toward the
+    target language without ever reading the lang column during
+    scoring."""
+    from ..pipelines import dsir_importance
+
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    scored = dsir_importance(docs, F.col("lang") == "en")
+    return (scored.join(docs.select("doc_id", "lang", "source"),
+                        "doc_id")
+            .select("doc_id", "lang", "source", "n_tokens",
+                    "score_milli", "per_token_milli")
+            .orderBy(F.col("per_token_milli").desc(), "doc_id")
+            .limit(20))
+
+
+QUERIES["dp22_importance_weights"] = dp22_importance_weights
+
+ORACLES["dp22_importance_weights"] = f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, tok
+        FROM (SELECT doc_id, unnest({_WORDS}) AS tok FROM documents)
+        WHERE tok <> ''
+    ), per_doc AS MATERIALIZED (
+        SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+    ), raw_cnt AS (
+        SELECT tok, sum(c) AS cnt_r FROM per_doc GROUP BY 1
+    ), tgt_cnt AS (
+        SELECT p.tok, sum(p.c) AS cnt_t
+        FROM per_doc p JOIN documents d USING (doc_id)
+        WHERE d.lang = 'en' GROUP BY 1
+    ), w AS (
+        SELECT r.tok,
+               CAST((1000 * (COALESCE(tc.cnt_t, 0) + 1))
+                    // (r.cnt_r + 1) AS BIGINT) AS wm
+        FROM raw_cnt r LEFT JOIN tgt_cnt tc ON r.tok = tc.tok
+    ), score AS (
+        SELECT p.doc_id,
+               CAST(sum(p.c) AS BIGINT) AS n_tokens,
+               CAST(sum(p.c * w.wm) AS BIGINT) AS score_milli
+        FROM per_doc p JOIN w USING (tok) GROUP BY 1
+    )
+    SELECT s.doc_id, d.lang, d.source, s.n_tokens, s.score_milli,
+           CAST(s.score_milli // s.n_tokens AS BIGINT)
+               AS per_token_milli
+    FROM score s JOIN documents d USING (doc_id)
+    ORDER BY per_token_milli DESC, s.doc_id
+    LIMIT 20
+"""

@@ -93,6 +93,41 @@ def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
+def _merge_schema_for_append(existing_json: str,
+                             new_json: str) -> str:
+    """Delta's mergeSchema=true evolution rule for appends: fields the
+    table already has keep their position, type, and nullability (the
+    incoming type must match exactly, and nullable data still may not
+    land in a non-null column); fields ONLY the incoming data has are
+    appended at the end as nullable — old files null-fill them on read
+    because to_df reads by the log's metaData schema, matching columns
+    by name. Incoming data may also OMIT nullable table columns (a
+    partial append null-fills them the same way). Raises
+    SchemaMismatchError on any type conflict — evolution widens the
+    schema, it never rewrites a column."""
+    ex = json.loads(existing_json)
+    nw = json.loads(new_json)
+    ex_by_name = {f["name"]: f for f in ex["fields"]}
+    for f in nw["fields"]:
+        have = ex_by_name.get(f["name"])
+        if have is None:
+            continue
+        if have["type"] != f["type"]:
+            raise SchemaMismatchError(
+                f"column {f['name']!r}: incoming type {f['type']!r} "
+                f"conflicts with table type {have['type']!r} "
+                f"(mergeSchema adds columns, never retypes)")
+        if f.get("nullable", True) and not have.get("nullable", True):
+            raise SchemaMismatchError(
+                f"column {f['name']!r}: nullable data may not append "
+                f"into a non-null table column")
+    merged = dict(ex)
+    merged["fields"] = list(ex["fields"]) + [
+        {**f, "nullable": True} for f in nw["fields"]
+        if f["name"] not in ex_by_name]
+    return json.dumps(merged, separators=(",", ":"))
+
+
 def _schema_compatible_for_append(existing_json: str,
                                   new_json: str) -> bool:
     """Append-compatibility between the table schema and incoming
@@ -263,6 +298,77 @@ class DeltaLogTable:
             out.append({"version": v, **info})
         return out
 
+    def table_changes(self, spark: SparkSession,
+                      v_from: int, v_to: int | None = None) -> DataFrame:
+        """File-level change-data-capture between committed versions
+        (both inclusive, like Delta's table_changes starting/ending
+        version): for each version in the range, replay its commit's
+        add/remove actions with dataChange=True — rows of added files
+        surface tagged `_change_type='insert'`, rows of removed files
+        `_change_type='delete'`, each with `_commit_version`. For an
+        append-only history this IS exact row-level CDC; an overwrite
+        surfaces as delete-of-everything + insert-of-everything (file
+        granularity — the protocol records no row-level diff without
+        CDF files, and faking one would misreport updates). Compaction
+        commits (dataChange=False) are invisible, as CDF specifies.
+
+        Rows are read with v_to's metaData schema (older files
+        null-fill evolved columns, matching to_df). Requires the
+        removed files to still exist on disk — i.e. the range must be
+        within the vacuum retention window, the same coupling Delta
+        documents for CDF reads; a vacuumed file surfaces as a read
+        error, never silent row loss."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, StringType, StructType
+
+        latest = self.version()
+        if latest < 0:
+            raise FileNotFoundError(f"no delta log at {self.path}")
+        if v_to is None:
+            v_to = latest
+        if not (0 <= v_from <= v_to <= latest):
+            raise ValueError(
+                f"bad version range [{v_from}, {v_to}] "
+                f"(latest is v{latest})")
+        schema = StructType.fromJson(json.loads(
+            self.snapshot(v_to)["metaData"]["schemaString"]))
+        parts: list[DataFrame] = []
+        for v in range(v_from, v_to + 1):
+            adds, removes = [], []
+            fp = os.path.join(self.log_dir, f"{v:020d}.json")
+            with open(fp) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "add" in action and action["add"].get(
+                            "dataChange", True):
+                        adds.append(action["add"]["path"])
+                    elif "remove" in action and action["remove"].get(
+                            "dataChange", True):
+                        removes.append(action["remove"]["path"])
+            for paths, ctype in ((adds, "insert"), (removes, "delete")):
+                if not paths:
+                    continue
+                df = (spark.read.schema(schema)
+                      .option("basePath", self.path)
+                      .parquet(*[os.path.join(self.path, p)
+                                 for p in paths]))
+                parts.append(df.select(*schema.fieldNames()).select(
+                    "*",
+                    F.lit(ctype).alias("_change_type"),
+                    F.lit(v).cast("long").alias("_commit_version")))
+        if not parts:
+            from pyspark.sql.types import StructField
+
+            out = StructType(schema.fields + [
+                StructField("_change_type", StringType(), True),
+                StructField("_commit_version", LongType(), True)])
+            return spark.createDataFrame([], out)
+        return reduce(DataFrame.unionByName, parts)
+
     # ---- write path ----------------------------------------------------
 
     def _stage_files(self, df: DataFrame,
@@ -342,9 +448,19 @@ class DeltaLogTable:
             "createdTime": _now_ms(),
         }}
 
+    def _unstage(self, adds: list[dict]) -> None:
+        """Drop staged-but-uncommitted files so a refusal leaves no
+        garbage behind."""
+        for a in adds:
+            try:
+                os.unlink(os.path.join(self.path, a["path"]))
+            except OSError:
+                pass
+
     def _commit_loop(self, df: DataFrame, mode: str,
                      partition_by: list[str] | None,
-                     max_retries: int) -> int:
+                     max_retries: int,
+                     merge_schema: bool = False) -> int:
         adds = self._stage_files(df, partition_by)
         new_schema = df.schema.json()
         for _ in range(max_retries):
@@ -363,7 +479,23 @@ class DeltaLogTable:
             else:
                 snap = self.snapshot(latest)
                 if snap["metaData"]["schemaString"] != new_schema:
-                    if mode == "append":
+                    if mode == "append" and merge_schema:
+                        try:
+                            merged = _merge_schema_for_append(
+                                snap["metaData"]["schemaString"],
+                                new_schema)
+                        except SchemaMismatchError:
+                            self._unstage(adds)
+                            raise
+                        if merged != snap["metaData"]["schemaString"]:
+                            # widened schema: replacement metaData
+                            # KEEPS the table identity (id, partition
+                            # columns, createdTime) — only the
+                            # schemaString evolves
+                            md = dict(snap["metaData"])
+                            md["schemaString"] = merged
+                            actions.append({"metaData": md})
+                    elif mode == "append":
                         if _schema_compatible_for_append(
                                 snap["metaData"]["schemaString"],
                                 new_schema):
@@ -374,19 +506,14 @@ class DeltaLogTable:
                             # protocol rule: append may not change
                             # the schema (a replacement metaData
                             # would make to_df null-fill every old
-                            # file's missing columns); drop the
-                            # staged files so the refusal leaves no
-                            # garbage behind
-                            for a in adds:
-                                try:
-                                    os.unlink(os.path.join(
-                                        self.path, a["path"]))
-                                except OSError:
-                                    pass
+                            # file's missing columns)
+                            self._unstage(adds)
                             raise SchemaMismatchError(
                                 f"append schema incompatible with "
                                 f"table schema at {self.path}; use "
-                                f"overwrite to replace the schema")
+                                f"overwrite to replace the schema, or "
+                                f"append(merge_schema=True) to widen "
+                                f"it")
                     else:
                         actions.append(
                             self._meta_action(df, partition_by))
@@ -418,11 +545,16 @@ class DeltaLogTable:
 
     def append(self, df: DataFrame,
                partition_by: list[str] | None = None,
-               max_retries: int = 20) -> int:
+               max_retries: int = 20,
+               merge_schema: bool = False) -> int:
         """Blind append — no read dependency, so concurrent appends
-        all land (each under its own version)."""
+        all land (each under its own version). With
+        merge_schema=True, new columns in df widen the table schema
+        (Delta's mergeSchema): old files null-fill them on read;
+        type conflicts still refuse."""
         return self._commit_loop(df, "append", partition_by,
-                                 max_retries)
+                                 max_retries,
+                                 merge_schema=merge_schema)
 
     # ---- maintenance ---------------------------------------------------
 

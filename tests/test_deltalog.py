@@ -282,6 +282,82 @@ class TestDeltaLogTable:
         with pytest.raises(SchemaMismatchError):
             t2.append(spark.range(3, 5).select(nullable_id))
 
+    def test_append_merge_schema_widens(self, spark, tmp_path):
+        """append(merge_schema=True): new columns widen the table
+        schema (Delta mergeSchema) — old files null-fill on read, the
+        table identity (metaData id) survives, and CDC reads replay
+        old commits with the evolved schema."""
+        from pyspark.sql import functions as F
+
+        t = DeltaLogTable(str(tmp_path / "t"))
+        t.overwrite(spark.range(3))
+        id0 = t.snapshot()["metaData"]["id"]
+        with pytest.raises(Exception):
+            t.append(spark.range(3, 5).withColumn("s", F.lit("x")))
+        t.append(spark.range(3, 5).withColumn("s", F.lit("x")),
+                 merge_schema=True)
+        df = t.to_df(spark)
+        assert [f.name for f in df.schema.fields] == ["id", "s"]
+        got = {r["id"]: r["s"] for r in df.collect()}
+        assert got == {0: None, 1: None, 2: None, 3: "x", 4: "x"}
+        assert t.snapshot()["metaData"]["id"] == id0
+        # CDC spanning the evolution reads old commits with the
+        # evolved (v_to) schema: pre-evolution rows null-fill
+        ch = t.table_changes(spark, 0).collect()
+        assert {r["s"] for r in ch if r["_commit_version"] == 0} \
+            == {None}
+        assert {r["s"] for r in ch if r["_commit_version"] == 1} \
+            == {"x"}
+
+    def test_append_merge_schema_conflict_and_subset(self, spark,
+                                                     tmp_path):
+        """mergeSchema adds columns, never retypes: a type conflict
+        refuses (and unstages cleanly); a SUBSET append under
+        merge_schema lands with the missing nullable column
+        null-filled."""
+        from pyspark.sql import functions as F
+
+        from mining_data_integration_spark.sources.deltalog import (
+            SchemaMismatchError)
+
+        t = DeltaLogTable(str(tmp_path / "t"))
+        t.overwrite(spark.range(3).withColumn("s", F.lit("x")))
+        with pytest.raises(SchemaMismatchError):
+            t.append(spark.range(3, 5).withColumn("s", F.lit(7)),
+                     merge_schema=True)
+        assert t.version() == 0
+        assert t.vacuum(retain_versions=0, retention_seconds=0) == 0
+        t.append(spark.range(3, 5), merge_schema=True)  # no "s" col
+        got = {r["id"]: r["s"] for r in t.to_df(spark).collect()}
+        assert got == {0: "x", 1: "x", 2: "x", 3: None, 4: None}
+
+    def test_table_changes_file_level_cdc(self, spark, tmp_path):
+        """table_changes: appends surface as exact row-level inserts;
+        an overwrite surfaces as delete-of-previous-state +
+        insert-of-new-state (file granularity, what the log records);
+        ranges are inclusive and validated."""
+        t = DeltaLogTable(str(tmp_path / "t"))
+        t.overwrite(spark.range(0, 3))      # v0
+        t.append(spark.range(3, 5))         # v1
+        t.overwrite(spark.range(10, 12))    # v2
+
+        ch = t.table_changes(spark, 1, 1).collect()
+        assert {(r["id"], r["_change_type"], r["_commit_version"])
+                for r in ch} == {(3, "insert", 1), (4, "insert", 1)}
+
+        ch = t.table_changes(spark, 1, 2)
+        got = {(r["id"], r["_change_type"], r["_commit_version"])
+               for r in ch.collect()}
+        assert got == ({(i, "delete", 2) for i in range(5)}
+                       | {(3, "insert", 1), (4, "insert", 1),
+                          (10, "insert", 2), (11, "insert", 2)})
+
+        assert t.table_changes(spark, 0, 0).count() == 3
+        with pytest.raises(ValueError):
+            t.table_changes(spark, 2, 1)
+        with pytest.raises(ValueError):
+            t.table_changes(spark, 0, 99)
+
     def test_history_survives_log_truncation(self, spark, tmp_path):
         """ADVICE r12: DESCRIBE HISTORY on a checkpoint-truncated log
         returns the surviving suffix, not FileNotFoundError."""

@@ -436,6 +436,33 @@ def test_temperature_sample_caps_and_determinism(spark):
         sorted(r.doc_id for r in again.collect())
 
 
+def test_dsir_importance_prefers_target_profile(spark):
+    """DSIR weighting must rank documents that share the target
+    subset's vocabulary above documents that don't — without ever
+    reading the label during scoring — and the milli scores must be
+    exact integer arithmetic (replayable)."""
+    from pyspark.sql import functions as F
+
+    from mining_data_integration_spark.pipelines import dsir_importance
+
+    rows = (
+        [(i, "alpha beta gamma alpha", "t") for i in range(6)]
+        + [(10 + i, "delta epsilon zeta delta", "r") for i in range(6)]
+        + [(20, "alpha beta", "r"), (21, "delta zeta", "r")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, kind string")
+    out = {r.doc_id: r for r in
+           dsir_importance(df, F.col("kind") == "t").collect()}
+    # doc 20 shares the target vocabulary, doc 21 does not
+    assert out[20].per_token_milli > out[21].per_token_milli
+    # exact smoothed-ratio check: 'alpha' occurs 12x in target
+    # (2 per doc x 6), 13x raw -> w = 1000*13 DIV 14 = 928;
+    # 'beta' 6x target, 7x raw -> w = 1000*7 DIV 8 = 875
+    assert out[20].score_milli == 928 + 875
+    assert out[20].n_tokens == 2
+    assert out[20].per_token_milli == (928 + 875) // 2
+
+
 def test_global_shuffle_is_permutation(spark):
     from mining_data_integration_spark.pipelines import global_shuffle
 

@@ -150,6 +150,9 @@ ALLOWED: dict[str, dict[str, str]] = {
                                    "the single partition are the "
                                    "CELL count (32 here), never the "
                                    "corpus",
+        "dl1_delta_time_travel": "four 1-row per-version global "
+                                 "aggregates unioned into the 4-row "
+                                 "time-travel report",
         "o3_argmax": "single max row",
         "s12_filtered_top1": "top-1",
         "f8_prefix_until_sentinel": "top-10 prefix scan",
