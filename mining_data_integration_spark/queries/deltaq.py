@@ -249,3 +249,113 @@ ORACLES["dl3_delta_snapshot_diff"] = f"""
     GROUP BY event_type
     ORDER BY change_type, event_type
 """
+
+
+def _stream_src_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Two-file parquet source for the st18 file stream (one
+    micro-batch per file under maxFilesPerTrigger=1): the streamed
+    half of the script's base rows (event_id % 10 in 5..9), split by
+    user_id parity. Built once per corpus fingerprint, staged +
+    atomic rename like the script table."""
+    import glob
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|stream-src|"
+        f"v{DELTA_SCRIPT_VERSION}".encode()).hexdigest()[:16]
+    path = f"/tmp/sg_delta_stream_src/{fp}"
+    if not os.path.isdir(path):
+        stage = f"{path}.build-{os.getpid()}"
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        streamed = _base(spark, sf_dir).filter(F.col("_m") >= 5) \
+            .drop("_m")
+        for i in (0, 1):
+            tmp = os.path.join(stage, f"_w{i}")
+            (streamed.filter(F.col("user_id") % 2 == i)
+             .coalesce(1).write.mode("overwrite").parquet(tmp))
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            os.rename(part, os.path.join(stage, f"half-{i}.parquet"))
+            shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            os.rename(stage, path)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)  # lost the race
+    return path
+
+
+def st18_stream_delta_ingest(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """STREAMING ingest into the Delta-log table under the protocol's
+    `txn` exactly-once contract (streaming.stream_delta_append): the
+    table starts at v0 with the base segment (event_id % 10 <= 4),
+    the streamed half arrives as a two-file FILE STREAM (one
+    micro-batch per file), and each micro-batch appends under
+    txn=(app, batch_id). After the stream drains, the ENTIRE streamed
+    half is replayed at the recorded txn version — the at-least-once
+    retry — and must be a NO-OP: if the txn check ever failed, the
+    final-state aggregates would double and the oracle hash would
+    catch it. Output: per-event-type aggregates of the final table
+    state and of the streamed commits' CDC rows (table_changes from
+    v1 — batch slicing and arrival order cancel out, so the report is
+    deterministic at any trigger granularity)."""
+    import tempfile
+    import uuid
+
+    from ..streaming import stream_delta_append
+
+    src = _stream_src_dir(spark, sf_dir)
+    run = uuid.uuid4().hex[:12]
+    table = os.path.join(tempfile.gettempdir(), f"sg_st18_tbl_{run}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"sg_st18_ckpt_{run}")
+    try:
+        tbl = DeltaLogTable(table)
+        tbl.overwrite(_base(spark, sf_dir)
+                      .filter(F.col("_m") <= 4).drop("_m"))
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (stream_delta_append(stream, table, "st18")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        # at-least-once retry replay: recorded txn version -> no-op
+        v_before = tbl.version()
+        tbl.append(spark.read.parquet(src),
+                   txn=("st18", tbl.txn_version("st18")))
+        assert tbl.version() == v_before, "txn replay committed!"
+
+        agg = lambda df, phase: (
+            df.groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("cents").alias("cents_sum"))
+            .select(F.lit(phase).alias("phase"), "*"))
+        out = (agg(tbl.to_df(spark), "final")
+               .unionByName(
+                   agg(tbl.table_changes(spark, 1), "stream"))
+               .orderBy("phase", "event_type"))
+        rows, out_schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (spark.createDataFrame(rows, out_schema)
+            .orderBy("phase", "event_type"))
+
+
+QUERIES["st18_stream_delta_ingest"] = st18_stream_delta_ingest
+
+_PAGG = ("CAST(count(*) AS BIGINT) AS n_rows, "
+         "CAST(sum(cents) AS BIGINT) AS cents_sum")
+
+ORACLES["st18_stream_delta_ingest"] = f"""
+    {_SCRIPT_CTES}
+    SELECT 'final' AS phase, event_type, {_PAGG}
+    FROM base GROUP BY event_type
+    UNION ALL
+    SELECT 'stream' AS phase, event_type, {_PAGG}
+    FROM base WHERE m BETWEEN 5 AND 9 GROUP BY event_type
+    ORDER BY phase, event_type
+"""

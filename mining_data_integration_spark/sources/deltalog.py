@@ -20,6 +20,7 @@ no delta-spark/iceberg jars and installs are off-limits:
              {"add": {path, partitionValues, size, modificationTime,
                       dataChange}}
              {"remove": {path, deletionTimestamp, dataChange}}
+             {"txn": {appId, version, lastUpdated}}
              {"commitInfo": {...}}
 
 Semantics carried over from the pointer-swap store, now format-native:
@@ -189,8 +190,12 @@ class DeltaLogTable:
 
         t = pq.read_table(os.path.join(
             self.log_dir, f"{version:020d}.checkpoint.parquet"))
-        state = {"live": {}, "metaData": None, "protocol": None}
+        state = {"live": {}, "metaData": None, "protocol": None,
+                 "txns": {}}
         for row in t.to_pylist():
+            if row.get("txn"):
+                state["txns"][row["txn"]["appId"]] = \
+                    row["txn"]["version"]
             if row.get("protocol"):
                 state["protocol"] = row["protocol"]
             if row.get("metaData"):
@@ -235,7 +240,8 @@ class DeltaLogTable:
             state = self._read_checkpoint(cp)
             start = cp + 1
         else:
-            state = {"live": {}, "metaData": None, "protocol": None}
+            state = {"live": {}, "metaData": None, "protocol": None,
+                     "txns": {}}
             start = 0
         for v in range(start, version + 1):
             fp = os.path.join(self.log_dir, f"{v:020d}.json")
@@ -248,6 +254,9 @@ class DeltaLogTable:
                         state["metaData"] = action["metaData"]
                     elif "protocol" in action:
                         state["protocol"] = action["protocol"]
+                    elif "txn" in action:
+                        state["txns"][action["txn"]["appId"]] = \
+                            action["txn"]["version"]
                     elif "add" in action:
                         state["live"][action["add"]["path"]] = \
                             action["add"]
@@ -460,7 +469,8 @@ class DeltaLogTable:
     def _commit_loop(self, df: DataFrame, mode: str,
                      partition_by: list[str] | None,
                      max_retries: int,
-                     merge_schema: bool = False) -> int:
+                     merge_schema: bool = False,
+                     txn: tuple[str, int] | None = None) -> int:
         adds = self._stage_files(df, partition_by)
         new_schema = df.schema.json()
         for _ in range(max_retries):
@@ -472,12 +482,26 @@ class DeltaLogTable:
                 "operationParameters": {"mode": mode},
                 "engineInfo": "mining-data-integration-spark deltalog",
             }}]
+            if txn is not None:
+                actions.append({"txn": {
+                    "appId": txn[0], "version": int(txn[1]),
+                    "lastUpdated": _now_ms()}})
             removes: list[dict] = []
             if latest < 0:
                 actions.append({"protocol": dict(PROTOCOL)})
                 actions.append(self._meta_action(df, partition_by))
             else:
                 snap = self.snapshot(latest)
+                if txn is not None and snap["txns"].get(
+                        txn[0], -1) >= txn[1]:
+                    # the protocol's streaming idempotency: this
+                    # (appId, version) already committed — a retried
+                    # micro-batch is a no-op, never a duplicate. The
+                    # check re-runs against the WINNER's snapshot on
+                    # every conflict retry, so racing retries of the
+                    # same batch commit exactly once.
+                    self._unstage(adds)
+                    return latest
                 if snap["metaData"]["schemaString"] != new_schema:
                     if mode == "append" and merge_schema:
                         try:
@@ -546,15 +570,30 @@ class DeltaLogTable:
     def append(self, df: DataFrame,
                partition_by: list[str] | None = None,
                max_retries: int = 20,
-               merge_schema: bool = False) -> int:
+               merge_schema: bool = False,
+               txn: tuple[str, int] | None = None) -> int:
         """Blind append — no read dependency, so concurrent appends
         all land (each under its own version). With
         merge_schema=True, new columns in df widen the table schema
         (Delta's mergeSchema): old files null-fill them on read;
-        type conflicts still refuse."""
+        type conflicts still refuse. With txn=(app_id, version) the
+        commit carries the protocol's `txn` action and becomes
+        IDEMPOTENT per (app_id, version): a replay whose version is
+        <= the table's recorded txn version for that app unstages and
+        returns without committing — exactly how the Delta streaming
+        sink achieves exactly-once from foreachBatch's at-least-once
+        (batch_id is the version)."""
         return self._commit_loop(df, "append", partition_by,
                                  max_retries,
-                                 merge_schema=merge_schema)
+                                 merge_schema=merge_schema, txn=txn)
+
+    def txn_version(self, app_id: str) -> int:
+        """Latest committed `txn` version for app_id, -1 if none (the
+        protocol's stream-progress query; checkpoints preserve it
+        through log truncation)."""
+        if self.version() < 0:
+            return -1
+        return self.snapshot()["txns"].get(app_id, -1)
 
     # ---- maintenance ---------------------------------------------------
 
@@ -630,6 +669,9 @@ class DeltaLogTable:
                     dict(md.get("configuration") or {}).items()),
                 "createdTime": md.get("createdTime")}},
         ]
+        for app, ver in sorted(snap["txns"].items()):
+            rows.append({"txn": {"appId": app, "version": ver,
+                                 "lastUpdated": None}})
         for add in snap["live"].values():
             rows.append({"add": {
                 "path": add["path"],

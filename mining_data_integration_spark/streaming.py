@@ -630,3 +630,25 @@ def stream_probe_ann(stream_vecs: DataFrame, index_path: str,
             os.path.join(out_dir, f"batch_id={batch_id}"))
 
     return stream_vecs.writeStream.foreachBatch(batch_fn)
+
+
+def stream_delta_append(stream_df: DataFrame, table_path: str,
+                        app_id: str):
+    """Streaming ingest into a Delta-log table with the PROTOCOL's own
+    exactly-once contract: each micro-batch appends under a
+    `txn` action (appId=app_id, version=batch_id), so a retried batch
+    — foreachBatch is at-least-once — re-checks the table's recorded
+    txn version inside the optimistic commit loop and becomes a no-op
+    instead of a duplicate. This is precisely how delta-spark's
+    streaming sink works, and it replaces the applied-batch-marker +
+    maintenance-lease discipline the parquet indexes need: the log IS
+    the marker, and concurrent writers are resolved by the commit
+    race, not serialized by a lease. Returns the DataStreamWriter —
+    caller picks the trigger and checkpoint."""
+    from .sources.deltalog import DeltaLogTable
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        DeltaLogTable(table_path).append(batch_df,
+                                         txn=(app_id, batch_id))
+
+    return stream_df.writeStream.foreachBatch(batch_fn)

@@ -358,6 +358,40 @@ class TestDeltaLogTable:
         with pytest.raises(ValueError):
             t.table_changes(spark, 0, 99)
 
+    def test_txn_idempotent_append(self, spark, tmp_path):
+        """The protocol's streaming exactly-once primitive: an append
+        carrying txn=(app, version) replayed at the same (or an
+        older) version is a no-op — no new commit, no duplicate rows,
+        no staged garbage — while a higher version lands. Checkpoints
+        preserve the txn state through log truncation."""
+        t = DeltaLogTable(str(tmp_path / "t"), checkpoint_interval=3)
+        t.overwrite(spark.range(3))
+        assert t.txn_version("app") == -1
+        t.append(spark.range(3, 5), txn=("app", 0))
+        assert t.txn_version("app") == 0
+        v = t.version()
+        t.append(spark.range(3, 5), txn=("app", 0))   # retry replay
+        assert t.version() == v
+        assert t.to_df(spark).count() == 5
+        assert t.vacuum(retain_versions=0, retention_seconds=0) == 0
+        t.append(spark.range(5, 6), txn=("app", 1))   # next batch
+        assert t.to_df(spark).count() == 6
+        assert t.txn_version("app") == 1
+        # another app's counter is independent
+        assert t.txn_version("other") == -1
+        t.append(spark.range(6, 7), txn=("other", 5))
+        assert (t.txn_version("app"), t.txn_version("other")) == (1, 5)
+        # checkpoint at v3 happened (interval 3); expire the JSON
+        # prefix — txn state must survive via checkpoint replay
+        assert t._checkpoint_at_or_before(t.version()) is not None
+        cp = t._checkpoint_at_or_before(t.version())
+        for old in range(cp):
+            os.unlink(os.path.join(t.log_dir, f"{old:020d}.json"))
+        assert t.txn_version("app") == 1
+        assert t.txn_version("other") == 5
+        t.append(spark.range(7, 8), txn=("other", 5))  # still a no-op
+        assert t.to_df(spark).count() == 7
+
     def test_history_survives_log_truncation(self, spark, tmp_path):
         """ADVICE r12: DESCRIBE HISTORY on a checkpoint-truncated log
         returns the surviving suffix, not FileNotFoundError."""
