@@ -359,3 +359,121 @@ ORACLES["st18_stream_delta_ingest"] = f"""
     FROM base WHERE m BETWEEN 5 AND 9 GROUP BY event_type
     ORDER BY phase, event_type
 """
+
+
+def _part_table(spark: SparkSession, sf_dir: str) -> DeltaLogTable:
+    """Partitioned twin of the script table (partition_by
+    event_type, one overwrite of the full base) for the pruned-read
+    query — built once per corpus fingerprint, staged + atomic
+    rename."""
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|part|"
+        f"v{DELTA_SCRIPT_VERSION}".encode()).hexdigest()[:16]
+    path = f"/tmp/sg_delta_part/{fp}"
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        stage = f"{path}.build-{os.getpid()}"
+        shutil.rmtree(stage, ignore_errors=True)
+        tbl = DeltaLogTable(stage)
+        tbl.overwrite(_base(spark, sf_dir).drop("_m"),
+                      partition_by=["event_type"])
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            os.rename(stage, path)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)  # lost the race
+    return DeltaLogTable(path)
+
+
+def dl4_delta_pruned_read(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Metadata-pruned selective read — the operation that makes a
+    100 TB table affordable to query: the partition predicate
+    (event_type = 'click') and the stats predicate (cents >= 500,
+    against each file's footer min/max recorded in add.stats) are
+    evaluated DRIVER-SIDE against the log, so the data scan only
+    opens surviving files. Pruning is sound-for-supersets, so the
+    same predicates are re-applied row-level — the oracle (a plain
+    filter over events) pins that no matching row was skipped. The
+    in-query assertion pins that pruning actually dropped files
+    (every non-click partition, at minimum)."""
+    tbl = _part_table(spark, sf_dir)
+    prune = [("event_type", "=", "click"), ("cents", ">=", _KEEP_CENTS)]
+    pruned = tbl.live_files(prune=prune)
+    assert len(pruned) < len(tbl.live_files()), "pruning was vacuous"
+    return (tbl.to_df(spark, prune=prune)
+            .filter((F.col("event_type") == "click")
+                    & (F.col("cents") >= _KEEP_CENTS))
+            .groupBy((F.col("user_id") % 8).alias("bucket"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum("cents").alias("cents_sum"))
+            .orderBy("bucket"))
+
+
+QUERIES["dl4_delta_pruned_read"] = dl4_delta_pruned_read
+
+ORACLES["dl4_delta_pruned_read"] = f"""
+    WITH base AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT user_id % 8 AS bucket, {_VAGG}
+    FROM base
+    WHERE event_type = 'click' AND cents >= {_KEEP_CENTS}
+    GROUP BY user_id % 8
+    ORDER BY bucket
+"""
+
+
+def dl5_delta_optimize_invariance(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """OPTIMIZE is motion, not change: after three data commits the
+    table is bin-packed (optimize: remove+add with dataChange=False
+    throughout), and the output reports (a) the post-optimize state
+    per event type — must equal the pre-optimize union, which is what
+    the oracle replays from events — and (b) the CDC rows of the
+    optimize commit itself, which MUST be empty (a dataChange=True
+    leak would add rows and break the row-count/hash compare). The
+    per-run table is torn down afterwards (st9 discipline)."""
+    import tempfile
+    import uuid
+
+    run = uuid.uuid4().hex[:12]
+    table = os.path.join(tempfile.gettempdir(), f"sg_dl5_tbl_{run}")
+    try:
+        tbl = DeltaLogTable(table)
+        base = _base(spark, sf_dir)
+        tbl.overwrite(base.filter(F.col("_m") <= 4).drop("_m"))
+        tbl.append(base.filter(F.col("_m").between(5, 7)).drop("_m"))
+        tbl.append(base.filter(F.col("_m") >= 8).drop("_m"))
+        n_files_before = len(tbl.live_files())
+        v = tbl.optimize(spark)
+        assert v == 3, "optimize did not commit"
+        assert len(tbl.live_files()) == 1 < n_files_before
+
+        agg = lambda df, phase: (
+            df.groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("cents").alias("cents_sum"))
+            .select(F.lit(phase).alias("phase"), "*"))
+        out = (agg(tbl.to_df(spark), "state")
+               .unionByName(agg(tbl.table_changes(spark, v, v), "cdc"))
+               .orderBy("phase", "event_type"))
+        rows, out_schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+    return (spark.createDataFrame(rows, out_schema)
+            .orderBy("phase", "event_type"))
+
+
+QUERIES["dl5_delta_optimize_invariance"] = dl5_delta_optimize_invariance
+
+ORACLES["dl5_delta_optimize_invariance"] = f"""
+    {_SCRIPT_CTES}
+    SELECT 'state' AS phase, event_type, {_PAGG}
+    FROM base GROUP BY event_type
+    ORDER BY phase, event_type
+"""

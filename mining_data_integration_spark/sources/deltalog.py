@@ -94,6 +94,91 @@ def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
+def _file_stats(path: str) -> dict:
+    """PROTOCOL.md Per-file Statistics from the parquet FOOTER (one
+    local metadata read, no data scan): numRecords plus
+    minValues/maxValues/nullCount for top-level primitive columns —
+    the inputs to data skipping. Columns whose footer carries no
+    usable statistics (or whose bytes aren't valid UTF-8) are simply
+    omitted; readers treat a missing stat as \"cannot prune\", the
+    conservative direction."""
+    import pyarrow.parquet as _pq
+
+    md = _pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            name = col.path_in_schema
+            if "." in name:         # nested — top-level only
+                continue
+            s = col.statistics
+            if s is None:
+                continue
+            if s.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + int(s.null_count)
+            if not s.has_min_max:
+                continue
+            lo, hi = s.min, s.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            if not (isinstance(lo, (int, float, str))
+                    and isinstance(hi, (int, float, str))):
+                # Decimal / date / timestamp objects: not JSON-safe
+                # and not comparable against prune literals — omit
+                # (missing stats never prune)
+                continue
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+    out: dict = {"numRecords": int(md.num_rows)}
+    if mins:
+        out["minValues"] = mins
+        out["maxValues"] = maxs
+    if nulls:
+        out["nullCount"] = nulls
+    return out
+
+
+def _file_may_match(add: dict, col: str, op: str, val) -> bool:
+    """Can this add action's file contain rows with `col <op> val`?
+    Partition columns compare exactly on the partition value; data
+    columns compare against the stats min/max envelope. Missing
+    information always answers True (skipping is an optimization —
+    it may only ever REMOVE provably-disjoint files)."""
+    pv = add.get("partitionValues") or {}
+    if col in pv:
+        p = pv[col]
+        cast = type(val) if val is not None else str
+        try:
+            p = cast(p)
+        except (TypeError, ValueError):
+            return True
+        return {"=": p == val, "<": p < val, "<=": p <= val,
+                ">": p > val, ">=": p >= val}.get(op, True)
+    try:
+        stats = json.loads(add.get("stats") or "{}")
+    except (TypeError, ValueError):
+        return True
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    if col not in mins or col not in maxs:
+        return True
+    lo, hi = mins[col], maxs[col]
+    try:
+        return {"=": lo <= val <= hi, "<": lo < val, "<=": lo <= val,
+                ">": hi > val, ">=": hi >= val}.get(op, True)
+    except TypeError:
+        return True
+
+
 def _merge_schema_for_append(existing_json: str,
                              new_json: str) -> str:
     """Delta's mergeSchema=true evolution rule for appends: fields the
@@ -266,18 +351,40 @@ class DeltaLogTable:
         state["version"] = version
         return state
 
+    def live_files(self, version: int | None = None,
+                   prune: list[tuple] | None = None) -> list[dict]:
+        """The snapshot's live add actions, optionally FILE-SKIPPED by
+        a conjunction of (col, op, value) predicates — partition
+        values match exactly, data columns prune on the stats min/max
+        envelope. Skipping is sound-for-supersets: it only drops files
+        PROVABLY disjoint from the predicate, so callers must still
+        apply the row-level filter. This is the metadata operation
+        that makes a selective read of a 100 TB table cost O(matching
+        files): the log scan is driver-side and O(live files), the
+        data scan only touches survivors."""
+        snap = self.snapshot(version)
+        adds = list(snap["live"].values())
+        for col, op, val in prune or []:
+            adds = [a for a in adds if _file_may_match(a, col, op, val)]
+        return adds
+
     def to_df(self, spark: SparkSession,
-              version: int | None = None) -> DataFrame:
+              version: int | None = None,
+              prune: list[tuple] | None = None) -> DataFrame:
         """Read a snapshot as a DataFrame. The schema ALWAYS comes
         from the log's metaData (never parquet inference — schema is
         table state under the protocol); partition columns are filled
-        from the hive-style directory names via basePath."""
+        from the hive-style directory names via basePath. `prune`
+        applies log-level file skipping (see live_files) — the
+        returned frame may contain non-matching rows from surviving
+        files, so apply the real filter on top."""
         from pyspark.sql.types import StructType
 
         snap = self.snapshot(version)
         schema = StructType.fromJson(
             json.loads(snap["metaData"]["schemaString"]))
-        paths = [os.path.join(self.path, p) for p in snap["live"]]
+        paths = [os.path.join(self.path, a["path"])
+                 for a in self.live_files(version, prune)]
         if not paths:
             return spark.createDataFrame([], schema)
         return (spark.read.schema(schema)
@@ -413,19 +520,11 @@ class DeltaLogTable:
                 os.rename(src, dst)
                 st = os.stat(dst)
                 rel = os.path.relpath(dst, self.path)
-                # per-file stats from the parquet footer (one local
-                # metadata read, no data scan) — numRecords is what a
-                # native reader's stats-based pruning expects at
-                # minimum (PROTOCOL.md Per-file Statistics)
-                import pyarrow.parquet as _pq
-
-                n_rec = _pq.ParquetFile(dst).metadata.num_rows
                 adds.append({"path": rel, "partitionValues": pv,
                              "size": st.st_size,
                              "modificationTime": _now_ms(),
                              "dataChange": True,
-                             "stats": json.dumps(
-                                 {"numRecords": int(n_rec)})})
+                             "stats": json.dumps(_file_stats(dst))})
         shutil.rmtree(stage, ignore_errors=True)
         return adds
 
@@ -693,6 +792,61 @@ class DeltaLogTable:
         with open(tmp, "w") as f:
             json.dump({"version": version, "size": len(rows)}, f)
         os.replace(tmp, lc)
+
+    def optimize(self, spark: SparkSession) -> int | None:
+        """Bin-pack compaction (Delta OPTIMIZE): rewrite the live set
+        into fewer files — one per partition directory (the small-file
+        problem after many streamed appends) — and commit the swap
+        with dataChange=False on every action, so table_changes/CDF
+        readers see NOTHING: compaction moves bytes, never rows.
+
+        Concurrency: optimize reads a snapshot, rewrites it, and may
+        only commit if every file it removes is STILL live at commit
+        time — a racing append composes fine (its files stay live
+        beside the compacted ones), but a racing overwrite invalidates
+        the rewrite, and optimize ABORTS (returns None, unstages its
+        files) rather than resurrect replaced data. That is the
+        protocol's conflict rule for rearrange-only transactions.
+
+        At fleet scale the rewrite is per-partition bin-packing to a
+        target file size; one file per partition is the local[32]
+        rendering of the same commit shape."""
+        latest = self.version()
+        if latest < 0:
+            return None
+        snap = self.snapshot(latest)
+        pcols = list(snap["metaData"]["partitionColumns"])
+        src = set(snap["live"])
+        df = self.to_df(spark, version=latest)
+        df = df.repartition(*pcols) if pcols else df.coalesce(1)
+        adds = self._stage_files(df, pcols or None)
+        for a in adds:
+            a["dataChange"] = False
+        for _ in range(20):
+            cur = self.version()
+            cur_live = set(self.snapshot(cur)["live"])
+            if not src <= cur_live:
+                # a concurrent overwrite/delete replaced files we
+                # compacted — committing would resurrect them
+                self._unstage(adds)
+                return None
+            ts = _now_ms()
+            actions: list[dict] = [{"commitInfo": {
+                "timestamp": ts,
+                "operation": "OPTIMIZE",
+                "operationParameters": {},
+                "engineInfo": "mining-data-integration-spark deltalog",
+            }}]
+            actions += [{"remove": {"path": p, "deletionTimestamp": ts,
+                                    "dataChange": False}}
+                        for p in src]
+            actions += [{"add": a} for a in adds]
+            v = cur + 1
+            if self._try_commit(v, actions):
+                self._maybe_checkpoint(v)
+                return v
+        self._unstage(adds)
+        return None
 
     def vacuum(self, retain_versions: int = 1,
                retention_seconds: float = 7 * 24 * 3600.0) -> int:

@@ -392,6 +392,89 @@ class TestDeltaLogTable:
         t.append(spark.range(7, 8), txn=("other", 5))  # still a no-op
         assert t.to_df(spark).count() == 7
 
+    def test_data_skipping_prunes_files_by_stats_and_partition(
+            self, spark, tmp_path):
+        """live_files/to_df prune: data columns skip on the footer
+        min/max stats envelope, partition columns on the directory
+        value; missing information never prunes (sound-for-supersets:
+        a pruned read plus the row filter equals the full read plus
+        the row filter)."""
+        from pyspark.sql import functions as F
+
+        t = DeltaLogTable(str(tmp_path / "t"))
+        t.overwrite(spark.range(0, 5).coalesce(1))
+        t.append(spark.range(100, 105).coalesce(1))
+        assert len(t.live_files()) == 2
+        assert len(t.live_files(prune=[("id", ">=", 100)])) == 1
+        assert len(t.live_files(prune=[("id", "<=", 4)])) == 1
+        assert len(t.live_files(prune=[("id", "=", 50)])) == 0
+        assert len(t.live_files(prune=[("id", "=", 102)])) == 1
+        # unknown column -> no pruning
+        assert len(t.live_files(prune=[("nope", "=", 1)])) == 2
+        got = (t.to_df(spark, prune=[("id", ">=", 100)])
+               .filter(F.col("id") >= 100).count())
+        assert got == 5
+
+        p = DeltaLogTable(str(tmp_path / "p"))
+        df = spark.range(10).withColumn(
+            "k", F.when(F.col("id") < 5, "a").otherwise("b"))
+        p.overwrite(df, partition_by=["k"])
+        all_files = p.live_files()
+        a_files = p.live_files(prune=[("k", "=", "a")])
+        assert 0 < len(a_files) < len(all_files)
+        assert all(f["partitionValues"]["k"] == "a" for f in a_files)
+        got = {r.id for r in p.to_df(
+            spark, prune=[("k", "=", "a")]).filter("k = 'a'").collect()}
+        assert got == set(range(5))
+
+    def test_optimize_is_invisible_to_cdc(self, spark, tmp_path):
+        """OPTIMIZE: bin-packs the live set (fewer files), commits
+        with dataChange=False everywhere — same rows, no CDC rows,
+        old files vacuum-collectable afterwards."""
+        t = DeltaLogTable(str(tmp_path / "t"))
+        t.overwrite(spark.range(0, 4))
+        t.append(spark.range(4, 8))
+        t.append(spark.range(8, 12))
+        before = rows_of(t.to_df(spark))
+        n_before = len(t.live_files())
+        v = t.optimize(spark)
+        assert v == 3
+        assert len(t.live_files()) == 1 < n_before
+        assert rows_of(t.to_df(spark)) == before
+        assert t.table_changes(spark, v, v).count() == 0
+        # data commits before it still replay
+        assert t.table_changes(spark, 1, 1).count() == 4
+        assert t.vacuum(retain_versions=0, retention_seconds=0) > 0
+        assert rows_of(t.to_df(spark)) == before
+
+    def test_optimize_aborts_on_concurrent_overwrite(self, spark,
+                                                     tmp_path):
+        """A racing overwrite invalidates the files optimize wants to
+        swap — optimize must ABORT (never resurrect replaced data),
+        and the winner's state survives untouched."""
+        raced = {"done": False}
+
+        class Racing(DeltaLogTable):
+            def _try_commit(self, version, actions):
+                is_opt = any(a.get("commitInfo", {}).get("operation")
+                             == "OPTIMIZE" for a in actions)
+                if is_opt and not raced["done"]:
+                    raced["done"] = True
+                    DeltaLogTable(self.path).overwrite(
+                        spark.range(50, 55))
+                return super()._try_commit(version, actions)
+
+        t = Racing(str(tmp_path / "t"))
+        t.overwrite(spark.range(5))
+        t.append(spark.range(5, 8))
+        assert t.optimize(spark) is None
+        assert raced["done"]
+        assert rows_of(t.to_df(spark)) == rows_of(spark.range(50, 55))
+        # aborted optimize unstaged its rewrite: nothing uncommitted
+        # left beyond the overwritten generation's own tombstones
+        t.vacuum(retain_versions=0, retention_seconds=0)
+        assert rows_of(t.to_df(spark)) == rows_of(spark.range(50, 55))
+
     def test_history_survives_log_truncation(self, spark, tmp_path):
         """ADVICE r12: DESCRIBE HISTORY on a checkpoint-truncated log
         returns the surviving suffix, not FileNotFoundError."""
