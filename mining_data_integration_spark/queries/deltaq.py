@@ -477,3 +477,78 @@ ORACLES["dl5_delta_optimize_invariance"] = f"""
     FROM base GROUP BY event_type
     ORDER BY phase, event_type
 """
+
+
+def _z_table(spark: SparkSession, sf_dir: str) -> DeltaLogTable:
+    """Z-ordered twin of the script table: full base overwrite, then
+    OPTIMIZE ZORDER BY (user_id, cents) into 8 Z-contiguous files —
+    built once per corpus fingerprint, staged + atomic rename."""
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|zorder|"
+        f"v{DELTA_SCRIPT_VERSION}".encode()).hexdigest()[:16]
+    path = f"/tmp/sg_delta_zorder/{fp}"
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        stage = f"{path}.build-{os.getpid()}"
+        shutil.rmtree(stage, ignore_errors=True)
+        tbl = DeltaLogTable(stage)
+        tbl.overwrite(_base(spark, sf_dir).drop("_m"))
+        v = tbl.optimize(spark, zorder_by=["user_id", "cents"],
+                         n_files=8)
+        assert v == 1, "zorder optimize did not commit"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            os.rename(stage, path)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)  # lost the race
+    return DeltaLogTable(path)
+
+
+def dl6_delta_zorder_read(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Multi-dimensional data skipping through OPTIMIZE ZORDER BY:
+    the table is Z-clustered on (user_id, cents), so BOTH the
+    user-range predicate (low quarter of user ids) and the
+    cents-range predicate (top 7/8 of the cents domain — the
+    heavy low-cents mass sits below it) prune
+    files via the stats envelope — a linear sort would serve only
+    its leading column. Bounds derive from the corpus maxima with
+    integer arithmetic (replayed as scalar subqueries in the
+    oracle); pruning stays sound-for-supersets with the row filter
+    re-applied, and the in-query assertion pins that the Z-layout
+    actually dropped files."""
+    tbl = _z_table(spark, sf_dir)
+    mx = tbl.to_df(spark).agg(
+        F.max("user_id").alias("u"), F.max("cents").alias("c")).first()
+    u4, c8 = mx["u"] // 4, mx["c"] // 8
+    prune = [("user_id", "<=", u4), ("cents", ">=", c8)]
+    assert len(tbl.live_files(prune=prune)) < len(tbl.live_files()), \
+        "z-order pruning was vacuous"
+    return (tbl.to_df(spark, prune=prune)
+            .filter((F.col("user_id") <= u4) & (F.col("cents") >= c8))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum("cents").alias("cents_sum"))
+            .orderBy("event_type"))
+
+
+QUERIES["dl6_delta_zorder_read"] = dl6_delta_zorder_read
+
+ORACLES["dl6_delta_zorder_read"] = f"""
+    WITH base AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), bounds AS (
+        SELECT CAST(max(user_id) // 4 AS BIGINT) AS u4,
+               CAST(max(cents) // 8 AS BIGINT) AS c8
+        FROM base
+    )
+    SELECT event_type, {_VAGG}
+    FROM base, bounds
+    WHERE user_id <= u4 AND cents >= c8
+    GROUP BY event_type
+    ORDER BY event_type
+"""

@@ -238,6 +238,47 @@ def _schema_compatible_for_append(existing_json: str,
     return True
 
 
+def _with_zvalue(df: DataFrame, cols: list[str],
+                 bits: int = 16) -> DataFrame:
+    """Append a `_z` column: the Morton (Z-order) interleaving of the
+    named NUMERIC columns, each min-max scaled to `bits` bits with
+    exact integer arithmetic (two tiny global aggregates broadcast as
+    one row — the j10 scalar-enrichment pattern, never data-sized).
+    bit j of column c lands at position j*k + (k-1-c), so equal bit
+    prefixes describe axis-aligned hyperrectangles — the property
+    that makes every file's min/max envelope tight on every named
+    column after a Z-range split. Caveat (documented, not hidden):
+    (x - min) * (2^bits - 1) must fit int64 — true for any column
+    whose span is below ~1.4e14 at 16 bits; scale `bits` down for
+    wider domains."""
+    from pyspark.sql import functions as F
+
+    k = len(cols)
+    if k * bits > 63:
+        raise ValueError(f"{k} columns x {bits} bits exceeds int64")
+    rng = df.agg(*[a for c in cols
+                   for a in (F.min(F.col(c).cast("long"))
+                             .alias(f"_mn_{c}"),
+                             F.max(F.col(c).cast("long"))
+                             .alias(f"_mx_{c}"))])
+    d = df.crossJoin(F.broadcast(rng))
+    top = (1 << bits) - 1
+    terms = []
+    for ci, c in enumerate(cols):
+        scaled = F.expr(
+            f"CAST(((CAST({c} AS BIGINT) - _mn_{c}) * {top}) "
+            f"DIV greatest(_mx_{c} - _mn_{c}, 1) AS BIGINT)")
+        for j in range(bits):
+            terms.append(
+                F.shiftleft(F.shiftright(scaled, j)
+                            .bitwiseAND(F.lit(1)),
+                            j * k + (k - 1 - ci)))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return d.select(*df.columns, z.alias("_z"))
+
+
 class DeltaLogTable:
     """One table under the Delta transaction-log protocol."""
 
@@ -793,12 +834,23 @@ class DeltaLogTable:
             json.dump({"version": version, "size": len(rows)}, f)
         os.replace(tmp, lc)
 
-    def optimize(self, spark: SparkSession) -> int | None:
+    def optimize(self, spark: SparkSession,
+                 zorder_by: list[str] | None = None,
+                 n_files: int = 8) -> int | None:
         """Bin-pack compaction (Delta OPTIMIZE): rewrite the live set
         into fewer files — one per partition directory (the small-file
         problem after many streamed appends) — and commit the swap
         with dataChange=False on every action, so table_changes/CDF
         readers see NOTHING: compaction moves bytes, never rows.
+
+        With `zorder_by` (Delta's OPTIMIZE ZORDER BY): rows are
+        clustered on the interleaved-bit Z-value of the named numeric
+        columns (min-max scaled to 16 bits each, range-partitioned
+        into `n_files` Z-contiguous files and sorted within each), so
+        every file's stats envelope is tight on EVERY named column —
+        data skipping then prunes range predicates on any of them,
+        where a linear sort only serves its leading column. The
+        Z-value is scratch: it never lands in the table.
 
         Concurrency: optimize reads a snapshot, rewrites it, and may
         only commit if every file it removes is STILL live at commit
@@ -809,8 +861,9 @@ class DeltaLogTable:
         protocol's conflict rule for rearrange-only transactions.
 
         At fleet scale the rewrite is per-partition bin-packing to a
-        target file size; one file per partition is the local[32]
-        rendering of the same commit shape."""
+        target file size; one file per partition (or `n_files`
+        Z-ranges) is the local[32] rendering of the same commit
+        shape."""
         latest = self.version()
         if latest < 0:
             return None
@@ -818,7 +871,13 @@ class DeltaLogTable:
         pcols = list(snap["metaData"]["partitionColumns"])
         src = set(snap["live"])
         df = self.to_df(spark, version=latest)
-        df = df.repartition(*pcols) if pcols else df.coalesce(1)
+        if zorder_by:
+            df = (_with_zvalue(df, zorder_by)
+                  .repartitionByRange(max(1, n_files), "_z")
+                  .sortWithinPartitions("_z")
+                  .drop("_z"))
+        else:
+            df = df.repartition(*pcols) if pcols else df.coalesce(1)
         adds = self._stage_files(df, pcols or None)
         for a in adds:
             a["dataChange"] = False

@@ -447,6 +447,36 @@ class TestDeltaLogTable:
         assert t.vacuum(retain_versions=0, retention_seconds=0) > 0
         assert rows_of(t.to_df(spark)) == before
 
+    def test_optimize_zorder_prunes_both_dimensions(self, spark,
+                                                    tmp_path):
+        """OPTIMIZE ZORDER BY: after Z-clustering on (a, b), a range
+        predicate on EITHER column prunes files — the property a
+        linear sort only gives its leading column. Rows and CDC
+        invisibility are unchanged from plain optimize."""
+        from pyspark.sql import functions as F
+
+        t = DeltaLogTable(str(tmp_path / "t"))
+        df = spark.range(256).select(
+            (F.col("id") / 16).cast("long").alias("a"),
+            (F.col("id") % 16).alias("b"))
+        t.overwrite(df.coalesce(1))
+        before = rows_of(t.to_df(spark))
+        v = t.optimize(spark, zorder_by=["a", "b"], n_files=4)
+        assert v == 1
+        assert len(t.live_files()) == 4
+        assert rows_of(t.to_df(spark)) == before
+        assert t.table_changes(spark, v, v).count() == 0
+        # a in [0,3] is the low quarter of one axis; b likewise on
+        # the other: both must prune strictly (Z-contiguous files
+        # cover quadrants, not slabs)
+        a_files = t.live_files(prune=[("a", "<=", 3)])
+        b_files = t.live_files(prune=[("b", "<=", 3)])
+        assert len(a_files) < 4 and len(b_files) < 4
+        got = {(r.a, r.b) for r in
+               t.to_df(spark, prune=[("b", "<=", 3)])
+               .filter("b <= 3").collect()}
+        assert got == {(a, b) for a in range(16) for b in range(4)}
+
     def test_optimize_aborts_on_concurrent_overwrite(self, spark,
                                                      tmp_path):
         """A racing overwrite invalidates the files optimize wants to
