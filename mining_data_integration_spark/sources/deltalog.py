@@ -989,6 +989,27 @@ class DeltaGoldStore:
         return self._table(key).vacuum(retain_versions,
                                        retention_seconds)
 
+    def table_changes(self, spark: SparkSession, key: str,
+                      v_from: int, v_to: int | None = None) -> DataFrame:
+        """File-level CDC for a gold key (DeltaLogTable.table_changes)
+        — 'what changed between yesterday's snapshot and today's'
+        without diffing full reads."""
+        return self._table(key).table_changes(spark, v_from, v_to)
+
+    def optimize(self, spark: SparkSession, key: str,
+                 zorder_by: list[str] | None = None,
+                 n_files: int = 8) -> int | None:
+        """Bin-pack (optionally Z-order) a gold key's live files —
+        the small-file remedy after many streamed ticks; invisible to
+        CDC readers (dataChange=False)."""
+        return self._table(key).optimize(spark, zorder_by=zorder_by,
+                                         n_files=n_files)
+
+    def txn_version(self, key: str, app_id: str) -> int:
+        """Latest committed streaming txn version for (key, app_id);
+        -1 when none."""
+        return self._table(key).txn_version(app_id)
+
 
 def gold_store(root: str, backend: str = "pointer"):
     """Backend factory for the gold/serving layer: 'pointer' is the

@@ -565,6 +565,19 @@ class TestDeltaGoldStore:
             store.get(spark, "missing")
         assert [h["version"] for h in store.history("k")] == [0, 1]
 
+    def test_store_facade_passthroughs(self, spark, tmp_path):
+        """The gold-store facade exposes the format-native extras
+        (CDC, optimize, txn) so serving code never reaches into
+        DeltaLogTable directly."""
+        s = DeltaGoldStore(str(tmp_path / "g"))
+        s.set("k", spark.range(4))
+        t = s._table("k")
+        t.append(spark.range(4, 6), txn=("tick", 7))
+        assert s.txn_version("k", "tick") == 7
+        assert s.table_changes(spark, "k", 1, 1).count() == 2
+        assert s.optimize(spark, "k") == 2
+        assert s.get(spark, "k").count() == 6
+
     def test_factory(self, tmp_path):
         assert isinstance(gold_store(str(tmp_path / "a"), "pointer"),
                           kv.GoldStore)
