@@ -134,6 +134,12 @@ def _file_stats(path: str) -> dict:
                 # and not comparable against prune literals — omit
                 # (missing stats never prune)
                 continue
+            if isinstance(lo, str) and (len(lo) > 64 or len(hi) > 64):
+                # long-string footer stats may be writer-TRUNCATED
+                # (prefix min/max) — pruning on a truncated max could
+                # wrongly drop a file, so omit; Delta itself caps
+                # string stats with prefix semantics for this reason
+                continue
             if name not in mins or lo < mins[name]:
                 mins[name] = lo
             if name not in maxs or hi > maxs[name]:
@@ -156,11 +162,17 @@ def _file_may_match(add: dict, col: str, op: str, val) -> bool:
     pv = add.get("partitionValues") or {}
     if col in pv:
         p = pv[col]
-        cast = type(val) if val is not None else str
-        try:
-            p = cast(p)
-        except (TypeError, ValueError):
-            return True
+        if isinstance(val, bool):
+            # bool("false") is True — parse, don't cast
+            if str(p).lower() not in ("true", "false"):
+                return True
+            p = str(p).lower() == "true"
+        else:
+            cast = type(val) if val is not None else str
+            try:
+                p = cast(p)
+            except (TypeError, ValueError):
+                return True
         return {"=": p == val, "<": p < val, "<=": p <= val,
                 ">": p > val, ">=": p >= val}.get(op, True)
     try:
