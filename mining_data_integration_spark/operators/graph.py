@@ -256,3 +256,50 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame,
         dist = dist.union(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("n")
     return dist
+
+
+def kcore(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
+    """Bounded-round k-core peeling over an undirected edge list —
+    the degeneracy kernel beside pagerank (g1), triangles (g2), CC
+    (g3/g4) and BFS (g5): iteratively drop nodes with degree < k and
+    the edges they carry; what survives is the subgraph every
+    training-data curator trims to ("keep entities with at least k
+    robust co-occurrences", the standard noise-peel before community
+    or influence analysis).
+
+    edges: (u bigint, v bigint), one row per undirected edge.
+    Returns (n, degree) for every node surviving `rounds` peels,
+    with its degree INSIDE the surviving subgraph. Fixed `rounds`
+    keeps the result a deterministic pure function of the edge set
+    (the g5 discipline) so a SQL oracle replays the peels as chained
+    CTEs; with rounds >= the peel depth it IS the exact k-core
+    (peeling is monotone — each round's survivor set only shrinks,
+    and a fixed point is reached once no node falls below k).
+
+    Scale shape: each round is one groupBy(u) degree count over the
+    CURRENT edge set plus two semi-joins (u side, v side) to drop
+    edges touching peeled nodes — O(E_round) shuffle per round on
+    the u/v hash keys, with E_round monotonically shrinking; lineage
+    truncated per round (localCheckpoint eager=False, the g1/g3
+    discipline). No windows, no collect, no broadcast of anything
+    data-sized."""
+    e = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"),
+                            F.col("u").alias("v")))
+        .distinct()
+        .repartition("u")
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        deg = e.groupBy("u").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("u")
+        e = (
+            e.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    return (e.groupBy("u").agg(F.count("*").cast("long")
+                               .alias("degree"))
+            .select(F.col("u").alias("n"), "degree"))

@@ -579,3 +579,83 @@ def _g5_oracle() -> str:
 
 
 ORACLES["g5_bfs_hops"] = _g5_oracle()
+
+
+G6_K = 2
+G6_ROUNDS = 3
+
+
+def g6_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peel of the g5 part-supplier supply graph
+    (operators/graph.kcore, k=2, 3 bounded rounds): drop every node
+    with fewer than two distinct supply links, cascade, and report
+    the surviving core per node side — "which parts/suppliers keep at
+    least 2 robust links once the one-off fringe is peeled away", the
+    degeneracy trim a curator runs before community analysis. Fixed
+    rounds keep the survivor set a deterministic pure function of the
+    edge list, so the DuckDB oracle replays the peels as chained
+    MATERIALIZED CTEs (the g3/g5 recipe — no recursive CTE,
+    hash-checked at every tier)."""
+    from ..operators.graph import kcore
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = (
+        li.filter((F.col("l_partkey") * 7 + F.col("l_suppkey")) % 5 == 0)
+        .select((F.col("l_partkey").cast("long") * 2).alias("u"),
+                (F.col("l_suppkey").cast("long") * 2 + 1).alias("v"))
+        .distinct()
+    )
+    core = kcore(edges, k=G6_K, rounds=G6_ROUNDS)
+    return (
+        core.groupBy(
+            F.when(F.col("n") % 2 == 0, "part").otherwise("supplier")
+            .alias("side"))
+        .agg(F.count("*").cast("long").alias("n_nodes"),
+             F.sum("degree").cast("long").alias("degree_sum"),
+             F.max("degree").cast("long").alias("max_degree"),
+             F.min("n").cast("long").alias("min_node"),
+             F.max("n").cast("long").alias("max_node"))
+        .orderBy("side")
+    )
+
+
+QUERIES["g6_kcore"] = g6_kcore
+
+
+def _g6_oracle() -> str:
+    steps = []
+    prev = "e0"
+    for i in range(1, G6_ROUNDS + 1):
+        steps.append(f"""
+    , k{i} AS MATERIALIZED (
+        SELECT u FROM {prev} GROUP BY u HAVING count(*) >= {G6_K}
+    ), e{i} AS MATERIALIZED (
+        SELECT s.u, s.v FROM {prev} s
+        JOIN k{i} a ON s.u = a.u
+        JOIN k{i} b ON s.v = b.u
+    )""")
+        prev = f"e{i}"
+    return f"""
+    WITH edges AS MATERIALIZED (
+        SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS u,
+               CAST(l_suppkey AS BIGINT) * 2 + 1 AS v
+        FROM lineitem
+        WHERE (l_partkey * 7 + l_suppkey) % 5 = 0
+    ), e0 AS MATERIALIZED (
+        SELECT u, v FROM edges UNION SELECT v, u FROM edges
+    ){''.join(steps)}
+    , deg AS (
+        SELECT u AS n, count(*) AS degree FROM {prev} GROUP BY u
+    )
+    SELECT CASE WHEN n % 2 = 0 THEN 'part' ELSE 'supplier' END
+               AS side,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(degree) AS BIGINT) AS degree_sum,
+           CAST(max(degree) AS BIGINT) AS max_degree,
+           CAST(min(n) AS BIGINT) AS min_node,
+           CAST(max(n) AS BIGINT) AS max_node
+    FROM deg GROUP BY side ORDER BY side
+"""
+
+
+ORACLES["g6_kcore"] = _g6_oracle()

@@ -1415,6 +1415,27 @@ def test_bfs_hops_hand_checked(spark):
     assert got2 == {(1, 0), (5, 0), (2, 1), (4, 1), (3, 2)}
 
 
+def test_kcore_hand_checked(spark):
+    """Triangle 1-2-3 with a pendant chain 3-4-5: peeling at k=2
+    removes 5 (degree 1), then 4, leaving exactly the triangle —
+    every survivor at degree 2. The cascade needs the iteration (4
+    has degree 2 before 5 peels), so rounds=1 must still hold 4 —
+    pinning that fixed-round peeling is the monotone PREFIX of the
+    exact core, not an approximation of it."""
+    from mining_data_integration_spark.operators.graph import kcore
+
+    raw = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(raw, "u long, v long")
+    got = {(r.n, r.degree) for r in
+           kcore(edges, k=2, rounds=3).collect()}
+    assert got == {(1, 2), (2, 2), (3, 2)}
+    one = {(r.n, r.degree) for r in
+           kcore(edges, k=2, rounds=1).collect()}
+    assert one == {(1, 2), (2, 2), (3, 3), (4, 1)}
+    # k=3: nothing in this graph survives
+    assert kcore(edges, k=3, rounds=3).count() == 0
+
+
 def test_bfs_hops_partition_invariant_on_registered_graph(spark):
     """The g5 traversal is deterministic at any fixed round bound —
     bit-identical reruns under a different partitioning (what makes

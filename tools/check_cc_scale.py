@@ -152,6 +152,57 @@ def check_bfs(spark, con, name: str, n_nodes: int, span: int,
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def check_kcore(spark, name: str, n_blocks: int, ring: int,
+                tail: int, rounds: int) -> bool:
+    """Closed-form k-core certification (round 13, the g6 kernel):
+    n_blocks disjoint blocks, each a `ring`-cycle with a `tail`-chain
+    pendant off its base node. At k=2 the tail dissolves within
+    `tail` peels and the ring is the exact core — so with rounds >=
+    tail, the survivor set is closed-form: n_blocks*ring nodes, every
+    degree exactly 2, and the id-sum is pure arithmetic. Certifies
+    the cascade at scale with zero oracle replay."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mining_data_integration_spark.operators.graph import kcore
+
+    span = ring + tail
+    ring_edges = [
+        spark.range(n_blocks).crossJoin(
+            spark.range(ring).withColumnRenamed("id", "i")
+        ).select(
+            (F.col("id") * span + F.col("i")).alias("u"),
+            (F.col("id") * span + (F.col("i") + 1) % ring).alias("v"))
+    ]
+    tail_edges = [
+        spark.range(n_blocks).crossJoin(
+            spark.range(tail).withColumnRenamed("id", "j")
+        ).select(
+            (F.col("id") * span
+             + F.when(F.col("j") == 0, 0)
+             .otherwise(ring + F.col("j") - 1)).alias("u"),
+            (F.col("id") * span + ring + F.col("j")).alias("v"))
+    ]
+    edges = ring_edges[0].union(tail_edges[0])
+    t0 = time.time()
+    core = kcore(edges, k=2, rounds=rounds)
+    agg = core.agg(
+        F.count("*").alias("n"),
+        F.min("degree").alias("dmin"), F.max("degree").alias("dmax"),
+        F.sum("n").alias("idsum")).first()
+    want_n = n_blocks * ring
+    want_idsum = (ring * span * n_blocks * (n_blocks - 1) // 2
+                  + n_blocks * ring * (ring - 1) // 2)
+    ok = (agg["n"] == want_n and agg["dmin"] == agg["dmax"] == 2
+          and agg["idsum"] == want_idsum)
+    print(f"{'PASS' if ok else 'FAIL'}  {name}: {agg['n']}/{want_n} "
+          f"core nodes, degrees [{agg['dmin']},{agg['dmax']}], "
+          f"idsum {'match' if agg['idsum'] == want_idsum else 'MISMATCH'} "
+          f"({time.time() - t0:.1f}s)")
+    return ok
+
+
 def main() -> int:
     import duckdb
 
@@ -183,6 +234,10 @@ def main() -> int:
     # shallow many-seed case
     ok &= check_bfs(spark, con, "bfs_deep", n_nodes, 1500, 40)
     ok &= check_bfs(spark, con, "bfs_shallow", n_nodes, 4, 3)
+    # k-core (g6 kernel): deep tails force a 10-peel cascade; the
+    # shallow case exercises the common 2-round trim
+    ok &= check_kcore(spark, "kcore_deep", 20_000, 40, 10, 10)
+    ok &= check_kcore(spark, "kcore_shallow", 20_000, 40, 2, 2)
     print("ALL PASS" if ok else "FAILURES PRESENT")
     return 0 if ok else 1
 
