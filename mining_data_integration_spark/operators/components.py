@@ -99,7 +99,14 @@ def large_star(edges: DataFrame) -> DataFrame:
     pair satisfies v > u >= m so the orientation is preserved by
     construction. Connectivity is preserved (each input edge yields
     at least one emission on its smaller endpoint's side) and the
-    multiset of smaller endpoints never increases."""
+    multiset of smaller endpoints never increases.
+
+    The output may carry DUPLICATE pairs (two sources u can rewire
+    the same (v, m)): the per-round dedup lives once, at the end of
+    small_star, whose min-aggregate is duplicate-insensitive — so the
+    round's edge SET is unchanged while this helper saves a full
+    hash-exchange per round (round-13 optimization, guide §2.4; the
+    kernel alternates the two stars, never calls this standalone)."""
     sym = edges.select(F.col("x").alias("u"), F.col("y").alias("v")) \
         .union(edges.select(F.col("y").alias("u"),
                             F.col("x").alias("v")))
@@ -107,8 +114,7 @@ def large_star(edges: DataFrame) -> DataFrame:
             .select("u", F.least("u", "_mn").alias("m")))
     return (sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("x"), F.col("m").alias("y"))
-            .distinct())
+            .select(F.col("v").alias("x"), F.col("m").alias("y")))
 
 
 def small_star(edges: DataFrame) -> DataFrame:

@@ -50,8 +50,16 @@ def pagerank_fixedpoint(edges: DataFrame, iterations: int = 5,
     # lazy (eager=False): lineage still truncates at first
     # materialization, but the 5-iteration chain runs as ONE job
     # instead of one eager checkpoint job per iteration — measured
-    # 13.0 s -> 8.1 s cold at sf0.01, identical values
-    edges = edges.localCheckpoint(eager=False)  # O(distinct (src,dst))
+    # 13.0 s -> 8.1 s cold at sf0.01, identical values.
+    # repartition("src") pins the edge-side exchange (the g5/g6
+    # pattern, round-13): every iteration's contrib join probes edges
+    # on src, so without the pin each of the `iterations` rounds
+    # re-shuffles the FULL edge list — O(E x iters) shuffle; with it
+    # the checkpointed partitioning is reused and a round shuffles
+    # only the O(V) rank table. groupBy("src") for out_w reuses the
+    # same layout, shuffle-free.
+    edges = edges.repartition("src") \
+        .localCheckpoint(eager=False)  # O(distinct (src,dst))
     nodes = (edges.select(F.col("src").alias("n"))
              .union(edges.select(F.col("dst").alias("n")))
              .distinct())
@@ -171,6 +179,11 @@ def min_label_components(edges: DataFrame, iterations: int = 6) -> DataFrame:
         .union(edges.select(F.col("v").alias("u"),
                             F.col("u").alias("v")))
         .distinct()
+        # pin the edge-side exchange on the per-round join key (the
+        # g5/g6 pattern, round-13): each round probes sym on v, so
+        # the pinned layout is reused and a round shuffles only the
+        # O(nodes) label table, not the full edge list
+        .repartition("v")
         .localCheckpoint(eager=False)
     )
     labels = (

@@ -362,7 +362,7 @@ def _int_ivf_pairs(emb: DataFrame, queries: DataFrame,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    q_id_col: str = "q_id",
                    q_vec_col: str = "q_emb",
-                   quantizer: str = "literal") -> DataFrame:
+                   quantizer: str = "auto") -> DataFrame:
     """Shared candidate-scoring chain of the integer-IVF family
     (int_ivf_topk / int_ivf_range_search): int8-quantize the corpus,
     integer k-means for cells, each query probes its n_probe nearest
@@ -383,8 +383,16 @@ def _int_ivf_pairs(emb: DataFrame, queries: DataFrame,
     from ..stages import timed as _timed_stage
 
     engine = _resolve_nsw_quantizer(quantizer, n_centroids)
-    emb_q = emb.select(
-        F.col(id_col), int8_quantize(F.col(vec_col)).alias("_qv"))
+    # materialize one scan+quantize, reused by the train iterations
+    # AND the probe data side (round-13 optimization): beyond saving
+    # passes, the barrier keeps the interpreted quantize tree out of
+    # the probe join's pushed-down key filter, where Catalyst inlines
+    # it once PER CENTROID with no common-subexpression elimination —
+    # measured ~10x per-row blowup (see _nsw_quantize_and_train)
+    from .dedup import materialize
+
+    emb_q = materialize(emb.select(
+        F.col(id_col), int8_quantize(F.col(vec_col)).alias("_qv")))
     # training is driver-eager (k-means collects / checkpoints) —
     # attribute it so the bench can split train from the lazy probe
     # side (VERDICT #5)
@@ -438,7 +446,7 @@ def int_ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  q_id_col: str = "q_id",
                  q_vec_col: str = "q_emb",
-                 quantizer: str = "literal") -> DataFrame:
+                 quantizer: str = "auto") -> DataFrame:
     """IVF approximate top-k with the integer coarse quantizer — the
     hash-checked sibling of ivf_topk (sim4); the scoring chain is
     _int_ivf_pairs, then a per-query rank. Same scale shape as sim4:
@@ -463,7 +471,7 @@ def int_ivf_range_search(emb: DataFrame, queries: DataFrame,
                          vec_col: str = "embedding",
                          q_id_col: str = "q_id",
                          q_vec_col: str = "q_emb",
-                         quantizer: str = "literal") -> DataFrame:
+                         quantizer: str = "auto") -> DataFrame:
     """IVF RANGE search (radius/threshold search) with the integer
     coarse quantizer — the ANN operation the top-k ladder lacked:
     return EVERY probed vector with cosine >= tau, not a fixed k
@@ -631,12 +639,18 @@ def _nearest_cells(vec: Column, cents: list[list[int]],
 
 
 def _resolve_nsw_quantizer(quantizer: str, c: int) -> str:
-    """'auto' picks the codegen-literal engine while the cell count
-    fits a literal plan and the DataFrame engine past it — the switch
-    that makes derive_nsw_centroids' uncapped rule safe at any corpus
-    size. Explicit 'literal'/'df' are for pins and benchmarks."""
+    """'auto' resolves to the DataFrame engine at EVERY cell count
+    (round-13 optimization): the literal engine embeds c x dim
+    integer literals in the plan, and Janino compilation of those
+    generated classes costs seconds PER STAGE — measured 2x
+    end-to-end on the sf0.1 int-IVF path even at c=4 (train 6.4 s
+    literal vs 2.6 s df; full range search 11.3 s vs 5.6 s), where
+    the df engine's one-row broadcast centroid column keeps the plan
+    O(1) in c. The engines are bit-identical (TestNswGraphAnn pin),
+    so 'auto' is an execution choice only. Explicit 'literal' remains
+    for pins and benchmarks."""
     if quantizer == "auto":
-        return "df" if c > NSW_MAX_CENTROIDS else "literal"
+        return "df"
     if quantizer not in ("literal", "df"):
         raise ValueError(f"unknown quantizer engine {quantizer!r} "
                          "(expected 'auto', 'literal' or 'df')")
@@ -657,8 +671,21 @@ def _nsw_quantize_and_train(emb: DataFrame, n_centroids: int | None,
     both trainings are bit-identical (TestNswGraphAnn pin)."""
     from ..stages import timed as _timed_stage
 
-    emb_q = emb.select(
-        F.col(id_col), int8_quantize(F.col(vec_col)).alias("_qv"))
+    # materialize the quantized corpus ONCE (round-13 optimization,
+    # guide §5 caching rule): the build re-reads it 3-5x (optional
+    # count, seeds, one assignment per Lloyd iteration, then the
+    # data AND src sides of the pair join) — without this every pass
+    # re-scans the source and re-evaluates the quantize transform,
+    # and — the bigger cost — the pair join's pushed-down key filter
+    # inlines the interpreted quantize tree once per centroid with no
+    # common-subexpression elimination (measured ~10x per-row blowup:
+    # 0.24 s standalone vs 2.5-3 s inside the join at sf0.1). Cached
+    # int8-range values are a quarter of the fp32 source — the
+    # footprint DiskANN-style builds materialize anyway.
+    from .dedup import materialize
+
+    emb_q = materialize(emb.select(
+        F.col(id_col), int8_quantize(F.col(vec_col)).alias("_qv")))
     c = n_centroids
     if c is None:
         c = derive_nsw_centroids(emb_q.count(), target_occupancy,
@@ -1215,16 +1242,22 @@ def nsw_beam_search(adj: DataFrame, emb: DataFrame, queries: DataFrame,
     list partitioned on src, plus a per-query rank window (partitioned
     by q_id, never global). The corpus is touched only through the
     adjacency edges and the scored candidates; nothing rescans it."""
+    # quantized corpus + queries are re-joined EVERY round — pin them
+    # once (round-13 optimization: lazy checkpoint, same discipline as
+    # the adjacency below) so rounds 2..R reuse blocks instead of
+    # re-scanning and re-quantizing per round
     emb_q = emb.select(
         F.col(id_col), int8_quantize(F.col(vec_col)).alias("_qv")) \
         .withColumn("_vnorm",
                     F.sqrt(idot(F.col("_qv"), F.col("_qv"))
-                           .cast("double")))
+                           .cast("double"))) \
+        .localCheckpoint(eager=False)
     qs = queries.select(
         F.col(q_id_col), int8_quantize(F.col(q_vec_col)).alias("_qq")) \
         .withColumn("_qnorm",
                     F.sqrt(idot(F.col("_qq"), F.col("_qq"))
-                           .cast("double")))
+                           .cast("double"))) \
+        .localCheckpoint(eager=False)
     entries = emb_q.orderBy(id_col).limit(n_entries)
     # every round joins the SAME adjacency; without the checkpoint an
     # in-query-built graph (sim28's shape) would re-run its pair
@@ -1839,7 +1872,17 @@ def _ivfpq_train(emb: DataFrame, n_cells: int, m: int, kc: int,
     sub = dim // m
     emb_q = materialize(emb.select(
         F.col(id_col), int8_quantize(F.col(vec_col)).alias("_qv")))
-    cells = int_ivf_centroids(emb_q, n_cells, iters, id_col, "_qv")
+    # df-engine trainer (round-13 optimization): bit-identical to
+    # int_ivf_centroids (TestNswGraphAnn pin) but the per-iteration
+    # plan is O(1) in the cell count — measured 2.1 s -> 1.5 s at
+    # c=4 and 10.3 s -> 1.5 s at c=32 on the sf0.1 corpus. The cells
+    # artifact stays a bounded driver-side list (n_cells rows), the
+    # same collect the literal trainer did internally.
+    cells_rows = sorted(
+        int_ivf_centroids_df(emb_q, n_cells, iters, id_col,
+                             "_qv").collect(),
+        key=lambda r: r["cid"])
+    cells = [[int(x) for x in r["cent"]] for r in cells_rows]
     cent_table = F.array(*[
         F.array(*[F.lit(int(v)).cast("bigint") for v in c])
         for c in cells])
@@ -2085,23 +2128,37 @@ def _ivfpq_probe(codes: DataFrame, cells: list[list[int]],
     materialized driver-side FIRST — a |Q| x n_probe BOUNDED collect —
     so the probed cell ids become literal `IN` filters on the scan and
     Spark prunes unprobed cell partitions at planning time: the 100 TB
-    read cost is n_probe/n_cells of the index, not all of it."""
+    read cost is n_probe/n_cells of the index, not all of it.
+
+    Round-13 optimization: the cells and codebooks ride ONE-ROW
+    broadcast DataFrames (the df quantizer-engine shape) instead of
+    O(n_cells x dim + m x kc x sub) literal expression trees — the
+    literal plans cost seconds of analysis/codegen per build, and the
+    streaming probe (st12/st14) paid that PER MICRO-BATCH. Arithmetic
+    is unchanged and exact: the cell ranking sorts the same
+    struct(d, i, qc) triples, and the ADC term selects the coded
+    codeword FIRST and takes one integer dot with it — the same
+    element the literal LUT's element_at picked out of its
+    all-codewords dot array, so the scores are bit-identical."""
     spark = codes.sparkSession
     qs = queries.select(
         F.col(q_id_col), int8_quantize(F.col(q_vec_col)).alias("_qq"))
-    probe_structs = []
-    for i, c in enumerate(cells):
-        carr = F.array(*[F.lit(int(v)).cast("bigint") for v in c])
-        diff = F.zip_with(F.col("_qq"), carr,
-                          lambda a, b: (a - b) * (a - b))
-        probe_structs.append(F.struct(
-            F.aggregate(diff, F.lit(0).cast("bigint"),
+    cents_1row = F.broadcast(spark.createDataFrame(
+        [([list(map(int, c)) for c in cells],)],
+        "_cents array<array<bigint>>"))
+    scored_cells = F.transform(
+        F.col("_cents"),
+        lambda c, i: F.struct(
+            F.aggregate(F.zip_with(F.col("_qq"), c,
+                                   lambda a, b: (a - b) * (a - b)),
+                        F.lit(0).cast("bigint"),
                         lambda acc, x: acc + x).alias("d"),
-            F.lit(i).alias("i"),
-            idot(F.col("_qq"), carr).alias("qc")))
-    probes = F.slice(F.array_sort(F.array(*probe_structs)), 1, n_probe)
+            i.alias("i"),
+            idot(F.col("_qq"), c).alias("qc")))
+    probes = F.slice(F.array_sort(scored_cells), 1, n_probe)
     q_probed = (
-        qs.withColumn("_p", F.explode(probes))
+        qs.crossJoin(cents_1row)
+        .withColumn("_p", F.explode(probes))
         .select(F.col(q_id_col), F.col("_qq"),
                 F.col("_p.i").alias("_cell"),
                 F.col("_p.qc").alias("_qc"))
@@ -2113,26 +2170,20 @@ def _ivfpq_probe(codes: DataFrame, cells: list[list[int]],
         probed_cells = sorted({r["_cell"] for r in q_rows})
         q_probed = spark.createDataFrame(q_rows, q_probed.schema)
         codes = codes.filter(F.col("_cell").isin(probed_cells))
-    pairs = codes.join(F.broadcast(q_probed), "_cell")
+    books_1row = F.broadcast(spark.createDataFrame(
+        [([[list(map(int, cw)) for cw in cb] for cb in codebooks],)],
+        "_books array<array<array<bigint>>>"))
+    pairs = codes.join(F.broadcast(q_probed), "_cell") \
+        .crossJoin(books_1row)
 
-    def lut(s: int, cb: list[list[int]]):
-        qsub = F.slice("_qq", s * sub + 1, sub)
-        dots = [
-            F.aggregate(
-                F.zip_with(
-                    qsub,
-                    F.array(*[F.lit(int(v)).cast("bigint")
-                              for v in cb[j]]),
-                    lambda a, b: a * b),
-                F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-            for j in range(kc)
-        ]
-        return F.element_at(F.array(*dots),
-                            F.col(f"_c{s}").cast("int") + 1)
+    def adc(s: int):
+        codeword = F.element_at(F.element_at(F.col("_books"), s + 1),
+                                F.col(f"_c{s}").cast("int") + 1)
+        return idot(F.slice("_qq", s * sub + 1, sub), codeword)
 
     score = F.col("_qc")
     for s in range(m):
-        score = score + lut(s, codebooks[s])
+        score = score + adc(s)
     scored = pairs.withColumn("ip_q8", score.cast("bigint"))
     w = Window.partitionBy(q_id_col).orderBy(
         F.desc("ip_q8"), F.col(id_col))

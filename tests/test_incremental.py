@@ -99,15 +99,17 @@ class TestIncremental:
                             stage_timings=st)
         assert mode == "warm"
         # core stages plus the round-13 per-table gold-write splits
-        # (gw_*, VERDICT #6) — the splits must cover the gold_writes
-        # aggregate they decompose
+        # (gw_*, VERDICT #6) — the writes now OVERLAP from a thread
+        # pool (round-13 optimization, guide §2.6), so each split is
+        # a concurrent wall time: every split fits inside the
+        # gold_writes aggregate, but their SUM may exceed it
         assert set(st) >= {"walk", "gold_writes", "window_walk",
                            "history_materialize"}
         gw = {k: v for k, v in st.items() if k.startswith("gw_")}
         assert set(gw) == {"gw_mining_info", "gw_block_info",
                            "gw_miner_partials", "gw_miner_info",
                            "gw_chain_state", "gw_prune"}
-        assert sum(gw.values()) <= st["gold_writes"] + 0.05
+        assert all(v <= st["gold_writes"] + 0.05 for v in gw.values())
         for name, builder in (("mining_info", core.mining_info),
                               ("block_info", core.block_info),
                               ("miner_info", core.miner_info)):

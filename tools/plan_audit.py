@@ -69,6 +69,40 @@ ALLOWED: dict[str, dict[str, str]] = {
                                    "quantizer engine: centroids as "
                                    "data, zero plan literals) + 3-row "
                                    "query-vector broadcast",
+        # round-13 optimization: quantizer='auto' now resolves to the
+        # df engine at EVERY cell count (literal plans cost seconds of
+        # codegen per stage), so the whole int-IVF / IVF-PQ family
+        # carries sim35's 1-row folded-centroid broadcast; the IVF-PQ
+        # probe additionally rides a 1-row codebook-set broadcast
+        # (ADC codewords as data, zero plan literals). All build
+        # sides are single-row by construction.
+        "sim11_int_ivf_topk": "1-row folded centroid-set broadcast "
+                              "(df quantizer engine) + 3-row "
+                              "query-vector broadcast",
+        "sim27_int_range_search": "1-row folded centroid-set "
+                                  "broadcast (df quantizer engine) + "
+                                  "3-row query-vector broadcast",
+        "sim17_int_ivfpq_topk": "1-row centroid-set + 1-row "
+                                "codebook-set broadcasts (df-engine "
+                                "ADC probe) + 3-row query broadcast",
+        "sim19_ivfpq_persisted_topk": "1-row centroid-set + 1-row "
+                                      "codebook-set broadcasts "
+                                      "(df-engine ADC probe)",
+        "sim20_ivfpq_append_probe": "1-row centroid-set + 1-row "
+                                    "codebook-set broadcasts "
+                                    "(df-engine ADC probe)",
+        "sim22_ivfpq_refined_topk": "1-row centroid-set + 1-row "
+                                    "codebook-set broadcasts "
+                                    "(df-engine ADC probe)",
+        "sim23_ivfpq_filtered_topk": "1-row centroid-set + 1-row "
+                                     "codebook-set broadcasts "
+                                     "(df-engine ADC probe)",
+        "sim25_ivfpq_rebalanced_probe": "1-row centroid-set + 1-row "
+                                        "codebook-set broadcasts "
+                                        "(df-engine ADC probe)",
+        "sim26_ivfpq_delete": "1-row centroid-set + 1-row "
+                              "codebook-set broadcasts (df-engine "
+                              "ADC probe)",
         "dp9_source_mix": "1-row corpus token total broadcast",
         "a21_hll_distinct": "1-row register fold x 1-row exact-distinct "
                             "audit column",
@@ -150,6 +184,15 @@ ALLOWED: dict[str, dict[str, str]] = {
                                    "the single partition are the "
                                    "CELL count (32 here), never the "
                                    "corpus",
+        # df-engine default (round-13): the int-IVF family shares
+        # sim35's bounded centroid-set fold
+        "sim11_int_ivf_topk": "the centroid-set fold (_cents_column): "
+                              "rows reaching the single partition are "
+                              "the CELL count (4), never the corpus",
+        "sim27_int_range_search": "the centroid-set fold "
+                                  "(_cents_column): rows reaching the "
+                                  "single partition are the CELL "
+                                  "count (4), never the corpus",
         "dl1_delta_time_travel": "four 1-row per-version global "
                                  "aggregates unioned into the 4-row "
                                  "time-travel report",
