@@ -80,7 +80,8 @@ def chain_members(edges: DataFrame, tips: DataFrame,
 
 def chain_members_segmented(edges: DataFrame, tip_id: str,
                             id_col: str, parent_col: str, height_col: str,
-                            bucket_span: int = 16384) -> DataFrame:
+                            bucket_span: int = 16384,
+                            tip_height: int | None = None) -> DataFrame:
     """Height-aware chain walk in O(1) shuffles (segment list-ranking).
 
     When nodes carry a monotone height (both mining chains do), the
@@ -101,8 +102,30 @@ def chain_members_segmented(edges: DataFrame, tip_id: str,
     stitch picks one entry per bucket. For graphs without a usable
     height column, `chain_members` (pointer doubling) is the fully
     general path.
+
+    `tip_height` (optional, round-13): callers that already know the
+    chain's tip height (both canonical-walk call sites collect the
+    tip row anyway) let the span be derived SCALE-ADAPTIVELY —
+    ~2 x defaultParallelism buckets, span clamped to [64,
+    bucket_span] — instead of the fixed 16384. A 50k-height chain
+    under the fixed span yields <=4 buckets, and AQE then coalesces
+    the tiny shuffle into ONE task, so the per-bucket Python walk ran
+    single-threaded (measured: a 3.1 s one-task stage inside
+    e1_mining_info at sf0.1). The derived span spreads the same
+    O(rows) Python work across the cores; the explicit
+    repartition(n, "_bucket") pins the exchange width so AQE cannot
+    re-coalesce it (guide §2.5 — Python-heavy stages need their
+    parallelism pinned: the shuffled bytes are far below the
+    advisory partition size, so byte-based coalescing would fold the
+    buckets back into one task). Results are span-independent
+    (pinned by the engine-equivalence tests).
     """
     import pandas as pd
+
+    if tip_height is not None:
+        par = max(1, edges.sparkSession.sparkContext.defaultParallelism)
+        bucket_span = min(bucket_span,
+                          max(64, -(-int(tip_height + 1) // (2 * par))))
 
     def walk_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         """Emit each in-bucket row at most once: walks are memoized —
@@ -157,11 +180,19 @@ def chain_members_segmented(edges: DataFrame, tip_id: str,
         )
         .filter(F.col(id_col) != ZERO64)
     )
+    if tip_height is not None:
+        # pin the exchange width to the bucket count (see docstring)
+        n_buckets = int(tip_height) // bucket_span + 1
+        keyed = keyed.repartition(n_buckets, "_bucket")
+    # lazy (round-13): the summaries collect right below is the first
+    # action, so it computes the walk AND populates the checkpoint in
+    # one job; the final members join re-reads the cached blocks. The
+    # eager form ran a separate materialization job per walk.
     pairs = keyed.groupBy("_bucket").applyInPandas(
         walk_bucket,
         schema="_bucket long, entry string, member string, pos long, "
                "exit string, cont_entry string, cont_pos long",
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     # per-(bucket, entry) summary: every pair row carries its entry's
     # exit / continuation, so the summary is a tiny first() aggregate
@@ -197,8 +228,14 @@ def chain_members_segmented(edges: DataFrame, tip_id: str,
     # in-bucket child). If the walk stopped at a hash that still exists
     # as a node, an entry was hidden (gap + in-bucket fork child) —
     # fall back to the fully general pointer-doubling walk.
-    if expected != ZERO64 and not keyed.filter(
-            F.col(id_col) == expected).isEmpty():
+    # membership is checked against the CHECKPOINTED pairs, not keyed:
+    # walk_bucket emits every in-bucket row exactly once (each row's
+    # child chain climbs to an entry candidate, whose walk passes back
+    # through it), so pairs.member equals keyed's id set — and the
+    # probe reads cached blocks instead of re-running the scan+filter
+    # subtree (round-13; was a full second pass over the edge table)
+    if expected != ZERO64 and not pairs.filter(
+            F.col("member") == expected).isEmpty():
         tips = edges.sparkSession.createDataFrame(
             [(tip_id,)], f"{id_col} string")
         return chain_members(edges, tips, id_col, parent_col)
@@ -262,7 +299,8 @@ def _spark_major(spark) -> int:
 def chain_members_auto(edges: DataFrame, tip_id: str,
                        id_col: str, parent_col: str,
                        height_col: str | None = None,
-                       prefer_rcte: bool = False) -> DataFrame:
+                       prefer_rcte: bool = False,
+                       tip_height: int | None = None) -> DataFrame:
     """Engine-selecting front door for the ancestors-of-tip walk.
 
     Selection rule (one probe, no depth assumption):
@@ -294,7 +332,7 @@ def chain_members_auto(edges: DataFrame, tip_id: str,
     if height_col is not None and height_col in edges.columns:
         return chain_members_segmented(
             edges, tip_id, id_col=id_col, parent_col=parent_col,
-            height_col=height_col)
+            height_col=height_col, tip_height=tip_height)
     if prefer_rcte and _spark_major(edges.sparkSession) >= 4:
         return chain_members_rcte(
             edges, tip_id, id_col=id_col, parent_col=parent_col)
@@ -345,7 +383,9 @@ def deepest_tip(headers: DataFrame, id_col: str = "block_hash",
     return (
         tips.orderBy(F.desc(height_col), F.col(id_col))
         .limit(1)
-        .select(id_col)
+        # height kept alongside the id (round-13): the canonical-walk
+        # caller derives the segmented walk's bucket span from it
+        .select(id_col, height_col)
     )
 
 
@@ -364,7 +404,7 @@ def canonical_snapshots(snapshots: DataFrame) -> DataFrame:
     tip = (
         valid.orderBy(F.desc("block_height"), F.col("burn_header_hash"))
         .limit(1)
-        .select("burn_header_hash")
+        .select("burn_header_hash", "block_height")
         .collect()
     )
     if not tip:
@@ -373,6 +413,7 @@ def canonical_snapshots(snapshots: DataFrame) -> DataFrame:
         valid, tip[0].burn_header_hash,
         id_col="burn_header_hash", parent_col="parent_burn_header_hash",
         height_col="block_height",
+        tip_height=tip[0].block_height,
     )
     return valid.join(members, "burn_header_hash")
 
@@ -387,5 +428,6 @@ def canonical_stacks_chain(headers: DataFrame) -> DataFrame:
         headers, tip[0].block_hash,
         id_col="block_hash", parent_col="parent_block",
         height_col="block_height",
+        tip_height=tip[0].block_height,
     )
     return headers.join(members, "block_hash")

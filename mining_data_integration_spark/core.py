@@ -192,11 +192,17 @@ def miner_stats(enriched: DataFrame,
 
 
 def canonical_winners(headers: DataFrame, snapshots_canon: DataFrame,
-                      enriched: DataFrame) -> DataFrame:
+                      enriched: DataFrame,
+                      chain_full: DataFrame | None = None) -> DataFrame:
     """J9 + J7: one row per canonical Stacks block with its winning
     commit (rpc.js:281-308). The chain-walk output is small (one row
-    per block) and broadcasts into the commits join."""
-    chain = canonical_stacks_chain(headers).select(
+    per block) and broadcasts into the commits join.
+
+    `chain_full` (round-13): a caller that already holds the full
+    canonical stacks chain (prepare() materializes it once for the
+    whole refresh) passes it here so the walk is not re-run."""
+    chain = (chain_full if chain_full is not None
+             else canonical_stacks_chain(headers)).select(
         "burn_header_hash",
         F.col("block_height").alias("stacks_height"),
     )
@@ -223,13 +229,33 @@ def prepare(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
     (rpc.js:77-90) and every output reads them; the Spark analog
     materializes the canonical chain (small: one row per burn block —
     localCheckpoint also truncates the walk's iterative lineage) and
-    caches the enriched commits that all three gold tables consume."""
-    snap = _ckpt(snapshots_with_actual_burn(tables["snapshots"]))
+    caches the enriched commits that all three gold tables consume.
+
+    Round-13: the burnchain walk (snapshots) and the Stacks-chain walk
+    (headers) are INDEPENDENT, so they run concurrently from a
+    two-thread pool (guide §2.6 — each walk has serial driver phases,
+    tip pick / bucket stitch, during which the other walk's jobs fill
+    the idle executors). The materialized stacks chain is returned
+    under "stacks_chain" so refresh callers reuse it for the history
+    gold write instead of re-running the walk (it used to be walked
+    TWICE per cold refresh: once inside canonical_winners, once for
+    wstacks)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_snap = pool.submit(
+            lambda: _ckpt(snapshots_with_actual_burn(tables["snapshots"])))
+        f_stacks = pool.submit(
+            lambda: _ckpt(canonical_stacks_chain(tables["block_headers"])))
+        snap = f_snap.result()
+        stacks_chain = f_stacks.result()
     enriched = commits_enriched(
         snap, tables["block_commits"], tables["leader_keys"]).cache()
     winners = _ckpt(
-        canonical_winners(tables["block_headers"], snap, enriched))
-    return {"snap": snap, "enriched": enriched, "winners": winners}
+        canonical_winners(tables["block_headers"], snap, enriched,
+                          chain_full=stacks_chain))
+    return {"snap": snap, "enriched": enriched, "winners": winners,
+            "stacks_chain": stacks_chain}
 
 
 def miner_info(tables: dict[str, DataFrame],

@@ -528,9 +528,10 @@ def incremental_refresh(spark: SparkSession, tables: dict[str, DataFrame],
         tables = dict(tables)
         tables["block_commits"] = tables["block_commits"].drop("hbucket")
         prepared = core.prepare(tables)
-        from .chain import canonical_stacks_chain
+        # prepare() already walked + checkpointed the stacks chain
+        # (round-13) — reuse it instead of walking headers again
         prepared["wchain"] = prepared["snap"]
-        prepared["wstacks"] = canonical_stacks_chain(tables["block_headers"])
+        prepared["wstacks"] = prepared["stacks_chain"]
     if stage_timings is not None:
         # covers the windowed prepare AND the full-recompute fallback's
         # core.prepare (whose eager localCheckpoints run the walks)

@@ -34,7 +34,7 @@ distinct); isolated nodes can be included by passing them in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -110,9 +110,15 @@ def large_star(edges: DataFrame) -> DataFrame:
     sym = edges.select(F.col("x").alias("u"), F.col("y").alias("v")) \
         .union(edges.select(F.col("y").alias("u"),
                             F.col("x").alias("v")))
-    mins = (sym.groupBy("u").agg(F.min("v").alias("_mn"))
-            .select("u", F.least("u", "_mn").alias("m")))
-    return (sym.join(mins, "u")
+    # m(u) via a per-key window min instead of groupBy + self-join
+    # (round-13 optimization, guide §2.4): the aggregate and the join
+    # were two exchanges of the symmetric frame per round (plus an
+    # AQE broadcast-build job when mins fit); the window attaches the
+    # same per-u minimum in the ONE exchange the round fundamentally
+    # needs. Partitioned by u — per-key bounded, never global.
+    wu = Window.partitionBy("u")
+    return (sym.withColumn(
+                "m", F.least(F.col("u"), F.min("v").over(wu)))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("x"), F.col("m").alias("y")))
 
@@ -123,8 +129,10 @@ def small_star(edges: DataFrame) -> DataFrame:
     neighbors, attach x and every other smaller neighbor directly to
     m. Output stays canonical (both (x, m) and (y, m) have their
     first element > m; y = m rows are the excluded self loops)."""
-    mins = edges.groupBy("x").agg(F.min("y").alias("m"))
-    rewired = edges.join(mins, "x").select(
+    # per-key window min instead of groupBy + self-join — one exchange
+    # of the edge frame, not two (same §2.4 move as large_star)
+    wx = Window.partitionBy("x")
+    rewired = edges.withColumn("m", F.min("y").over(wx)).select(
         F.explode(F.array(
             F.struct(F.col("x").alias("a"), F.col("m").alias("b")),
             F.struct(F.col("y").alias("a"), F.col("m").alias("b")),
@@ -197,14 +205,17 @@ def connected_components_star(pairs: DataFrame, src: str, dst: str,
     fp = fingerprint(edges)
     rounds = 0
     for rounds in range(1, max_rounds + 1):
-        # eager vs lazy measured indistinguishable at sf0.1 (both
-        # 9.6-12.4 s across runs — box noise dominates); eager is
-        # kept because the round's output is read three times (the
-        # fingerprint + twice by the next round's symmetrize) and
-        # eager guarantees all of them hit checkpointed blocks
+        # lazy (eager=False), round-13: the fingerprint agg right
+        # below is the round's FIRST action, so it both computes the
+        # round and populates the checkpoint blocks in ONE job — an
+        # eager checkpoint ran a separate materialization job per
+        # round first (two actions per round instead of one; at
+        # sf0.1 the kernel is driver/job-count bound, ~190 jobs).
+        # Later readers (next round's symmetrize x2, the label
+        # projection) still hit checkpointed blocks.
         prev = edges
         edges = small_star(large_star(edges)) \
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         fp_new = fingerprint(edges)
         if fp_new == fp and edges.exceptAll(prev).isEmpty():
             # counts equal (fingerprint) + one-sided difference empty

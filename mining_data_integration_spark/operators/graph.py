@@ -60,9 +60,15 @@ def pagerank_fixedpoint(edges: DataFrame, iterations: int = 5,
     # same layout, shuffle-free.
     edges = edges.repartition("src") \
         .localCheckpoint(eager=False)  # O(distinct (src,dst))
+    # the node set is re-read by EVERY iteration's rank rebuild (and
+    # by the initial ranks); without its own checkpoint each round's
+    # plan re-runs the union+distinct over the full edge list — an
+    # O(E) exchange per round. Lazy: materialized by the first
+    # action, O(V) rows cached, rounds reuse the blocks (round-13).
     nodes = (edges.select(F.col("src").alias("n"))
              .union(edges.select(F.col("dst").alias("n")))
-             .distinct())
+             .distinct()
+             .localCheckpoint(eager=False))
     out_w = edges.groupBy("src").agg(F.sum("w").alias("wout"))
     n_nodes = nodes.agg(F.count("*").alias("nn"))
 

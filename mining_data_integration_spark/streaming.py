@@ -84,10 +84,10 @@ def refresh_once(tables: dict[str, DataFrame], gold_dir: str,
                 tables["block_commits"].drop("hbucket")
         prepared = core.prepare(tables)
         if reuse_gold:
-            from .chain import canonical_stacks_chain
+            # prepare() already walked + checkpointed the stacks chain
+            # (round-13) — reuse it instead of walking headers again
             prepared["wchain"] = prepared["snap"]
-            prepared["wstacks"] = canonical_stacks_chain(
-                tables["block_headers"])
+            prepared["wstacks"] = prepared["stacks_chain"]
     if stage_timings is not None:
         stage_timings["walk"] = round(_pc() - _t0, 3)
     _t0 = _pc()

@@ -90,7 +90,8 @@ def main() -> None:
             elif k == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
                 st = stages.setdefault(si["Stage ID"], {})
-                st["name"] = si["Stage Name"].split("\n")[0][:50]
+                nm = si["Stage Name"].split("\n")[0]
+                st["name"] = nm.replace("/root/repo/mining_data_integration_spark/", "")[:90]
                 st["tasks"] = si["Number of Tasks"]
             elif k == "SparkListenerTaskEnd":
                 sid = ev["Stage ID"]
@@ -116,7 +117,7 @@ def main() -> None:
         nt = sum(stages.get(s, {}).get("tasks", 0)
                  for s in jo["stages"])
         names = " | ".join(
-            f"s{s}:{stages[s].get('name', '?')[:28]}"
+            f"s{s}:{stages[s].get('name', '?')[:70]}"
             f"({stages[s].get('tasks', 0)}t,"
             f"{stages[s].get('task_ms', 0)}ms)"
             for s in jo["stages"] if s in stages
