@@ -166,9 +166,13 @@ def connected_components_star(pairs: DataFrame, src: str, dst: str,
     difference (equal counts + one-sided exceptAll empty <=> set
     equality) so a 2^-64 hash collision can never terminate the
     loop early — the confirm job runs once, at convergence, never
-    per round. One eager localCheckpoint + one bounded fingerprint
-    agg per round keeps lineage flat and every downstream read on
-    checkpointed blocks.
+    per round. Rounds run in PAIRS per driver action: one bounded
+    tagged fingerprint agg covers two rounds (and materializes both
+    rounds' lazy checkpoints in the same job), halving the per-round
+    driver roundtrips the kernel is otherwise bound by at small-data
+    scale; convergence is still detected at the exact round (both
+    fingerprints are compared), at the price of one no-op overshoot
+    round when the fixed point lands on a block's first round.
 
     pairs: undirected edges, any orientation, dups/self-loops OK.
     nodes: optional one-column frame of ids to include when isolated.
@@ -202,27 +206,73 @@ def connected_components_star(pairs: DataFrame, src: str, dst: str,
             F.min("y").alias("lo"), F.max("x").alias("hi")).collect()[0]
         return (row["n"], row["h"], row["lo"], row["hi"])
 
+    def fingerprint_pair(mid: DataFrame, nxt: DataFrame) -> tuple:
+        # BOTH rounds' fingerprints in ONE tagged aggregate — one
+        # driver action (collect + its AQE jobs + py4j roundtrip) per
+        # TWO rounds instead of per round (round-13 continuation: the
+        # post-window-min kernel profile is still half inter-job
+        # driver gap — 118 jobs, gaps 13.6 s vs job wall 11.8 s at
+        # sf0.1 — and the per-round action is the one remaining
+        # per-round driver roundtrip). The union also materializes
+        # both rounds' lazy checkpoint blocks in the same job. An
+        # empty frame contributes no group row — mapped to the same
+        # (0, None, None, None) the single fingerprint returns.
+        both = (mid.select(F.lit(0).alias("_t"), "x", "y")
+                .unionAll(nxt.select(F.lit(1).alias("_t"), "x", "y")))
+        rows = {r["_t"]: (r["n"], r["h"], r["lo"], r["hi"])
+                for r in both.groupBy("_t").agg(
+                    F.count("*").alias("n"),
+                    F.bit_xor(F.xxhash64("x", "y")).alias("h"),
+                    F.min("y").alias("lo"),
+                    F.max("x").alias("hi")).collect()}
+        empty = (0, None, None, None)
+        return rows.get(0, empty), rows.get(1, empty)
+
     fp = fingerprint(edges)
     rounds = 0
-    for rounds in range(1, max_rounds + 1):
+    converged = False
+    while rounds < max_rounds and not converged:
         # lazy (eager=False), round-13: the fingerprint agg right
-        # below is the round's FIRST action, so it both computes the
-        # round and populates the checkpoint blocks in ONE job — an
+        # below is the block's FIRST action, so it both computes the
+        # rounds and populates the checkpoint blocks in ONE job — an
         # eager checkpoint ran a separate materialization job per
-        # round first (two actions per round instead of one; at
-        # sf0.1 the kernel is driver/job-count bound, ~190 jobs).
-        # Later readers (next round's symmetrize x2, the label
-        # projection) still hit checkpointed blocks.
+        # round first. Later readers (next round's symmetrize x2, the
+        # label projection) still hit checkpointed blocks.
         prev = edges
-        edges = small_star(large_star(edges)) \
+        mid = small_star(large_star(edges)) \
             .localCheckpoint(eager=False)
-        fp_new = fingerprint(edges)
-        if fp_new == fp and edges.exceptAll(prev).isEmpty():
-            # counts equal (fingerprint) + one-sided difference empty
-            # over distinct frames => genuinely identical edge sets
-            break
-        fp = fp_new
-    else:
+        if rounds + 2 <= max_rounds:
+            nxt = small_star(large_star(mid)) \
+                .localCheckpoint(eager=False)
+            fp_mid, fp_new = fingerprint_pair(mid, nxt)
+            if fp_mid == fp and mid.exceptAll(prev).isEmpty():
+                # counts equal (fingerprint) + one-sided difference
+                # empty over distinct frames => genuinely identical
+                # edge sets. Convergence at the block's first round:
+                # mid IS the fixed point (nxt == mid, computed as the
+                # one-round overshoot the batching trades for the
+                # saved actions).
+                rounds += 1
+                edges = mid
+                converged = True
+            elif fp_new == fp_mid and nxt.exceptAll(mid).isEmpty():
+                rounds += 2
+                edges = nxt
+                converged = True
+            else:
+                rounds += 2
+                edges = nxt
+                fp = fp_new
+        else:
+            # odd max_rounds tail: one round left in the budget
+            fp_mid = fingerprint(mid)
+            rounds += 1
+            edges = mid
+            if fp_mid == fp and mid.exceptAll(prev).isEmpty():
+                converged = True
+            else:
+                fp = fp_mid
+    if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge in "
             f"{max_rounds} rounds")

@@ -197,21 +197,26 @@ def min_label_components(edges: DataFrame, iterations: int = 6) -> DataFrame:
         .withColumn("comp", F.col("n"))
     )
     for _ in range(iterations):
+        # min(self, neighbors) as ONE union + groupBy-min instead of
+        # groupBy-min + left join back onto labels (round-13, guide
+        # §2.4): feeding each node's own label through the same
+        # aggregate removes the per-round join, so a round pays two
+        # exchanges (probe-side labels shuffle onto sym's pinned v
+        # layout + the aggregate's exchange on n, with map-side
+        # partial agg bounding the shuffled rows at O(distinct n) per
+        # map partition) instead of three. Values are bit-identical:
+        # least(comp, coalesce(min_nbr, comp)) == min({self} ∪ Γ(n)),
+        # and every node keeps a row because labels itself feeds the
+        # union — the exact sequence the g3 oracle replays.
         nbr = (
             sym.join(labels.select(F.col("n").alias("_vn"), "comp"),
                      F.col("v") == F.col("_vn"))
-            .groupBy("u")
-            .agg(F.min("comp").alias("_nbr_min"))
+            .select(F.col("u").alias("n"), "comp")
         )
         labels = (
-            labels.join(nbr, labels["n"] == nbr["u"], "left")
-            .select(
-                labels["n"],
-                F.least(
-                    F.col("comp"),
-                    F.coalesce(F.col("_nbr_min"), F.col("comp")),
-                ).alias("comp"),
-            )
+            labels.unionByName(nbr)
+            .groupBy("n")
+            .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=False)
         )
     return labels

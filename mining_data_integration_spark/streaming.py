@@ -229,21 +229,31 @@ def _write_gold_with_state(tables: dict[str, DataFrame], gold_dir: str,
     # sequential job tails; measured cold gold_writes 6.7 s -> ~3 s
     # at 50k blocks. prune stays AFTER the pool (it deletes buckets
     # the writes may have just produced).
+    # LONGEST-FIRST ordering (round-13 continuation, guide §2.6): the
+    # pool schedules FIFO, and the chain-state group is consistently
+    # the longest cold writer (2.4-3.1 s measured at 50k blocks) — as
+    # the 5th entry of a 3-worker pool it started only after the first
+    # writer finished, putting its whole wall on the stage's tail
+    # (measured cold gold_writes 4.6-5.9 s with ~2.3 s of that the
+    # late chain-state start). Scheduling it first packs the pool:
+    # the three partitioned outputs + miner_info fill the remaining
+    # two slots. Writer ORDER is schedule-only — the groups stay
+    # disjoint-directory independent jobs.
     writers: list[tuple[str, object]] = []
     if warm_scoped:
         lo_bucket = prepared["aligned_floor"] // HEIGHTS_PER_BUCKET
         affected = F.col("hbucket") >= lo_bucket
         writers += [
+            ("miner_partials", lambda: _write_dynamic(
+                pt.filter(affected), f"{gold_dir}/miner_partials")),
             ("mining_info", lambda: _write_dynamic(
                 mi.filter(affected), f"{gold_dir}/mining_info")),
             ("block_info", lambda: _write_dynamic(
                 bi.filter(affected), f"{gold_dir}/block_info")),
-            ("miner_partials", lambda: _write_dynamic(
-                pt.filter(affected), f"{gold_dir}/miner_partials")),
         ]
     else:
-        for df, name in ((mi, "mining_info"), (bi, "block_info"),
-                         (pt, "miner_partials")):
+        for df, name in ((pt, "miner_partials"), (mi, "mining_info"),
+                         (bi, "block_info")):
             writers.append((name, lambda df=df, name=name: (
                 df.repartition("hbucket").write.mode("overwrite")
                 .partitionBy("hbucket").parquet(f"{gold_dir}/{name}"))))
@@ -268,7 +278,7 @@ def _write_gold_with_state(tables: dict[str, DataFrame], gold_dir: str,
         if mode == "cold":
             mark_state_layout(gold_dir)
 
-    writers.append(("chain_state", _state_writes))
+    writers.insert(0, ("chain_state", _state_writes))
 
     from concurrent.futures import ThreadPoolExecutor
 
