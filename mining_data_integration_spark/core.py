@@ -99,8 +99,12 @@ def snapshots_with_actual_burn(snapshots: DataFrame) -> DataFrame:
     """Canonical snapshots + A2 lag-delta (see with_actual_burn). The
     walk output is checkpointed here (one row per burn block) so the
     lag's boundary sampling reads materialized blocks instead of
-    re-running the walk."""
-    canon = _ckpt(canonical_snapshots(snapshots))
+    re-running the walk. Lazy (round-14): the sampling's FIRST job
+    (the approx-distinct probe) materializes the checkpoint as a side
+    effect — the eager form paid a dedicated materialization job for
+    the same single pass; the second sampling job and every later
+    consumer read the populated blocks either way."""
+    canon = _ckpt(canonical_snapshots(snapshots), eager=False)
     return with_actual_burn(canon)
 
 
@@ -242,9 +246,20 @@ def prepare(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
     wstacks)."""
     from concurrent.futures import ThreadPoolExecutor
 
+    # round-14 (VERDICT #5): the snap critical path used to pay TWO
+    # eager materializations — walk+ckpt inside
+    # snapshots_with_actual_burn, then a second full pass here to
+    # checkpoint the lag output. The second checkpoint is now LAZY:
+    # the winners build below is the refresh's first action over snap
+    # and materializes the lag blocks as a side effect of a job it
+    # runs anyway (the lag's boundary sampling still reads the walk's
+    # own materialized checkpoint, so no sampling job re-runs the
+    # walk). Later consumers (chain-state writes, partials, prune)
+    # read the populated blocks.
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_snap = pool.submit(
-            lambda: _ckpt(snapshots_with_actual_burn(tables["snapshots"])))
+            lambda: _ckpt(snapshots_with_actual_burn(tables["snapshots"]),
+                          eager=False))
         f_stacks = pool.submit(
             lambda: _ckpt(canonical_stacks_chain(tables["block_headers"])))
         snap = f_snap.result()

@@ -450,7 +450,13 @@ def prepare_full_with_gold(spark: SparkSession,
     # boundary sampling is the first consumer and materializes it once.
     joined = core._ckpt(
         valid.join(members, "burn_header_hash"), eager=False)
-    snap = core._ckpt(core.with_actual_burn(joined))
+    # lazy (round-14, VERDICT #9): the winners build below is the
+    # warm refresh's first action over snap and materializes the lag
+    # blocks inside a job it runs anyway — the eager form paid one
+    # extra full pass (history_materialize carried a dedicated
+    # lag+checkpoint job). The lag's boundary sampling reads `joined`,
+    # whose own lazy checkpoint the first sampling job populates.
+    snap = core._ckpt(core.with_actual_burn(joined), eager=False)
     commits = tables["block_commits"]
     if "hbucket" in commits.columns:
         commits = commits.drop("hbucket")  # full history — no pruning

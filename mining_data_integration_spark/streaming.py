@@ -275,8 +275,15 @@ def _write_gold_with_state(tables: dict[str, DataFrame], gold_dir: str,
             reset_state_for_layout(gold_dir)
         _write_dynamic(chain_df, f"{gold_dir}/canonical_chain")
         _write_dynamic(stacks_df, f"{gold_dir}/canonical_stacks")
-        if mode == "cold":
-            mark_state_layout(gold_dir)
+        # cold-mode mark_state_layout moved AFTER the pool (round-14
+        # ADVICE): with chain_state scheduled first, committing the
+        # marker here routinely landed while the gold writers were
+        # still running — a crash in that window left the marker
+        # present with gold outputs incomplete, and once the chain
+        # advanced past the crashed run's window floor the unwritten
+        # buckets were permanently skipped by later warm refreshes.
+        # The marker now commits only once every writer succeeded;
+        # reset stays inside the group (ordered before its writes).
 
     writers.insert(0, ("chain_state", _state_writes))
 
@@ -292,6 +299,9 @@ def _write_gold_with_state(tables: dict[str, DataFrame], gold_dir: str,
         for name, sec in pool.map(_run_writer, writers):
             if stage_timings is not None:
                 stage_timings[f"gw_{name}"] = sec
+    if mode == "cold":
+        # all writers succeeded — safe to declare the layout complete
+        mark_state_layout(gold_dir)
 
     # reorg-shrink guard (see incremental._prune_buckets_above): drop
     # buckets above the new tip that dynamic overwrite left behind —
