@@ -1000,12 +1000,13 @@ def load_nsw_index(spark, path: str,
     silently reads a graph built with OTHER parameters is an oracle
     mismatch waiting to happen, so mismatches refuse loudly here
     instead."""
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    if meta.version != NSW_INDEX_VERSION:
+    # 1-row meta read driver-side, no Spark job (round-14 — see
+    # _driver_read_parquet); the adjacency stays a lazy parquet scan
+    md = _driver_read_parquet(f"{path}/meta")[0]
+    if md["version"] != NSW_INDEX_VERSION:
         raise ValueError(
-            f"nsw index version {meta.version} at {path}; "
+            f"nsw index version {md['version']} at {path}; "
             f"this build reads version {NSW_INDEX_VERSION}")
-    md = meta.asDict()
     for k, v in (expect or {}).items():
         if md.get(k) != v:
             raise ValueError(
@@ -1084,12 +1085,12 @@ def append_to_nsw_index(emb_new: DataFrame, corpus: DataFrame,
     from ..sources.kv import maintenance_lease
 
     spark = emb_new.sparkSession
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    if meta.version != NSW_INDEX_VERSION:
+    meta = _driver_read_parquet(f"{path}/meta")[0]  # no Spark job
+    if meta["version"] != NSW_INDEX_VERSION:
         raise ValueError(
-            f"nsw index version {meta.version} at {path}; "
+            f"nsw index version {meta['version']} at {path}; "
             f"this build writes version {NSW_INDEX_VERSION}")
-    k_nbrs = int(meta.k_nbrs)
+    k_nbrs = int(meta["k_nbrs"])
     with maintenance_lease(path):
         adj = _live_nsw_adj(spark, path)
         batch = emb_new.select(F.col(id_col), F.col(vec_col))
@@ -1157,10 +1158,10 @@ def delete_from_nsw_index(ids: DataFrame, path: str,
     from ..sources.kv import maintenance_lease
 
     spark = ids.sparkSession
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    if meta.version != NSW_INDEX_VERSION:
+    meta = _driver_read_parquet(f"{path}/meta")[0]  # no Spark job
+    if meta["version"] != NSW_INDEX_VERSION:
         raise ValueError(
-            f"nsw index version {meta.version} at {path}; "
+            f"nsw index version {meta['version']} at {path}; "
             f"this build writes version {NSW_INDEX_VERSION}")
     rows = ids.select(F.col(id_col).cast("long").alias("id")).distinct()
     with maintenance_lease(path):
@@ -1347,6 +1348,43 @@ def int8_quantize(vec: Column) -> Column:
         F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5))
                     .cast("bigint")),
     ).otherwise(F.transform(v, lambda x: F.lit(0).cast("bigint")))
+
+
+def _driver_read_parquet(path: str) -> list[dict]:
+    """Bounded artifact read WITHOUT a Spark job (round-14, VERDICT
+    #2): a persisted index's meta/cells/codebooks sides are k-row
+    driver literals by design, but reading each through
+    spark.read.parquet paid a plan + collect job per probe call —
+    and the streaming probes re-paid all of it per writer build.
+    pyarrow reads the same Spark-written parquet bytes (directory
+    scan skips _SUCCESS/dot files by default); values are exact
+    ints/strings and every consumer keys rows by its own id columns,
+    so the collect-order difference is immaterial. The O(n) sides
+    (codes, adjacency) stay lazy Spark scans — this is only for the
+    bounded sides."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path).to_pylist()
+
+
+def _int8_quantize_py(vec) -> list[int]:
+    """Driver-side replica of `int8_quantize` for BOUNDED query sets
+    (the pruned-probe head, round-14): identical IEEE-double sequence
+    — elements through double, maxabs = max(abs(x)), scale = 127.0 /
+    maxabs (one double divide), then floor(x * scale + 0.5) per
+    element — so the quantized vectors are bit-identical to the Spark
+    expression (pinned over the whole test corpus in TestIntIvf).
+    Python floats ARE IEEE doubles and * / + here map to the same
+    hardware ops Spark's codegen emits, so there is no rounding drift
+    to reason about beyond evaluation ORDER, which this mirrors."""
+    import math
+
+    xs = [float(x) for x in vec]
+    maxabs = max((abs(x) for x in xs), default=0.0)
+    if not maxabs > 0:
+        return [0] * len(xs)
+    scale = 127.0 / maxabs
+    return [int(math.floor(x * scale + 0.5)) for x in xs]
 
 
 def idot(a: Column, b: Column) -> Column:
@@ -1998,10 +2036,10 @@ def delete_from_ivfpq_index(ids: DataFrame, path: str,
     from ..sources.kv import maintenance_lease
 
     spark = ids.sparkSession
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    if meta.version != IVFPQ_INDEX_VERSION:
+    meta = _driver_read_parquet(f"{path}/meta")[0]  # no Spark job
+    if meta["version"] != IVFPQ_INDEX_VERSION:
         raise ValueError(
-            f"ivfpq index version {meta.version} at {path}; "
+            f"ivfpq index version {meta['version']} at {path}; "
             f"this build writes version {IVFPQ_INDEX_VERSION}")
     rows = ids.select(F.col(id_col).cast("long").alias("id")).distinct()
     with maintenance_lease(path):
@@ -2028,13 +2066,13 @@ def compact_ivfpq_index(spark, path: str) -> None:
         gen = 1 if cur_name == "codes" \
             else int(cur_name.rsplit("-g", 1)[1])
         new_name = f"codes-g{gen + 1}"
-        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        meta = _driver_read_parquet(f"{path}/meta")[0]  # no Spark job
         rows = spark.read.parquet(cur)
         ts = _read_vec_tombstones(spark, path)
         if ts is not None:
             rows = rows.join(
-                F.broadcast(ts.withColumnRenamed("id", meta.id_col)),
-                meta.id_col, "left_anti")
+                F.broadcast(ts.withColumnRenamed("id", meta["id_col"])),
+                meta["id_col"], "left_anti")
         (rows.repartition("_cell")
          .write.mode("overwrite").partitionBy("_cell")
          .parquet(os.path.join(path, new_name)))
@@ -2141,35 +2179,68 @@ def _ivfpq_probe(codes: DataFrame, cells: list[list[int]],
     element the literal LUT's element_at picked out of its
     all-codewords dot array, so the scores are bit-identical."""
     spark = codes.sparkSession
-    qs = queries.select(
-        F.col(q_id_col), int8_quantize(F.col(q_vec_col)).alias("_qq"))
-    cents_1row = F.broadcast(spark.createDataFrame(
-        [([list(map(int, c)) for c in cells],)],
-        "_cents array<array<bigint>>"))
-    scored_cells = F.transform(
-        F.col("_cents"),
-        lambda c, i: F.struct(
-            F.aggregate(F.zip_with(F.col("_qq"), c,
-                                   lambda a, b: (a - b) * (a - b)),
-                        F.lit(0).cast("bigint"),
-                        lambda acc, x: acc + x).alias("d"),
-            i.alias("i"),
-            idot(F.col("_qq"), c).alias("qc")))
-    probes = F.slice(F.array_sort(scored_cells), 1, n_probe)
-    q_probed = (
-        qs.crossJoin(cents_1row)
-        .withColumn("_p", F.explode(probes))
-        .select(F.col(q_id_col), F.col("_qq"),
-                F.col("_p.i").alias("_cell"),
-                F.col("_p.qc").alias("_qc"))
-    )
     if prune_partitions:
-        # bounded materialization: |Q| x n_probe rows (every probe
-        # call has a known small query set; sim19 uses 3 x 3)
-        q_rows = q_probed.collect()
-        probed_cells = sorted({r["_cell"] for r in q_rows})
-        q_probed = spark.createDataFrame(q_rows, q_probed.schema)
+        # Round-14 (VERDICT #2): the pruned path always materialized
+        # q_probed driver-side anyway (the bounded |Q| x n_probe
+        # collect that makes static partition pruning possible), but
+        # it got there by BUILDING AND RUNNING a Spark plan — the
+        # query-side quantize HOF tree + the per-cell ranking
+        # transform — once per probe call, which the streaming probes
+        # (st12/st14) paid per micro-batch as a full plan analysis +
+        # one extra driver job. The cells are ALREADY driver-side
+        # Python lists here, so the probe head now runs in plain
+        # Python off one bounded collect of the RAW queries:
+        # _int8_quantize_py replays int8_quantize's exact IEEE-double
+        # arithmetic (pinned bit-identical over the whole test corpus
+        # in TestIntIvf), the distances/dots are exact ints, and the
+        # (d, i, qc) tuple sort is array_sort's struct order — the
+        # created q_probed rows are the same rows the Spark plan
+        # collected, so everything downstream is unchanged.
+        from pyspark.sql import types as T
+        q_src = queries.select(F.col(q_id_col), F.col(q_vec_col)) \
+            .collect()
+        icells = [[int(v) for v in c] for c in cells]
+        rows = []
+        for r in q_src:
+            qq = _int8_quantize_py(r[1])
+            scored = sorted(
+                (sum((a - b) * (a - b) for a, b in zip(qq, c)), i,
+                 sum(a * b for a, b in zip(qq, c)))
+                for i, c in enumerate(icells))
+            for _d, i, qc in scored[:n_probe]:
+                rows.append((r[0], qq, i, qc))
+        id_field = queries.schema[q_id_col]
+        q_probed = spark.createDataFrame(rows, T.StructType([
+            T.StructField(q_id_col, id_field.dataType,
+                          id_field.nullable),
+            T.StructField("_qq", T.ArrayType(T.LongType(), True), True),
+            T.StructField("_cell", T.IntegerType(), True),
+            T.StructField("_qc", T.LongType(), True)]))
+        probed_cells = sorted({r[2] for r in rows})
         codes = codes.filter(F.col("_cell").isin(probed_cells))
+    else:
+        qs = queries.select(
+            F.col(q_id_col), int8_quantize(F.col(q_vec_col)).alias("_qq"))
+        cents_1row = F.broadcast(spark.createDataFrame(
+            [([list(map(int, c)) for c in cells],)],
+            "_cents array<array<bigint>>"))
+        scored_cells = F.transform(
+            F.col("_cents"),
+            lambda c, i: F.struct(
+                F.aggregate(F.zip_with(F.col("_qq"), c,
+                                       lambda a, b: (a - b) * (a - b)),
+                            F.lit(0).cast("bigint"),
+                            lambda acc, x: acc + x).alias("d"),
+                i.alias("i"),
+                idot(F.col("_qq"), c).alias("qc")))
+        probes = F.slice(F.array_sort(scored_cells), 1, n_probe)
+        q_probed = (
+            qs.crossJoin(cents_1row)
+            .withColumn("_p", F.explode(probes))
+            .select(F.col(q_id_col), F.col("_qq"),
+                    F.col("_p.i").alias("_cell"),
+                    F.col("_p.qc").alias("_qc"))
+        )
     books_1row = F.broadcast(spark.createDataFrame(
         [([[list(map(int, cw)) for cw in cb] for cb in codebooks],)],
         "_books array<array<array<bigint>>>"))
@@ -2307,31 +2378,33 @@ def load_ivfpq_index(spark, path: str) -> dict:
     resolved. The tombstone snapshot is taken at LOAD time: a handle
     loaded before a delete keeps serving the pre-delete view (the
     same read-your-load semantics the generation pointer gives)."""
-    meta_row = spark.read.parquet(f"{path}/meta").collect()[0]
-    if meta_row.version != IVFPQ_INDEX_VERSION:
+    # bounded sides read driver-side, no Spark jobs (round-14 — see
+    # _driver_read_parquet); the codes scan stays a lazy parquet scan
+    meta_row = _driver_read_parquet(f"{path}/meta")[0]
+    if meta_row["version"] != IVFPQ_INDEX_VERSION:
         raise ValueError(
-            f"ivfpq index version {meta_row.version} at {path}; "
+            f"ivfpq index version {meta_row['version']} at {path}; "
             f"this build reads version {IVFPQ_INDEX_VERSION}")
-    cells: list[list[int] | None] = [None] * meta_row.n_cells
-    for r in spark.read.parquet(f"{path}/cells").collect():
-        cells[r.cell] = [int(x) for x in r.cent]
+    cells: list[list[int] | None] = [None] * meta_row["n_cells"]
+    for r in _driver_read_parquet(f"{path}/cells"):
+        cells[r["cell"]] = [int(x) for x in r["cent"]]
     books: list[list[list[int] | None]] = [
-        [None] * meta_row.kc for _ in range(meta_row.m)]
-    for r in spark.read.parquet(f"{path}/codebooks").collect():
-        books[r.s][r.cid] = [int(x) for x in r.cent]
+        [None] * meta_row["kc"] for _ in range(meta_row["m"])]
+    for r in _driver_read_parquet(f"{path}/codebooks"):
+        books[r["s"]][r["cid"]] = [int(x) for x in r["cent"]]
     codes = spark.read.parquet(_codes_dir(path))
     ts = _read_vec_tombstones(spark, path)
     if ts is not None:
         codes = codes.join(
-            F.broadcast(ts.withColumnRenamed("id", meta_row.id_col)),
-            meta_row.id_col, "left_anti")
+            F.broadcast(ts.withColumnRenamed("id", meta_row["id_col"])),
+            meta_row["id_col"], "left_anti")
     return {
         "codes": codes,
         "cells": cells,
         "codebooks": books,
-        "meta": {"n_cells": meta_row.n_cells, "m": meta_row.m,
-                 "kc": meta_row.kc, "dim": meta_row.dim,
-                 "sub": meta_row.sub, "id_col": meta_row.id_col},
+        "meta": {"n_cells": meta_row["n_cells"], "m": meta_row["m"],
+                 "kc": meta_row["kc"], "dim": meta_row["dim"],
+                 "sub": meta_row["sub"], "id_col": meta_row["id_col"]},
     }
 
 
@@ -2397,14 +2470,14 @@ def rebalance_ivfpq_index(emb: DataFrame, path: str, out_path: str,
     comes from the existing index's meta so the rebalanced artifact
     is drop-in probe-compatible."""
     spark = emb.sparkSession
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    if meta.version != IVFPQ_INDEX_VERSION:
+    meta = _driver_read_parquet(f"{path}/meta")[0]  # no Spark job
+    if meta["version"] != IVFPQ_INDEX_VERSION:
         raise ValueError(
-            f"ivfpq index version {meta.version} at {path}; "
+            f"ivfpq index version {meta['version']} at {path}; "
             f"this build reads version {IVFPQ_INDEX_VERSION}")
-    save_ivfpq_index(emb, out_path, n_cells=meta.n_cells, m=meta.m,
-                     kc=meta.kc, iters=iters, dim=meta.dim,
-                     id_col=id_col, vec_col=vec_col)
+    save_ivfpq_index(emb, out_path, n_cells=meta["n_cells"],
+                     m=meta["m"], kc=meta["kc"], iters=iters,
+                     dim=meta["dim"], id_col=id_col, vec_col=vec_col)
 
 
 def ivfpq_probe_topk(index: dict, queries: DataFrame, k: int = 5,

@@ -1483,6 +1483,54 @@ def test_triangle_stats_hand_checked(spark):
         == (4, 5, 8, 2)
 
 
+class TestPyQuantizeParity:
+    """Round-14: the pruned-probe head quantizes BOUNDED query sets
+    driver-side (_int8_quantize_py) instead of building a Spark plan
+    per probe call. The replica must match int8_quantize bit-for-bit
+    on every vector it can ever see — pinned over the real corpus
+    plus adversarial shapes (negatives, zeros, all-equal, tiny/huge
+    magnitudes, sign-flipped)."""
+
+    def test_python_head_equals_spark_quantize_on_corpus(self, spark):
+        from pyspark.sql import functions as F
+
+        from mining_data_integration_spark.operators.similarity import (
+            _int8_quantize_py, int8_quantize)
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        got = emb.select(
+            "vec_id", "embedding",
+            int8_quantize(F.col("embedding")).alias("q")).collect()
+        assert len(got) > 0
+        for r in got:
+            assert _int8_quantize_py(r.embedding) == list(r.q), r.vec_id
+
+    def test_python_head_equals_spark_quantize_adversarial(self, spark):
+        from pyspark.sql import functions as F
+
+        from mining_data_integration_spark.operators.similarity import (
+            _int8_quantize_py, int8_quantize)
+
+        vecs = [
+            [0.0, 0.0, 0.0],
+            [1.0, 1.0, 1.0],
+            [-1.0, 2.0, -3.0],
+            [1e-12, -1e-12, 5e-13],
+            [1e12, -7e11, 3.3e11],
+            [127.0, -127.0, 63.5],
+            [0.1, 0.2, 0.30000000000000004],
+            [-0.0, 0.0, 1.0],
+        ]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "i long, v array<double>")
+        got = df.select("i", "v",
+                        int8_quantize(F.col("v")).alias("q")).collect()
+        for r in got:
+            assert _int8_quantize_py(r.v) == list(r.q), r.i
+
+
 class TestIvfpqPersistedLifecycle:
     """sim19: train-once / save / load / probe-many (round-8 VERDICT
     #1). The persisted probe must (a) equal the inline sim17 operator

@@ -203,6 +203,56 @@ def check_kcore(spark, name: str, n_blocks: int, ring: int,
     return ok
 
 
+def check_star_hub(spark, name: str, n_spokes: int, kernel) -> bool:
+    """Adversarial HUB graph (round-14, VERDICT #7): ONE center node
+    with n_spokes neighbors — the worst case for the window-min round
+    formulation, whose Window.partitionBy(u) buffers the hub's whole
+    raw neighbor list inside a single task (the old groupBy+join
+    round had the same skew on the SMJ probe side, so this is a wash
+    versus the pre-round-13 plan — but it was never exercised: the
+    path-per-block builder above has max degree 3). The hub id sits
+    ABOVE every spoke so large_star must actually rewire through it.
+    Correctness is closed-form — every node's component is the global
+    minimum, node 0 — and the window stage's row skew (max vs median
+    rows per hash partition of the symmetrized frame, the exact frame
+    the first round's Window consumes) is recorded so the one-task
+    buffering stays a measured, documented bound (SCALE.md)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    hub = n_spokes  # spokes 0..n-1, hub = n
+    edges = spark.range(n_spokes).select(
+        F.lit(hub).cast("long").alias("u"),
+        F.col("id").cast("long").alias("v"))
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # explicit width: AQE would coalesce the tiny shuffle to ONE
+    # partition and mask the skew this probe exists to record
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    per = sorted(r["cnt"] for r in (
+        sym.repartition(n_part, "u")
+        .groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count("*").alias("cnt")).collect()))
+    med, mx = per[len(per) // 2], per[-1]
+    t0 = time.time()
+    rounds: list[int] = []
+    try:
+        got = kernel(edges, rounds).collect()
+    except Exception as ex:
+        print(f"FAIL  {name}: {type(ex).__name__}: {ex}")
+        return False
+    ok = (len(got) == n_spokes + 1
+          and all(r.component == 0 for r in got)
+          and {r.node for r in got} == set(range(n_spokes + 1)))
+    rtxt = f" rounds={rounds[0]}" if rounds else ""
+    print(f"{'PASS' if ok else 'FAIL'}  {name}: {len(got)} nodes, "
+          f"1 hub x {n_spokes} spokes,{rtxt} window-stage rows/task "
+          f"max={mx} median={med} (skew {mx / max(med, 1):.0f}x) "
+          f"({time.time() - t0:.1f}s)")
+    return ok
+
+
 def main() -> int:
     import duckdb
 
@@ -238,6 +288,13 @@ def main() -> int:
     # shallow case exercises the common 2-round trim
     ok &= check_kcore(spark, "kcore_deep", 20_000, 40, 10, 10)
     ok &= check_kcore(spark, "kcore_shallow", 20_000, 40, 2, 2)
+    # adversarial hub (round-14 VERDICT #7): 1 hub, 1e5 spokes —
+    # the high-degree case the path-per-block builder never makes;
+    # star contraction (g4) AND min-label (g3, diameter 2) both
+    # certified against the closed form comp(i) = 0
+    ok &= check_star_hub(spark, "star_hub", 100_000, star)
+    ok &= check_star_hub(spark, "minlabel_hub", 100_000,
+                         lambda df, _r: minlabel(df, _r))
     print("ALL PASS" if ok else "FAILURES PRESENT")
     return 0 if ok else 1
 

@@ -40,7 +40,8 @@ def main() -> None:
     spark = get_spark("opt-measure")
     sc = spark.sparkContext
     qs = entry.queries()
-    os.makedirs("plans/r13", exist_ok=True)
+    plans_dir = os.environ.get("OPT_PLANS_DIR", "plans/r13")
+    os.makedirs(plans_dir, exist_ok=True)
 
     for name in NAMES:
         fn = qs[name]
@@ -67,7 +68,7 @@ def main() -> None:
             jobs_lazy = len(sc.statusTracker().getJobIdsForGroup(grp))
             sc.setJobDescription(None)
 
-        plan_path = f"plans/r13/{name}_{TAG}.txt"
+        plan_path = f"{plans_dir}/{name}_{TAG}.txt"
         with open(plan_path, "w") as fh:
             fh.write(df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution
