@@ -270,22 +270,25 @@ def _write_gold_with_state(tables: dict[str, DataFrame], gold_dir: str,
     # group only touches canonical_* dirs, disjoint from the others.
     chain_df, stacks_df = chain_state_frames(prepared)
 
-    def _state_writes() -> None:
-        if mode == "cold":
-            reset_state_for_layout(gold_dir)
-        _write_dynamic(chain_df, f"{gold_dir}/canonical_chain")
-        _write_dynamic(stacks_df, f"{gold_dir}/canonical_stacks")
-        # cold-mode mark_state_layout moved AFTER the pool (round-14
-        # ADVICE): with chain_state scheduled first, committing the
-        # marker here routinely landed while the gold writers were
-        # still running — a crash in that window left the marker
-        # present with gold outputs incomplete, and once the chain
-        # advanced past the crashed run's window floor the unwritten
-        # buckets were permanently skipped by later warm refreshes.
-        # The marker now commits only once every writer succeeded;
-        # reset stays inside the group (ordered before its writes).
-
-    writers.insert(0, ("chain_state", _state_writes))
+    # Round-14: the two state writes are INDEPENDENT dynamic writes to
+    # disjoint dirs — they used to run sequentially inside one pool
+    # slot, making "chain_state" the longest cold writer (2.8-3.5 s)
+    # and the pool's makespan. Split into two writers so they overlap;
+    # the cold-mode layout reset (a driver-side rmtree guarded by the
+    # marker check) runs synchronously BEFORE the pool so it still
+    # precedes both. mark_state_layout moved AFTER the pool (round-14
+    # ADVICE): committing the marker while gold writers were still
+    # running left a crash window where the marker existed with gold
+    # outputs incomplete, and once the chain advanced past the crashed
+    # run's window floor the unwritten buckets were permanently
+    # skipped by later warm refreshes — the marker now commits only
+    # once every writer succeeded.
+    if mode == "cold":
+        reset_state_for_layout(gold_dir)
+    writers.insert(0, ("stacks_state", lambda: _write_dynamic(
+        stacks_df, f"{gold_dir}/canonical_stacks")))
+    writers.insert(0, ("chain_state", lambda: _write_dynamic(
+        chain_df, f"{gold_dir}/canonical_chain")))
 
     from concurrent.futures import ThreadPoolExecutor
 

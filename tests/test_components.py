@@ -197,6 +197,7 @@ class TestIncrementalDeltaState:
         edges += [(i, i + 1) for i in range(200, 250)]
         return spark.createDataFrame(edges, "u long, v long")
 
+    @pytest.mark.slow
     def test_delta_writes_batch_scoped_and_fold_equals_batch(
             self, spark, tmp_path):
         from mining_data_integration_spark.operators import (

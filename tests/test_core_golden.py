@@ -65,6 +65,7 @@ class TestChainWalk:
         ).collect()}
         assert segmented == doubling == {f"n{i:04d}" for i in range(n)}
 
+    @pytest.mark.slow
     def test_rcte_walk_matches_pointer_doubling(self, spark):
         """Spark 4 WITH RECURSIVE walk = pointer-doubling walk on a
         chain with a dead branch."""

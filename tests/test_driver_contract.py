@@ -60,6 +60,7 @@ def test_ntz_cast_is_bit_exact_under_utc(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_plan_audit_is_green():
     """tools/plan_audit.py is the scale gate — every query plan scanned
     for cartesian products / row-Python / unjustified single-partition

@@ -62,6 +62,7 @@ class TestIncremental:
             want = canon_rows(builder(tables))
             assert got == want, f"{name} diverged at bootstrap"
 
+    @pytest.mark.slow
     def test_append_then_incremental_equals_full(self, spark, tables,
                                                  tmp_path):
         gold = str(tmp_path / "gold2")
@@ -83,6 +84,7 @@ class TestIncremental:
         assert int(mi[MINER_B]["total_win"]) == 3
         assert int(mi[MINER_B]["actual_win"]) == 3
 
+    @pytest.mark.slow
     def test_refresh_once_warm_equals_cold(self, spark, tables,
                                            tmp_path):
         """Round-9 VERDICT #7: a warm full refresh (walk = persisted
@@ -106,9 +108,13 @@ class TestIncremental:
         assert set(st) >= {"walk", "gold_writes", "window_walk",
                            "history_materialize"}
         gw = {k: v for k, v in st.items() if k.startswith("gw_")}
+        # round-14: the two chain-state writes split into independent
+        # pool writers (gw_chain_state + gw_stacks_state) so they
+        # overlap instead of running sequentially in one slot
         assert set(gw) == {"gw_mining_info", "gw_block_info",
                            "gw_miner_partials", "gw_miner_info",
-                           "gw_chain_state", "gw_prune"}
+                           "gw_chain_state", "gw_stacks_state",
+                           "gw_prune"}
         assert all(v <= st["gold_writes"] + 0.05 for v in gw.values())
         for name, builder in (("mining_info", core.mining_info),
                               ("block_info", core.block_info),
@@ -122,6 +128,7 @@ class TestIncremental:
         got = canon_rows(spark.read.parquet(f"{gold}/miner_info"))
         assert got == canon_rows(core.miner_info(ext))
 
+    @pytest.mark.slow
     def test_warm_refresh_skips_subfloor_gold_partitions(
             self, spark, tables, tmp_path, monkeypatch):
         """round-9 VERDICT #4: the WARM full refresh must not rewrite
@@ -153,6 +160,7 @@ class TestIncremental:
             got = canon_rows(spark.read.parquet(f"{gold}/{name}"))
             assert got == canon_rows(builder(ext)), name
 
+    @pytest.mark.slow
     def test_warm_write_falls_back_full_on_flat_layout(
             self, spark, tables, tmp_path):
         """A gold dir whose outputs were last written FLAT (a
@@ -172,6 +180,7 @@ class TestIncremental:
             spark.read.parquet(f"{gold}/mining_info"))
         assert got == canon_rows(core.mining_info(ext))
 
+    @pytest.mark.slow
     def test_reorg_shrink_prunes_stale_high_buckets(
             self, spark, tables, tmp_path, monkeypatch):
         """A reorg that LOWERS the tip leaves the old tip's buckets
@@ -196,6 +205,7 @@ class TestIncremental:
             assert got == canon_rows(builder(tables)), \
                 f"{name} kept phantom rows above the shrunken tip"
 
+    @pytest.mark.slow
     def test_refresh_once_reorg_shrink_prunes_warm_gold(
             self, spark, tables, tmp_path, monkeypatch):
         from mining_data_integration_spark.streaming import refresh_once
@@ -213,6 +223,7 @@ class TestIncremental:
             assert got == canon_rows(builder(tables)), \
                 f"{name} kept phantom rows above the shrunken tip"
 
+    @pytest.mark.slow
     def test_mixed_warm_refresh_and_tick_keep_partials_consistent(
             self, spark, tables, tmp_path, monkeypatch):
         """The tick's merge assumes every sub-floor bucket holds
@@ -296,6 +307,7 @@ class TestIncremental:
         assert sorted(os.listdir(gold)) == [
             "block_info", "miner_info", "mining_info"]
 
+    @pytest.mark.slow
     def test_distributed_walk_fallback_equals_full(self, spark, tables,
                                                    tmp_path, monkeypatch):
         """Forcing the driver-walk cap to zero routes the tick through
@@ -424,6 +436,7 @@ class TestIncremental:
         got = canon_rows(spark.read.parquet(f"{gold}/mining_info"))
         assert got == canon_rows(core.mining_info(ext))
 
+    @pytest.mark.slow
     def test_bucketed_bronze_commits_prune_and_match(
             self, spark, tables, tmp_path, monkeypatch):
         """Height-bucketed bronze commits (io.write_bronze_commits):

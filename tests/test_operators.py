@@ -1856,6 +1856,7 @@ class TestIvfpqOccupancy:
         return spark.createDataFrame(
             rows, "vec_id long, embedding array<double>")
 
+    @pytest.mark.slow
     def test_audit_flags_hot_cell_and_rebalance_clears_it(
             self, spark, tmp_path):
         from mining_data_integration_spark.operators import (
@@ -2107,6 +2108,7 @@ class TestMinhashPersistedIndex:
                 D.probe_minhash_index(
                     docs.filter("doc_id % 2 = 1"), path)
 
+    @pytest.mark.slow
     def test_lifecycle_parity_across_configs(self, spark, tmp_path):
         """Persisted == inline must hold for ANY index geometry, not
         just the registered one: sweep (n_cells, m, kc, dim) configs
@@ -3137,6 +3139,7 @@ class TestBatchReplayIdempotency:
                .select("id").distinct().collect()}
         assert ids == set(range(20))
 
+    @pytest.mark.slow
     def test_delete_replay_converges(self, spark, tmp_path):
         from mining_data_integration_spark.operators import (
             similarity as S)
