@@ -564,9 +564,18 @@ def int_ivf_centroids_df(emb_q: DataFrame, n_centroids: int,
     seeds = emb_q.orderBy(id_col).limit(n_centroids) \
         .select(id_col, vec_col)
     w = Window.orderBy(id_col)  # bounded: only n_centroids rows rank
+    # lazy checkpoints (round-14): the per-iteration checkpoint still
+    # bounds the plan at O(c) rows per block, but eager=True paid one
+    # driver action PER ITERATION (seeds + each Lloyd step) before
+    # the train's consumer ran — the first real action (the cell
+    # collect / codes build / probe) now materializes the whole
+    # bounded-depth chain in ONE job. iters is 2 everywhere in the
+    # registry, so the fused plan depth stays trivially small; the
+    # emb_q side is the caller's materialized (cached) corpus either
+    # way. Bit-identical: same logical plan, later materialization.
     cents = seeds.select(
         (F.row_number().over(w) - 1).alias("cid"),
-        F.col(vec_col).alias("cent")).localCheckpoint()
+        F.col(vec_col).alias("cent")).localCheckpoint(eager=False)
     for _ in range(iters):
         means = (
             int_assign_centroid_df(emb_q, cents, vec_col)
@@ -582,7 +591,7 @@ def int_ivf_centroids_df(emb_q: DataFrame, n_centroids: int,
         )
         cents = (cents.join(means, "cid", "left")
                  .select("cid", F.coalesce("new", "cent").alias("cent"))
-                 .localCheckpoint())
+                 .localCheckpoint(eager=False))
     return cents
 
 
